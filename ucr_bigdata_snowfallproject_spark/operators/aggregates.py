@@ -1,0 +1,102 @@
+"""Aggregation layer (SURVEY §2.4 + grouping sets + sketches X6).
+
+Scale policy (SURVEY §7.4): exact ``median`` is not partial-aggregable —
+Spark plans an ObjectHashAggregate buffering each group.  Fine at test
+scale; at 100 TB use ``approx=True`` which switches to the mergeable
+KLL-style ``percentile_approx`` sketch (map-side combine, bounded memory).
+The switch is an explicit per-call policy, not a silent default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def group_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[str],
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Multi-column group-by median (A1; reference untitled.py:81
+    ``groupby([...]).agg('median')``). Output columns keep measure names,
+    matching the reference's shape."""
+    agg_fn = (
+        (lambda c: F.percentile_approx(c, 0.5, accuracy))
+        if approx
+        else (lambda c: F.median(c))
+    )
+    return df.groupBy(*keys).agg(*[agg_fn(m).alias(m) for m in measures])
+
+
+def group_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """General grouped aggregation; partial+final hash agg comes free."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def scalar_agg(df: DataFrame, *aggs: Column) -> DataFrame:
+    """Global scalar aggregate (A3; reference min/max over the year list at
+    untitled.py:29-30). One row out; use as a broadcast scalar, never
+    ``collect`` into driver-side loops."""
+    return df.agg(*aggs)
+
+
+def rollup_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    """Hierarchical rollup (SURVEY §2.4 extension, e.g. YEAR→MONTH)."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
+    return df.cube(*keys).agg(*aggs)
+
+
+def correlation_matrix(df: DataFrame, target: str, cols: Sequence[str] | None = None) -> DataFrame:
+    """Pearson correlation of ``target`` vs every numeric column — in ONE
+    job (A4 redesign, SURVEY §3.2).
+
+    The reference loops ``df.stat.corr`` per column (untitled.py:162-165),
+    launching O(columns) full scans, and probes ``take(1)`` per column to
+    find numeric types; here the numeric set comes from ``df.schema``
+    (metadata, F10) and all ``corr`` aggregates run in a single pass.
+    """
+    if cols is None:
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("double", "float", "integer", "long", "short")
+            and f.name != target
+        ]
+    aggs = [F.corr(target, c).alias(f"corr_{c}") for c in cols]
+    return df.agg(*aggs)
+
+
+def rmse(predictions: DataFrame, label: str, prediction: str = "prediction") -> DataFrame:
+    """RMSE as a plain aggregate (A5; reference untitled.py:238-240 uses the
+    MLlib evaluator — same math, one row out)."""
+    return predictions.agg(
+        F.sqrt(F.avg(F.pow(F.col(prediction) - F.col(label), F.lit(2)))).alias("rmse")
+    )
+
+
+def approx_distinct(df: DataFrame, cols: Sequence[str], rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ distinct-count sketch (X6). Mergeable → map-side
+    partials, constant memory; the 100 TB answer to COUNT(DISTINCT)."""
+    return df.agg(*[F.approx_count_distinct(c, rsd).alias(f"approx_distinct_{c}") for c in cols])
+
+
+def distinct_count(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact distinct count (expands to a two-phase aggregate)."""
+    return df.agg(*[F.countDistinct(c).alias(f"distinct_{c}") for c in cols])
+
+
+def approx_quantiles(
+    df: DataFrame, col: str, probabilities: Sequence[float], accuracy: int = 10000
+) -> DataFrame:
+    """Quantile sketch (X6): percentile_approx at the given probabilities."""
+    return df.agg(
+        F.percentile_approx(col, list(probabilities), accuracy).alias(f"quantiles_{col}")
+    )

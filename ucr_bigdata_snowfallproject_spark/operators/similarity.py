@@ -1,0 +1,175 @@
+"""Embedding similarity search (X3).
+
+Two paths, one semantics:
+
+- :func:`brute_force_topk` — exact cosine top-k of a (small, broadcast)
+  query set against the corpus. The corpus NEVER shuffles: queries
+  broadcast, per-row dot products run JVM-side (``zip_with`` +
+  ``aggregate`` in double), and top-k is a per-group window. At 100 TB the
+  cost is one full scan — the right baseline and the correctness oracle
+  for approximate paths.
+- :func:`lsh_topk` — random-hyperplane LSH bucketing: corpus and queries
+  hash to sign-pattern buckets; only same-bucket candidates are scored
+  (multi-probe via several independent tables). Sub-scan cost at the price
+  of recall; recall is testable against the brute-force oracle.
+
+Embeddings stay ``array<float>`` (plain SQL type — DuckDB-oracle
+expressible, SURVEY §7.4), computation in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array columns, accumulated in double, JVM-side."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 10,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast-cross-join queries × corpus,
+    score, window top-k with (sim desc, id) total order.
+
+    Output: (q_id, vec_id, sim) — ``sim`` rounded for cross-engine
+    determinism when ``round_digits`` is set (ranking uses the rounded
+    value plus the id tiebreaker, so top-k membership is well-defined).
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    )
+    sim = cosine(F.col("__qvec"), F.col(vec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = corpus.join(F.broadcast(q)).select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        sim.alias("sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def _hyperplanes(dim: int, planes: int, table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded per table) — plain
+    Python floats baked into the plan as literals; no driver-side state."""
+    import random
+
+    rng = random.Random(42 + table)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(planes)]
+
+
+def bucket_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Sign pattern of the vector against each hyperplane, packed to a long."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(hyperplanes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 10,
+    planes: int = 8,
+    tables: int = 4,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH, ``tables``
+    independent hash tables of ``planes`` bits.
+
+    Scale shape: corpus explodes ×tables into (table, bucket) keys — the
+    join shuffles on bucket, average bucket size n/2^planes per table;
+    scoring happens only inside buckets. Recall improves with more tables,
+    cost with fewer — both are explicit knobs.
+    """
+    c_sigs = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        *[
+            bucket_signature(F.col(vec_col), _hyperplanes(dim, planes, t)).alias(f"__b{t}")
+            for t in range(tables)
+        ],
+    )
+    q_sigs = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        *[
+            bucket_signature(F.col(vec_col), _hyperplanes(dim, planes, t)).alias(f"__qb{t}")
+            for t in range(tables)
+        ],
+    )
+    c_exp = c_sigs.select(
+        id_col,
+        vec_col,
+        F.posexplode(F.array(*[F.col(f"__b{t}") for t in range(tables)])).alias(
+            "__table", "__bucket"
+        ),
+    )
+    q_exp = q_sigs.select(
+        "__qid",
+        "__qvec",
+        F.posexplode(F.array(*[F.col(f"__qb{t}") for t in range(tables)])).alias(
+            "__table", "__bucket"
+        ),
+    )
+    cand = (
+        c_exp.join(F.broadcast(q_exp), on=["__table", "__bucket"])
+        .select(id_col, vec_col, "__qid", "__qvec")
+        .dropDuplicates(["__qid", id_col])
+    )
+    sim = cosine(F.col("__qvec"), F.col(vec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cand.select(F.col("__qid").alias(query_id_col), F.col(id_col), sim.alias("sim"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

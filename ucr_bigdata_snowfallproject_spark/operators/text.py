@@ -1,0 +1,103 @@
+"""Text analysis operators (X4): language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure column expressions (codegen'd, zero per-row Python) so they run at
+scan speed over 100 TB of documents — and stay DuckDB-oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-ratio
+#: language-ID heuristic (public knowledge; any real deployment swaps in
+#: fastText — behind the same column contract).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ein", "ist"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (the X4 token-count baseline)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish token estimate: count word-piece-shaped units (letter runs,
+    digit runs, punctuation singles) — a deterministic proxy for tokenizer
+    counts, one regexp pass."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+            lambda t: (F.length(F.trim(t)) > 0),
+        )
+    )
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    sw = STOPWORDS[lang]
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return hits / F.size(toks)
+
+
+def detect_language(col: str | Column, threshold: float = 0.05) -> Column:
+    """Language-ID heuristic: best stopword-ratio wins if above threshold,
+    else 'und'. greatest()-based argmax keeps it one expression."""
+    ratios = {lang: stopword_ratio(col, lang) for lang in STOPWORDS}
+    best = F.greatest(*ratios.values())
+    out = F.lit("und")
+    for lang, r in ratios.items():
+        out = F.when((r == best) & (best >= threshold), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(col: str | Column) -> Column:
+    """Quality scoring (X4): composite of length, mean word length,
+    punctuation density, stopword ratio — each squashed to [0,1] and
+    averaged. Deterministic, documented weights."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c).cast("double")
+    n_toks = token_count(c).cast("double")
+    mean_word_len = (n_chars - n_toks + 1) / n_toks
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?]", "")).cast("double")
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    word_len_score = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.3)
+    punct_score = F.when(punct / n_chars < 0.1, 1.0).otherwise(0.5)
+    sw_score = F.least(stopword_ratio(c) * 5, F.lit(1.0))
+    return (length_score + word_len_score + punct_score + sw_score) / 4
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint (X4): md5 of the normalized text (lowercase,
+    collapsed whitespace) — the exact-dup key that survives formatting
+    noise. md5 (not xxhash) so external oracles can reproduce it."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One-pass per-document stats table: chars, tokens, mean token length,
+    fingerprint, stopword ratio, quality."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("len_chars"),
+        token_count(c).alias("n_tokens"),
+        F.round(F.length(F.regexp_replace(c, r"\s+", "")) / token_count(c), 4).alias(
+            "mean_token_len"
+        ),
+        fingerprint(c).alias("fingerprint"),
+        F.round(stopword_ratio(c), 4).alias("en_stopword_ratio"),
+        F.round(quality_score(c), 4).alias("quality"),
+    )

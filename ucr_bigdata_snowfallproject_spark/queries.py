@@ -1,0 +1,875 @@
+"""Query registry: every operator surface from SURVEY §2, wired as a
+(PySpark callable, DuckDB oracle SQL) pair for the driver's correctness
+gate (``__spark_entry__.py``).
+
+Conventions (driver contract):
+- every computed column is aliased IDENTICALLY in the Spark plan and the
+  oracle SQL (the driver hash-compares after sorting columns by name);
+- floating aggregates are ``round``-ed on BOTH sides — double summation
+  order differs between engines, so unrounded sums never hash-match;
+- DuckDB type widenings are cast back (``sum(int) → HUGEINT`` becomes
+  ``CAST(... AS BIGINT)``; ``year() → BIGINT`` becomes INTEGER) so schemas
+  align with Spark's types;
+- every LIMIT query carries a unique total-order tiebreaker.
+
+Each query's docstring cites the SURVEY §2 operator(s) it exercises and the
+reference lines it derives from.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io import load_table
+from .operators import aggregates, relational, windows
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
+
+#: name -> (spark_fn, oracle_sql | None). Filled by @register below.
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# =========================================================================
+# Relational core (SURVEY §2.2 P1-P9, §2.3 J1/J2, §2.6 O1/O2, §2.7 U1)
+# =========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation (A-series; the engine's headline
+    scan+agg). Partial+final hash agg, fully codegen'd; at 100 TB the only
+    shuffle is the 6-group exchange."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped join+agg+top-k (J1 fact⋈dim chain + O1 top-k;
+    reference's join at untitled.py:85, sort+tail at untitled.py:20-21).
+    customer is broadcast; top-k plans as TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
+    )
+    joined = o.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))), on="o_custkey"
+    ).join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return relational.top_k(
+        agg.select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority"),
+        [F.desc("revenue"), F.asc("l_orderkey")],
+        10,
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN supplier ON s_nationkey = n_nationkey
+                JOIN lineitem ON l_suppkey   = s_suppkey
+                JOIN orders   ON o_orderkey  = l_orderkey
+    WHERE r_name IN ('ASIA', 'AMERICA')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (J1 chain: two dim hops + fact⋈fact;
+    SURVEY §2.3). region/nation/supplier broadcast — the fact table
+    shuffles only for the lineitem⋈orders equi-join and final agg."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    dims = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        l.join(o.select("o_orderkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dims), l.l_suppkey == dims.s_suppkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "filter_project_sentinels",
+    """
+    SELECT c_custkey, c_name, acctbal, c_mktsegment
+    FROM (SELECT c_custkey, c_name,
+                 CASE WHEN c_acctbal IN (0.0, -999.0, -999.9) THEN NULL
+                      ELSE c_acctbal END AS acctbal,
+                 c_mktsegment
+          FROM customer)
+    WHERE acctbal IS NOT NULL AND c_mktsegment <> 'MACHINERY'
+    """,
+)
+def filter_project_sentinels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 null filter + P2 sentinel scrub + P6/P7 projection (reference
+    untitled.py:26-27,36). IsNotNull + the inequality push to the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    scrubbed = relational.scrub_sentinels(c, cols=["c_acctbal"]).withColumnRenamed(
+        "c_acctbal", "acctbal"
+    )
+    return relational.project(
+        relational.filter_not_null(scrubbed, "acctbal").filter(
+            F.col("c_mktsegment") != "MACHINERY"
+        ),
+        "c_custkey",
+        "c_name",
+        "acctbal",
+        "c_mktsegment",
+    )
+
+
+@register(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 semi join — the reference's hand-rolled row-at-a-time membership
+    probe (untitled.py:72) as a broadcast left-semi join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.semi_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 complement: left-anti join (SURVEY §2.3)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return relational.anti_join(c, o, ["c_custkey"]).select("c_custkey", "c_name")
+
+
+@register(
+    "union_urgent_or_big_orders",
+    """
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def union_urgent_or_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 union-all accumulate (reference's append loop, untitled.py:80-82)."""
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_orderkey", "o_orderpriority")
+    return relational.union_all(urgent, big)
+
+
+@register(
+    "intersect_building_buyers",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def intersect_building_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics both engines; SURVEY §2.7)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return relational.intersect(
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+        o.select(F.col("o_custkey").alias("c_custkey")),
+    )
+
+
+@register(
+    "except_all_nonbuilding",
+    """
+    SELECT c_nationkey FROM customer
+    EXCEPT ALL
+    SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def except_all_nonbuilding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / exceptAll multiset difference (SURVEY §2.7)."""
+    c = load_table(spark, sf_dir, "customer")
+    return relational.except_all(
+        c.select("c_nationkey"),
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey"),
+    )
+
+
+@register(
+    "topk_orders_by_price",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 top-k (reference sort+tail at untitled.py:20-21); plans as
+    TakeOrderedAndProject — O(k) memory per partition at any scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return relational.top_k(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 15)
+
+
+# =========================================================================
+# Aggregates & windows (SURVEY §2.4, §2.5)
+# =========================================================================
+
+
+@register(
+    "group_median_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(MEDIAN(l_quantity), 4)      AS median_qty,
+           ROUND(MEDIAN(l_extendedprice), 4) AS median_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def group_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 group-by median — the heart of the reference
+    (``groupby([...]).agg('median')``, untitled.py:81). Exact median here;
+    the 100 TB path flips aggregates.group_median(approx=True) to the
+    mergeable percentile_approx sketch (SURVEY §7.4)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = aggregates.group_median(
+        l, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice"]
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity", 4).alias("median_qty"),
+        F.round("l_extendedprice", 4).alias("median_price"),
+    )
+
+
+@register(
+    "rollup_revenue_by_year_month",
+    """
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)  AS ship_year,
+           CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month,
+           CAST(GROUPING(EXTRACT(year FROM l_shipdate),
+                         EXTRACT(month FROM l_shipdate)) AS BIGINT) AS gid,
+           ROUND(SUM(l_extendedprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT)       AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (EXTRACT(year FROM l_shipdate), EXTRACT(month FROM l_shipdate))
+    """,
+)
+def rollup_revenue_by_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP over YEAR→MONTH (SURVEY §2.4 extension — the
+    climatology rollup for the reference's monthly grain)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("ship_year"),
+        F.month("l_shipdate").alias("ship_month"),
+        "l_extendedprice",
+    )
+    return aggregates.rollup_agg(
+        l,
+        ["ship_year", "ship_month"],
+        F.grouping_id().alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select("ship_year", "ship_month", "gid", "revenue", "n_items")
+
+
+@register(
+    "cube_order_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (SURVEY §2.4 extension)."""
+    o = load_table(spark, sf_dir, "orders")
+    return aggregates.cube_agg(
+        o.select("o_orderstatus", "o_orderpriority", "o_totalprice"),
+        ["o_orderstatus", "o_orderpriority"],
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "total")
+
+
+@register(
+    "corr_lineitem_measures",
+    """
+    SELECT ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(CORR(l_discount, l_extendedprice), 6) AS corr_disc_price,
+           ROUND(CORR(l_tax, l_quantity), 6)           AS corr_tax_qty
+    FROM lineitem
+    """,
+)
+def corr_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 Pearson correlation — all pairs in ONE job, vs the reference's
+    per-column stat.corr loop that launches O(columns) scans
+    (untitled.py:162-165; redesign per SURVEY §3.2)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.round(F.corr("l_tax", "l_quantity"), 6).alias("corr_tax_qty"),
+    )
+
+
+@register(
+    "distinct_counts_lineitem",
+    """
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_l_partkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_l_suppkey
+    FROM lineitem
+    """,
+)
+def distinct_counts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (SURVEY §2.4; expand+two-phase agg)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return aggregates.distinct_count(l, ["l_partkey", "l_suppkey"])
+
+
+@register("approx_distinct_users", None)  # HLL sketch value — no SQL oracle
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 HyperLogLog++ distinct sketch — mergeable, constant-memory; the
+    100 TB COUNT(DISTINCT). Driver records rows-only (sketch != exact)."""
+    e = load_table(spark, sf_dir, "events")
+    return aggregates.approx_distinct(e, ["user_id"])
+
+
+@register("approx_quantiles_price", None)  # sketch — no SQL oracle
+def approx_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 quantile sketch (percentile_approx / KLL-style; the streaming-safe
+    median of SURVEY §7.4)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return aggregates.approx_quantiles(l, "l_extendedprice", [0.25, 0.5, 0.75])
+
+
+@register(
+    "window_latest_lineitem_per_order",
+    """
+    SELECT l_orderkey, l_linenumber, l_shipdate FROM (
+        SELECT l_orderkey, l_linenumber, l_shipdate,
+               MAX(l_shipdate) OVER (PARTITION BY l_orderkey) AS mx
+        FROM lineitem)
+    WHERE l_shipdate = mx
+    """,
+)
+def window_latest_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/A2 latest-row-per-group arg-max, tie-keeping — exactly the
+    reference's latest-day-per-station snapshot (untitled.py:80)."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    return windows.latest_per_group(l, ["l_orderkey"], "l_shipdate", keep_ties=True)
+
+
+@register(
+    "window_top3_suppliers_per_nation",
+    """
+    SELECT s_nationkey, s_suppkey, s_acctbal, CAST(rn AS INTEGER) AS rn FROM (
+        SELECT s_nationkey, s_suppkey, s_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                                  ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        FROM supplier)
+    WHERE rn <= 3
+    """,
+)
+def window_top3_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N via row_number (SURVEY §2.5 ranking surface)."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("s_nationkey", "s_suppkey", "s_acctbal", "rn")
+    )
+
+
+@register(
+    "window_running_customer_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame (rowsBetween unboundedPreceding..current;
+    SURVEY §2.5 frames)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = windows.running_agg(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.sum("o_totalprice"),
+        "running_spend",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("running_spend", 2).alias("running_spend")
+    )
+
+
+@register(
+    "window_lag_lead_price",
+    """
+    SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+           LAG(l_extendedprice) OVER w  AS prev_price,
+           LEAD(l_extendedprice) OVER w AS next_price
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def window_lag_lead_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets (SURVEY §2.5). Pass-through values — no float
+    arithmetic, so no rounding needed."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = windows.with_lag_lead(
+        l,
+        ["l_partkey"],
+        [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "l_extendedprice",
+        lag_out="prev_price",
+        lead_out="next_price",
+    )
+    return out.select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice", "prev_price", "next_price"
+    )
+
+
+@register(
+    "rolling_avg_order_value",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+    FROM orders
+    """,
+)
+def rolling_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing rolling-window aggregate (the rolling-monthly-average
+    pattern of SURVEY §2.5)."""
+    o = load_table(spark, sf_dir, "orders")
+    out = windows.rolling_agg(
+        o,
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        F.avg("o_totalprice"),
+        "rolling_avg",
+        preceding=2,
+    )
+    return out.select("o_custkey", "o_orderkey", F.round("rolling_avg", 4).alias("rolling_avg"))
+
+
+# =========================================================================
+# Scalar functions (SURVEY §2.8 F1-F10 + JSON/array extensions)
+# =========================================================================
+
+
+@register(
+    "scalar_string_functions",
+    """
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, '(\\d+)', 1) AS INTEGER) AS brand_num,
+           split_part(p_type, ' ', 1)                            AS type_head,
+           concat_ws('|', p_brand, p_type)                       AS brand_type,
+           upper(p_name)                                         AS name_upper,
+           CAST(length(p_name) AS INTEGER)                       AS name_len,
+           substring(p_name, 1, 5)                               AS name_prefix
+    FROM part
+    """,
+)
+def scalar_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2/F4/F5 string surface (regex extract, split, null-skipping
+    concat; reference untitled.py:23,33,49-50,69-71)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"(\d+)", 1).cast("int").alias("brand_num"),
+        F.split("p_type", " ").getItem(0).alias("type_head"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+    )
+
+
+@register(
+    "scalar_date_parts",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)  AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+           CAST(COUNT(*) AS BIGINT)                         AS n_orders,
+           ROUND(SUM(o_totalprice), 2)                      AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def scalar_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 date-part derivation + monthly grain aggregation (reference
+    untitled.py:57-59,81)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "o_totalprice",
+        )
+        .groupBy("order_year", "order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
+    "conditional_balance_buckets",
+    """
+    SELECT c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(c_acctbal), 4) AS avg_bal
+    FROM customer GROUP BY 1, 2
+    """,
+)
+def conditional_balance_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 conditional expression (when/otherwise; reference untitled.py:34
+    — implemented with the *intended* null semantics, see SURVEY §7.4)."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return (
+        c.withColumn("bucket", bucket)
+        .groupBy("c_mktsegment", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+    )
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           CAST(COUNT(json_extract_string(props, '$.k')) AS BIGINT)               AS n_with_k,
+           ROUND(AVG(value), 4)                                                   AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the events props column (SURVEY §2.8
+    extension: get_json_object; the semi-structured surface)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "events_hourly_buckets",
+    """
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT)  AS n_events,
+           ROUND(SUM(value), 2)      AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time-window aggregation in batch (the batch twin of the
+    streaming surface, SURVEY §2.10): F.window ≡ epoch-aligned bucketing."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+# =========================================================================
+# Extension operators: text analysis (X4), dedup (X1/X2), similarity (X3)
+# =========================================================================
+
+
+@register(
+    "text_stats_documents",
+    """
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS len_chars,
+           CAST(len(string_split(lower(trim(text)), ' ')) AS INTEGER) AS n_tokens,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 token counting + md5 document fingerprint — pure column
+    expressions, scan-speed over 100 TB of text."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        text_ops.token_count("text").alias("n_tokens"),
+        text_ops.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality_by_source",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(length(text)), 4) AS avg_len,
+           ROUND(AVG(len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> t IN ('the','a','of','and','to','in','is','it')))
+                 / len(string_split(lower(trim(text)), ' '))), 4) AS avg_stopword_ratio
+    FROM documents GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 quality-signal aggregation per source (stopword-ratio heuristic —
+    the language-ID / quality-score building block)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_len"),
+        F.round(F.avg(text_ops.stopword_ratio("text")), 4).alias("avg_stopword_ratio"),
+    )
+
+
+@register("text_language_id", None)  # heuristic argmax — rows-only check
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 language-ID heuristic (stopword-ratio argmax across 4 language
+    profiles). Rows-only: the tie-break policy is engine-defined."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        text_ops.detect_language("text").alias("lang_pred"),
+        F.round(text_ops.quality_score("text"), 4).alias("quality"),
+    )
+
+
+@register(
+    "dedup_exact_by_fingerprint",
+    """
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                   ORDER BY doc_id) AS rn
+        FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 exact dedup with a deterministic survivor (min doc_id per
+    normalized-text fingerprint) — dropDuplicates with defined semantics."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "__fp", text_ops.fingerprint("text")
+    )
+    return dedup_ops.exact_dedup(d, ["__fp"], "doc_id").select("doc_id", "lang", "source")
+
+
+@register("dedup_minhash_candidates", None)  # hash-seed-dependent — rows-only
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 MinHash-LSH near-dup candidate pairs (shingle→64 minhash→16-band
+    bucket self-join). Rows-only: depends on xxhash64 seeds, not
+    SQL-reproducible. Recall vs exact Jaccard is pinned in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_candidates(d, "doc_id", "text", num_hashes=64, bands=16)
+
+
+@register("dedup_simhash_candidates", None)  # hash-seed-dependent — rows-only
+def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash near-dup candidates (64-bit fingerprint, 16-bit bands,
+    Hamming ranking)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_candidates(d, "doc_id", "text")
+
+
+@register(
+    "similarity_brute_force_topk",
+    """
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvec
+               FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.q_id, e.vec_id,
+                  ROUND(list_dot_product(q.qvec, e.embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(q.qvec, q.qvec)) *
+                         sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[]))), 4) AS sim
+           FROM q CROSS JOIN embeddings e)
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def similarity_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 exact cosine top-k (brute force baseline): 5 query vectors
+    broadcast against the corpus, double-precision dot products JVM-side,
+    per-query window top-10 with (sim desc, vec_id) total order."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return sim_ops.brute_force_topk(e, q, k=10, round_digits=4)
+
+
+@register("similarity_lsh_topk", None)  # approximate — recall tested vs brute force
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 LSH approximate top-k (random-hyperplane bucketing, 4 tables ×
+    8 bits). Rows-only here; recall vs the brute-force oracle is pinned in
+    tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return sim_ops.lsh_topk(e, q, dim=64, k=10)
+
+
+# =========================================================================
+# Flagship (SURVEY §7.1): monthly median measures + dimension join
+# =========================================================================
+
+
+@register(
+    "flagship_monthly_median_join",
+    """
+    SELECT m.l_suppkey, m.ship_year, m.ship_month, s.s_name, s.s_nationkey,
+           m.median_qty, m.median_price
+    FROM (SELECT l_suppkey,
+                 CAST(EXTRACT(year FROM l_shipdate) AS INTEGER)  AS ship_year,
+                 CAST(EXTRACT(month FROM l_shipdate) AS INTEGER) AS ship_month,
+                 ROUND(MEDIAN(l_quantity), 4)      AS median_qty,
+                 ROUND(MEDIAN(l_extendedprice), 4) AS median_price
+          FROM lineitem GROUP BY 1, 2, 3) m
+    JOIN supplier s ON m.l_suppkey = s.s_suppkey
+    """,
+)
+def flagship_monthly_median_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference pipeline shape (SURVEY §7.1): monthly median measures
+    per entity (A1, untitled.py:81) ⋈ broadcast dimension (J1,
+    untitled.py:85). Aggregate-below-join keeps the shuffle on the
+    pre-aggregated (small) side; the dim never shuffles."""
+    l = load_table(spark, sf_dir, "lineitem").withColumns(
+        {"ship_year": F.year("l_shipdate"), "ship_month": F.month("l_shipdate")}
+    )
+    medians = aggregates.group_median(
+        l,
+        ["l_suppkey", "ship_year", "ship_month"],
+        ["l_quantity", "l_extendedprice"],
+    ).select(
+        "l_suppkey",
+        "ship_year",
+        "ship_month",
+        F.round("l_quantity", 4).alias("median_qty"),
+        F.round("l_extendedprice", 4).alias("median_price"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    return relational.join_dim(medians, s, on=["l_suppkey"]).select(
+        "l_suppkey", "ship_year", "ship_month", "s_name", "s_nationkey",
+        "median_qty", "median_price",
+    )

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed as a full cold logical-plan → action execution
+(count-shaped, no driver collect of payloads). The session is warmed with a
+trivial job first so JVM/codegen startup isn't attributed to the first
+query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ucr_bigdata_snowfallproject_spark.queries import REGISTRY  # noqa: E402
+from ucr_bigdata_snowfallproject_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one per operator family (scan+agg, join chain, top-k,
+#: median, window, set-op, scalar/JSON, time buckets, text, dedup exact,
+#: minhash LSH, similarity, flagship pipeline shape).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "group_median_quantity",
+    "window_latest_lineitem_per_order",
+    "window_running_customer_spend",
+    "topk_orders_by_price",
+    "json_extract_events",
+    "events_hourly_buckets",
+    "text_stats_documents",
+    "dedup_exact_by_fingerprint",
+    "dedup_minhash_candidates",
+    "similarity_brute_force_topk",
+    "flagship_monthly_median_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark(app_name="snowfall-bench")
+    # warm the JVM + codegen paths outside the timed region
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

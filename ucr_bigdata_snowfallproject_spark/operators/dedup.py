@@ -23,6 +23,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ._util import ensure_parallelism
+
+#: Mersenne prime 2^31-1 for the h_i = (h1 + i·h2) mod p universal-hash
+#: family — keeps every intermediate ≤ 64·2^31 ≈ 2^37, safe under Spark 4's
+#: ANSI overflow checking.
+_MERSENNE_P = 2147483647
+
 
 def exact_dedup(
     df: DataFrame,
@@ -59,14 +66,57 @@ def shingles(col: str, n: int = 3) -> F.Column:
 
 
 def minhash_signature(shingle_col: F.Column, num_hashes: int = 64) -> F.Column:
-    """64 minhash values per document: for seed i, min over shingles of
-    xxhash64(shingle, i). One array column, computed in a single pass —
-    no MLlib model fit required, streaming-friendly."""
+    """Minhash signature as a single expression (streaming-friendly form):
+    two base hashes per shingle, h_i = h1 + i·h2 (the standard
+    two-hash construction), min over shingles per i — ONE pass over the
+    shingle array producing all ``num_hashes`` values."""
+    p = F.lit(_MERSENNE_P)
+    pair = F.transform(
+        shingle_col,
+        lambda s: F.array(F.pmod(F.xxhash64(s), p), F.pmod(F.xxhash64(s, F.lit(1)), p)),
+    )
     return F.array(
         *[
-            F.array_min(F.transform(shingle_col, lambda s: F.xxhash64(s, F.lit(i))))
+            F.array_min(
+                F.transform(
+                    pair, lambda pr: F.pmod(pr.getItem(0) + F.lit(i) * pr.getItem(1), p)
+                )
+            )
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures_agg(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Minhash signatures via explode + grouped min-aggregation — the
+    batch-scale formulation: shingles explode to rows, each row computes
+    two base hashes, and ``num_hashes`` partial-aggregable ``min``s reduce
+    per document (map-side combine ⇒ the shuffle carries only
+    (id, 64 longs), never shingle text)."""
+    p = F.lit(_MERSENNE_P)
+    df = ensure_parallelism(df, id_col)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, shingle_n)).alias("__sh"),
+    ).select(
+        "__id",
+        F.pmod(F.xxhash64("__sh"), p).alias("__h1"),
+        F.pmod(F.xxhash64("__sh", F.lit(1)), p).alias("__h2"),
+    )
+    mins = exploded.groupBy("__id").agg(
+        *[
+            F.min(F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), p)).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig")
     )
 
 
@@ -87,10 +137,7 @@ def minhash_candidates(
     ×`bands`; the self-join shuffles on the band hash — never on text.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(shingles(text_col, shingle_n), num_hashes).alias("__sig"),
-    )
+    sig = minhash_signatures_agg(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "__id",
         "__sig",
@@ -103,6 +150,12 @@ def minhash_candidates(
             )
         ).alias("__band", "__bucket"),
     )
+    # The LSH self-join reads `banded` twice. localCheckpoint (eager)
+    # materializes it once AND truncates the lineage, so Catalyst doesn't
+    # re-analyze the wide 64-aggregate tree for both join branches — the
+    # checkpointed frame is narrow (id + 64 longs + band/bucket). At
+    # cluster scale swap for reliable checkpoint / an intermediate table.
+    banded = banded.localCheckpoint(eager=True)
     left = banded.alias("a")
     right = banded.alias("b")
     pairs = (
@@ -229,7 +282,9 @@ def simhash_candidates(
     """SimHash near-dup candidates: band the 64-bit fingerprint into
     64/band_bits chunks; docs sharing any chunk are candidates; rank by
     Hamming distance (bit_count of xor)."""
-    sigs = df.select(F.col(id_col).alias("__id"), simhash(text_col).alias("__sh"))
+    sigs = ensure_parallelism(df, id_col).select(
+        F.col(id_col).alias("__id"), simhash(text_col).alias("__sh")
+    )
     nbands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sigs.select(

@@ -1,0 +1,57 @@
+"""Physical-plan assertions (SURVEY §4): the optimizations Catalyst should
+be doing for us — predicate pushdown, column pruning, broadcast joins,
+whole-stage codegen — verified from ``explain`` output so regressions are
+test failures, not silent slowdowns at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The ``df.explain(mode)`` text as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries from every scan node in the formatted plan."""
+    text = explain_str(df, "formatted")
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", text):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists actually read by each scan (column-pruning check)."""
+    text = explain_str(df, "formatted")
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", text):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df, "simple")
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    """True if any stage compiles to whole-stage codegen. Under AQE the
+    pre-execution 'simple' plan hides codegen spans — the formatted mode
+    (or the `*(n)` stage markers) carries them."""
+    text = explain_str(df, "formatted")
+    return "WholeStageCodegen" in text or bool(re.search(r"\*\(\d+\)", explain_str(df, "simple")))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the physical plan."""
+    text = explain_str(df, "simple")
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text))

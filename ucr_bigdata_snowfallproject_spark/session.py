@@ -42,6 +42,7 @@ _DEFAULT_CONFS: dict[str, str] = {
     # date_part results are deployment-independent.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 

@@ -1,0 +1,174 @@
+"""ML pipeline (SURVEY §2.9) and streaming (§2.10) tests.
+
+Streaming tests materialize with trigger=availableNow into memory sinks and
+compare against the equivalent batch computation — the batch/stream parity
+contract.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+
+from ucr_bigdata_snowfallproject_spark.io import load_table
+from ucr_bigdata_snowfallproject_spark.ml.regression import (
+    evaluate_rmse,
+    train_test_split,
+    train_weather_model,
+)
+from ucr_bigdata_snowfallproject_spark.operators.aggregates import correlation_matrix
+from ucr_bigdata_snowfallproject_spark.pipeline import fixtures as fx
+from ucr_bigdata_snowfallproject_spark.streaming.events import (
+    latest_per_key_stream,
+    read_event_stream,
+    run_to_memory_sink,
+    stream_dedup,
+    windowed_event_counts,
+)
+
+
+# ---------------------------------------------------------------- ML layer
+
+
+@pytest.fixture(scope="module")
+def weather_monthly(spark, tmp_path_factory):
+    """Monthly-median weather table (the reference's ML input shape)."""
+    from ucr_bigdata_snowfallproject_spark.io import read_csv
+    from ucr_bigdata_snowfallproject_spark.pipeline.gsod import run_pipeline
+    from ucr_bigdata_snowfallproject_spark.schemas import STATIONS
+
+    root = tmp_path_factory.mktemp("gsod-ml")
+    tree = fx.write_gsod_tree(str(root))
+    st = read_csv(spark, tree["stations_csv"], schema=STATIONS)
+    obs = spark.read.parquet(tree["obs_parquet"])
+    return run_pipeline(st, obs, fx.YEARS[0], fx.YEARS[-1])["monthly_medians"]
+
+
+def test_gbt_weather_pipeline(weather_monthly):
+    """M1-M4 end-to-end (reference untitled.py:167-241 redesign): seeded,
+    cached, finite RMSE on the 30% holdout."""
+    model, predictions, rmse = train_weather_model(weather_monthly, max_iter=10)
+    assert rmse == rmse and rmse >= 0  # finite, non-NaN
+    assert "prediction" in predictions.columns
+    assert predictions.count() > 0
+
+
+def test_split_determinism(weather_monthly):
+    """M2 pin (SURVEY §5.4): seeded split is reproducible; the reference's
+    unseeded split (untitled.py:175) is the bug we diverge from."""
+    a1, _ = train_test_split(weather_monthly, seed=42)
+    a2, _ = train_test_split(weather_monthly, seed=42)
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+
+
+def test_rmse_aggregate_matches_manual(spark):
+    preds = spark.createDataFrame(
+        [(1.0, 2.0), (3.0, 1.0), (5.0, 5.0)], "prediction double, y double"
+    )
+    # residuals 1, -2, 0 → rmse = sqrt(5/3)
+    assert abs(evaluate_rmse(preds, "y") - (5 / 3) ** 0.5) < 1e-12
+
+
+def test_correlation_matrix_single_job(spark):
+    """A4 redesign (SURVEY §3.2): all correlations in one aggregate; values
+    match stat.corr pairwise."""
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    row = correlation_matrix(l, "l_extendedprice").collect()[0]
+    assert abs(row["corr_l_quantity"] - l.stat.corr("l_extendedprice", "l_quantity")) < 1e-9
+    # metadata-driven column choice: no string columns present
+    assert not any(c.startswith("corr_l_returnflag") for c in row.asDict())
+
+
+# ---------------------------------------------------------- streaming layer
+
+
+@pytest.fixture(scope="module")
+def event_stream_dir(spark, tmp_path_factory):
+    """Events table re-written as a 4-file parquet directory (µs ts) —
+    the file-stream source fixture."""
+    out = str(tmp_path_factory.mktemp("events-stream"))
+    load_table(spark, SF_SMOKE, "events").repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_stream_matches_batch(spark, event_stream_dir):
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    result = run_to_memory_sink(
+        windowed_event_counts(stream, window="6 hours"), "win_counts"
+    ).toPandas()
+    batch = (
+        spark.read.parquet(event_stream_dir)
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .toPandas()
+    )
+    # append mode only emits windows the watermark has closed: windows
+    # ending within the final 2h horizon are (correctly) withheld
+    import pandas as pd
+
+    max_ts = spark.read.parquet(event_stream_dir).agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - pd.Timedelta(hours=2)
+    closed = batch[batch["window_end"] <= cutoff]
+    key = ["window_start", "event_type"]
+    a = result.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    # every closed window must be present and exact; emitted ⊆ batch
+    merged = a.merge(b, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(a), "stream emitted a window batch doesn't have"
+    assert (merged["n_events_s"] == merged["n_events_b"]).all()
+    assert (merged["sum_value_s"] == merged["sum_value_b"]).all()
+    assert len(a) >= len(closed), "a watermark-closed window was not emitted"
+
+
+def test_stream_dedup_drops_duplicates(spark, event_stream_dir, tmp_path):
+    """X1 streaming: a directory containing the events twice dedups back
+    to the original set on event_id."""
+    dup_dir = str(tmp_path / "dup")
+    base = spark.read.parquet(event_stream_dir)
+    base.write.mode("overwrite").parquet(dup_dir)
+    base.write.mode("append").parquet(dup_dir)
+    stream = read_event_stream(spark, dup_dir)
+    result = run_to_memory_sink(stream_dedup(stream), "dedup_stream")
+    assert result.count() == base.count()
+    assert result.select("event_id").distinct().count() == base.count()
+
+
+def test_latest_per_key_stateful(spark, event_stream_dir):
+    """P5 streaming (applyInPandasWithState): final update per user equals
+    the batch arg-max."""
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=1)
+    result = run_to_memory_sink(
+        latest_per_key_stream(stream), "latest_stream", output_mode="update"
+    ).toPandas()
+    # multiple updates per key across triggers: take the last emitted per user
+    final = result.groupby("user_id").last()
+    batch = (
+        spark.read.parquet(event_stream_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark").sql.Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert set(final.index) == set(batch.index)
+    for uid in batch.index:
+        assert final.loc[uid, "event_id"] == batch.loc[uid, "event_id"], uid

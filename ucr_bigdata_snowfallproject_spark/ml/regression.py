@@ -1,0 +1,110 @@
+"""MLlib regression pipeline (SURVEY §2.9, M1-M5; reference
+untitled.py:167-241).
+
+Reference-divergence policy (SURVEY §7.4):
+
+- M2: the reference's ``randomSplit`` is unseeded (untitled.py:175-177) →
+  non-reproducible holdouts. Engine defaults to ``seed=42``.
+- M4: the reference's ``RegressionEvaluator`` import is commented out
+  (untitled.py:99-100), so its line 238 raises NameError. The engine
+  evaluates RMSE as a plain aggregate (A5) — no evaluator import needed —
+  with the MLlib evaluator available behind the same number.
+- Caching: the reference refits lineage every boosting iteration; engine
+  caches the training split before ``fit`` (SURVEY §3.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.feature import VectorAssembler
+from pyspark.ml.regression import GBTRegressor
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reference hyperparameters (untitled.py:231-232)
+GBT_DEFAULTS = {"maxIter": 100, "seed": 42}
+
+#: reference feature set (untitled.py:168-170)
+WEATHER_FEATURES = ["TEMP", "DEWP", "WDSP", "MAX", "MIN"]
+WEATHER_LABEL = "PRCP"
+
+
+def assemble_features(
+    df: DataFrame, input_cols: Sequence[str], output_col: str = "features"
+) -> DataFrame:
+    """M1 (reference untitled.py:168-170): dense feature vector assembly.
+    VectorUDT stays inside this layer — engine canon elsewhere is plain
+    arrays (SURVEY §7.4)."""
+    return VectorAssembler(
+        inputCols=list(input_cols), outputCol=output_col, handleInvalid="skip"
+    ).transform(df)
+
+
+def train_test_split(
+    df: DataFrame, weights: Sequence[float] = (0.7, 0.3), seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """M2 with a fixed default seed (the reference's unseeded split at
+    untitled.py:175-177 is non-reproducible — SURVEY §5.4 determinism)."""
+    train, test = df.randomSplit(list(weights), seed=seed)
+    return train, test
+
+
+def fit_gbt(
+    train: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+    max_iter: int = GBT_DEFAULTS["maxIter"],
+    seed: int = GBT_DEFAULTS["seed"],
+) -> object:
+    """M3 (reference untitled.py:231-233). ``train`` is cached before the
+    ~max_iter sequential tree fits (each is a distributed aggregation —
+    without the cache, lineage re-executes per iteration)."""
+    train = train.cache()
+    model = GBTRegressor(
+        featuresCol=features_col, labelCol=label_col, maxIter=max_iter, seed=seed
+    ).fit(train)
+    train.unpersist()
+    return model
+
+
+def evaluate_rmse(predictions: DataFrame, label_col: str) -> float:
+    """M4/A5 as a plain aggregate (reference untitled.py:238-240 — whose
+    evaluator import is commented out and would NameError; SURVEY §7.4)."""
+    row = predictions.agg(
+        F.sqrt(F.avg(F.pow(F.col("prediction") - F.col(label_col), F.lit(2)))).alias("rmse")
+    ).collect()[0]
+    return float(row["rmse"])
+
+
+def train_weather_model(
+    df: DataFrame,
+    features: Sequence[str] = tuple(WEATHER_FEATURES),
+    label: str = WEATHER_LABEL,
+    max_iter: int = GBT_DEFAULTS["maxIter"],
+    seed: int = 42,
+) -> tuple[PipelineModel, DataFrame, float]:
+    """M1→M4 end-to-end as a proper ``pyspark.ml.Pipeline`` (SURVEY §3.3
+    redesign of untitled.py:167-241): assemble → split → GBT → RMSE.
+
+    Returns (fitted pipeline, test predictions, rmse).
+    """
+    clean = df.dropna(subset=[*features, label])
+    train, test = train_test_split(clean, seed=seed)
+    train = train.cache()
+    pipeline = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=list(features), outputCol="features", handleInvalid="skip"
+            ),
+            GBTRegressor(
+                featuresCol="features", labelCol=label, maxIter=max_iter, seed=seed
+            ),
+        ]
+    )
+    model = pipeline.fit(train)
+    predictions = model.transform(test)
+    rmse = evaluate_rmse(predictions, label)
+    train.unpersist()
+    return model, predictions, rmse

@@ -1,0 +1,197 @@
+"""Streaming operators over the events stream (SURVEY §2.10).
+
+The reference is pure batch — its only temporal construct is the ArcGIS
+TimeSlider over a published layer (map_tutorial.html:65-71) and the batch
+latest-day snapshot (untitled.py:80). This module provides the streaming
+twins, all built on Spark Structured Streaming built-ins:
+
+- tumbling/sliding windowed aggregation with watermarked late-data drop —
+  the streaming version of the monthly-median rollup (median →
+  ``percentile_approx``: exact median is impossible in incremental
+  execution; documented batch/stream divergence, SURVEY §7.4);
+- ``dropDuplicatesWithinWatermark`` stateful dedup (X1's streaming face);
+- latest-event-per-key via ``applyInPandasWithState`` — the P5 arg-max as
+  a custom stateful operator (update-mode emission).
+
+State stores are keyed by (key) or (key, window); watermarks bound state
+size — both prerequisites for unbounded 100 TB/day streams.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: file-source schema for the events stream (ts already µs timestamp —
+#: streaming fixtures are written by tests/driver from the batch table)
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based stream source over a directory of event parquet files
+    (exactly-once file tracking; swap for Kafka at deploy with the same
+    downstream graph)."""
+    reader = spark.readStream.schema(EVENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, when ``slide`` is set) counts +
+    sums per (window, event_type). Append-safe: emits once the watermark
+    passes the window end; late rows beyond the watermark are dropped."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def windowed_percentiles(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Streaming percentile sketch per window — the streaming stand-in for
+    the batch group-median A1 (exact median is not incrementally
+    computable; percentile_approx's sketch is mergeable, so state stays
+    bounded — SURVEY §7.4)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.percentile_approx("value", 0.5, accuracy).alias("median_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "median_value", "n_events")
+    )
+
+
+def stream_dedup(
+    events: DataFrame, keys: Iterable[str] = ("event_id",), watermark: str = "2 hours"
+) -> DataFrame:
+    """Stateful streaming dedup (X1 streaming face): drops duplicate keys
+    arriving within the watermark horizon; state for a key expires once the
+    watermark passes it (bounded state — the 100 TB/day requirement)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+_LATEST_STATE_SCHEMA = "ts timestamp, event_id long, value double"
+_LATEST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def latest_per_key_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """P5 latest-per-key as a custom stateful streaming operator
+    (``applyInPandasWithState``): per user_id, keep the max-ts event seen
+    so far and emit the current winner on every trigger (update-mode
+    consumers read the latest snapshot).
+
+    The reference's batch twin is the latest-day filter (untitled.py:80);
+    this is its unbounded-stream generalization with per-key state and
+    event-time ordering (processing-time arrival order does not matter).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ts, event_id, value = state.get
+        else:
+            ts, event_id, value = None, None, None
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                r_ts = row.ts.to_pydatetime() if hasattr(row.ts, "to_pydatetime") else row.ts
+                # (ts, event_id) lexicographic arg-max: deterministic under
+                # any arrival order, matching the batch/SQL
+                # row_number() ORDER BY ts DESC, event_id DESC
+                if ts is None or (r_ts, int(row.event_id)) > (ts, event_id):
+                    ts, event_id, value = r_ts, int(row.event_id), float(row.value)
+        state.update((ts, event_id, value))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts": [ts],
+                "event_id": [event_id],
+                "value": [value],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_LATEST_OUTPUT_SCHEMA,
+            stateStructType=_LATEST_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Execute a streaming frame with trigger=availableNow into an
+    in-memory table and return the materialized result (test/driver
+    convenience — production sinks are parquet/Kafka via writeStream)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)

@@ -100,11 +100,15 @@ def range_join(
     right_lo: Column,
     right_hi: Column,
     extra: Column | None = None,
+    hi_inclusive: bool = True,
 ) -> DataFrame:
     """Point-in-interval join: left rows matched to right intervals
-    containing them. Equi-key in ``extra`` turns the plan into a sort-merge
-    join with range predicate as post-filter (the scalable shape)."""
-    cond = (left_point >= right_lo) & (left_point <= right_hi)
+    containing them (``hi_inclusive=False`` → half-open [lo, hi), the
+    non-overlapping-bands convention). Equi-key in ``extra`` turns the plan
+    into a sort-merge join with range predicate as post-filter (the scalable
+    shape)."""
+    upper = left_point <= right_hi if hi_inclusive else left_point < right_hi
+    cond = (left_point >= right_lo) & upper
     if extra is not None:
         cond = extra & cond
     return left.join(right, cond)

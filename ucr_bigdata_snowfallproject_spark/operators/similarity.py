@@ -173,3 +173,105 @@ def lsh_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (X2 flavor): all (id_a < id_b) pairs
+    with rounded cosine ≥ threshold.
+
+    This exact formulation is O(n²) — correct as the verify/oracle step on a
+    bounded candidate set. The 100 TB path composes the SAME scoring with an
+    LSH blocker (:func:`lsh_topk`'s bucket join) so only same-bucket pairs
+    are scored; this function is the semantics contract both share.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = F.round(cosine(F.col("__va"), F.col("__vb")), round_digits)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the scale path beside
+    :func:`lsh_topk`:
+
+    1. train ``n_centroids`` k-means centroids (MLlib, seeded);
+    2. assign each corpus vector to its nearest centroid — a pure column
+       expression over centroid literals (argmin via array_min on
+       (distance, cid) structs), no second ML pass;
+    3. each query probes its ``n_probe`` nearest centroids; only vectors in
+       probed cells are cosine-scored.
+
+    Scale shape: the corpus shuffles once on cell id (cells ≈ n/n_centroids
+    rows); queries broadcast; cost is ~(n_probe/n_centroids) of a full scan.
+    Recall vs :func:`brute_force_topk` is pinned in tests.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+
+    def cell_ranking(vec: Column) -> Column:
+        # (squared-distance-rank surrogate, cid): ||v-c||² = ||v||² - 2v·c + ||c||²
+        # → rank by (||c||² - 2 v·c); ||v||² is constant per row.
+        entries = []
+        for cid, c in enumerate(centroids):
+            c_norm2 = sum(x * x for x in c)
+            d = F.lit(c_norm2) - 2.0 * dot(vec, F.array(*[F.lit(x) for x in c]))
+            entries.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+        return F.array(*entries)
+
+    cells = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_min(cell_ranking(F.col(vec_col))).getField("cid").alias("__cell"),
+    )
+    probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(cell_ranking(F.col(vec_col))), lambda s: s.getField("cid")
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("__cell"),
+    )
+    sim = cosine(F.col("__qvec"), F.col(vec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cells.join(F.broadcast(probes), on="__cell").select(
+        F.col("__qid").alias(query_id_col), F.col(id_col), sim.alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

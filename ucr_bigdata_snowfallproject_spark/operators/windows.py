@@ -112,3 +112,29 @@ def with_lag_lead(
     return df.withColumn(lag_out, F.lag(col, 1).over(w)).withColumn(
         lead_out, F.lead(col, 1).over(w)
     )
+
+
+def sessionize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Batch sessionization (the batch twin of streaming ``session_window``,
+    SURVEY §2.10): within each key, a new session starts when the gap since
+    the previous event exceeds ``gap_seconds``. Adds a 1-based ``session_id``.
+
+    Gap arithmetic is in microseconds (``unix_micros``) so engines that keep
+    sub-second precision agree exactly. Scale: one shuffle on ``keys``; both
+    windows stream over the same sort — Spark plans a single exchange+sort.
+    """
+    order = [F.col(ts_col).asc(), *[F.col(t).asc() for t in tiebreakers]]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    is_new = (
+        prev.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev) > F.lit(gap_seconds * 1_000_000))
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_id", F.sum(is_new.cast("long")).over(run))

@@ -41,6 +41,11 @@ HEADLINE = [
     "dedup_exact_by_fingerprint",
     "dedup_minhash_candidates",
     "similarity_brute_force_topk",
+    "similarity_ivf_topk",
+    "asof_join_purchase_attribution",
+    "sessionize_events",
+    "range_join_price_bands",
+    "window_rank_functions",
     "flagship_monthly_median_join",
 ]
 

@@ -1,0 +1,103 @@
+"""Physical-plan assertions (SURVEY §4): the Catalyst rewrites the engine
+relies on at 100 TB — predicate pushdown, column pruning, broadcast joins,
+top-k as TakeOrderedAndProject, whole-stage codegen, bounded shuffle counts
+— verified from explain output so a regression is a test failure, not a
+silent 100× slowdown on the cluster."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ucr_bigdata_snowfallproject_spark.io import load_table
+from ucr_bigdata_snowfallproject_spark.plans import checks
+from ucr_bigdata_snowfallproject_spark.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def q(spark, name):
+    fn, _ = REGISTRY[name]
+    return fn(spark, SF_SMOKE)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = q(spark, "q1_pricing_summary")
+    pushed = checks.pushed_filters(df)
+    assert any("l_shipdate" in p for p in pushed), pushed
+
+
+def test_q1_column_pruning(spark):
+    df = q(spark, "q1_pricing_summary")
+    scans = checks.read_schema_columns(df)
+    assert scans, "expected at least one scan"
+    # 7 of lineitem's 11 columns are needed; the scan must not read more
+    assert all(len(cols) <= 7 for cols in scans), scans
+
+
+def test_q1_whole_stage_codegen_and_single_shuffle(spark):
+    df = q(spark, "q1_pricing_summary")
+    assert checks.has_whole_stage_codegen(df)
+    assert checks.shuffle_count(df) == 1  # only the 6-group exchange
+
+
+def test_q3_broadcasts_customer_dim(spark):
+    assert checks.has_broadcast_join(q(spark, "q3_top_revenue_orders"))
+
+
+def test_q5_broadcasts_dims(spark):
+    df = q(spark, "q5_nation_revenue")
+    assert checks.has_broadcast_join(df)
+
+
+def test_topk_plans_take_ordered(spark):
+    df = q(spark, "topk_orders_by_price")
+    text = checks.explain_str(df, "simple")
+    assert "TakeOrderedAndProject" in text, text
+    assert checks.shuffle_count(df) == 0  # top-k needs no exchange at all
+
+
+def test_flagship_broadcast_join_and_pruned_scan(spark):
+    df = q(spark, "flagship_monthly_median_join")
+    assert checks.has_broadcast_join(df)
+    scans = checks.read_schema_columns(df)
+    # lineitem scan: suppkey, shipdate, quantity, extendedprice only
+    assert any(set(c) <= {"l_suppkey", "l_shipdate", "l_quantity", "l_extendedprice"}
+               for c in scans), scans
+
+
+def test_sentinel_filter_pushdown(spark):
+    df = q(spark, "filter_project_sentinels")
+    pushed = checks.pushed_filters(df)
+    assert any("c_mktsegment" in p for p in pushed), pushed
+
+
+def test_sessionize_single_shuffle(spark):
+    # lag window, session counter, and per-session agg all ride ONE
+    # hashpartitioning(user_id) exchange
+    df = q(spark, "sessionize_events")
+    assert checks.shuffle_count(df) == 1
+
+
+def test_asof_bounded_shuffles(spark):
+    df = q(spark, "asof_join_purchase_attribution")
+    assert checks.shuffle_count(df) <= 2
+
+
+def test_brute_force_similarity_no_corpus_shuffle(spark):
+    # queries broadcast; the only exchange is the per-query top-k window
+    # over the (tiny) scored candidate set
+    df = q(spark, "similarity_brute_force_topk")
+    assert checks.has_broadcast_join(df) or "BroadcastNestedLoopJoin" in checks.explain_str(df, "simple")
+    assert checks.shuffle_count(df) <= 1
+
+
+def test_range_join_broadcasts_bands(spark):
+    df = q(spark, "range_join_price_bands")
+    text = checks.explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in text, text
+
+
+def test_semi_join_plans_left_semi(spark):
+    df = q(spark, "semi_join_customers_with_orders")
+    text = checks.explain_str(df, "simple")
+    assert "LeftSemi" in text, text

@@ -45,13 +45,20 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
     """True if any stage compiles to whole-stage codegen. Under AQE the
-    pre-execution 'simple' plan hides codegen spans — the formatted mode
-    (or the `*(n)` stage markers) carries them."""
+    plan only carries codegen spans once stages are materialized, so this
+    EXECUTES the frame's own query execution (``collect`` — ``count()``
+    would plan a separate job and leave this one adaptive-unresolved) and
+    reads the final plan. Call on small/aggregated frames only."""
+    df.collect()
     text = explain_str(df, "formatted")
-    return "WholeStageCodegen" in text or bool(re.search(r"\*\(\d+\)", explain_str(df, "simple")))
+    # codegen'd operators carry a `*` prefix in the final formatted plan
+    # (e.g. `+- * HashAggregate (9)`)
+    return "WholeStageCodegen" in text or bool(re.search(r"\+- \* \w|^\s*\* \w", text, re.M))
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the physical plan."""
-    text = explain_str(df, "simple")
+    """Number of Exchange (shuffle) operators in the physical plan. After
+    adaptive execution the explain output carries BOTH final and initial
+    plans — only the final section (before '== Initial Plan ==') counts."""
+    text = explain_str(df, "simple").split("== Initial Plan ==")[0]
     return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text))

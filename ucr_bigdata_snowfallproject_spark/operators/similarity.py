@@ -229,10 +229,13 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    # coarse quantizer only needs approximate centroids: train on a bounded
+    # sample (the IVF cells re-partition the FULL corpus regardless), few
+    # iterations. At 100 TB this keeps the fit a constant-cost preamble.
     train = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(train)
+    ).limit(50_000)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=8).fit(train)
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
 
     def cell_ranking(vec: Column) -> Column:

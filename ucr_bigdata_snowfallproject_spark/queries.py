@@ -1382,3 +1382,115 @@ def global_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# =========================================================================
+# Skew mitigation (SURVEY §4) and the Pandas-UDF surface (X7)
+# =========================================================================
+
+
+@register(
+    "salted_group_agg_matches_plain",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_items,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def salted_group_agg_matches_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-stage salted aggregation (operators.skew) — the
+    oracle is the PLAIN GROUP BY, proving the salting rewrite is
+    semantics-preserving. l_returnflag has 3 hot values over 600k rows: the
+    exact shape where one reducer per group would bottleneck at 100 TB."""
+    from .operators import skew
+
+    l = load_table(spark, sf_dir, "lineitem")
+    out = skew.salted_group_agg(
+        l,
+        ["l_returnflag"],
+        [
+            ("l_extendedprice", "sum", "total_price"),
+            ("l_quantity", "count", "n_items"),
+            ("l_quantity", "avg", "avg_qty"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("total_price", 2).alias("total_price"),
+        "n_items",
+        F.round("avg_qty", 4).alias("avg_qty"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
+@register(
+    "salted_join_matches_plain",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def salted_join_matches_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join (operators.skew.salted_join): the
+    small side replicates ×8, the big side salts deterministically, the
+    shuffle key becomes (key, salt). Oracle = the plain join — the rewrite
+    must be invisible in results."""
+    from .operators import skew
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = skew.salted_join(
+        s.withColumnRenamed("s_nationkey", "n_nationkey"), n, ["n_nationkey"], n_salts=8
+    )
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "pandas_udf_vowel_ratio",
+    """
+    SELECT doc_id,
+           ROUND(LEN(regexp_replace(lower(text), '[^aeiou]', '', 'g'))::DOUBLE
+                 / LEN(text), 4) AS vowel_ratio
+    FROM documents
+    """,
+)
+def pandas_udf_vowel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 scalar pandas_udf (Arrow-vectorized) with EXACT oracle parity —
+    the sanctioned slow path when column expressions can't express the
+    logic. One Python roundtrip per Arrow batch; never row-at-a-time."""
+    from .functions.pandas_udfs import vowel_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(vowel_ratio("text"), 4).alias("vowel_ratio"))
+
+
+@register(
+    "pandas_udf_geometric_mean",
+    """
+    SELECT o_orderpriority,
+           ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geo_mean_price
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY o_orderpriority
+    """,
+)
+def pandas_udf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 grouped-agg pandas_udf (UDAF shape): per-group Series in, scalar
+    out. Oracle: the closed-form EXP(AVG(LN)). Note a grouped-agg UDF
+    buffers each group — at 100 TB prefer the closed form (which is
+    partial-aggregable); this entry pins the UDAF plumbing."""
+    from .functions.pandas_udfs import geometric_mean
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return o.groupBy("o_orderpriority").agg(
+        F.round(geometric_mean("o_totalprice"), 4).alias("geo_mean_price")
+    )

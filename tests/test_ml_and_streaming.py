@@ -84,6 +84,25 @@ def test_correlation_matrix_single_job(spark):
     assert not any(c.startswith("corr_l_returnflag") for c in row.asDict())
 
 
+
+
+def test_random_forest_weather(weather_monthly):
+    """M5 (reference's dead-code sklearn RandomForestRegressor,
+    untitled.py:135-151, resurrected on MLlib): independent trees —
+    the embarrassingly-parallel alternative to GBT."""
+    from ucr_bigdata_snowfallproject_spark.ml.regression import (
+        WEATHER_FEATURES, assemble_features, evaluate_rmse, fit_random_forest,
+        train_test_split as tts,
+    )
+
+    clean = weather_monthly.dropna(subset=[*WEATHER_FEATURES, "PRCP"])
+    assembled = assemble_features(clean, WEATHER_FEATURES)
+    train, test = tts(assembled, seed=42)
+    model = fit_random_forest(train, "PRCP", n_trees=10)
+    rmse = evaluate_rmse(model.transform(test), "PRCP")
+    assert rmse == rmse and rmse >= 0
+
+
 # ---------------------------------------------------------- streaming layer
 
 

@@ -108,3 +108,24 @@ def train_weather_model(
     rmse = evaluate_rmse(predictions, label)
     train.unpersist()
     return model, predictions, rmse
+
+
+def fit_random_forest(
+    train: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+    n_trees: int = 100,
+    seed: int = 42,
+) -> object:
+    """M5 (reference's dead-code sklearn RandomForestRegressor at
+    untitled.py:135-151,211-227, resurrected on MLlib): unlike GBT's
+    sequential boosting, forest trees fit independently — embarrassingly
+    parallel across the cluster, the cheaper choice at 100 TB."""
+    from pyspark.ml.regression import RandomForestRegressor
+
+    train = train.cache()
+    model = RandomForestRegressor(
+        featuresCol=features_col, labelCol=label_col, numTrees=n_trees, seed=seed
+    ).fit(train)
+    train.unpersist()
+    return model

@@ -1494,3 +1494,30 @@ def pandas_udf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_orderpriority").agg(
         F.round(geometric_mean("o_totalprice"), 4).alias("geo_mean_price")
     )
+
+
+@register("gsod_reference_pipeline", None)  # GSOD-shaped fixture — rows-only
+def gsod_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE reference end-to-end flow (untitled.py:19-86, SURVEY §3.1) as one
+    lazy graph over a deterministic GSOD-shaped fixture tree (seed=42):
+    tar → gunzip → parse → clean → semi-join stations → monthly medians →
+    broadcast dim join. Rows-only here (the fixture is not one of the
+    driver's parquet views); the same flow is golden-tested step-by-step
+    against pandas re-derivations in tests/test_gsod_pipeline.py."""
+    import os
+
+    from .io import read_csv
+    from .pipeline import fixtures as fx
+    from .pipeline.gsod import run_pipeline
+    from .schemas import STATIONS
+    from .sources.tar import read_gsod_tar
+
+    root = "/tmp/snowfall-gsod-fixture-v1"
+    if not os.path.exists(os.path.join(root, "isd-history.csv")):
+        fx.write_gsod_tree(root)
+    stations_raw = read_csv(spark, os.path.join(root, "isd-history.csv"), schema=STATIONS)
+    obs_raw = read_gsod_tar(spark, os.path.join(root, "gsod_all_years"))
+    out = run_pipeline(
+        stations_raw, obs_raw, min_year=fx.YEARS[0], max_year=fx.YEARS[-1]
+    )
+    return out["monthly_with_station"]

@@ -24,6 +24,7 @@ from ucr_bigdata_snowfallproject_spark.ml.regression import (
 from ucr_bigdata_snowfallproject_spark.operators.aggregates import correlation_matrix
 from ucr_bigdata_snowfallproject_spark.pipeline import fixtures as fx
 from ucr_bigdata_snowfallproject_spark.streaming.events import (
+    EVENT_STREAM_SCHEMA,
     latest_per_key_stream,
     read_event_stream,
     run_to_memory_sink,
@@ -191,3 +192,36 @@ def test_latest_per_key_stateful(spark, event_stream_dir):
     assert set(final.index) == set(batch.index)
     for uid in batch.index:
         assert final.loc[uid, "event_id"] == batch.loc[uid, "event_id"], uid
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, event_stream_dir):
+    """Streaming session_window == batch sessionize (same gap): per-user
+    session count and per-session event counts agree."""
+    from ucr_bigdata_snowfallproject_spark.streaming.events import windowed_sessions
+    from ucr_bigdata_snowfallproject_spark.operators.windows import sessionize
+
+    stream = read_event_stream(spark, event_stream_dir)
+    got = run_to_memory_sink(
+        windowed_sessions(stream, gap="30 minutes", watermark="10 seconds"),
+        "sessions_stream",
+    ).toPandas()
+
+    batch = spark.read.schema(EVENT_STREAM_SCHEMA).parquet(event_stream_dir)
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        sessionize(batch, ["user_id"], "ts", gap_seconds=1800, tiebreakers=["event_id"])
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts"))
+        .toPandas()
+    )
+    # append mode withholds sessions the final watermark (max_ts - 10s)
+    # hasn't closed: session end = last event + gap
+    import pandas as pd
+
+    closed = expected[
+        expected["last_ts"] + pd.Timedelta(seconds=1800)
+        < pd.Timestamp(max_ts) - pd.Timedelta(seconds=10)
+    ]
+    got_sessions = sorted(map(tuple, got[["user_id", "n_events"]].itertuples(index=False)))
+    exp_sessions = sorted(map(tuple, closed[["user_id", "n_events"]].itertuples(index=False)))
+    assert got_sessions == exp_sessions

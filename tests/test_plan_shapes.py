@@ -101,3 +101,21 @@ def test_semi_join_plans_left_semi(spark):
     df = q(spark, "semi_join_customers_with_orders")
     text = checks.explain_str(df, "simple")
     assert "LeftSemi" in text, text
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """io.write_bucketed: co-bucketed tables join with ZERO exchanges —
+    the pay-the-shuffle-once layout for repeated fact⋈fact joins."""
+    from ucr_bigdata_snowfallproject_spark.io import load_table, write_bucketed
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    l = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(l, "t_lineitem_b", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+    try:
+        joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+        assert checks.shuffle_count(joined) == 0, checks.explain_str(joined, "simple")
+        assert joined.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

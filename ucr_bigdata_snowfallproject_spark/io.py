@@ -114,3 +114,22 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
     never collects to the driver (the reference's toPandas().to_csv at
     untitled.py:241 is exactly the 100 TB antipattern)."""
     df.write.mode(mode).option("header", header).csv(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles ONCE at write time so every
+    later equi-join/aggregation on ``bucket_cols`` between co-bucketed
+    tables runs with ZERO exchanges (asserted in tests/test_plan_shapes).
+    The 100 TB pattern for fact⋈fact joins that repeat across queries —
+    pay the shuffle once, reuse the physical layout forever."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

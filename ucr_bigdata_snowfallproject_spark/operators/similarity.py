@@ -231,22 +231,45 @@ def ivf_topk(
 
     # coarse quantizer only needs approximate centroids: train on a bounded
     # sample (the IVF cells re-partition the FULL corpus regardless), few
-    # iterations. At 100 TB this keeps the fit a constant-cost preamble.
-    train = corpus.select(
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-    ).limit(50_000)
-    model = KMeans(k=n_centroids, seed=seed, maxIter=8).fit(train)
+    # iterations, ONE partition — MLlib launches several jobs per iteration
+    # and 32-way parallelism on a ≤50k-row sample is pure task overhead.
+    train = (
+        corpus.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        .limit(50_000)
+        .coalesce(1)
+        .cache()
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=6, initMode="random").fit(train)
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    train.unpersist()
+
+    # one parsed SQL literal for the whole centroid matrix — building
+    # n_centroids × dim individual F.lit columns costs thousands of py4j
+    # roundtrips; a single expr string is one.
+    cent_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(x) for x in c) + ")" for c in centroids
+    ) + ")"
 
     def cell_ranking(vec: Column) -> Column:
         # (squared-distance-rank surrogate, cid): ||v-c||² = ||v||² - 2v·c + ||c||²
         # → rank by (||c||² - 2 v·c); ||v||² is constant per row.
-        entries = []
-        for cid, c in enumerate(centroids):
-            c_norm2 = sum(x * x for x in c)
-            d = F.lit(c_norm2) - 2.0 * dot(vec, F.array(*[F.lit(x) for x in c]))
-            entries.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-        return F.array(*entries)
+        return F.transform(
+            F.expr(cent_sql),
+            lambda c, i: F.struct(
+                (
+                    F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
+                    - 2.0
+                    * F.aggregate(
+                        F.zip_with(vec, c, lambda v, w: v.cast("double") * w),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                ).alias("d"),
+                i.cast("int").alias("cid"),
+            ),
+        )
 
     cells = corpus.select(
         F.col(id_col),

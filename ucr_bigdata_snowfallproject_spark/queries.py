@@ -1521,3 +1521,68 @@ def gsod_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         stations_raw, obs_raw, min_year=fx.YEARS[0], max_year=fx.YEARS[-1]
     )
     return out["monthly_with_station"]
+
+
+@register(
+    "apply_in_pandas_zscore",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND((o_totalprice - avg_p) / NULLIF(std_p, 0), 4) AS price_z
+    FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                 AVG(o_totalprice)    OVER (PARTITION BY o_custkey) AS avg_p,
+                 STDDEV(o_totalprice) OVER (PARTITION BY o_custkey) AS std_p
+          FROM orders)
+    """,
+)
+def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 grouped-map applyInPandas: per-customer z-score normalization —
+    the UDTF-shaped group-in/frame-out contract (each group arrives as ONE
+    pandas frame; sample stddev ddof=1 to match SQL STDDEV). The oracle is
+    the pure-window formulation — at 100 TB prefer that plan (streaming
+    window agg, no Python, no per-group buffering); this entry pins the
+    applyInPandas plumbing against it."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["o_totalprice"].std(ddof=1)
+        avg = pdf["o_totalprice"].mean()
+        z = (pdf["o_totalprice"] - avg) / std if std and std > 0 else None
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_custkey": pdf["o_custkey"],
+                "price_z": (z.round(4) if z is not None else pd.Series([None] * len(pdf))),
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(
+        zscore, schema="o_orderkey long, o_custkey long, price_z double"
+    )
+
+
+@register("udtf_sentence_split", None)  # UDTF surface — rows-only
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 Python UDTF (Spark ≥3.5 table function): one text row in → one
+    row per sentence out, with position. Lateral-join shape; rows-only
+    (sentence segmentation policy is engine-defined)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_no int, sentence string, n_chars int")
+    class SentenceSplit:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            import re
+
+            for i, s in enumerate(p for p in re.split(r"(?<=[.!?])\s+", text) if p):
+                yield doc_id, i, s, len(s)
+
+    d = load_table(spark, sf_dir, "documents").limit(200)
+    spark.udtf.register("sentence_split", SentenceSplit)
+    d.createOrReplaceTempView("__docs_for_udtf")
+    return spark.sql(
+        "SELECT s.* FROM __docs_for_udtf d, "
+        "LATERAL sentence_split(d.doc_id, d.text) s"
+    )

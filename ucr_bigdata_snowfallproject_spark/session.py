@@ -41,6 +41,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Timestamps in the fixtures are instants; keep session TZ at UTC so
     # date_part results are deployment-independent.
     "spark.sql.session.timeZone": "UTC",
+    # Managed-table warehouse for bucketed layouts (io.write_bucketed);
+    # scratch-local here, object-store path on a cluster.
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/snowfall-warehouse"
+    ),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

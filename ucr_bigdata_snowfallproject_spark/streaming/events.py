@@ -195,3 +195,30 @@ def run_to_memory_sink(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def windowed_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows (dynamic-gap tumbling): per (user_id, session) counts
+    and value sums, where a session closes after ``gap`` of inactivity —
+    the streaming twin of operators.windows.sessionize. Watermark bounds
+    open-session state; a session emits once the watermark passes its
+    close (append mode)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -1143,7 +1143,7 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
                FROM (SELECT doc_id,
                             string_split(lower(trim(text)), ' ') AS toks
-                     FROM documents))
+                     FROM documents WHERE doc_id < 500))
     SELECT id_a, id_b, jaccard FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE /
@@ -1158,7 +1158,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics oracle. At scale the SAME scorer runs only on MinHash-LSH
     candidate pairs (operators.dedup.ngram_jaccard over minhash_candidates
     output) — never all pairs."""
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sh = d.select(F.col("doc_id"), dedup_ops.shingles("text", 3).alias("sh"))
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -1586,3 +1586,28 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT s.* FROM __docs_for_udtf d, "
         "LATERAL sentence_split(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "wordcount_top20",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+          FROM documents)
+    WHERE word <> ''
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+)
+def wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE canonical big-data query: explode → count → top-k
+    (posexplode/unnest surface, SURVEY §2.8 extension). Map-side partial
+    count collapses the shuffle to (distinct words); top-k is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    return relational.top_k(counts, [F.desc("n"), F.asc("word")], 20)

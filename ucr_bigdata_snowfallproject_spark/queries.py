@@ -1611,3 +1611,40 @@ def wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("word") != "")
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     return relational.top_k(counts, [F.desc("n"), F.asc("word")], 20)
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, ROUND(total_qty, 2) AS total_qty,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) big
+    JOIN orders   ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped HAVING + join-on-aggregate: aggregate-below-join
+    (the big side shrinks before joining), HAVING as a post-agg filter.
+    At 100 TB the lineitem agg is the only fact shuffle; orders/customer
+    joins ride broadcasts of the filtered (tiny) agg output."""
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("total_qty", 2).alias("total_qty"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )

@@ -119,3 +119,22 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """io.write_parquet(partition_by=...): a filter on the partition column
+    must prune at planning time (PartitionFilters), reading only matching
+    directories — the layout decision that makes the reference's
+    'last N years' cut a metadata operation (SURVEY §4)."""
+    from pyspark.sql import functions as F
+    from ucr_bigdata_snowfallproject_spark.io import load_table, write_parquet
+
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, SF_SMOKE, "orders")
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    text = checks.explain_str(back, "formatted")
+    assert "PartitionFilters: [" in text
+    assert "o_orderstatus" in text.split("PartitionFilters:")[1].split("]")[0]
+    n_f = back.count()
+    assert 0 < n_f < o.count()

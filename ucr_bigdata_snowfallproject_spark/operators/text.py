@@ -34,14 +34,10 @@ def token_count(col: str | Column) -> Column:
 def bpe_ish_token_count(col: str | Column) -> Column:
     """BPE-ish token estimate: count word-piece-shaped units (letter runs,
     digit runs, punctuation singles) — a deterministic proxy for tokenizer
-    counts, one regexp pass."""
+    counts, one regexp pass. The pattern avoids lookarounds so the SAME
+    regex runs on RE2-based engines (DuckDB oracle)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
-            lambda t: (F.length(F.trim(t)) > 0),
-        )
-    )
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0)))
 
 
 def stopword_ratio(col: str | Column, lang: str = "en") -> Column:

@@ -1159,19 +1159,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs (operators.dedup.ngram_jaccard over minhash_candidates
     output) — never all pairs."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sh = d.select(F.col("doc_id"), dedup_ops.shingles("text", 3).alias("sh"))
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    j = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b")),
-        4,
-    )
-    return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", j.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.1)
-    )
+    out = dedup_ops.ngram_jaccard_all_pairs(d, "doc_id", "text", n=3)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.1)
 
 
 @register(
@@ -1647,4 +1638,114 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("total_qty", 2).alias("total_qty"),
             F.round("o_totalprice", 2).alias("o_totalprice"),
         )
+    )
+
+
+@register(
+    "text_bpe_token_counts",
+    """
+    SELECT doc_id,
+           CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                AS INTEGER) AS bpe_tokens,
+           CAST(LEN(string_split(lower(trim(text)), ' ')) AS INTEGER) AS ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 BPE-ish token counting (word-piece-shaped regex runs) beside the
+    whitespace baseline — the pattern is lookaround-free so the identical
+    regex runs in both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text_ops.bpe_ish_token_count("text").alias("bpe_tokens"),
+        text_ops.token_count("text").alias("ws_tokens"),
+    )
+
+
+@register(
+    "window_value_functions",
+    """
+    SELECT s_suppkey, s_nationkey,
+           first_value(s_name) OVER w                     AS richest,
+           nth_value(s_name, 2) OVER w                    AS second_richest,
+           ROUND(cume_dist() OVER w, 6)                   AS cdist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window surface (SURVEY §2.5): first_value / nth_value /
+    cume_dist under the default ORDER BY frame (range unbounded→current) —
+    identical frame semantics in both engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.first("s_name").over(w).alias("richest"),
+        F.nth_value("s_name", 2).over(w).alias("second_richest"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "scalar_string_functions_2",
+    """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '.')                  AS brand_padded,
+           translate(p_type, 'aeiou', 'AEIOU')     AS type_voweled,
+           reverse(p_name)                         AS name_rev,
+           CAST(strpos(p_name, 'a') AS INTEGER)    AS first_a,
+           left(p_name, 3)                         AS name3,
+           repeat(p_brand, 2)                      AS brand2
+    FROM part
+    """,
+)
+def scalar_string_functions_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-series breadth round 2: pad / translate / reverse / position /
+    left / repeat — all codegen'd column expressions."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, ".").alias("brand_padded"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_voweled"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.substring("p_name", 1, 3).alias("name3"),
+        F.repeat("p_brand", 2).alias("brand2"),
+    )
+
+
+@register(
+    "scalar_math_functions",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_extendedprice - 30000), 2)        AS abs_dev,
+           CAST(CEIL(l_quantity)  AS BIGINT)             AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)             AS qty_floor,
+           ROUND(SQRT(l_extendedprice), 4)               AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6)             AS price_ln,
+           ROUND(POW(1 + l_discount, 2), 6)              AS disc_sq,
+           CAST(SIGN(l_extendedprice - 30000) AS DOUBLE) AS dev_sign,
+           CAST(l_orderkey % 7 AS BIGINT)                AS key_mod7
+    FROM lineitem
+    """,
+)
+def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar surface: abs/ceil/floor/sqrt/ln/pow/sign/mod — all
+    whole-stage-codegen JVM intrinsics (types pinned cross-engine: ceil →
+    BIGINT, sign → DOUBLE)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 30000), 2).alias("abs_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.signum(F.col("l_extendedprice") - 30000).alias("dev_sign"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
     )

@@ -19,6 +19,9 @@ expressible, SURVEY §7.4), computation in double.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -30,6 +33,28 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def matrix_dots_udf(matrix: list[list[float]]):
+    """Arrow-vectorized matrix·vector products: one numpy matmul per batch.
+
+    Spark's array HOFs (aggregate/zip_with) are interpreted per element —
+    measured ~1 µs per multiply-add — so a k×dim literal-matrix product via
+    HOFs is the slow path. This is the sanctioned pandas_udf case
+    (SURVEY §2.12): vectorized numerics, Arrow batches, ~100× the HOF
+    throughput. Returns array<double> of the k dot products per row.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(matrix, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def dots(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = v @ mat.T
+        return pd.Series(list(d))
+
+    return dots
 
 
 def l2_norm(a: Column) -> Column:
@@ -113,6 +138,42 @@ def bucket_signature(vec: Column, hyperplanes: list[list[float]]) -> Column:
     return out
 
 
+def hyperplane_dots(vec: Column, dim: int, planes: int, tables: int) -> Column:
+    """All tables×planes hyperplane dot products in ONE pass: the matrix is
+    a single parsed SQL literal, one ``transform`` computes every dot.
+    Collapses tables×planes separate fold expressions (interpreted HOFs —
+    measured pathological) into one. Materialize this as a column, THEN
+    pack buckets with :func:`pack_buckets` — packing from a materialized
+    array avoids re-evaluating the folds per bit."""
+    matrix = [
+        plane for t in range(tables) for plane in _hyperplanes(dim, planes, t)
+    ]
+    mat_sql = "array(" + ",".join(
+        "array(" + ",".join(repr(x) for x in p) + ")" for p in matrix
+    ) + ")"
+    return F.transform(
+        F.expr(mat_sql),
+        lambda p: F.aggregate(
+            F.zip_with(vec, p, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def pack_buckets(dots_col: Column, planes: int, tables: int) -> Column:
+    """Sign-pack a materialized dots array into one bucket long per table."""
+    def table_bucket(t: int) -> Column:
+        out = F.lit(0).cast("long")
+        for i in range(planes):
+            out = out.bitwiseOR(
+                F.when(dots_col.getItem(t * planes + i) > 0, F.lit(1 << i).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        return out
+    return F.array(*[table_bucket(t) for t in range(tables)])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -133,44 +194,51 @@ def lsh_topk(
     scoring happens only inside buckets. Recall improves with more tables,
     cost with fewer — both are explicit knobs.
     """
+    matrix = [plane for t in range(tables) for plane in _hyperplanes(dim, planes, t)]
+    dots_udf = matrix_dots_udf(matrix)
     c_sigs = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("__cn"),
-        *[
-            bucket_signature(F.col(vec_col), _hyperplanes(dim, planes, t)).alias(f"__b{t}")
-            for t in range(tables)
-        ],
+        dots_udf(F.col(vec_col)).alias("__dots"),
+    ).select(
+        id_col,
+        vec_col,
+        "__cn",
+        pack_buckets(F.col("__dots"), planes, tables).alias("__buckets"),
     )
     q_sigs = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qn"),
-        *[
-            bucket_signature(F.col(vec_col), _hyperplanes(dim, planes, t)).alias(f"__qb{t}")
-            for t in range(tables)
-        ],
-    )
-    c_exp = c_sigs.select(
-        id_col,
-        vec_col,
-        "__cn",
-        F.posexplode(F.array(*[F.col(f"__b{t}") for t in range(tables)])).alias(
-            "__table", "__bucket"
-        ),
-    )
-    q_exp = q_sigs.select(
+        dots_udf(F.col(vec_col)).alias("__dots"),
+    ).select(
         "__qid",
         "__qvec",
         "__qn",
-        F.posexplode(F.array(*[F.col(f"__qb{t}") for t in range(tables)])).alias(
-            "__table", "__bucket"
-        ),
+        pack_buckets(F.col("__dots"), planes, tables).alias("__buckets"),
     )
-    cand = (
+    # the bucket join + dedup stay NARROW (ids + bucket only) — the
+    # 64-float vectors and norms never ride the dedup shuffle; they re-join
+    # by id afterwards (queries broadcast both times). No checkpoint: the
+    # vectorized signature pass is cheaper to recompute than to materialize
+    c_exp = c_sigs.select(
+        id_col,
+        F.posexplode("__buckets").alias("__table", "__bucket"),
+    )
+    q_exp = q_sigs.select(
+        "__qid",
+        F.posexplode("__buckets").alias("__table", "__bucket"),
+    )
+    cand_ids = (
         c_exp.join(F.broadcast(q_exp), on=["__table", "__bucket"])
-        .select(id_col, vec_col, "__cn", "__qid", "__qvec", "__qn")
+        .select(id_col, "__qid")
         .dropDuplicates(["__qid", id_col])
+    )
+    cand = cand_ids.join(
+        c_sigs.select(id_col, vec_col, "__cn"), on=id_col
+    ).join(
+        F.broadcast(q_sigs.select("__qid", "__qvec", "__qn")), on="__qid"
     )
     # norms precomputed per row upstream of the bucket join — per-candidate
     # work is one dot product
@@ -264,28 +332,19 @@ def ivf_topk(
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
     train.unpersist()
 
-    # one parsed SQL literal for the whole centroid matrix — building
-    # n_centroids × dim individual F.lit columns costs thousands of py4j
-    # roundtrips; a single expr string is one.
-    cent_sql = "array(" + ",".join(
-        "array(" + ",".join(repr(x) for x in c) + ")" for c in centroids
+    # centroid dot products via the Arrow-vectorized matmul UDF (array HOFs
+    # are interpreted per element — see matrix_dots_udf); cell rank is
+    # (||c||² - 2 v·c, cid) — ||v||² is constant per row, so omitted.
+    dots_udf = matrix_dots_udf(centroids)
+    c_norm2_sql = "array(" + ",".join(
+        repr(sum(x * x for x in c)) for c in centroids
     ) + ")"
 
-    def cell_ranking(vec: Column) -> Column:
-        # (squared-distance-rank surrogate, cid): ||v-c||² = ||v||² - 2v·c + ||c||²
-        # → rank by (||c||² - 2 v·c); ||v||² is constant per row.
+    def ranked(dots_col: Column) -> Column:
         return F.transform(
-            F.expr(cent_sql),
-            lambda c, i: F.struct(
-                (
-                    F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x)
-                    - 2.0
-                    * F.aggregate(
-                        F.zip_with(vec, c, lambda v, w: v.cast("double") * w),
-                        F.lit(0.0),
-                        lambda a, x: a + x,
-                    )
-                ).alias("d"),
+            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+            lambda i: F.struct(
+                (F.element_at(F.expr(c_norm2_sql), i + 1) - 2.0 * F.element_at(dots_col, i + 1)).alias("d"),
                 i.cast("int").alias("cid"),
             ),
         )
@@ -294,16 +353,26 @@ def ivf_topk(
         F.col(id_col),
         F.col(vec_col),
         l2_norm(F.col(vec_col)).alias("__cn"),
-        F.array_min(cell_ranking(F.col(vec_col))).getField("cid").alias("__cell"),
+        dots_udf(F.col(vec_col)).alias("__cd"),
+    ).select(
+        id_col,
+        vec_col,
+        "__cn",
+        F.array_min(ranked(F.col("__cd"))).getField("cid").alias("__cell"),
     )
     probes = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qn"),
+        dots_udf(F.col(vec_col)).alias("__qd"),
+    ).select(
+        "__qid",
+        "__qvec",
+        "__qn",
         F.explode(
             F.slice(
                 F.transform(
-                    F.array_sort(cell_ranking(F.col(vec_col))), lambda s: s.getField("cid")
+                    F.array_sort(ranked(F.col("__qd"))), lambda s: s.getField("cid")
                 ),
                 1,
                 n_probe,

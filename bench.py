@@ -46,6 +46,12 @@ HEADLINE = [
     "sessionize_events",
     "range_join_price_bands",
     "window_rank_functions",
+    "wordcount_top20",
+    # NOT apply_in_pandas_zscore: many-small-groups applyInPandas is the
+    # documented slow path (17.9s at sf0.1); its window-function oracle
+    # formulation is the production shape (window_running_customer_spend
+    # et al. cover it). The Arrow scalar-UDF path benches here instead.
+    "pandas_udf_vowel_ratio",
     "flagship_monthly_median_join",
 ]
 

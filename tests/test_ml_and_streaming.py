@@ -225,3 +225,18 @@ def test_session_window_stream_matches_batch_sessionize(spark, event_stream_dir)
     got_sessions = sorted(map(tuple, got[["user_id", "n_events"]].itertuples(index=False)))
     exp_sessions = sorted(map(tuple, closed[["user_id", "n_events"]].itertuples(index=False)))
     assert got_sessions == exp_sessions
+
+
+def test_model_persistence_roundtrip(weather_monthly, tmp_path):
+    """Fitted pipeline save/load round-trip (MLWriter/MLReader): loaded
+    model reproduces the original predictions exactly."""
+    from pyspark.ml import PipelineModel
+
+    model, predictions, _ = train_weather_model(weather_monthly, max_iter=5)
+    path = str(tmp_path / "gbt_model")
+    model.write().overwrite().save(path)
+    loaded = PipelineModel.load(path)
+    test_input = weather_monthly.dropna().limit(50)
+    a = model.transform(test_input).select("prediction").toPandas()
+    b = loaded.transform(test_input).select("prediction").toPandas()
+    assert (a["prediction"] == b["prediction"]).all()

@@ -138,3 +138,25 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "o_orderstatus" in text.split("PartitionFilters:")[1].split("]")[0]
     n_f = back.count()
     assert 0 < n_f < o.count()
+
+
+def test_parquet_aggregate_pushdown(spark):
+    """spark.sql.parquet.aggregatePushdown: a bare global MIN/MAX/COUNT
+    reads parquet footer statistics, not data pages — at 100 TB A3 becomes
+    a metadata operation. Requires the DSv2 scan path (useV1SourceList),
+    scoped to this test because the V1 reader's plan strings are asserted
+    elsewhere."""
+    from pyspark.sql import functions as F
+    from ucr_bigdata_snowfallproject_spark.io import table_path
+
+    old = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        df = spark.read.parquet(table_path(SF_SMOKE, "orders")).agg(
+            F.min("o_totalprice"), F.max("o_totalprice"), F.count(F.lit(1))
+        )
+        text = checks.explain_str(df, "formatted")
+        assert "PushedAggregation: [" in text, text
+        assert "MIN(o_totalprice)" in text and "COUNT(*)" in text, text
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old)

@@ -38,6 +38,11 @@ _DEFAULT_CONFS: dict[str, str] = {
     # Don't let tiny test files explode into thousands of tasks, and don't
     # let 100 TB inputs produce under-parallelized scans: 128 MB splits.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Push MIN/MAX/COUNT to parquet footer metadata — a 100 TB global
+    # min/max becomes a footer read instead of a scan (A3's shape). Takes
+    # effect on the DSv2 scan path (see test_parquet_aggregate_pushdown);
+    # V1 (the default reader) ignores it, so it is safe to leave on.
+    "spark.sql.parquet.aggregatePushdown": "true",
     # Timestamps in the fixtures are instants; keep session TZ at UTC so
     # date_part results are deployment-independent.
     "spark.sql.session.timeZone": "UTC",

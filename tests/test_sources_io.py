@@ -1,0 +1,67 @@
+"""Source/sink round-trips beyond parquet (SURVEY §2.1): JSON lines,
+malformed-CSV permissive handling, exactly-once streaming file sink."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ucr_bigdata_snowfallproject_spark.io import load_table, read_csv, read_json
+from ucr_bigdata_snowfallproject_spark.streaming.events import (
+    read_event_stream,
+    write_stream_parquet,
+)
+
+from conftest import SF_SMOKE
+
+
+def test_json_lines_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "orders_json")
+    o = load_table(spark, SF_SMOKE, "orders")
+    o.write.mode("overwrite").json(out)
+    back = read_json(spark, out, schema=o.schema)
+    assert back.count() == o.count()
+    a = sorted(map(tuple, o.select("o_orderkey", "o_totalprice").collect()))
+    b = sorted(map(tuple, back.select("o_orderkey", "o_totalprice").collect()))
+    assert a == b
+
+
+def test_csv_permissive_malformed_rows(spark, tmp_path):
+    """PERMISSIVE mode (the engine default inherited from Spark): malformed
+    rows null-fill and land in _corrupt_record instead of failing the job —
+    at 100 TB one bad line must not kill a 6-hour ingest."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("a,b\n1,2\n3,notanint\n4,5\n")
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("a", IntegerType()),
+            StructField("b", IntegerType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema).cache()
+    rows = {r.a: (r.b, r._corrupt_record) for r in df.collect()}
+    assert rows[1] == (2, None) and rows[4] == (5, None)
+    assert rows[3][0] is None and "notanint" in rows[3][1]
+    df.unpersist()
+
+
+def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
+    """write_stream_parquet: re-running with the same checkpoint emits no
+    duplicates (the commit log skips already-processed files)."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = load_table(spark, SF_SMOKE, "events")
+    base.repartition(2).write.mode("overwrite").parquet(src)
+
+    q = write_stream_parquet(read_event_stream(spark, src), sink, ckpt)
+    q.awaitTermination()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == base.count()
+
+    # same source, same checkpoint → nothing new to process
+    q2 = write_stream_parquet(read_event_stream(spark, src), sink, ckpt)
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == n1

@@ -133,3 +133,17 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """JSON-lines source with an explicit schema by default (schema
+    inference on JSON is a full scan + sampling pass — the same 100 TB
+    antipattern as CSV inference)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -222,3 +222,22 @@ def windowed_sessions(
             "sum_value",
         )
     )
+
+
+def write_stream_parquet(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Production file sink: exactly-once parquet append via the streaming
+    commit log (checkpointLocation). Restarts resume from the checkpoint —
+    no duplicate files, no lost batches."""
+    return (
+        stream_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1749,3 +1749,85 @@ def scalar_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("l_extendedprice") - 30000).alias("dev_sign"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
     )
+
+
+@register(
+    "from_json_events_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)   AS k,
+           json_extract_string(props, '$.s')                    AS s
+    FROM events
+    WHERE props IS NOT NULL
+    """,
+)
+def from_json_events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parse (SURVEY §2.8 ext): from_json → typed struct,
+    fields projected out — the schema-on-read path for the events props
+    column (vs per-field get_json_object re-parsing in
+    json_extract_events)."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    parsed = e.withColumn("p", F.from_json("props", "k INT, s STRING"))
+    return parsed.select("event_id", F.col("p.k").alias("k"), F.col("p.s").alias("s"))
+
+
+@register(
+    "array_agg_priorities_per_segment",
+    """
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def array_agg_priorities_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set aggregation (array_agg surface) — canonicalized by
+    sorting + joining so the unordered collect compares cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(
+                "priorities"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, ROUND(val, 2) AS val
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_tax
+          FROM lineitem WHERE l_orderkey < 100)
+    UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_tax))
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide→long; the inverse of pivot_status_by_segment) —
+    Expand-based, no shuffle at all."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        l.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax")
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_tax"],
+            "measure",
+            "val",
+        )
+        .select("l_orderkey", "l_linenumber", "measure", F.round("val", 2).alias("val"))
+    )
+
+
+@register("sample_orders_seeded", None)  # sampling algorithm is engine-specific
+def sample_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample (M2's cousin; reproducible within Spark —
+    engines draw differently, so rows-only). At 100 TB sampling is the
+    first step of every profiling/stats job."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")

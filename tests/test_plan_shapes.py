@@ -160,3 +160,42 @@ def test_parquet_aggregate_pushdown(spark):
         assert "MIN(o_totalprice)" in text and "COUNT(*)" in text, text
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old)
+
+
+def test_q6_all_predicates_pushed_single_stage(spark):
+    """Q6 shape: every predicate (date range, discount range, quantity cap)
+    must reach PushedFilters and the plan must hold exactly zero
+    pre-aggregation exchanges — at 100 TB this query is row-group skipping
+    plus one codegen'd scan stage."""
+    df = q(spark, "q6_revenue_forecast")
+    pushed = " ".join(checks.pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+    assert checks.shuffle_count(df) <= 1  # single-row final agg exchange only
+
+
+def test_q19_single_side_conjuncts_extracted(spark):
+    """Q19 shape: from the OR-of-ANDs spanning both join sides, Catalyst
+    must extract the lineitem-only disjunction (quantity ranges) below the
+    join so the fact scan still prunes."""
+    df = q(spark, "q19_disjunctive_predicates")
+    pushed = " ".join(checks.pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert checks.has_broadcast_join(df)
+
+
+def test_q17_window_reuses_join_scan_columns(spark):
+    """Q17 shape: the decorrelated per-part average must not widen the
+    lineitem scan beyond (partkey, quantity, extendedprice)."""
+    df = q(spark, "q17_small_quantity_revenue")
+    scans = checks.read_schema_columns(df)
+    assert any(
+        set(c) <= {"l_partkey", "l_quantity", "l_extendedprice"} for c in scans
+    ), scans
+
+
+def test_q10_topk_above_agg(spark):
+    """Q10 shape: LIMIT 20 over aggregated revenue plans as
+    TakeOrderedAndProject — no global sort of the aggregate output."""
+    df = q(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in checks.explain_str(df, "simple")

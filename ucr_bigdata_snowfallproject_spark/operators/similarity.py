@@ -287,6 +287,38 @@ def embedding_near_dup(
     )
 
 
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_centroids: int,
+    seed: int,
+    sample_rows: int = 50_000,
+    iters: int = 6,
+) -> list[list[float]]:
+    """Seeded Lloyd's k-means on a bounded driver-side sample — the coarse
+    quantizer for :func:`ivf_topk`. The collect is capped at ``sample_rows``
+    rows independent of corpus size (at 100 TB the sample is still ≤25 MB),
+    matching how faiss/ScaNN train IVF quantizers: in memory, on a sample.
+    Distances use the ‖x‖²−2x·c+‖c‖² expansion so the work is one
+    (rows × k) GEMM per iteration, never a (rows × k × dim) broadcast.
+    """
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    X = np.asarray([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()
+    xn = (X * X).sum(axis=1)[:, None]
+    for _ in range(iters):
+        d = xn - 2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    return [[float(x) for x in c] for c in C]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -313,24 +345,13 @@ def ivf_topk(
     rows); queries broadcast; cost is ~(n_probe/n_centroids) of a full scan.
     Recall vs :func:`brute_force_topk` is pinned in tests.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     # coarse quantizer only needs approximate centroids: train on a bounded
-    # sample (the IVF cells re-partition the FULL corpus regardless), few
-    # iterations, ONE partition — MLlib launches several jobs per iteration
-    # and 32-way parallelism on a ≤50k-row sample is pure task overhead.
-    train = (
-        corpus.select(
-            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        )
-        .limit(50_000)
-        .coalesce(1)
-        .cache()
-    )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=6, initMode="random").fit(train)
-    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
-    train.unpersist()
+    # driver-side sample (faiss trains IVF quantizers the same way — the
+    # cells re-partition the FULL corpus regardless, so quantizer quality,
+    # not coverage, is what the sample bounds). A 50k×dim float block is
+    # ≤25 MB; seeded numpy Lloyd iterations beat a distributed k-means by
+    # ~100× here because MLlib launches several jobs per iteration.
+    centroids = _train_centroids(corpus, vec_col, n_centroids, seed)
 
     # centroid dot products via the Arrow-vectorized matmul UDF (array HOFs
     # are interpreted per element — see matrix_dots_udf); cell rank is

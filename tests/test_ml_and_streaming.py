@@ -240,3 +240,72 @@ def test_model_persistence_roundtrip(weather_monthly, tmp_path):
     a = model.transform(test_input).select("prediction").toPandas()
     b = loaded.transform(test_input).select("prediction").toPandas()
     assert (a["prediction"] == b["prediction"]).all()
+
+
+def test_stream_static_enrich_matches_batch(spark, event_stream_dir):
+    """Stream-static broadcast join: every emitted row matches the batch
+    join of the same inputs (no watermark/state semantics to diverge)."""
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stream_static_enrich,
+    )
+
+    dim = load_table(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    result = run_to_memory_sink(
+        stream_static_enrich(stream, dim, on="user_id").select(
+            "event_id", "user_id", "c_mktsegment"
+        ),
+        "enriched",
+    ).toPandas()
+    batch = (
+        spark.read.parquet(event_stream_dir)
+        .join(dim, on="user_id")
+        .select("event_id", "user_id", "c_mktsegment")
+        .toPandas()
+    )
+    a = result.sort_values("event_id").reset_index(drop=True)
+    b = batch.sort_values("event_id").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["c_mktsegment"].values == b["c_mktsegment"].values).all()
+
+
+def test_stream_stream_attribution_matches_batch(spark, event_stream_dir):
+    """Stream-stream range join: emitted (trigger, outcome) pairs must be
+    exactly the batch pairs whose outcome falls within the delay window —
+    both-side watermarks bound state, inner join emits as matches arrive."""
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        stream_stream_attribution,
+    )
+
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    result = run_to_memory_sink(
+        stream_stream_attribution(stream, max_delay="30 minutes"), "attrib"
+    ).toPandas()
+
+    ev = spark.read.parquet(event_stream_dir)
+    trig = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("t_ts"), F.col("event_id").alias("trigger_id")
+    )
+    out = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("o_ts"), F.col("event_id").alias("outcome_id")
+    )
+    batch = (
+        trig.join(out, "user_id")
+        .filter(
+            (F.col("o_ts") >= F.col("t_ts"))
+            & (F.col("o_ts") <= F.col("t_ts") + F.expr("INTERVAL 30 minutes"))
+        )
+        .select("trigger_id", "outcome_id")
+        .toPandas()
+    )
+    key = ["trigger_id", "outcome_id"]
+    a = set(map(tuple, result[key].values.tolist()))
+    b = set(map(tuple, batch[key].values.tolist()))
+    # inner stream-stream join with closed watermarks must emit every pair
+    assert a == b, f"stream {len(a)} pairs vs batch {len(b)}"

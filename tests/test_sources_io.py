@@ -65,3 +65,22 @@ def test_streaming_parquet_sink_exactly_once(spark, tmp_path):
     q2 = write_stream_parquet(read_event_stream(spark, src), sink, ckpt)
     q2.awaitTermination()
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC source/sink: values survive the roundtrip and the ORC scan
+    honors predicate pushdown + column pruning like parquet."""
+    from ucr_bigdata_snowfallproject_spark.io import load_table, read_orc, write_orc
+    from ucr_bigdata_snowfallproject_spark.plans import checks
+
+    out = str(tmp_path / "orders_orc")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    write_orc(orders, out)
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+
+    q = back.filter(F.col("o_totalprice") > 1000.0).select("o_orderkey", "o_totalprice")
+    pushed = checks.pushed_filters(q)
+    assert any("o_totalprice" in p for p in pushed), pushed
+    scans = checks.read_schema_columns(q)
+    assert all(set(c) <= {"o_orderkey", "o_totalprice"} for c in scans), scans

@@ -147,3 +147,28 @@ def read_json(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source — the second columnar format beside parquet (vectorized
+    reader, predicate pushdown, and column pruning all apply the same way;
+    asserted in tests/test_sources_io.py). Explicit ``schema`` skips
+    footer-sampling inference, same policy as :func:`read_csv`."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink, mirroring :func:`write_parquet` (zlib-by-default; Spark's
+    native vectorized ORC writer)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

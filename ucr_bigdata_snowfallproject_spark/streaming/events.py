@@ -241,3 +241,65 @@ def write_stream_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_static_enrich(
+    events: DataFrame, dim: DataFrame, on, how: str = "inner"
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a batch dimension
+    (the streaming face of J1). The static side is broadcast and re-read
+    per micro-batch — no state store involved, so it is watermark-free and
+    works in append mode; the dimension can even change between batches
+    (slowly-changing lookup)."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
+def stream_stream_attribution(
+    events: DataFrame,
+    trigger_type: str = "click",
+    outcome_type: str = "purchase",
+    max_delay: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range condition: each
+    ``outcome_type`` event joins the ``trigger_type`` events of the same
+    user in the preceding ``max_delay`` — the streaming twin of the batch
+    as-of/attribution join.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so the state store holds only ``watermark + max_delay`` of
+    each side per key — the prerequisite for unbounded streams.
+    """
+    trig = (
+        events.filter(F.col("event_type") == trigger_type)
+        .select(
+            F.col("user_id").alias("t_user"),
+            F.col("ts").alias("t_ts"),
+            F.col("event_id").alias("trigger_id"),
+        )
+        .withWatermark("t_ts", watermark)
+    )
+    out = (
+        events.filter(F.col("event_type") == outcome_type)
+        .select(
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+            F.col("event_id").alias("outcome_id"),
+            F.col("value").alias("outcome_value"),
+        )
+        .withWatermark("o_ts", watermark)
+    )
+    return trig.join(
+        out,
+        (F.col("t_user") == F.col("o_user"))
+        & (F.col("o_ts") >= F.col("t_ts"))
+        & (F.col("o_ts") <= F.col("t_ts") + F.expr(f"INTERVAL {max_delay}")),
+        "inner",
+    ).select(
+        F.col("t_user").alias("user_id"),
+        "trigger_id",
+        "outcome_id",
+        F.col("t_ts").alias("trigger_ts"),
+        F.col("o_ts").alias("outcome_ts"),
+        "outcome_value",
+    )

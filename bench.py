@@ -53,6 +53,7 @@ HEADLINE = [
     # et al. cover it). The Arrow scalar-UDF path benches here instead.
     "pandas_udf_vowel_ratio",
     "flagship_monthly_median_join",
+    "curation_pipeline_stats",
 ]
 
 

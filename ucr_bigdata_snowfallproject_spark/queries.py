@@ -2141,3 +2141,112 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q11_top_share_parts",
+    """
+    WITH part_value AS (
+      SELECT l_partkey, SUM(l_extendedprice * l_quantity) AS val
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(val, 2) AS part_value
+    FROM part_value
+    WHERE val > (SELECT SUM(val) * 0.0005 FROM part_value)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_top_share_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11 shape: an aggregate filtered against a scalar fraction of
+    its own total (partsupp value adapted to lineitem part value). The
+    total re-aggregates the 200k-group output — a one-row broadcast, never
+    a second fact scan (ReuseExchange dedups the shared subplan)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    pv = l.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    total = pv.agg((F.sum("val") * 0.0005).alias("__cut"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("__cut"))
+        .select("l_partkey", F.round("val", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
+@register(
+    "q16_supplier_variety",
+    """
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand IN ('Brand#21', 'Brand#22', 'Brand#23')
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: distinct-count aggregation after a dim join with a
+    NOT IN exclusion (complaints clause adapted to negative-balance
+    suppliers; partsupp adapted to the lineitem part-supplier link). The
+    exclusion plans as a broadcast anti-join; COUNT(DISTINCT) expands to a
+    two-phase aggregate."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#21", "Brand#22", "Brand#23")
+    ).select("p_partkey", "p_brand", "p_size")
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "curation_pipeline_stats",
+    """
+    WITH kept AS (
+      SELECT doc_id, lang, text,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens
+      FROM documents
+      WHERE length(text) >= 100
+        AND len(string_split(lower(trim(text)), ' ')) >= 20
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+          ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)        AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens,
+           ROUND(AVG(n_tokens), 4)         AS avg_tokens
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def curation_pipeline_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM-data curation pipeline as ONE declarative plan
+    (X1+X4 composed): length/token floor → exact near-dup removal on the
+    normalized-text fingerprint (deterministic min-id survivor) → per-
+    language token budget. At 100 TB this is the shape of a pretraining
+    data refresh: one scan, one dedup shuffle, one 2-digit-cardinality
+    agg."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id", "lang", "text", text_ops.token_count("text").alias("n_tokens")
+    ).filter((F.length("text") >= 100) & (F.col("n_tokens") >= 20))
+    deduped = dedup_ops.exact_dedup(
+        kept.withColumn("__fp", text_ops.fingerprint("text")), ["__fp"], "doc_id"
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+    )

@@ -210,3 +210,31 @@ def test_simhash_finds_near_dups(spark):
     assert recall >= 0.85, recall
     # and the cap keeps the candidate set near-dup-sized, not quadratic
     assert len(found) < 2000
+
+
+def test_resample_forward_fill_semantics(spark):
+    """Gap rows get n_events=0 and carry the previous bucket's latest value;
+    the per-bucket latest is by order_col (not arrival order)."""
+    import datetime as dt
+
+    from ucr_bigdata_snowfallproject_spark.operators.resample import resample_forward_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # key "a": events in hours 0 and 3 — hours 1-2 are gaps
+        ("a", t0, 10.0, 1),
+        ("a", t0.replace(minute=45), 11.0, 2),          # same hour, later id wins
+        ("a", t0 + dt.timedelta(hours=3), 30.0, 3),
+        # key "b": single hour — no gaps generated
+        ("b", t0, 99.0, 4),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    out = resample_forward_fill(df, "k", "ts", "v", "eid", "1 hour")
+    got = {(r["k"], r["bucket"].hour): (r["n_events"], r["last_value"]) for r in out.collect()}
+    assert got == {
+        ("a", 0): (2, 11.0),   # max_by eid within the hour
+        ("a", 1): (0, 11.0),   # gap: forward-filled
+        ("a", 2): (0, 11.0),
+        ("a", 3): (1, 30.0),
+        ("b", 0): (1, 99.0),
+    }

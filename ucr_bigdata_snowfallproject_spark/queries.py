@@ -2410,3 +2410,43 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "resample_events_hourly_ffill",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             arg_max(value, event_id) AS bucket_last
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    )
+    SELECT g.user_id, g.bucket,
+           COALESCE(h.n_events, 0) AS n_events,
+           ROUND(LAST_VALUE(h.bucket_last IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS last_value
+    FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+    """,
+)
+def resample_events_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization (operators.resample): densify each user's
+    event series onto an hourly grid between their first and last hour,
+    forward-filling the latest value across gaps — the dense-time-axis
+    shape the reference's TimeSlider serving layer needs
+    (map_tutorial.html:65-71) and the gap-robust twin of the reference's
+    irregular monthly rollup (untitled.py:81)."""
+    from .operators.resample import resample_forward_fill
+
+    e = load_table(spark, sf_dir, "events")
+    out = resample_forward_fill(e, "user_id", "ts", "value", "event_id", "1 hour")
+    return out.select(
+        "user_id", "bucket", "n_events", F.round("last_value", 4).alias("last_value")
+    )

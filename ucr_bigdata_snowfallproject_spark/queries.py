@@ -2450,3 +2450,18 @@ def resample_events_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "bucket", "n_events", F.round("last_value", 4).alias("last_value")
     )
+
+
+@register("stratified_sample_orders", None)  # sampling draw is engine-specific
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample (`sampleBy`): different keep-rates per
+    order priority — the profiling/debugging primitive for skewed 100 TB
+    tables (oversample rare strata, undersample dominant ones). Rows-only:
+    engines draw different rows; determinism within Spark is pinned by the
+    fixed seed."""
+    o = load_table(spark, sf_dir, "orders")
+    fractions = {"1-URGENT": 0.5, "2-HIGH": 0.2, "3-MEDIUM": 0.1,
+                 "4-NOT SPECIFIED": 0.1, "5-LOW": 0.05}
+    return o.sampleBy("o_orderpriority", fractions, seed=42).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )

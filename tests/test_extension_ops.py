@@ -212,6 +212,124 @@ def test_simhash_finds_near_dups(spark):
     assert len(found) < 2000
 
 
+def test_simhash_udf_matches_expr(spark):
+    """The Arrow-vectorized simhash fold is bit-identical to the pure
+    expression form (the semantics contract) on real fixture text."""
+    d = load_table(spark, SF_SMOKE, "documents").limit(200)
+    rows = d.select(
+        "doc_id",
+        dedup_ops.simhash("text").alias("udf_sig"),
+        dedup_ops.simhash_expr("text").alias("expr_sig"),
+    ).collect()
+    assert rows and all(r.udf_sig == r.expr_sig for r in rows)
+
+
+def test_minhash_max_bucket_caps_degenerate_corpus(spark):
+    """1k identical docs share every band bucket — uncapped that's
+    16·C(1000,2) ≈ 8M candidate pairs on ONE reducer. The cap degrades
+    oversized buckets to a star join: O(n) pairs, every member still
+    connected to the representative, jaccard_est still 1.0."""
+    docs = spark.createDataFrame(
+        [(i, "the same exact document text repeated for every row") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    cand = dedup_ops.minhash_candidates(docs, "doc_id", "text", max_bucket=64)
+    rows = cand.collect()
+    assert len(rows) == 999, len(rows)  # star: (min_id, other) once each
+    assert all(r.id_a == 0 and r.jaccard_est == 1.0 for r in rows)
+    # near-dedup over the capped candidates still keeps exactly one survivor
+    kept = dedup_ops.minhash_dedup(docs, "doc_id", "text", threshold=0.9, max_bucket=64)
+    assert kept.count() == 1
+
+
+def test_embedding_near_dup_blocked_matches_exact(spark):
+    """The LSH-blocked near-dup path reproduces the exact all-pairs form
+    EXACTLY on the fixture (seeded hyperplanes ⇒ deterministic recall),
+    and its plan contains no cartesian/nested-loop join."""
+    e = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 300)
+    exact = {
+        (r.id_a, r.id_b, r.sim)
+        for r in sim_ops.embedding_near_dup(e, threshold=0.3).collect()
+    }
+    blocked_df = sim_ops.embedding_near_dup_blocked(e, dim=64, threshold=0.3)
+    blocked = {(r.id_a, r.id_b, r.sim) for r in blocked_df.collect()}
+    assert exact and blocked == exact
+    from ucr_bigdata_snowfallproject_spark.plans import checks
+
+    plan = checks.explain_str(blocked_df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_multimodal_decoder_injection(spark):
+    """A real decoder (PIL in deployments; a fake here) flows through the
+    SAME mapInPandas contract as the stub — only the decode callable
+    changes."""
+    media = multimodal.synthesize_media(spark, n=6)
+
+    def fake_decoder(payload: bytes) -> tuple[int, int]:
+        return (len(payload), 7)
+
+    feats = {r.media_id: (r.width, r.height)
+             for r in multimodal.extract_features(media, decoder=fake_decoder).collect()}
+    raw = {r.media_id: r.n_bytes for r in media.select("media_id", "n_bytes").collect()}
+    assert feats == {k: (raw[k], 7) for k in raw}
+    # default resolution picks the stub when PIL is absent, PIL otherwise
+    try:
+        import PIL.Image  # noqa: F401
+        assert multimodal.default_image_decoder() is multimodal._decode_image_pil
+    except ImportError:
+        assert multimodal.default_image_decoder() is multimodal._decode_image_stub
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    from ucr_bigdata_snowfallproject_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k long, v string")
+    small = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, ["k"], how="full_outer")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(big, small, ["k"], how="right")
+    assert salted_join(big, small, ["k"], how="inner").count() == 1
+
+
+def test_resample_multi_unit_step(spark):
+    """Multi-unit steps floor onto the true step grid (:00/:15/:30/:45 for
+    '15 minutes'), not onto the 1-minute date_trunc — the silent-zero bug
+    class where observed buckets miss the generated grid entirely."""
+    import datetime as dt
+
+    from ucr_bigdata_snowfallproject_spark.operators.resample import resample_forward_fill
+
+    t0 = dt.datetime(2024, 1, 1, 0, 7)   # 00:07 → bucket 00:00
+    rows = [
+        ("a", t0, 1.0, 1),
+        ("a", t0 + dt.timedelta(minutes=14), 2.0, 2),    # 00:21 → bucket 00:15
+        ("a", t0 + dt.timedelta(minutes=53), 3.0, 3),    # 01:00 → bucket 01:00
+        ("b", t0, 9.0, 4),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    out = resample_forward_fill(df, "k", "ts", "v", "eid", "15 minutes")
+    got = {
+        (r["k"], r["bucket"].strftime("%H:%M")): (r["n_events"], r["last_value"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("a", "00:00"): (1, 1.0),
+        ("a", "00:15"): (1, 2.0),
+        ("a", "00:30"): (0, 2.0),   # gap rows exist BECAUSE buckets hit the grid
+        ("a", "00:45"): (0, 2.0),
+        ("a", "01:00"): (1, 3.0),
+        ("b", "00:00"): (1, 9.0),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="fixed-width"):
+        resample_forward_fill(df, "k", "ts", "v", "eid", "2 months")
+
+
 def test_resample_forward_fill_semantics(spark):
     """Gap rows get n_events=0 and carry the previous bucket's latest value;
     the per-bucket latest is by order_col (not arrival order)."""

@@ -12,11 +12,22 @@ def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     Small test files arrive as ONE input split (they're under
     ``spark.sql.files.maxPartitionBytes``), which serializes compute-heavy
     per-row operators (shingling, hashing, vector math) onto one core. At
-    real scale the file splits already match core counts and this is a
-    no-op — the partition count check costs nothing and never shrinks
-    existing parallelism.
+    real scale the inputs span at least as many files as cores and this is
+    a no-op.
+
+    The gate reads ``df.inputFiles()`` (datasource file listing, already
+    cached by the scan) instead of ``df.rdd.getNumPartitions()`` — the
+    latter forces a full plan→RDD conversion per call, pure driver-side
+    compile cost on plans where compile already dominates. Many files can
+    still yield many splits each, so skipping when files ≥ cores never
+    shrinks parallelism; few-files-but-huge inputs split fine on their own
+    once they exceed ``spark.sql.files.maxPartitionBytes``, and the extra
+    exchange this inserts for them keys the downstream aggregation anyway.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:  # non-file-backed plans (createDataFrame fixtures)
+        pass
     return df.repartition(target, key) if key else df.repartition(target)

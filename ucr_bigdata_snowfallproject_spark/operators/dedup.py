@@ -20,6 +20,8 @@ the hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -127,6 +129,8 @@ def minhash_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    max_bucket: int = 256,
+    log_truncated: bool = False,
 ) -> DataFrame:
     """X2 MinHash-LSH candidate pairs: documents sharing ≥1 LSH band.
 
@@ -135,6 +139,15 @@ def minhash_candidates(
 
     Scale shape: signatures are narrow (id + 64 longs); the band explode is
     ×`bands`; the self-join shuffles on the band hash — never on text.
+
+    Bucket-skew cap: a degenerate (band, bucket) group — thousands of
+    empty or identical docs sharing one band signature — is a quadratic
+    reducer (k members ⇒ k² pairs on ONE task). Buckets larger than
+    ``max_bucket`` degrade to a star join against the bucket's min id:
+    every member still pairs with the representative (so near-dedup /
+    connected components keep the whole clique connected through it) but
+    the pair count is O(k), not O(k²). ``log_truncated=True`` runs one
+    extra small count job and logs how many buckets were truncated.
     """
     rows_per_band = num_hashes // bands
     # The signature subplan feeds three consumers (banding + the two
@@ -162,15 +175,50 @@ def minhash_candidates(
             )
         ).alias("__band", "__bucket"),
     )
+    # size every bucket with ONE window pass (same shuffle key the
+    # self-join needs anyway), then split: normal buckets all-pairs,
+    # oversized buckets star-join to their min id
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("__band", "__bucket")
+    sized = banded.select(
+        "__id",
+        "__band",
+        "__bucket",
+        F.count(F.lit(1)).over(wb).alias("__bsz"),
+        F.min("__id").over(wb).alias("__bmin"),
+    )
+    if log_truncated:
+        n_trunc = (
+            sized.filter(F.col("__bsz") > max_bucket)
+            .select("__band", "__bucket")
+            .distinct()
+            .count()
+        )
+        if n_trunc:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "minhash_candidates: %d (band, bucket) groups exceed "
+                "max_bucket=%d — truncated to star joins", n_trunc, max_bucket
+            )
+    normal = sized.filter(F.col("__bsz") <= max_bucket).select(
+        "__id", "__band", "__bucket"
+    )
+    star = (
+        sized.filter((F.col("__bsz") > max_bucket) & (F.col("__id") != F.col("__bmin")))
+        .select(F.col("__bmin").alias("id_a"), F.col("__id").alias("id_b"))
+    )
     pairs = (
-        banded.alias("a")
+        normal.alias("a")
         .join(
-            banded.alias("b"),
+            normal.alias("b"),
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__bucket") == F.col("b.__bucket"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .unionByName(star)
         .dropDuplicates(["id_a", "id_b"])
     )
     # candidate pairs are few (LSH's whole point) — the signature re-joins
@@ -257,10 +305,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     return labels
 
 
-def simhash(col: str, bits: int = 64) -> F.Column:
-    """X2 SimHash 64-bit fingerprint: per token, xxhash64 → for each bit
-    position sum ±1 across tokens → sign bit. Pure array-lambda expression
-    (no UDF): returns a long."""
+def simhash_expr(col: str, bits: int = 64) -> F.Column:
+    """X2 SimHash as a pure array-lambda expression — the semantics
+    contract for :func:`simhash` (same output, pinned by test). 64 separate
+    interpreted ``aggregate`` folds over the token hashes make this the
+    measured-pathological HOF path (~1 µs/element ×64 passes); keep it for
+    oracles/tests, use :func:`simhash` in pipelines."""
     toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
     def bit_sum_for(mask):
@@ -277,6 +327,51 @@ def simhash(col: str, bits: int = 64) -> F.Column:
             F.when(bit_sum_for(mask) > 0, mask.cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return out
+
+
+def _simhash_from_hashes_udf():
+    """Arrow-vectorized SimHash fold: token hashes (computed JVM-side by
+    xxhash64 — bit-identical to the expression form) arrive as one
+    array<long> per row; numpy unpacks 64 bit-planes, sums ±1 per plane
+    across tokens, and sign-packs in one batch. Same matrix-over-Arrow
+    treatment as :func:`~.similarity.matrix_dots_udf` — replaces 64
+    interpreted ``aggregate`` folds per row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fold(hashes: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        vals = np.zeros(len(hashes), dtype=np.uint64)
+        nulls = np.zeros(len(hashes), dtype=bool)
+        for i, arr in enumerate(hashes):
+            if arr is None:
+                nulls[i] = True
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if h.size == 0:
+                continue
+            ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            sums = 2 * ones.astype(np.int64) - np.int64(h.size)
+            vals[i] = ((sums > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        out = pd.Series(pd.array(vals.view(np.int64), dtype="Int64"))
+        if nulls.any():
+            out[nulls] = pd.NA
+        return out
+
+    return fold
+
+
+def simhash(col: str, bits: int = 64) -> F.Column:
+    """X2 SimHash 64-bit fingerprint: per token, xxhash64 (JVM-side) → for
+    each bit position sum ±1 across tokens → sign bit. The per-bit fold
+    runs in one Arrow-vectorized numpy pass (:func:`_simhash_from_hashes_udf`);
+    output is bit-identical to :func:`simhash_expr` (pinned in tests)."""
+    if bits != 64:
+        raise ValueError("simhash is a 64-bit fingerprint")
+    toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return _simhash_from_hashes_udf()(hashes)
 
 
 def simhash_candidates(

@@ -79,24 +79,57 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     """STUB decode (X5): deterministic fake width/height derived from the
-    payload. A real deployment replaces this one function with
-    ``PIL.Image.open(io.BytesIO(payload)).size`` — the surrounding
-    mapInPandas plumbing is the tested, production-shaped part."""
+    payload. Used when no real image library is importable — the
+    surrounding mapInPandas plumbing is the tested, production-shaped
+    part either way."""
     if len(payload) < 8:
         raise NotImplementedError("payload too short for stub decode")
     return (payload[0] % 64 + 1) * 16, (payload[1] % 64 + 1) * 16
 
 
-def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+def _decode_image_pil(payload: bytes) -> tuple[int, int]:
+    """Real decode via PIL (when installed): width/height from the image
+    header — PIL lazy-loads, so ``.size`` never decompresses pixel data."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return img.size
+
+
+def default_image_decoder():
+    """Resolve the image decoder at call time: PIL when importable (real
+    deployments), the deterministic stub otherwise (this container ships no
+    media libs). Resolution is a function, not an import-time constant, so
+    tests can monkeypatch either path through the same mapInPandas
+    contract."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return _decode_image_pil
+    except ImportError:
+        return _decode_image_stub
+
+
+def extract_features(
+    media: DataFrame,
+    batch_hint: int = 256,
+    decoder=None,
+) -> DataFrame:
     """Feature extraction over media payloads via ``mapInPandas`` —
     Arrow-batched, one Python worker pass, narrow typed output (payloads do
-    NOT flow to the result)."""
+    NOT flow to the result). ``decoder`` is any
+    ``bytes -> (width, height)`` callable; default resolves PIL-or-stub via
+    :func:`default_image_decoder` (resolved on the DRIVER so the chosen
+    decoder ships in the serialized closure — executors don't re-probe)."""
+    decode = decoder if decoder is not None else default_image_decoder()
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in it:
-            dims = pdf["payload"].map(_decode_image_stub)
+            dims = pdf["payload"].map(decode)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

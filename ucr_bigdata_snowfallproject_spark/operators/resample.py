@@ -17,8 +17,49 @@ the grid join is against an already-reduced relation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: Fixed-width step units in microseconds. Month/year are NOT fixed-width —
+#: epoch flooring can't express them; use step="1 month" ⇒ date_trunc only.
+_UNIT_US = {
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "week": 7 * 86_400 * 1_000_000,
+}
+
+#: Units date_trunc understands for the count == 1 fast path.
+_TRUNC_UNITS = {"second", "minute", "hour", "day", "week", "month", "year"}
+
+
+def _bucket_expr(ts: Column, step: str) -> Column:
+    """Floor ``ts`` onto the ``step`` grid.
+
+    ``step`` is "<count> <unit>" ("1 hour", "15 minutes"). count == 1 uses
+    ``date_trunc`` (matches SQL-engine semantics exactly); multi-unit
+    fixed-width steps floor on epoch microseconds — pure integer
+    ``us - pmod(us, step_us)`` so "15 minutes" buckets to :00/:15/:30/:45,
+    not to the 1-minute truncation (which would silently miss the grid
+    join and zero out every bucket). Multi-unit month/year steps raise:
+    they're not fixed-width.
+    """
+    parts = step.split()
+    if len(parts) != 2:
+        raise ValueError(f"step must be '<count> <unit>', got {step!r}")
+    count, unit = int(parts[0]), parts[1].rstrip("s").lower()
+    if count == 1:
+        if unit not in _TRUNC_UNITS:
+            raise ValueError(f"unsupported step unit {unit!r}")
+        return F.date_trunc(unit, ts)
+    if unit not in _UNIT_US:
+        raise ValueError(
+            f"multi-unit steps need a fixed-width unit {sorted(_UNIT_US)}, got {unit!r}"
+        )
+    step_us = F.lit(count * _UNIT_US[unit])
+    us = F.unix_micros(ts)
+    return F.timestamp_micros(us - F.pmod(us, step_us))
 
 
 def resample_forward_fill(
@@ -40,11 +81,10 @@ def resample_forward_fill(
     ``order_col`` must be unique per row (e.g. an event id) so the
     per-bucket "latest" is deterministic and oracle-checkable.
     """
-    unit = step.split()[1].rstrip("s")  # "1 hour" -> date_trunc unit "hour"
     bucketed = (
         df.select(
             F.col(key_col),
-            F.date_trunc(unit, F.col(ts_col)).alias("bucket"),
+            _bucket_expr(F.col(ts_col), step).alias("bucket"),
             F.col(value_col).alias("__v"),
             F.col(order_col).alias("__o"),
         )

@@ -57,6 +57,33 @@ def matrix_dots_udf(matrix: list[list[float]]):
     return dots
 
 
+def matrix_buckets_udf(matrix: list[list[float]], planes: int):
+    """Hyperplane LSH buckets in ONE Arrow pass: sign-pack the
+    matrix·vector products to one bucket long per table, all in numpy.
+
+    Same math as :func:`matrix_dots_udf` + :func:`pack_buckets`, but the
+    packing happens inside the UDF — with many tables the generated
+    when/bitwiseOR packing expression blows past janino's 64 KB method
+    limit and the whole projection falls back to interpreted mode; a
+    (n × planes) reshape-matmul never does.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(matrix, dtype=np.float64)
+    if mat.shape[0] % planes:
+        raise ValueError("matrix rows must be tables*planes")
+
+    @pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        bits = (v @ mat.T > 0).astype(np.int64)
+        weights = np.int64(1) << np.arange(planes, dtype=np.int64)
+        b = bits.reshape(len(v), -1, planes) @ weights
+        return pd.Series(list(b))
+
+    return buckets
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
@@ -265,9 +292,10 @@ def embedding_near_dup(
     with rounded cosine ≥ threshold.
 
     This exact formulation is O(n²) — correct as the verify/oracle step on a
-    bounded candidate set. The 100 TB path composes the SAME scoring with an
-    LSH blocker (:func:`lsh_topk`'s bucket join) so only same-bucket pairs
-    are scored; this function is the semantics contract both share.
+    bounded candidate set. The 100 TB path is
+    :func:`embedding_near_dup_blocked`: the SAME scoring behind an LSH
+    bucket self-join so only same-bucket pairs are scored; this function is
+    the semantics contract both share (parity pinned in tests).
     """
     a = corpus.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
@@ -287,6 +315,72 @@ def embedding_near_dup(
     )
 
 
+def embedding_near_dup_blocked(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    planes: int = 4,
+    tables: int = 48,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with an LSH blocker — the 100 TB
+    path :func:`embedding_near_dup` promises.
+
+    Same semantics contract as the exact form (pairs with rounded cosine ≥
+    ``threshold``, id_a < id_b) but candidates come from a random-hyperplane
+    bucket SELF-join (``tables`` independent tables of ``planes`` sign
+    bits) instead of an all-pairs cross join: only same-bucket pairs are
+    ever scored. The self-join shuffles narrow (id, table, bucket) rows;
+    vectors re-join by id afterwards.
+
+    Recall: a pair at cosine 0.3 shares one 4-bit bucket with p ≈ 0.127
+    per table; missing all 48 tables happens with p ≈ 2e-3 — and falls
+    fast above the threshold. Hyperplanes are seeded, so recall on a fixed
+    corpus is deterministic; the defaults reproduce the exact form's output
+    EXACTLY on the test fixtures (pinned in tests and by the driver
+    oracle). More tables buy recall, more planes cut candidate volume —
+    both explicit knobs; at higher thresholds (real near-dup work) grow
+    ``planes`` and shrink ``tables`` for the same recall at a fraction of
+    the candidate volume.
+    """
+    matrix = [plane for t in range(tables) for plane in _hyperplanes(dim, planes, t)]
+    buckets_udf = matrix_buckets_udf(matrix, planes)
+    sigs = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__n"),
+        buckets_udf(F.col(vec_col)).alias("__buckets"),
+    )
+    exp = sigs.select("__id", F.posexplode("__buckets").alias("__table", "__bucket"))
+    cand = (
+        exp.alias("a")
+        .join(
+            exp.alias("b"),
+            (F.col("a.__table") == F.col("b.__table"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    paired = cand.join(
+        sigs.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")),
+        "id_b",
+    )
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), round_digits
+    )
+    return (
+        paired.select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def _train_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -301,10 +395,27 @@ def _train_centroids(
     matching how faiss/ScaNN train IVF quantizers: in memory, on a sample.
     Distances use the ‖x‖²−2x·c+‖c‖² expansion so the work is one
     (rows × k) GEMM per iteration, never a (rows × k × dim) broadcast.
+
+    The sample is a seeded uniform ``sample(fraction)`` over the FULL
+    corpus, not ``limit(n)`` — limit without ordering reads the first
+    partitions only, so at scale the quantizer would train on one shard's
+    distribution and recall silently degrades on the rest. The count to
+    size the fraction is one cheap column-pruned job, paid once per index
+    build.
     """
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample_rows).collect()
+    n_total = corpus.count()
+    if n_total <= sample_rows:
+        rows = corpus.select(vec_col).collect()
+    else:
+        # 1.2× oversample so the post-sample limit almost never undershoots
+        frac = min(1.0, 1.2 * sample_rows / n_total)
+        rows = (
+            corpus.select(vec_col).sample(fraction=frac, seed=seed)
+            .limit(sample_rows)
+            .collect()
+        )
     X = np.asarray([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)].copy()

@@ -86,7 +86,19 @@ def salted_join(
     Use when the small side is too big to broadcast but the big side has
     hot keys. Cost: small side shuffles ×n_salts — pick the smallest
     ``n_salts`` that flattens the skew.
+
+    Only join types that never emit unmatched SMALL-side rows are allowed
+    (inner/left/semi/anti): the small side is replicated ×``n_salts``, so a
+    right/full outer join would emit every unmatched small-side row once
+    per salt replica. Rewrite outer joins around an inner salted core.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only, not {how!r}: the "
+            "replicated small side would duplicate unmatched rows ×n_salts"
+        )
     big_s = big.withColumn(
         "__salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts))
     )

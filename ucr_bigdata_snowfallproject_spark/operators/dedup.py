@@ -175,26 +175,19 @@ def minhash_candidates(
             )
         ).alias("__band", "__bucket"),
     )
-    # size every bucket with ONE window pass (same shuffle key the
-    # self-join needs anyway), then split: normal buckets all-pairs,
-    # oversized buckets star-join to their min id
-    from pyspark.sql import Window
-
-    wb = Window.partitionBy("__band", "__bucket")
-    sized = banded.select(
-        "__id",
-        "__band",
-        "__bucket",
-        F.count(F.lit(1)).over(wb).alias("__bsz"),
-        F.min("__id").over(wb).alias("__bmin"),
+    # find oversized buckets with a partial-aggregable groupBy (map-side
+    # combine ⇒ the shuffle carries one row per distinct bucket, no full
+    # sort like a window would need). The oversized set is tiny by
+    # construction (≤ rows×bands/max_bucket, and ~0 on healthy corpora),
+    # so the exclusion/star joins against it are AQE-broadcast map-side
+    # joins; buckets at or under the cap pay nothing but the probe.
+    big = (
+        banded.groupBy("__band", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"), F.min("__id").alias("__bmin"))
+        .filter(F.col("__bsz") > max_bucket)
     )
     if log_truncated:
-        n_trunc = (
-            sized.filter(F.col("__bsz") > max_bucket)
-            .select("__band", "__bucket")
-            .distinct()
-            .count()
-        )
+        n_trunc = big.count()
         if n_trunc:
             import logging
 
@@ -202,11 +195,12 @@ def minhash_candidates(
                 "minhash_candidates: %d (band, bucket) groups exceed "
                 "max_bucket=%d — truncated to star joins", n_trunc, max_bucket
             )
-    normal = sized.filter(F.col("__bsz") <= max_bucket).select(
-        "__id", "__band", "__bucket"
+    normal = banded.join(
+        big.select("__band", "__bucket"), ["__band", "__bucket"], "left_anti"
     )
     star = (
-        sized.filter((F.col("__bsz") > max_bucket) & (F.col("__id") != F.col("__bmin")))
+        banded.join(big.select("__band", "__bucket", "__bmin"), ["__band", "__bucket"])
+        .filter(F.col("__id") != F.col("__bmin"))
         .select(F.col("__bmin").alias("id_a"), F.col("__id").alias("id_b"))
     )
     pairs = (

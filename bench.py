@@ -51,6 +51,8 @@ HEADLINE = [
     "text_stats_documents",
     "dedup_exact_by_fingerprint",
     "dedup_minhash_candidates",
+    "dedup_embedding_cosine_blocked",
+    "text_language_id",
     "similarity_brute_force_topk",
     "similarity_ivf_topk",
     "asof_join_purchase_attribution",

@@ -224,6 +224,18 @@ def test_simhash_udf_matches_expr(spark):
     assert rows and all(r.udf_sig == r.expr_sig for r in rows)
 
 
+def test_minhash_signature_forms_agree(spark):
+    """The Arrow per-row signature fold is bit-identical to the
+    explode+min-agg formulation (same shingles, same xxhash64 base hashes,
+    same (h1 + i·h2) mod p family)."""
+    d = load_table(spark, SF_SMOKE, "documents").limit(200)
+    agg = {r["__id"]: list(r["__sig"])
+           for r in dedup_ops.minhash_signatures_agg(d, "doc_id", "text").collect()}
+    arrow = {r["__id"]: list(r["__sig"])
+             for r in dedup_ops.minhash_signatures_arrow(d, "doc_id", "text").collect()}
+    assert agg == arrow and len(agg) == 200
+
+
 def test_minhash_max_bucket_caps_degenerate_corpus(spark):
     """1k identical docs share every band bucket — uncapped that's
     16·C(1000,2) ≈ 8M candidate pairs on ONE reducer. The cap degrades

@@ -368,3 +368,40 @@ def test_resample_forward_fill_semantics(spark):
         ("a", 3): (1, 30.0),
         ("b", 0): (1, 99.0),
     }
+
+
+def test_redact_pii_replaces_each_kind(spark):
+    """Each PII class gets its typed token; clean text passes through
+    unchanged (the fixture corpus is largely clean, so the mechanics are
+    pinned here on synthetic rows)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "mail me at jane.doe+spam@example.co.uk today"),
+        (2, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+        (3, "server at 192.168.0.1 responded"),
+        (4, "perfectly clean prose with no identifiers"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r["red"] for r in df.select("id", redact_pii("text").alias("red")).collect()}
+    assert got[1] == "mail me at <EMAIL> today"
+    assert "<PHONE>" in got[2] and "555" not in got[2] and "7946" not in got[2]
+    assert got[3] == "server at <IP> responded"
+    assert got[4] == rows[3][1]
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    """dup_line_frac and top_ngram_share separate a looping/spammy doc from
+    varied prose; single-line docs get dup_line_frac 0."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import repetition_stats
+
+    spam = "\n".join(["click here to win"] * 9 + ["unique closing line"])
+    prose = "the quick brown fox jumps over one lazy dog near a quiet river bank"
+    df = spark.createDataFrame([(1, spam), (2, prose)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert got[1]["dup_line_frac"] == 0.8          # 10 lines, 2 distinct
+    # trigrams are taken over the whole token stream (they span line breaks),
+    # so the repeated "click here to" reaches 9/37 ≈ 0.24 — still 3× prose
+    assert got[1]["top_ngram_share"] > 0.2
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[2]["top_ngram_share"] < 0.15         # all trigrams distinct

@@ -82,6 +82,74 @@ def fingerprint(col: str | Column) -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+#: Lookaround-free PII patterns (so the SAME regex runs on RE2-based
+#: oracle engines): email, international-ish phone, dotted-quad IP.
+#: Real deployments extend the list; the rewrite mechanics don't change.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """PII scrubbing (curation-pipeline staple): replace emails, phone-ish
+    runs, and IPs with typed placeholder tokens. A chain of
+    ``regexp_replace`` column expressions — codegen'd, scan-speed, and
+    reproducible on any RE2-compatible engine (DuckDB oracle twin)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def raw_shingles(col: str | Column, n: int = 3) -> Column:
+    """Word n-grams WITHOUT dedup (unlike dedup.shingles) — repetition
+    signals need the multiset."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.when(
+        k > 0,
+        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_line_frac`` — fraction of lines that are repeats of an earlier
+      line (1 − distinct/total), the boilerplate/spam tell;
+    - ``top_ngram_share`` — the most frequent word ``n``-gram's share of
+      all ``n``-grams, the loop/keyword-stuffing tell.
+
+    Shape: line stats are pure column expressions (scan-local); the n-gram
+    mode goes explode → per-(doc, gram) count → per-doc max/sum — two
+    narrow shuffles keyed by doc id, no text in the second. A per-row HOF
+    mode (count each distinct gram via filter) would be O(len²)
+    interpreted ops per row — measured pathological; the explode form is
+    partial-aggregable and skew-free (doc id keys are unique)."""
+    c = F.col(text_col)
+    lines = F.split(c, r"\n")
+    line_stats = df.select(
+        F.col(id_col),
+        F.round(
+            (F.size(lines) - F.size(F.array_distinct(lines)))
+            / F.size(lines).cast("double"),
+            4,
+        ).alias("dup_line_frac"),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(raw_shingles(c, n)).alias("__g")
+    )
+    gram_counts = grams.groupBy(id_col, "__g").agg(F.count(F.lit(1)).alias("__c"))
+    shares = gram_counts.groupBy(id_col).agg(
+        F.round((F.max("__c") / F.sum("__c")).cast("double"), 4).alias("top_ngram_share")
+    )
+    return line_stats.join(shares, id_col)
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document stats table: chars, tokens, mean token length,
     fingerprint, stopword ratio, quality."""

@@ -796,6 +796,72 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact_pii",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+           (regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') <> text) AS changed
+    FROM documents
+    """,
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/curation PII scrubbing: emails, phone-ish digit runs, and IPs →
+    typed placeholders (operators.text.redact_pii). Pure regexp_replace
+    chain — codegen'd scan-speed; the patterns are lookaround-free so the
+    DuckDB RE2 twin applies the SAME regexes. Replacement mechanics are
+    pinned on synthetic PII rows in tests (the fixture is largely clean)."""
+    d = load_table(spark, sf_dir, "documents")
+    red = text_ops.redact_pii("text")
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        (red != F.col("text")).alias("changed"),
+    )
+
+
+@register(
+    "text_repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest(list_transform(
+                 generate_series(1, greatest(len(t) - 2, 1)),
+                 i -> array_to_string(t[i:i+2], ' '))) AS gram
+      FROM toks
+    ), gc AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+    ), shares AS (
+      SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top_ngram_share
+      FROM gc GROUP BY doc_id
+    ), lf AS (
+      SELECT doc_id,
+             ROUND((len(ls) - len(list_distinct(ls))) / len(ls)::DOUBLE, 4)
+               AS dup_line_frac
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+    )
+    SELECT lf.doc_id, lf.dup_line_frac, shares.top_ngram_share
+    FROM lf JOIN shares USING (doc_id)
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/curation Gopher-style repetition signals per document:
+    duplicate-line fraction (boilerplate tell) and top word-trigram share
+    (loop/keyword-stuffing tell) — operators.text.repetition_stats. The
+    n-gram mode is explode → (doc, gram) count → per-doc max/sum: narrow
+    doc-id-keyed shuffles, no per-row O(len²) HOF scan."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.repetition_stats(d, "doc_id", "text", n=3)
+
+
+@register(
     "dedup_exact_by_fingerprint",
     """
     SELECT doc_id, lang, source FROM (

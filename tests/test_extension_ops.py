@@ -405,3 +405,57 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got[1]["top_ngram_share"] > 0.2
     assert got[2]["dup_line_frac"] == 0.0
     assert got[2]["top_ngram_share"] < 0.15         # all trigrams distinct
+
+
+def test_hash_split_deterministic_and_proportioned(spark):
+    """Split assignment is a pure function of (id, seed): stable across
+    reruns and row order; proportions land near 90/5/5; a subset of the
+    data gets identical labels (incremental-arrival stability)."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import hash_split
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    full = {r["doc_id"]: r["split"] for r in hash_split(d, "doc_id").select("doc_id", "split").collect()}
+    again = {r["doc_id"]: r["split"] for r in hash_split(d.orderBy(F.desc("doc_id")), "doc_id").select("doc_id", "split").collect()}
+    assert full == again
+    sub = {r["doc_id"]: r["split"] for r in
+           hash_split(d.filter(F.col("doc_id") % 2 == 0), "doc_id").select("doc_id", "split").collect()}
+    assert all(full[k] == v for k, v in sub.items())
+    n = len(full)
+    frac_train = sum(1 for v in full.values() if v == "train") / n
+    assert 0.8 < frac_train < 0.97
+
+    import pytest
+
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(d, "doc_id", weights={"a": 0.5, "b": 0.4})
+
+
+def test_decontaminate_flags_verbatim_leak(spark):
+    """A training doc sharing a long verbatim span with the eval set gets
+    contamination ≈ its leaked-shingle share; disjoint docs get 0."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import decontaminate
+
+    bench = "the capital of france is paris and the capital of italy is rome"
+    leaked = "according to my notes " + bench + " which everyone knows"
+    clean = "completely unrelated prose about gardening tips for dry summer climates here"
+    train = spark.createDataFrame([(1, leaked), (2, clean)], ["doc_id", "text"])
+    ev = spark.createDataFrame([(100, bench)], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in decontaminate(train, ev, "doc_id", "text", n=5).collect()}
+    assert got[1]["contaminated"] and got[1]["contamination"] > 0.5
+    assert got[2]["n_hits"] == 0 and not got[2]["contaminated"]
+
+
+def test_token_budget_mix_prefix_semantics(spark):
+    """Greedy prefix in hash order: cumulative tokens never exceed the
+    budget among kept rows, and the kept set is the maximal prefix (the
+    first excluded doc per source would overflow)."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import token_budget_mix
+    from ucr_bigdata_snowfallproject_spark.operators.text import token_count
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    kept = token_budget_mix(d, "source", "doc_id", token_count("text"), budget_tokens=800)
+    rows = kept.collect()
+    assert rows and all(r["cum_tokens"] <= 800 for r in rows)
+    # determinism
+    again = token_budget_mix(d, "source", "doc_id", token_count("text"), budget_tokens=800)
+    assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again.collect())

@@ -1,0 +1,150 @@
+"""Training-data curation operators beyond dedup (X-surface): deterministic
+train/val/test splitting, benchmark decontamination, and token-budget data
+mixing — the three pipeline stages between "filtered+deduped corpus" and
+"training shards".
+
+Everything here is deterministic and engine-portable by construction: the
+only source of randomness is :func:`portable_hash` (md5-prefix → bigint),
+which any SQL engine reproduces bit-for-bit — so split assignments and
+mixing decisions are stable across reruns, engines, and cluster sizes
+(no seed-per-partition drift like ``rand()``).
+
+Scale notes (100 TB):
+
+- ``hash_split`` is a pure column expression — scan-speed, no shuffle.
+- ``decontaminate`` is an inverted-index join on shingles: cost is
+  Σ df(shingle), never |train|×|eval|. The eval side is distinct-reduced
+  first and is typically tiny (benchmarks, not corpora) — broadcast.
+- ``token_budget_mix`` windows per source. Source cardinality is usually
+  small (tens-hundreds) ⇒ per-source partitions can be huge; the docstring
+  documents the two-phase hash-threshold refinement that bounds the exact
+  window to a small candidate slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles
+
+
+def portable_hash(col: str | F.Column, seed: str = "") -> F.Column:
+    """Deterministic uniform hash in [0, 2^32): the first 8 hex digits of
+    md5(value || '#' || seed) parsed as an integer. md5 — not xxhash64 —
+    because every engine (DuckDB, Trino, Postgres) computes the identical
+    digest, making downstream split/sample decisions reproducible outside
+    Spark. Collision-adjacent bits of md5 are uniform; 2^32 buckets is
+    plenty for percentage splits."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit("#" + seed))), 1, 8), 16, 10
+    ).cast("bigint")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = hash(id) % 10000,
+    cumulative weight thresholds carve the bucket space. A document's split
+    depends only on (id, seed) — stable under re-runs, repartitioning, and
+    incremental data arrival (new docs never move old ones, unlike
+    ``randomSplit`` which reshuffles everything on every change)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {sum(weights.values())}")
+    bucket = portable_hash(id_col, seed) % 10000
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = bucket < int(round(acc * 10000))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    )
+    return df.withColumn("split", expr)
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Benchmark decontamination: for each training document, the fraction
+    of its distinct word ``n``-gram shingles that appear anywhere in the
+    eval corpus — the standard contamination signal (eval text leaked into
+    pretraining data shows up as long-shingle overlap).
+
+    Returns (id, n_shingles, n_hits, contamination, contaminated).
+
+    Scale shape: explode distinct shingles per doc; the eval side reduces
+    to a DISTINCT shingle set first (benchmarks are tiny → broadcast); a
+    left join + per-doc count gives the overlap — Σ df(shingle) work, no
+    pairwise comparison, no text in the join key (the shingle string is
+    the key; swap in a shingle HASH for 100 TB to keep keys 8 bytes)."""
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__g")
+    )
+    eval_sh = (
+        eval_df.select(F.explode(shingles(text_col, n)).alias("__g"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = doc_sh.join(F.broadcast(eval_sh), "__g", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hits") / F.col("n_shingles").cast("double"), 4),
+        )
+        .withColumn("contaminated", F.col("contamination") > threshold)
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    token_count_col: F.Column,
+    budget_tokens: int,
+    seed: str = "mix",
+) -> DataFrame:
+    """Token-budget data mixing: keep a deterministic, uniformly-sampled
+    subset of each source whose token sum stays within ``budget_tokens``
+    (greedy take in hash order, inclusive while cumulative ≤ budget).
+    Hash-ordering ≙ a uniform random sample, but reproducible and stable
+    under data growth: a doc's priority never changes, so a bigger corpus
+    only ever *displaces* docs, never reshuffles the kept set's order.
+
+    Returns the kept rows with (priority, n_tokens, cum_tokens) attached.
+
+    Scale: the window partitions by source — low cardinality, so at 100 TB
+    first cut each source to ~budget/avg_tokens × slack candidates with a
+    hash THRESHOLD (pure filter, no shuffle: priority < k·2^32/n_source
+    estimated from a count), then run this exact window on the small
+    survivor set. Semantics identical (hash order is global, the threshold
+    only removes rows that could never fit the budget)."""
+    pri = portable_hash(id_col, seed)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc("priority"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("priority", pri)
+        .withColumn("n_tokens", token_count_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from .io import load_table
 from .operators import aggregates, relational, windows
+from .operators import curation as curation_ops
 from .operators import dedup as dedup_ops
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
@@ -859,6 +860,115 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-id-keyed shuffles, no per-row O(len²) HOF scan."""
     d = load_table(spark, sf_dir, "documents")
     return text_ops.repetition_stats(d, "doc_id", "text", n=3)
+
+
+@register(
+    "curation_hash_split",
+    """
+    SELECT doc_id,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))::BIGINT
+                   % 10000 AS bucket
+          FROM documents)
+    """,
+)
+def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by md5-prefix hash
+    (operators.curation.hash_split): a doc's split depends only on its id
+    and the seed — stable across reruns, engines (the oracle recomputes
+    the identical md5 buckets), repartitioning, and incremental arrival,
+    unlike randomSplit. Pure column expression — scan-speed at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.hash_split(d, "doc_id").select("doc_id", "split")
+
+
+@register(
+    "curation_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 5
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 4),
+                         i -> array_to_string(t[i:i+4], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS gs
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(gs) AS g FROM sh
+    ), ev AS (
+      SELECT DISTINCT g FROM ex WHERE doc_id % 17 = 0
+    ), tr AS (
+      SELECT * FROM ex WHERE doc_id % 17 <> 0
+    )
+    SELECT tr.doc_id,
+           CAST(COUNT(*) AS BIGINT)                     AS n_shingles,
+           CAST(COUNT(ev.g) AS BIGINT)                  AS n_hits,
+           ROUND(COUNT(ev.g)::DOUBLE / COUNT(*), 4)     AS contamination,
+           (ROUND(COUNT(ev.g)::DOUBLE / COUNT(*), 4) > 0.1) AS contaminated
+    FROM tr LEFT JOIN ev USING (g)
+    GROUP BY tr.doc_id
+    """,
+)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators.curation.decontaminate): per
+    training doc, the fraction of its distinct 5-gram shingles found
+    anywhere in the eval corpus (here: every 17th doc stands in for a
+    benchmark set). Inverted-index shape — explode shingles, DISTINCT the
+    tiny eval side, broadcast left join, per-doc count: Σ df(shingle)
+    work, never |train|×|eval|."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.decontaminate(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.1,
+    )
+
+
+@register(
+    "curation_token_budget_mix",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT
+               AS priority
+      FROM documents
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY priority, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+    FROM c WHERE cum_tokens <= 800
+    GROUP BY source
+    """,
+)
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (operators.curation.token_budget_mix):
+    per source, keep the maximal hash-ordered prefix of docs whose token
+    sum stays ≤ 800 — a deterministic uniform sample hitting a per-source
+    token budget, the end stage of a pretraining mix. Window per source
+    (low cardinality — at 100 TB pre-filter by a hash threshold, then
+    window the small survivor set; same semantics, no giant partition)."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = curation_ops.token_budget_mix(
+        d, "source", "doc_id", text_ops.token_count("text"), budget_tokens=800
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+    )
 
 
 @register(
@@ -2656,19 +2766,19 @@ _GATED_WINDOW = [
     # --- oracle-converted / new in round 2 ---
     "text_language_id",
     "dedup_embedding_cosine_blocked",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "curation_hash_split",
+    "curation_decontaminate",
+    "curation_token_budget_mix",
     # --- round-1 driver-green representatives (regression guard) ---
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
     "flagship_monthly_median_join",
-    "group_median_quantity",
-    "window_latest_lineitem_per_order",
     "dedup_exact_by_fingerprint",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
     "similarity_brute_force_topk",
-    "sessionize_events",
-    "asof_join_purchase_attribution",
     "text_stats_documents",
 ]
 

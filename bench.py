@@ -12,7 +12,7 @@ query.
 
 At sf0.1 the cold pass is substantially PLAN-COMPILE-bound (analyzer/
 optimizer/codegen dominate the small executions), so cold deltas mostly
-measure plan complexity, not operator speed. ``--repeat N`` (default 1,
+measure plan complexity, not operator speed. ``--repeat N`` (default 2,
 also env ``SPARK_GRAFT_BENCH_REPEAT``) re-runs the suite N more times and
 reports per-query warm MEDIANS beside the cold numbers — warm runs reuse
 nothing between invocations except the JVM/codegen caches, so they

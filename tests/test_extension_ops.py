@@ -226,8 +226,8 @@ def test_simhash_udf_matches_expr(spark):
 
 def test_minhash_signature_forms_agree(spark):
     """The Arrow per-row signature fold is bit-identical to the
-    explode+min-agg formulation (same shingles, same xxhash64 base hashes,
-    same (h1 + i·h2) mod p family)."""
+    explode+min-agg formulation (same crc32 token hashes, same rolling
+    n-gram combine, same affine-permutation (a_i·h + b_i) mod p family)."""
     d = load_table(spark, SF_SMOKE, "documents").limit(200)
     agg = {r["__id"]: list(r["__sig"])
            for r in dedup_ops.minhash_signatures_agg(d, "doc_id", "text").collect()}
@@ -459,3 +459,72 @@ def test_token_budget_mix_prefix_semantics(spark):
     # determinism
     again = token_budget_mix(d, "source", "doc_id", token_count("text"), budget_tokens=800)
     assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in again.collect())
+
+
+def test_redact_pii_phone_bounds(spark):
+    """The phone pattern allows at most punct-space-punct between digits:
+    real phone formats redact; newline-spanning digit runs and multi-space
+    table columns survive (over-redaction destroys numeric prose)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import redact_pii
+
+    rows = [
+        (1, "call +1 (415) 555-0199 or 020 7946 0958 now"),
+        (2, "cols 12  34  56  78  90 end"),       # double spaces: keep
+        (3, "line1 1234\n5678 line2"),            # newline: keep
+        (4, "dotted 415.555.0199 ok"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r["red"] for r in df.select("id", redact_pii("text").alias("red")).collect()}
+    assert got[1] == "call <PHONE> or <PHONE> now"
+    assert got[2] == rows[1][1]
+    assert got[3] == rows[2][1]
+    assert got[4] == "dotted <PHONE> ok"
+
+
+def test_repetition_oracle_tokenization_on_irregular_whitespace(spark):
+    """The DuckDB twin's regexp_split_to_array('\\s+') tokenization agrees
+    with Spark's split(\\s+) on text the fixture never exercises — real
+    newlines, double spaces, tabs — so the oracle convention holds beyond
+    fixture cleanliness (ADVICE r02), including a non-zero dup_line_frac."""
+    import duckdb
+    import pandas as pd
+
+    from ucr_bigdata_snowfallproject_spark.operators.text import repetition_stats
+
+    docs = [
+        (1, "alpha beta\nalpha beta\ngamma  delta\talpha beta"),
+        (2, "one  two   three\none  two   three"),
+        (3, "solo line no repeats at all"),
+    ]
+    sdf = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["dup_line_frac"], r["top_ngram_share"])
+           for r in repetition_stats(sdf, "doc_id", "text", n=3).collect()}
+    assert got[1][0] > 0  # the multi-line path actually fires
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    oracle = con.sql(r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     generate_series(1, greatest(len(t) - 2, 1)),
+                     i -> array_to_string(t[i:i+2], ' '))) AS gram
+          FROM toks
+        ), gc AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+        ), shares AS (
+          SELECT doc_id, ROUND(MAX(c)::DOUBLE / SUM(c), 4) AS top_ngram_share
+          FROM gc GROUP BY doc_id
+        ), lf AS (
+          SELECT doc_id,
+                 ROUND((len(ls) - len(list_distinct(ls))) / len(ls)::DOUBLE, 4)
+                   AS dup_line_frac
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)
+        )
+        SELECT lf.doc_id, lf.dup_line_frac, shares.top_ngram_share
+        FROM lf JOIN shares USING (doc_id)
+    """).fetchall()
+    assert {r[0]: (r[1], r[2]) for r in oracle} == got
+    con.close()

@@ -5,29 +5,80 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def _max_partition_bytes(df: DataFrame) -> int:
+    """``spark.sql.files.maxPartitionBytes`` as an int (the conf value is a
+    byte string like ``134217728b`` or ``128MB``)."""
+    raw = df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    try:
+        return int(raw)
+    except ValueError:
+        jvm = df.sparkSession.sparkContext._jvm
+        return int(jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+
+
+def _estimated_splits(df: DataFrame, files: list[str]) -> int:
+    """Estimate the scan's input-split count: each split-able file yields
+    ``ceil(bytes / maxPartitionBytes)`` partitions, so a few huge parquet
+    files still fan out to many tasks. File sizes come from the Hadoop
+    FileSystem (works for file://, s3a://, …); at most ``defaultParallelism``
+    files are probed (callers only reach here when files < cores). On any
+    metadata error, fall back to one split per file (conservative)."""
+    try:
+        max_bytes = _max_partition_bytes(df)
+        sc = df.sparkSession.sparkContext
+        jvm = sc._jvm
+        hconf = sc._jsc.hadoopConfiguration()
+        splits = 0
+        for f in files:
+            path = jvm.org.apache.hadoop.fs.Path(f)
+            size = path.getFileSystem(hconf).getFileStatus(path).getLen()
+            splits += max(1, -(-int(size) // max_bytes))
+        return splits
+    except Exception:
+        return len(files)
+
+
 def ensure_parallelism(df: DataFrame, key: str | None = None) -> DataFrame:
     """Repartition up to the session's default parallelism when the input
-    has fewer partitions than cores.
+    scan would otherwise yield fewer partitions than cores.
 
     Small test files arrive as ONE input split (they're under
     ``spark.sql.files.maxPartitionBytes``), which serializes compute-heavy
     per-row operators (shingling, hashing, vector math) onto one core. At
-    real scale the inputs span at least as many files as cores and this is
+    real scale the inputs span at least as many splits as cores and this is
     a no-op.
 
-    The gate reads ``df.inputFiles()`` (datasource file listing, already
-    cached by the scan) instead of ``df.rdd.getNumPartitions()`` — the
-    latter forces a full plan→RDD conversion per call, pure driver-side
-    compile cost on plans where compile already dominates. Many files can
-    still yield many splits each, so skipping when files ≥ cores never
-    shrinks parallelism; few-files-but-huge inputs split fine on their own
-    once they exceed ``spark.sql.files.maxPartitionBytes``, and the extra
-    exchange this inserts for them keys the downstream aggregation anyway.
+    Gate order (each check only runs when the cheaper one can't decide):
+
+    1. ``df.inputFiles()`` length — datasource file listing, already cached
+       by the scan; files ≥ cores means splits ≥ cores, done. (Not
+       ``df.rdd.getNumPartitions()`` first: that forces a full plan→RDD
+       conversion per call — pure driver-side compile cost on plans where
+       compile already dominates.)
+    2. For few-but-huge files (e.g. 20 multi-GB parquet files on a 64-core
+       cluster) the file COUNT under-reads the real parallelism — each file
+       splits at ``maxPartitionBytes`` boundaries. :func:`_estimated_splits`
+       sizes the files via the Hadoop FileSystem and skips the repartition
+       when the estimated split count already covers the cores.
+    3. Non-file-backed plans (``createDataFrame`` fixtures, checkpoints)
+       have no file listing; for those the RDD partition-count check runs —
+       such plans are small/local, so the plan→RDD compile cost is trivial —
+       instead of unconditionally repartitioning already-parallel input.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
+        files = df.inputFiles()
+    except Exception:  # plans where inputFiles itself is unsupported
+        files = []
+    if files:
+        if len(files) >= target:
             return df
-    except Exception:  # non-file-backed plans (createDataFrame fixtures)
-        pass
+        if _estimated_splits(df, files) >= target:
+            return df
+    else:
+        try:
+            if df.rdd.getNumPartitions() >= target:
+                return df
+        except Exception:
+            pass
     return df.repartition(target, key) if key else df.repartition(target)

@@ -87,8 +87,14 @@ def fingerprint(col: str | Column) -> Column:
 #: Real deployments extend the list; the rewrite mechanics don't change.
 PII_PATTERNS = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    # IP before phone: the phone pattern admits dotted digit runs, so a
+    # dotted-quad must be claimed by the more specific rule first.
     (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    # ≥8 digits; between consecutive digits at most one punct, one space,
+    # one punct (covers "+1 (415) 555-0199", "415.555.0199",
+    # "020 7946 0958") — never a newline or a multi-space run, so matches
+    # can't span lines or collapse table columns into one <PHONE>.
+    (r"\+?[0-9]([()\-.]? ?[()\-.]?[0-9]){7,}", "<PHONE>"),
 ]
 
 

@@ -700,7 +700,7 @@ def events_hourly_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(length(text) AS INTEGER) AS len_chars,
-           CAST(len(string_split(lower(trim(text)), ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS n_tokens,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
     FROM documents
     """,
@@ -723,9 +723,9 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            ROUND(AVG(length(text)), 4) AS avg_len,
-           ROUND(AVG(len(list_filter(string_split(lower(trim(text)), ' '),
+           ROUND(AVG(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                  t -> t IN ('the','a','of','and','to','in','is','it')))
-                 / len(string_split(lower(trim(text)), ' '))), 4) AS avg_stopword_ratio
+                 / len(regexp_split_to_array(lower(trim(text)), '\\s+'))), 4) AS avg_stopword_ratio
     FROM documents GROUP BY source
     """,
 )
@@ -745,7 +745,7 @@ def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, lang, text,
-             string_split(lower(trim(text)), ' ') AS toks
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
       FROM documents
     ), r AS (
       SELECT doc_id, lang, text,
@@ -802,12 +802,12 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
-             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS redacted,
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9]([()\-.]? ?[()\-.]?[0-9]){7,}', '<PHONE>', 'g') AS redacted,
            (regexp_replace(regexp_replace(regexp_replace(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g'),
-             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') <> text) AS changed
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+?[0-9]([()\-.]? ?[()\-.]?[0-9]){7,}', '<PHONE>', 'g') <> text) AS changed
     FROM documents
     """,
 )
@@ -830,7 +830,7 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition_stats",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
     ), g AS (
       SELECT doc_id,
              unnest(list_transform(
@@ -889,7 +889,7 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "curation_decontaminate",
     """
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              CASE WHEN len(t) >= 5
@@ -937,7 +937,7 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH t AS (
       SELECT doc_id, source,
-             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT
                AS priority
       FROM documents
@@ -1361,7 +1361,7 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                           generate_series(1, greatest(len(toks) - 2, 1)),
                           i -> array_to_string(toks[i:i+2], ' '))) AS sh
                FROM (SELECT doc_id,
-                            string_split(lower(trim(text)), ' ') AS toks
+                            regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
                      FROM documents WHERE doc_id < 500))
     SELECT id_a, id_b, jaccard FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -1828,7 +1828,7 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "wordcount_top20",
     """
     SELECT word, CAST(COUNT(*) AS BIGINT) AS n
-    FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word
+    FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
           FROM documents)
     WHERE word <> ''
     GROUP BY word
@@ -1892,7 +1892,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LEN(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
                 AS INTEGER) AS bpe_tokens,
-           CAST(LEN(string_split(lower(trim(text)), ' ')) AS INTEGER) AS ws_tokens
+           CAST(LEN(regexp_split_to_array(lower(trim(text)), '\\s+')) AS INTEGER) AS ws_tokens
     FROM documents
     """,
 )
@@ -2456,10 +2456,10 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH kept AS (
       SELECT doc_id, lang, text,
-             len(string_split(lower(trim(text)), ' ')) AS n_tokens
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens
       FROM documents
       WHERE length(text) >= 100
-        AND len(string_split(lower(trim(text)), ' ')) >= 20
+        AND len(regexp_split_to_array(lower(trim(text)), '\\s+')) >= 20
     ),
     deduped AS (
       SELECT * FROM (

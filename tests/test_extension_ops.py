@@ -285,12 +285,13 @@ def test_multimodal_decoder_injection(spark):
              for r in multimodal.extract_features(media, decoder=fake_decoder).collect()}
     raw = {r.media_id: r.n_bytes for r in media.select("media_id", "n_bytes").collect()}
     assert feats == {k: (raw[k], 7) for k in raw}
-    # default resolution picks the stub when PIL is absent, PIL otherwise
+    # default resolution picks the stdlib header parser (with stub
+    # fallback) when PIL is absent, PIL otherwise
     try:
         import PIL.Image  # noqa: F401
         assert multimodal.default_image_decoder() is multimodal._decode_image_pil
     except ImportError:
-        assert multimodal.default_image_decoder() is multimodal._decode_image_stub
+        assert multimodal.default_image_decoder() is multimodal._decode_image_auto
 
 
 def test_salted_join_rejects_outer(spark):
@@ -528,3 +529,65 @@ def test_repetition_oracle_tokenization_on_irregular_whitespace(spark):
     """).fetchall()
     assert {r[0]: (r[1], r[2]) for r in oracle} == got
     con.close()
+
+
+def test_stdlib_image_decode_known_sizes():
+    """PNG IHDR / GIF logical-screen / BMP info-header parsing returns the
+    exact dimensions the payloads were built with; unknown formats raise."""
+    import pytest
+
+    cases = [(1, 1), (17, 3), (640, 480), (63, 63)]
+    for w, h in cases:
+        assert multimodal._decode_image_stdlib(multimodal.png_bytes(w, h)) == (w, h)
+        assert multimodal._decode_image_stdlib(multimodal.gif_bytes(w, h)) == (w, h)
+        assert multimodal._decode_image_stdlib(multimodal.bmp_bytes(w, h)) == (w, h)
+    with pytest.raises(ValueError):
+        multimodal._decode_image_stdlib(b"\x00" * 64)
+    # top-down BMP (negative height) decodes to positive dimensions
+    import struct
+
+    bmp = bytearray(multimodal.bmp_bytes(8, 4))
+    bmp[22:26] = struct.pack("<i", -4)
+    assert multimodal._decode_image_stdlib(bytes(bmp)) == (8, 4)
+
+
+def test_stdlib_png_is_fully_valid():
+    """The synthesized PNG is a complete file (chunk CRCs included): every
+    chunk's stored CRC re-verifies and the IDAT inflates to the expected
+    raw scanline size."""
+    import struct
+    import zlib
+
+    payload = multimodal.png_bytes(19, 7)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    off, seen = 8, []
+    while off < len(payload):
+        (length,) = struct.unpack(">I", payload[off : off + 4])
+        typ = payload[off + 4 : off + 8]
+        data = payload[off + 8 : off + 8 + length]
+        (crc,) = struct.unpack(">I", payload[off + 8 + length : off + 12 + length])
+        assert crc == zlib.crc32(typ + data) & 0xFFFFFFFF, typ
+        seen.append(typ)
+        if typ == b"IDAT":
+            assert len(zlib.decompress(data)) == (19 + 1) * 7
+        off += 12 + length
+    assert seen == [b"IHDR", b"IDAT", b"IEND"]
+
+
+def test_multimodal_extract_features_real_dimensions(spark):
+    """End-to-end X5: image rows flow through mapInPandas and come back
+    with the REAL dimensions their valid PNG/GIF/BMP payloads encode;
+    audio/video rows fall back to the deterministic stub."""
+    media = multimodal.synthesize_media(spark, n=24)
+    payloads = {r.media_id: (r.kind, bytes(r.payload))
+                for r in media.collect()}
+    feats = {r.media_id: (r.width, r.height)
+             for r in multimodal.extract_features(media).collect()}
+    n_images = 0
+    for mid, (kind, payload) in payloads.items():
+        if kind == "image":
+            n_images += 1
+            assert feats[mid] == multimodal._decode_image_stdlib(payload)
+        else:
+            assert feats[mid] == multimodal._decode_image_stub(payload)
+    assert n_images == 8

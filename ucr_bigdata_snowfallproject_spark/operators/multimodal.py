@@ -1,11 +1,14 @@
 """Multimodal binary columns (X5): images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-The Spark-side plumbing — schema, batch iteration, partition sizing — is
-real and tested; the media decode itself is STUBBED behind
-``_decode_image_stub`` (the container has no image/audio libs; a real
-deployment swaps in PIL/libav inside the same ``mapInPandas`` contract,
-nothing else changes).
+Image decode is REAL for PNG/GIF/BMP with zero dependencies:
+:func:`_decode_image_stdlib` parses the container headers (PNG IHDR, GIF
+logical screen descriptor, BMP info header) with stdlib ``struct`` — no
+pixel decompression, exactly the lazy-header trick PIL's ``.size`` uses.
+Decoder resolution order is PIL (when installed, covers every format) →
+stdlib header parse (PNG/GIF/BMP) → deterministic stub (unknown formats,
+e.g. the synthetic audio/video payloads). A real deployment swaps in
+PIL/libav inside the same ``mapInPandas`` contract; nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits
@@ -63,28 +66,129 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
     )
 
 
+def png_bytes(width: int, height: int, pixel: int = 0x7F) -> bytes:
+    """A complete, valid 8-bit grayscale PNG of the given dimensions
+    (IHDR + zlib IDAT + IEND, CRCs included) — stdlib only."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes([pixel]) * width for _ in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def gif_bytes(width: int, height: int) -> bytes:
+    """A complete, valid GIF89a whose logical screen is the given size (the
+    classic minimal construction: 2-entry palette + a 1×1 image inside the
+    w×h screen — screen dimensions are what header decode reads)."""
+    import struct
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HH", width, height)
+        + b"\x80\x00\x00"                    # GCT flag, 2-entry palette
+        + b"\xff\xff\xff\x00\x00\x00"        # the palette
+        + b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00"
+        + b"\x02\x02\x44\x01\x00"            # LZW min-code 2, one pixel
+        + b"\x3b"
+    )
+
+
+def bmp_bytes(width: int, height: int) -> bytes:
+    """A complete, valid 24-bit BMP (BITMAPFILEHEADER + BITMAPINFOHEADER +
+    zeroed pixel rows padded to 4 bytes)."""
+    import struct
+
+    row = (width * 3 + 3) // 4 * 4
+    pix = b"\x00" * (row * height)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + info + pix
+
+
+#: (format tag, payload builder, mime) — image synthesis rotation.
+_IMAGE_FORMATS = [
+    ("png", png_bytes, "image/png"),
+    ("gif", gif_bytes, "image/gif"),
+    ("bmp", bmp_bytes, "image/bmp"),
+]
+
+
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media fixture (no media libs in the container):
-    payload bytes are seeded pseudo-random; metadata is consistent."""
+    """Deterministic media fixture: image rows carry VALID minimal payloads
+    (rotating PNG/GIF/BMP with seeded dimensions, parseable by any real
+    decoder); audio/video rows carry seeded pseudo-random bytes (their
+    decode stays stubbed — no audio/video libs anywhere in the container)."""
     import random
 
     rng = random.Random(seed)
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = bytes(rng.randrange(256) for _ in range(128 + (i % 5) * 64))
-        rows.append((i, kind, payload, f"application/x-fake-{kind}", len(payload)))
+        if kind == "image":
+            _tag, build, mime = _IMAGE_FORMATS[(i // 3) % len(_IMAGE_FORMATS)]
+            payload = build(rng.randrange(1, 64), rng.randrange(1, 64))
+        else:
+            mime = f"application/x-fake-{kind}"
+            payload = bytes(rng.randrange(256) for _ in range(128 + (i % 5) * 64))
+        rows.append((i, kind, payload, mime, len(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     """STUB decode (X5): deterministic fake width/height derived from the
-    payload. Used when no real image library is importable — the
-    surrounding mapInPandas plumbing is the tested, production-shaped
-    part either way."""
+    payload. The fallback for formats with no importable decoder (here:
+    the synthetic audio/video payloads) — the surrounding mapInPandas
+    plumbing is the tested, production-shaped part either way."""
     if len(payload) < 8:
         raise NotImplementedError("payload too short for stub decode")
     return (payload[0] % 64 + 1) * 16, (payload[1] % 64 + 1) * 16
+
+
+def _decode_image_stdlib(payload: bytes) -> tuple[int, int]:
+    """Real header-only decode for PNG / GIF / BMP via stdlib ``struct`` —
+    reads dimensions from the container header without decompressing pixel
+    data (PNG IHDR is required by spec to be the first chunk; GIF logical
+    screen descriptor at offset 6; BMP BITMAPINFOHEADER at offset 18).
+    Raises ``ValueError`` for unrecognized formats."""
+    import struct
+
+    if len(payload) >= 24 and payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG without leading IHDR chunk")
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if len(payload) >= 10 and payload[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    if len(payload) >= 26 and payload[:2] == b"BM":
+        w, h = struct.unpack("<ii", payload[18:26])
+        return int(w), abs(int(h))  # negative height = top-down row order
+    raise ValueError("unrecognized image format")
+
+
+def _decode_image_auto(payload: bytes) -> tuple[int, int]:
+    """stdlib header parse for recognized formats (real dimensions), the
+    deterministic stub for everything else."""
+    try:
+        return _decode_image_stdlib(payload)
+    except ValueError:
+        return _decode_image_stub(payload)
 
 
 def _decode_image_pil(payload: bytes) -> tuple[int, int]:
@@ -100,16 +204,16 @@ def _decode_image_pil(payload: bytes) -> tuple[int, int]:
 
 def default_image_decoder():
     """Resolve the image decoder at call time: PIL when importable (real
-    deployments), the deterministic stub otherwise (this container ships no
-    media libs). Resolution is a function, not an import-time constant, so
-    tests can monkeypatch either path through the same mapInPandas
-    contract."""
+    deployments — every format), else the stdlib PNG/GIF/BMP header parser
+    with the deterministic stub as the unknown-format fallback. Resolution
+    is a function, not an import-time constant, so tests can monkeypatch
+    either path through the same mapInPandas contract."""
     try:
         import PIL.Image  # noqa: F401
 
         return _decode_image_pil
     except ImportError:
-        return _decode_image_stub
+        return _decode_image_auto
 
 
 def extract_features(
@@ -120,8 +224,8 @@ def extract_features(
     """Feature extraction over media payloads via ``mapInPandas`` —
     Arrow-batched, one Python worker pass, narrow typed output (payloads do
     NOT flow to the result). ``decoder`` is any
-    ``bytes -> (width, height)`` callable; default resolves PIL-or-stub via
-    :func:`default_image_decoder` (resolved on the DRIVER so the chosen
+    ``bytes -> (width, height)`` callable; default resolves PIL-or-stdlib-header-parse
+    via :func:`default_image_decoder` (resolved on the DRIVER so the chosen
     decoder ships in the serialized closure — executors don't re-probe)."""
     decode = decoder if decoder is not None else default_image_decoder()
 

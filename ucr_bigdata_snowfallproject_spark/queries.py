@@ -1461,9 +1461,11 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("multimodal_extract_features", None)  # binary fixture — rows-only
 def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 multimodal plumbing: binary payload column + typed metadata →
-    Arrow-batched mapInPandas feature extraction (decode STUBBED — no media
-    libs in container; the schema/batching/partitioning is the real,
-    tested part). Deterministic synthetic media (seed=42)."""
+    Arrow-batched mapInPandas feature extraction. Image payloads are VALID
+    PNG/GIF/BMP and decode to their REAL dimensions via the stdlib header
+    parser (operators.multimodal._decode_image_stdlib); audio/video decode
+    stays stubbed (no media libs in container). Deterministic synthetic
+    media (seed=42)."""
     from .operators import multimodal
 
     media = multimodal.synthesize_media(spark, n=96)

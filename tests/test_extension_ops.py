@@ -591,3 +591,77 @@ def test_multimodal_extract_features_real_dimensions(spark):
         else:
             assert feats[mid] == multimodal._decode_image_stub(payload)
     assert n_images == 8
+
+
+def test_token_budget_mix_prefilter_identity_and_bound(spark):
+    """prefilter=True returns the bit-identical kept set (rows, priorities,
+    cumulative sums) while the exact window runs over a strictly smaller
+    survivor slice; a pathologically tight slack still converges to the
+    identical answer through the widening retry."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        _prefilter_candidates,
+        portable_hash,
+        token_budget_mix,
+    )
+    from ucr_bigdata_snowfallproject_spark.operators.text import token_count
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    # fixture: 20 sources × ~1400 tokens; budget 100 → thresholds tighten
+    # (slack·budget/tot < 1) so the prefilter genuinely drops rows
+    budget = 100
+
+    def keyset(df):
+        return {
+            (r["doc_id"], r["priority"], r["n_tokens"], r["cum_tokens"])
+            for r in df.collect()
+        }
+
+    plain = keyset(token_budget_mix(d, "source", "doc_id", token_count("text"), budget))
+    fast = keyset(
+        token_budget_mix(
+            d, "source", "doc_id", token_count("text"), budget, prefilter=True
+        )
+    )
+    assert plain and fast == plain
+    # the window input really is bounded: survivors ≪ corpus
+    work = d.withColumn("priority", portable_hash("doc_id", "mix")).withColumn(
+        "n_tokens", token_count("text")
+    )
+    surv = _prefilter_candidates(work, "source", budget, slack=1.5)
+    assert surv.count() < d.count() / 2
+    # slack far too small → first threshold misses the boundary → the
+    # verification pass widens it until the result is provably identical
+    tight = keyset(
+        token_budget_mix(
+            d, "source", "doc_id", token_count("text"), budget,
+            prefilter=True, prefilter_slack=0.01,
+        )
+    )
+    assert tight == plain
+
+
+def test_checkpoint_modes_identical_results(spark, tmp_path):
+    """minhash_candidates under reliable / table / none checkpoint modes
+    returns the identical candidate set as the default local mode — the
+    fault-tolerance tier is a deployment policy, never a semantics knob."""
+    import pytest
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(150)
+
+    def pairs(**kw):
+        return {
+            (r.id_a, r.id_b, r.jaccard_est)
+            for r in dedup_ops.minhash_candidates(d, "doc_id", "text", **kw).collect()
+        }
+
+    base = pairs()
+    assert base
+    assert pairs(checkpoint_mode="reliable") == base
+    assert pairs(checkpoint_mode="table",
+                 checkpoint_path=str(tmp_path / "sig")) == base
+    assert pairs(checkpoint_mode="none") == base
+    # the reliable path really wrote a checkpoint dir
+    ckdir = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert not ckdir.isEmpty()
+    with pytest.raises(ValueError, match="checkpoint mode"):
+        dedup_ops._materialize(d, "bogus")

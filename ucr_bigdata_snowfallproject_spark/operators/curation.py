@@ -16,9 +16,9 @@ Scale notes (100 TB):
   Σ df(shingle), never |train|×|eval|. The eval side is distinct-reduced
   first and is typically tiny (benchmarks, not corpora) — broadcast.
 - ``token_budget_mix`` windows per source. Source cardinality is usually
-  small (tens-hundreds) ⇒ per-source partitions can be huge; the docstring
-  documents the two-phase hash-threshold refinement that bounds the exact
-  window to a small candidate slice.
+  small (tens-hundreds) ⇒ per-source partitions can be huge;
+  ``prefilter=True`` bounds the exact window to a budget-sized candidate
+  slice via a verified hash-threshold filter (:func:`_prefilter_candidates`).
 """
 
 from __future__ import annotations
@@ -113,6 +113,74 @@ def decontaminate(
     )
 
 
+#: portable_hash's value space (md5-prefix parsed as 8 hex digits).
+_HASH_SPACE = 1 << 32
+
+
+def _prefilter_candidates(
+    work: DataFrame,
+    source_col: str,
+    budget_tokens: int,
+    slack: float,
+) -> DataFrame:
+    """Hash-threshold prefilter for :func:`token_budget_mix`: bound each
+    source's window input to ~``slack × budget/tot`` of its rows with a
+    pure priority filter, *provably* without changing the kept set.
+
+    Phase 1: one partial-aggregable scan collects per-source token totals
+    (source cardinality is tens-to-hundreds — a tiny driver list). A source
+    whose total fits the budget keeps everything (threshold = 2^32); an
+    oversized source keeps rows with ``priority < slack·budget/tot·2^32``
+    — the kept prefix ends near the budget/tot quantile of the uniform
+    hash, so ``slack`` (default 8×) leaves the boundary comfortably inside.
+
+    Phase 2 (the identity guarantee): for every tightened source, the
+    surviving token total must EXCEED the budget — then the budget boundary
+    falls strictly inside the survivor set, every global row ordered before
+    it has priority below the threshold (hence survived), and the greedy
+    prefix over survivors is bit-identical to the prefix over all rows. Any
+    source failing the check (pathological skew: the slack estimate was
+    >8× off) gets its threshold widened ×8 and re-verified — so the fast
+    path is probabilistic but the RESULT never is.
+
+    Cost at 100 TB: two narrow aggregate scans + the exact window over a
+    budget-sized slice, instead of one reducer per source sorting ~a whole
+    source (the unfiltered window's failure mode)."""
+    spark = work.sparkSession
+    source_field = next(f for f in work.schema.fields if f.name == source_col)
+    stats = work.groupBy(source_col).agg(F.sum("n_tokens").alias("__tot")).collect()
+    thr = {
+        r[source_col]: (
+            _HASH_SPACE
+            if r["__tot"] is None or r["__tot"] <= budget_tokens
+            else min(_HASH_SPACE, int(slack * budget_tokens / r["__tot"] * _HASH_SPACE) + 1)
+        )
+        for r in stats
+    }
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([source_field, StructField("__thr", LongType())])
+    while True:
+        thr_df = spark.createDataFrame(list(thr.items()), schema)
+        surv = (
+            work.join(F.broadcast(thr_df), source_col)
+            .filter(F.col("priority") < F.col("__thr"))
+            .drop("__thr")
+        )
+        tight = [s for s, t in thr.items() if t < _HASH_SPACE]
+        if not tight:
+            return surv
+        surv_tot = {
+            r[source_col]: r["__stot"]
+            for r in surv.groupBy(source_col).agg(F.sum("n_tokens").alias("__stot")).collect()
+        }
+        unsafe = [s for s in tight if (surv_tot.get(s) or 0) <= budget_tokens]
+        if not unsafe:
+            return surv
+        for s in unsafe:
+            thr[s] = min(_HASH_SPACE, thr[s] * 8)
+
+
 def token_budget_mix(
     df: DataFrame,
     source_col: str,
@@ -120,6 +188,8 @@ def token_budget_mix(
     token_count_col: F.Column,
     budget_tokens: int,
     seed: str = "mix",
+    prefilter: bool = False,
+    prefilter_slack: float = 8.0,
 ) -> DataFrame:
     """Token-budget data mixing: keep a deterministic, uniformly-sampled
     subset of each source whose token sum stays within ``budget_tokens``
@@ -131,20 +201,22 @@ def token_budget_mix(
     Returns the kept rows with (priority, n_tokens, cum_tokens) attached.
 
     Scale: the window partitions by source — low cardinality, so at 100 TB
-    first cut each source to ~budget/avg_tokens × slack candidates with a
-    hash THRESHOLD (pure filter, no shuffle: priority < k·2^32/n_source
-    estimated from a count), then run this exact window on the small
-    survivor set. Semantics identical (hash order is global, the threshold
-    only removes rows that could never fit the budget)."""
+    one reducer would sort ~a whole source. ``prefilter=True`` engages
+    :func:`_prefilter_candidates`: a hash-threshold filter (from one
+    per-source token-total scan) bounds the window input to a budget-sized
+    candidate slice first, with a verification pass that PROVES the kept
+    set is unchanged (widening the threshold on the rare miss). Default
+    off — at test/bench scale the plain window is cheaper than the extra
+    aggregate jobs; flip it on when a source outgrows one reducer."""
     pri = portable_hash(id_col, seed)
+    work = df.withColumn("priority", pri).withColumn("n_tokens", token_count_col)
+    if prefilter:
+        work = _prefilter_candidates(work, source_col, budget_tokens, prefilter_slack)
     w = (
         Window.partitionBy(source_col)
         .orderBy(F.asc("priority"), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        df.withColumn("priority", pri)
-        .withColumn("n_tokens", token_count_col)
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("cum_tokens") <= budget_tokens)
+    return work.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= budget_tokens
     )

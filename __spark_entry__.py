@@ -42,6 +42,12 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query;
     non-SQL-expressible ops (sketches, hash-seeded LSH) are omitted →
     driver records the weaker rows-only check."""
+    # The gsod_reference_pipeline oracle reads the fixture tree's
+    # ground-truth parquet directly; materialize it here too so the SQL is
+    # runnable even if the driver evaluates oracles before Spark queries.
+    from ucr_bigdata_snowfallproject_spark.pipeline import fixtures as fx
+
+    fx.ensure_tree()
     return {
         name: oracle for name, (_fn, oracle) in REGISTRY.items() if oracle is not None
     }

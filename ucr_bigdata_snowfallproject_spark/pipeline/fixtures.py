@@ -149,6 +149,32 @@ def observation_line(r: pd.Series) -> str:
     return " ".join(parts)
 
 
+#: canonical fixture location shared by the Spark query
+#: (`queries.gsod_reference_pipeline`) and its DuckDB oracle, which
+#: re-derives the pipeline from the generator's ground-truth parquet.
+DEFAULT_ROOT = "/tmp/snowfall-gsod-fixture-v1"
+
+
+def tree_paths(root: str = DEFAULT_ROOT) -> dict[str, str]:
+    return {
+        "stations_csv": os.path.join(root, "isd-history.csv"),
+        "stations_parquet": os.path.join(root, "stations.parquet"),
+        "obs_parquet": os.path.join(root, "observations.parquet"),
+        "op_dir": os.path.join(root, "op_files"),
+        "tar_dir": os.path.join(root, "gsod_all_years"),
+    }
+
+
+def ensure_tree(root: str = DEFAULT_ROOT, seed: int = 42) -> dict[str, str]:
+    """Idempotent fixture materialization: both the Spark query path and
+    the oracle-SQL path call this, so the tree exists no matter which the
+    driver evaluates first."""
+    paths = tree_paths(root)
+    if not all(os.path.exists(p) for p in paths.values()):
+        return write_gsod_tree(root, seed)
+    return paths
+
+
 def write_gsod_tree(root: str, seed: int = 42) -> dict[str, str]:
     """Write the full fixture tree; returns paths:
     stations_csv, obs_parquet, op_dir (flat .op.gz files), tar_dir

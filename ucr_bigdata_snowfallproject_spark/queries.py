@@ -1734,31 +1734,87 @@ def pandas_udf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("gsod_reference_pipeline", None)  # GSOD-shaped fixture — rows-only
+def _gsod_oracle_sql() -> str:
+    """DuckDB twin of the full reference pipeline (untitled.py:19-86),
+    re-derived from the fixture generator's ground-truth parquet — so it
+    independently pins the tar→gunzip→parse path, not just the relational
+    tail. `+ 0.0` normalizes IEEE -0.0 medians (fixture MIN can be the
+    string '-0.0'; Spark ROUND folds the sign, DuckDB keeps it)."""
+    from .pipeline import fixtures as fx
+
+    root = fx.DEFAULT_ROOT
+    min_year, max_year = fx.YEARS[0], fx.YEARS[-1]
+    med = ",\n         ".join(
+        f"ROUND(median({m}), 4) + 0.0 AS {m}"
+        for m in ("TEMP", "DEWP", "WDSP", "MAX", "MIN", "PRCP")
+    )
+    return rf"""
+    WITH stations_scrub AS (
+      SELECT USAF, CAST(WBAN AS INTEGER) AS WBAN, STATION_NAME, CTRY, STATE,
+             CASE WHEN LAT IN (0.0, -999.0, -999.9) THEN NULL ELSE LAT END AS LAT,
+             CASE WHEN LON IN (0.0, -999.0, -999.9) THEN NULL ELSE LON END AS LON,
+             CASE WHEN ELEV_M IN (0.0, -999.0, -999.9) THEN NULL ELSE ELEV_M END AS ELEV_M,
+             BEGIN, "END"
+      FROM read_parquet('{root}/stations.parquet')
+    ), stations AS (
+      SELECT USAF, WBAN, CTRY, LAT, LON, ELEV_M,
+             concat_ws('<br>',
+               concat_ws(', ', STATION_NAME, STATE, CTRY),
+               CASE WHEN ELEV_M IS NOT NULL
+                    THEN 'Elevation: ' || CAST(ELEV_M AS VARCHAR) || ' m' END) AS LBL
+      FROM stations_scrub
+      WHERE LAT IS NOT NULL AND LON IS NOT NULL
+        AND CAST(regexp_extract("END", '^(\d{{4}})', 1) AS INTEGER) = {max_year}
+        AND CAST(regexp_extract(BEGIN, '^(\d{{4}})', 1) AS INTEGER) <= {min_year}
+    ), obs AS (
+      SELECT o.USAF, CAST(o.WBAN AS INTEGER) AS WBAN,
+             o.TEMP, o.DEWP, o.WDSP,
+             CAST(regexp_replace(o.MAX, '\*$', '') AS DOUBLE) AS MAX,
+             CAST(regexp_replace(o.MIN, '\*$', '') AS DOUBLE) AS MIN,
+             CAST(substr(o.PRCP, 1, LEN(o.PRCP) - 1) AS DOUBLE) AS PRCP,
+             CAST(year(strptime(o.YEARMODA, '%Y%m%d')) AS INTEGER) AS YEAR,
+             CAST(month(strptime(o.YEARMODA, '%Y%m%d')) AS INTEGER) AS MONTH
+      FROM read_parquet('{root}/observations.parquet') o
+      WHERE EXISTS (SELECT 1 FROM stations s
+                    WHERE s.USAF = o.USAF AND s.WBAN = CAST(o.WBAN AS INTEGER))
+    ), monthly AS (
+      SELECT USAF, WBAN, YEAR, MONTH,
+         {med}
+      FROM obs GROUP BY USAF, WBAN, YEAR, MONTH
+    )
+    SELECT m.USAF, m.WBAN, m.YEAR, m.MONTH, m.TEMP, m.DEWP, m.WDSP, m.MAX, m.MIN,
+           m.PRCP, s.CTRY, s.LAT, s.LON, s.ELEV_M, s.LBL
+    FROM monthly m JOIN stations s ON m.USAF = s.USAF AND m.WBAN = s.WBAN
+    """
+
+
+@register("gsod_reference_pipeline", _gsod_oracle_sql())
 def gsod_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE reference end-to-end flow (untitled.py:19-86, SURVEY §3.1) as one
     lazy graph over a deterministic GSOD-shaped fixture tree (seed=42):
     tar → gunzip → parse → clean → semi-join stations → monthly medians →
-    broadcast dim join. Rows-only here (the fixture is not one of the
-    driver's parquet views); the same flow is golden-tested step-by-step
-    against pandas re-derivations in tests/test_gsod_pipeline.py."""
-    import os
-
+    broadcast dim join. Oracle-backed: the DuckDB twin recomputes the whole
+    pipeline from the generator's ground-truth parquet (`_gsod_oracle_sql`),
+    independently checking the tar/parse stages against what the generator
+    actually wrote. Also golden-tested step-by-step against pandas
+    re-derivations in tests/test_gsod_pipeline.py."""
     from .io import read_csv
     from .pipeline import fixtures as fx
-    from .pipeline.gsod import run_pipeline
+    from .pipeline.gsod import MEASURES, run_pipeline
     from .schemas import STATIONS
     from .sources.tar import read_gsod_tar
 
-    root = "/tmp/snowfall-gsod-fixture-v1"
-    if not os.path.exists(os.path.join(root, "isd-history.csv")):
-        fx.write_gsod_tree(root)
-    stations_raw = read_csv(spark, os.path.join(root, "isd-history.csv"), schema=STATIONS)
-    obs_raw = read_gsod_tar(spark, os.path.join(root, "gsod_all_years"))
+    paths = fx.ensure_tree()
+    stations_raw = read_csv(spark, paths["stations_csv"], schema=STATIONS)
+    obs_raw = read_gsod_tar(spark, paths["tar_dir"])
     out = run_pipeline(
         stations_raw, obs_raw, min_year=fx.YEARS[0], max_year=fx.YEARS[-1]
     )
-    return out["monthly_with_station"]
+    return out["monthly_with_station"].select(
+        "USAF", "WBAN", "YEAR", "MONTH",
+        *[(F.round(m, 4) + F.lit(0.0)).alias(m) for m in MEASURES],
+        "CTRY", "LAT", "LON", "ELEV_M", "LBL",
+    )
 
 
 @register(
@@ -1800,11 +1856,35 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_sentence_split", None)  # UDTF surface — rows-only
+@register(
+    "udtf_sentence_split",
+    r"""
+    WITH p AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+                 chr(1)),
+               x -> x <> '') AS parts
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL
+    ), u AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(parts, 1) - 1 AS INTEGER) AS sent_no,
+             unnest(parts) AS sentence
+      FROM p
+    )
+    SELECT doc_id, sent_no, sentence, CAST(LEN(sentence) AS INTEGER) AS n_chars
+    FROM u
+    """,
+)
 def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X7 Python UDTF (Spark ≥3.5 table function): one text row in → one
-    row per sentence out, with position. Lateral-join shape; rows-only
-    (sentence segmentation policy is engine-defined)."""
+    row per sentence out, with position. Lateral-join shape. Segmentation
+    convention: whitespace runs after sentence punctuation become breaks
+    (punctuation stays attached). Implemented as mark-then-split — a
+    lookaround-free form RE2 can express, so the DuckDB oracle replays the
+    exact rule (`regexp_replace` + split on \\x01); empty segments are
+    dropped on both sides before numbering."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, sent_no int, sentence string, n_chars int")
@@ -1814,10 +1894,11 @@ def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
             import re
 
-            for i, s in enumerate(p for p in re.split(r"(?<=[.!?])\s+", text) if p):
+            marked = re.sub(r"([.!?])\s+", lambda m: m.group(1) + "\x01", text)
+            for i, s in enumerate(p for p in marked.split("\x01") if p):
                 yield doc_id, i, s, len(s)
 
-    d = load_table(spark, sf_dir, "documents").limit(200)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     spark.udtf.register("sentence_split", SentenceSplit)
     d.createOrReplaceTempView("__docs_for_udtf")
     return spark.sql(
@@ -2745,13 +2826,11 @@ _GATED_WINDOW = [
     "text_bpe_token_counts",
     "window_value_functions",
     "scalar_string_functions_2",
-    "scalar_math_functions",
     "from_json_events_props",
     "array_agg_priorities_per_segment",
     "unpivot_lineitem_measures",
     "q6_revenue_forecast",
     "q7_volume_shipping",
-    "q10_returned_items",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -2765,6 +2844,13 @@ _GATED_WINDOW = [
     "q12_shipmode_priority_counts",
     "q13_customer_order_distribution",
     "resample_events_hourly_ffill",
+    # --- oracle-converted in round 3 (VERDICT r02 #5): the UDTF lateral
+    # surface and THE reference end-to-end pipeline now earn hash-checked
+    # driver rows; scalar_math_functions and q10_returned_items rotate to
+    # local-only (their families stay driver-covered:
+    # scalar_string_functions_2/scalar_date_arithmetic and q3) ---
+    "udtf_sentence_split",
+    "gsod_reference_pipeline",
     # --- oracle-converted / new in round 2 ---
     "text_language_id",
     "dedup_embedding_cosine_blocked",

@@ -115,6 +115,86 @@ def test_dup_components_labels_min_id(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def _union_find_labels(edges):
+    """Driver-side ground truth: min-id component label per node."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_star_matches_label_prop_on_random_graphs(spark):
+    """VERDICT r02 #7: the large-star/small-star variant produces identical
+    components to the iterative form, property-tested on seeded random
+    graphs against a driver-side union-find."""
+    import random
+
+    for seed in (7, 42, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n * 2))))
+                for _ in range(70)
+            }
+        )
+        edges = [(a, b) for a, b in edges if a != b]
+        truth = _union_find_labels(edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        label = {
+            r.id: r.comp
+            for r in dedup_ops.dup_components(pairs, max_iter=100).collect()
+        }
+        star = {
+            r.id: r.comp
+            for r in dedup_ops.dup_components(pairs, algorithm="star").collect()
+        }
+        assert label == truth, f"seed {seed}: label-prop diverged"
+        assert star == truth, f"seed {seed}: star diverged"
+
+
+def test_cc_star_converges_in_log_rounds_on_chain(spark):
+    """The point of the star variant: a 100-node chain needs ~99 label-prop
+    rounds (one hop per round) but O(log d) star rounds. Pin the round
+    count so a regression back to linear convergence fails loudly."""
+    n = 100
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    labels, rounds = dedup_ops._cc_star(pairs, max_iter=20)
+    got = {r.id: r.comp for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 8, f"star took {rounds} rounds on a {n}-chain"
+
+
+def test_length_band_filter_approx_vs_exact(spark):
+    """The percentile_approx (scale) path of length_band_filter must agree
+    with the exact rank form up to boundary ties: every exactly-kept row is
+    approx-kept, and any extra approx-kept rows sit exactly on the band's
+    boundary values (value-threshold semantics can't split a tie group;
+    rank semantics can)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import length_band_filter
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "n_chars")
+    exact = length_band_filter(d, "n_chars", "doc_id")
+    approx = length_band_filter(d, "n_chars", "doc_id", approx=True)
+    e = {(r.doc_id, r.n_chars) for r in exact.collect()}
+    a = {(r.doc_id, r.n_chars) for r in approx.collect()}
+    assert e <= a
+    lo = min(v for _, v in e)
+    hi = max(v for _, v in e)
+    assert all(v in (lo, hi) for _, v in a - e), sorted(a - e)[:5]
+
+
 def test_asof_tolerance_nulls_stale_matches(spark):
     t0 = datetime.datetime(2024, 1, 1)
     left = spark.createDataFrame(

@@ -64,6 +64,7 @@ HEADLINE = [
     "range_join_price_bands",
     "window_rank_functions",
     "wordcount_top20",
+    "text_tfidf_top_terms",
     # NOT apply_in_pandas_zscore: many-small-groups applyInPandas is the
     # documented slow path (17.9s at sf0.1); its window-function oracle
     # formulation is the production shape (window_running_customer_spend

@@ -176,6 +176,23 @@ def test_cc_star_converges_in_log_rounds_on_chain(spark):
     assert rounds <= 8, f"star took {rounds} rounds on a {n}-chain"
 
 
+def test_tfidf_persist_path_matches_default(spark):
+    """persist_tf=True (the single-corpus-scan scale path) must return the
+    identical top-k table as the recompute plan, and the cached TF frame
+    must actually be reused (InMemoryTableScan in the executed plan)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import tfidf_top_terms
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    base = tfidf_top_terms(d, "doc_id", "text", k=3)
+    cached = tfidf_top_terms(d, "doc_id", "text", k=3, persist_tf=True)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    try:
+        assert "InMemoryTableScan" in cached._jdf.queryExecution().executedPlan().toString()
+        assert rows(base) == rows(cached)
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_length_band_filter_approx_vs_exact(spark):
     """The percentile_approx (scale) path of length_band_filter must agree
     with the exact rank form up to boundary ties: every exactly-kept row is

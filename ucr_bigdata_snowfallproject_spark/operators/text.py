@@ -156,6 +156,103 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     return line_stats.join(shares, id_col)
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    round_digits: int = 6,
+    persist_tf: bool = False,
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — the keyword-extraction primitive
+    of a curation pipeline (topic tagging, per-domain term drift, query
+    mining over a crawl).
+
+    Scale shape: one explode→groupBy for term frequencies (shuffle keyed on
+    (doc, term) — high cardinality, skew-safe), one groupBy for document
+    frequencies (keyed on term; vocabulary ≪ corpus so the DF table is
+    small and BROADCAST back), then a per-doc window top-k.
+
+    Because the DF table derives from the TF frame, a naive plan recomputes
+    the corpus explode for that branch. ``persist_tf=True`` is the 100 TB
+    path: cache the TF frame (MEMORY_AND_DISK) so the heavy explode+shuffle
+    runs once and both the DF aggregation and the scoring join read the
+    materialized result; the remaining corpus touch is a column-pruned
+    doc-count scan. Left off by default so short-lived test/oracle sessions
+    don't accumulate cache entries.
+
+    idf = ln((N + 1) / (df + 1)) — the smoothed form, so terms present in
+    every document score 0 instead of dividing by zero. Deterministic
+    tiebreak (score desc, term asc) keeps the top-k reproducible."""
+    from pyspark.sql import Window
+
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n"))  # 1-row broadcast scalar
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(doc_freq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("__n") + 1) / (F.col("df") + 1)),
+                round_digits,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "tfidf")
+    )
+
+
+def length_band_filter(
+    df: DataFrame,
+    len_col: str,
+    id_col: str,
+    lower_frac: float = 0.05,
+    upper_frac: float = 0.95,
+    approx: bool = False,
+) -> DataFrame:
+    """Adaptive length filter: drop the shortest/longest tails by RANK
+    fraction rather than fixed byte thresholds — corpus-relative cutoffs
+    survive distribution drift between crawls.
+
+    Exact mode ranks every row (two window passes over a single sort key) —
+    the correctness contract, SQL-expressible, used by the oracle.
+    ``approx=True`` is the 100 TB path: percentile_approx computes the two
+    cutoffs as a mergeable sketch in one scan-side pass and the filter
+    becomes a pure predicate — no global sort, no window."""
+    if approx:
+        cuts = df.select(
+            F.percentile_approx(len_col, [lower_frac, upper_frac], 10000).alias("c")
+        ).first()["c"]
+        return df.filter(
+            (F.col(len_col) >= cuts[0]) & (F.col(len_col) <= cuts[1])
+        )
+    from pyspark.sql import Window
+
+    n = df.count()
+    w = Window.orderBy(F.asc(len_col), F.asc(id_col))
+    ranked = df.withColumn("__rn", F.row_number().over(w))
+    lo = int(n * lower_frac) + 1
+    hi = n - int(n * (1.0 - upper_frac))
+    return ranked.filter(
+        (F.col("__rn") >= lo) & (F.col("__rn") <= hi)
+    ).drop("__rn")
+
+
 def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One-pass per-document stats table: chars, tokens, mean token length,
     fingerprint, stopword ratio, quality."""

@@ -2780,6 +2780,70 @@ def resample_events_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tfidf_top_terms",
+    r"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY doc_id, term
+    ), df_t AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * LN(CAST(n.n + 1 AS DOUBLE) / (df_t.df + 1)), 6) AS tfidf
+      FROM tf JOIN df_t USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, tfidf
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction (X4 text analysis): top-3 TF-IDF terms per
+    document with smoothed idf = ln((N+1)/(df+1)) and a deterministic
+    (score desc, term asc) tiebreak. Plan shape: one corpus explode →
+    (doc, term) TF shuffle; the vocabulary-sized DF table broadcasts back;
+    per-doc window top-k. See operators/text.py:tfidf_top_terms."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+@register(
+    "curation_length_band_filter",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars FROM ranked
+    WHERE rn >= CAST(FLOOR(n * 0.05) AS BIGINT) + 1
+      AND rn <= n - CAST(FLOOR(n * (1.0 - 0.95)) AS BIGINT)
+    """,
+)
+def curation_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality filter: drop the shortest and longest 5% of
+    documents by corpus-relative rank, not fixed byte cutoffs. The exact
+    rank form here is the SQL-expressible correctness contract; the 100 TB
+    path is ``approx=True`` (percentile_approx cutoffs → pure predicate,
+    no global sort), pinned against this form in
+    tests/test_extension_ops.py. See operators/text.py:length_band_filter."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.length_band_filter(
+        d.select("doc_id", "source", "n_chars"), "n_chars", "doc_id"
+    )
+
+
 @register("stratified_sample_orders", None)  # sampling draw is engine-specific
 def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded stratified sample (`sampleBy`): different keep-rates per

@@ -176,6 +176,31 @@ def test_cc_star_converges_in_log_rounds_on_chain(spark):
     assert rounds <= 8, f"star took {rounds} rounds on a {n}-chain"
 
 
+def test_group_quantiles_approx_tracks_exact(spark):
+    """The percentile_approx (mergeable-sketch) switch of group_quantiles
+    must track the exact interpolated form within sketch tolerance at high
+    accuracy — the same exact/approx contract group_median carries."""
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import group_quantiles
+
+    l = load_table(spark, SF_SMOKE, "lineitem")
+    exact = {
+        r.l_returnflag: (r.q25, r.q50, r.q75)
+        for r in group_quantiles(l, ["l_returnflag"], "l_quantity").collect()
+    }
+    approx = {
+        r.l_returnflag: (r.q25, r.q50, r.q75)
+        for r in group_quantiles(
+            l, ["l_returnflag"], "l_quantity", approx=True
+        ).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            # l_quantity is integer-valued 1..50; the sketch at accuracy
+            # 10000 must land within one neighboring value
+            assert abs(e - a) <= 1.0, (k, exact[k], approx[k])
+
+
 def test_tfidf_persist_path_matches_default(spark):
     """persist_tf=True (the single-corpus-scan scale path) must return the
     identical top-k table as the recompute plan, and the cached TF frame
@@ -718,6 +743,42 @@ def test_multimodal_extract_features_real_dimensions(spark):
         else:
             assert feats[mid] == multimodal._decode_image_stub(payload)
     assert n_images == 8
+
+
+def test_stdlib_wav_decode_known_params():
+    """The stdlib `wave` decode returns exactly the (rate, channels,
+    frames) each synthesized PCM WAV was built with; non-WAV raises."""
+    import pytest
+
+    for rate, chans, frames in [(8000, 1, 1), (16000, 2, 333), (44100, 1, 160)]:
+        payload = multimodal.wav_bytes(rate, chans, frames)
+        assert multimodal.decode_audio_stdlib(payload) == (rate, chans, frames)
+    with pytest.raises(ValueError):
+        multimodal.decode_audio_stdlib(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        multimodal.decode_audio_stdlib(multimodal.png_bytes(4, 4))
+
+
+def test_multimodal_audio_features_real_metadata(spark):
+    """End-to-end X5 audio: WAV rows flow through mapInPandas and come
+    back with the real sample_rate/channels/frames their payloads encode;
+    image/video rows are excluded by the kind filter."""
+    media = multimodal.synthesize_media(spark, n=24)
+    truth = {
+        r.media_id: multimodal.decode_audio_stdlib(bytes(r.payload))
+        for r in media.collect()
+        if r.kind == "audio"
+    }
+    got = {
+        r.media_id: (r.sample_rate, r.n_channels, r.n_samples)
+        for r in multimodal.audio_features(media).collect()
+    }
+    assert got == truth and len(got) == 8
+    durations = {
+        r.media_id: r.duration_ms for r in multimodal.audio_features(media).collect()
+    }
+    for mid, (rate, _c, frames) in truth.items():
+        assert durations[mid] == round(frames * 1000 / rate)
 
 
 def test_token_budget_mix_prefilter_identity_and_bound(spark):

@@ -33,6 +33,32 @@ def group_median(
     return df.groupBy(*keys).agg(*[agg_fn(m).alias(m) for m in measures])
 
 
+def group_quantiles(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: str,
+    probs: Sequence[float] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Grouped quantiles at several probabilities — the distribution-shape
+    twin of :func:`group_median`, same exact/approx policy: exact
+    ``percentile`` (linear interpolation, ObjectHashAggregate buffering —
+    test scale) vs the mergeable ``percentile_approx`` sketch (100 TB /
+    streaming). Output columns ``q25, q50, ...`` named from the prob."""
+
+    def name(p: float) -> str:
+        return f"q{p * 100:g}".replace(".", "_")
+
+    if approx:
+        aggs = [
+            F.percentile_approx(measure, p, accuracy).alias(name(p)) for p in probs
+        ]
+    else:
+        aggs = [F.expr(f"percentile({measure}, {p!r})").alias(name(p)) for p in probs]
+    return df.groupBy(*keys).agg(*aggs)
+
+
 def group_agg(df: DataFrame, keys: Sequence[str], *aggs: Column) -> DataFrame:
     """General grouped aggregation; partial+final hash agg comes free."""
     return df.groupBy(*keys).agg(*aggs)

@@ -7,8 +7,10 @@ logical screen descriptor, BMP info header) with stdlib ``struct`` — no
 pixel decompression, exactly the lazy-header trick PIL's ``.size`` uses.
 Decoder resolution order is PIL (when installed, covers every format) →
 stdlib header parse (PNG/GIF/BMP) → deterministic stub (unknown formats,
-e.g. the synthetic audio/video payloads). A real deployment swaps in
-PIL/libav inside the same ``mapInPandas`` contract; nothing else changes.
+e.g. the synthetic video payloads). Audio decode is REAL for PCM WAV via
+the stdlib ``wave`` module (:func:`decode_audio_stdlib` →
+:func:`audio_features`). A real deployment swaps in PIL/libav inside the
+same ``mapInPandas`` contracts; nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits
@@ -121,6 +123,24 @@ def bmp_bytes(width: int, height: int) -> bytes:
     return header + info + pix
 
 
+def wav_bytes(
+    sample_rate: int = 8000, n_channels: int = 1, n_samples: int = 160
+) -> bytes:
+    """A complete, valid PCM-16 WAV (RIFF + fmt + data chunks) of the given
+    shape, stdlib only — silence samples; header decode only reads the
+    chunk metadata anyway."""
+    import struct
+
+    byte_rate = sample_rate * n_channels * 2
+    data = b"\x00\x00" * (n_samples * n_channels)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 #: (format tag, payload builder, mime) — image synthesis rotation.
 _IMAGE_FORMATS = [
     ("png", png_bytes, "image/png"),
@@ -143,6 +163,13 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
         if kind == "image":
             _tag, build, mime = _IMAGE_FORMATS[(i // 3) % len(_IMAGE_FORMATS)]
             payload = build(rng.randrange(1, 64), rng.randrange(1, 64))
+        elif kind == "audio":
+            mime = "audio/wav"
+            payload = wav_bytes(
+                sample_rate=rng.choice((8000, 16000, 44100)),
+                n_channels=rng.choice((1, 2)),
+                n_samples=rng.randrange(1, 400),
+            )
         else:
             mime = f"application/x-fake-{kind}"
             payload = bytes(rng.randrange(256) for _ in range(128 + (i % 5) * 64))
@@ -248,6 +275,69 @@ def extract_features(
             )
 
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def decode_audio_stdlib(payload: bytes) -> tuple[int, int, int]:
+    """REAL audio decode for PCM WAV via the stdlib ``wave`` module:
+    (sample_rate, n_channels, n_samples) from the RIFF/fmt/data chunk
+    metadata — no sample data is touched. Raises ``ValueError`` on
+    non-WAV payloads (callers choose their fallback)."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            return w.getframerate(), w.getnchannels(), w.getnframes()
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"not a PCM WAV payload: {exc}") from exc
+
+
+def audio_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Audio metadata extraction over WAV payloads via ``mapInPandas`` —
+    the audio twin of :func:`extract_features` (same Arrow-batched,
+    narrow-output contract). Rows whose payload is not decodable are
+    dropped (a crawl's corrupt-file fraction); swap ``decoder`` for a
+    libav-backed callable in deployments with compressed formats."""
+    decode = decoder if decoder is not None else decode_audio_stdlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "sample_rate", "n_channels", "n_samples", "duration_ms")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, chans, frames = decode(payload)
+                except ValueError:
+                    continue
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(chans)
+                out["n_samples"].append(frames)
+                out["duration_ms"].append(round(frames * 1000 / rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="int32"),
+                    "n_channels": pd.Series(out["n_channels"], dtype="int32"),
+                    "n_samples": pd.Series(out["n_samples"], dtype="int64"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="int32"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:

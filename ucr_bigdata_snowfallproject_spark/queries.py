@@ -1463,13 +1463,25 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 multimodal plumbing: binary payload column + typed metadata →
     Arrow-batched mapInPandas feature extraction. Image payloads are VALID
     PNG/GIF/BMP and decode to their REAL dimensions via the stdlib header
-    parser (operators.multimodal._decode_image_stdlib); audio/video decode
-    stays stubbed (no media libs in container). Deterministic synthetic
+    parser (operators.multimodal._decode_image_stdlib); only video decode
+    stays stubbed (no video libs in container). Deterministic synthetic
     media (seed=42)."""
     from .operators import multimodal
 
     media = multimodal.synthesize_media(spark, n=96)
     return multimodal.extract_features(media)
+
+
+@register("multimodal_audio_features", None)  # binary fixture — rows-only
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio path: WAV payloads → REAL (sample_rate, channels, frames,
+    duration) via the stdlib ``wave`` parser inside the same mapInPandas
+    contract as image features (operators.multimodal.audio_features).
+    Undecodable payloads drop, mirroring a crawl's corrupt-file fraction."""
+    from .operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    return multimodal.audio_features(media)
 
 
 @register("multimodal_frame_sample", None)  # binary fixture — rows-only
@@ -2777,6 +2789,33 @@ def resample_events_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = resample_forward_fill(e, "user_id", "ts", "value", "event_id", "1 hour")
     return out.select(
         "user_id", "bucket", "n_events", F.round("last_value", 4).alias("last_value")
+    )
+
+
+@register(
+    "group_quantiles_lineitem",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS q25,
+           ROUND(quantile_cont(l_quantity, 0.5),  4) AS q50,
+           ROUND(quantile_cont(l_quantity, 0.75), 4) AS q75,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS q95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped exact quantiles at 4 probabilities (A1 family,
+    aggregates.group_quantiles): cross-engine pin that Spark's
+    ``percentile`` linear interpolation matches ANSI ``quantile_cont``.
+    The approx switch (mergeable sketch) is the 100 TB path, pinned
+    against this exact form in tests."""
+    l = load_table(spark, sf_dir, "lineitem")
+    out = aggregates.group_quantiles(
+        l, ["l_returnflag"], "l_quantity", (0.25, 0.5, 0.75, 0.95)
+    )
+    return out.select(
+        "l_returnflag",
+        *[F.round(c, 4).alias(c) for c in ("q25", "q50", "q75", "q95")],
     )
 
 

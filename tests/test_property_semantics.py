@@ -101,3 +101,75 @@ def test_salted_group_agg_matches_reference(spark, rows, n_salts):
     for k in {k for k, _ in rows}:
         xs = [x for kk, x in rows if kk == k]
         assert got[k] == (sum(xs), len(xs), min(xs), max(xs))
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefghij XYZ.@-()0123456789+\n,")
+            ),
+            min_size=0, max_size=60,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_redact_pii_idempotent(spark, texts):
+    """Redaction is a fixpoint: applying it to already-redacted text
+    changes nothing (placeholders must not themselves look like PII), on
+    arbitrary digit/@/punctuation soup."""
+    from pyspark.sql import functions as F
+
+    from ucr_bigdata_snowfallproject_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    once = df.select("i", redact_pii("t").alias("r1"))
+    twice = once.select("i", redact_pii(F.col("r1")).alias("r2"))
+    joined = once.join(twice, "i")
+    assert joined.filter(F.col("r1") != F.col("r2")).count() == 0
+
+
+@given(
+    values=st.lists(st.integers(0, 500), min_size=1, max_size=40),
+    lo=st.sampled_from([0.0, 0.05, 0.1, 0.25]),
+    hi=st.sampled_from([0.75, 0.9, 0.95, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_length_band_filter_matches_reference(spark, values, lo, hi):
+    """Exact rank-band filter == slicing the (value, id)-sorted list by the
+    same floor arithmetic, for arbitrary duplicates and fractions."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import length_band_filter
+
+    rows = [(i, v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = sorted((r.id, r.v) for r in length_band_filter(df, "v", "id", lo, hi).collect())
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    n = len(rows)
+    start = int(n * lo)                  # rows dropped at the low end
+    end = n - int(n * (1.0 - hi))        # last kept 1-based rank
+    expected = sorted(ordered[start:end])
+    assert got == expected
+
+
+@given(
+    values=st.lists(st.integers(0, 100), min_size=1, max_size=30),
+    prob=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_group_quantiles_matches_numpy(spark, values, prob):
+    """Spark's exact `percentile` == numpy's linear-interpolation
+    percentile for arbitrary integer multisets — the same convention the
+    DuckDB quantile_cont oracle pins at fixture scale."""
+    import math
+
+    import numpy as np
+
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import group_quantiles
+
+    df = spark.createDataFrame([("g", v) for v in values], "g string, x long")
+    row = group_quantiles(df, ["g"], "x", (prob,)).collect()[0]
+    got = row[1]
+    expected = float(np.percentile(np.array(values, dtype="float64"), prob * 100,
+                                   method="linear"))
+    assert math.isclose(got, expected, rel_tol=0, abs_tol=1e-9), (got, expected)

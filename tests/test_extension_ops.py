@@ -81,6 +81,36 @@ def test_ann_recall_at_sf01(spark):
     assert ivf_recall >= 0.4, ivf_recall
 
 
+def test_cluster_assign_deterministic_and_conserving(spark):
+    """Seeded k-means assignment: same seed → identical (id, cluster) map
+    across runs; every vector lands in exactly one cluster (sizes sum to
+    the corpus count); a fixed external codebook bypasses training."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    a = {r.vec_id: r.cluster for r in sim_ops.cluster_assign(e, seed=7).collect()}
+    b = {r.vec_id: r.cluster for r in sim_ops.cluster_assign(e, seed=7).collect()}
+    assert a == b and len(a) == e.count()
+    sizes = sim_ops.cluster_sizes(e, seed=7).collect()
+    assert sum(r.n_members for r in sizes) == e.count()
+    assert all(r.n_members > 0 for r in sizes)
+    # external codebook: two orthogonal-ish unit centroids, assignment
+    # must follow the nearer one
+    import numpy as np
+
+    rows = e.select("vec_id", "embedding").collect()
+    c0 = [1.0] + [0.0] * 63
+    c1 = [0.0] * 63 + [1.0]
+    got = {
+        r.vec_id: r.cluster
+        for r in sim_ops.cluster_assign(e, centroids=[c0, c1]).collect()
+    }
+    for r in rows[:50]:
+        v = np.asarray(r.embedding, dtype="float64")
+        d0 = ((v - np.asarray(c0)) ** 2).sum()
+        d1 = ((v - np.asarray(c1)) ** 2).sum()
+        expect = 0 if d0 < d1 else 1 if d1 < d0 else got[r.vec_id]
+        assert got[r.vec_id] == expect
+
+
 def test_minhash_finds_near_dups(spark):
     d = load_table(spark, SF_SMOKE, "documents")
     # ground truth: pairs with exact trigram Jaccard >= 0.8 (the fixture's

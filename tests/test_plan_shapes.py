@@ -199,3 +199,31 @@ def test_q10_topk_above_agg(spark):
     TakeOrderedAndProject — no global sort of the aggregate output."""
     df = q(spark, "q10_returned_items")
     assert "TakeOrderedAndProject" in checks.explain_str(df, "simple")
+
+
+def test_tfidf_broadcasts_vocab_and_window_group_limit(spark):
+    """TF-IDF shape: the vocabulary-sized DF table comes back as a
+    broadcast join (the corpus-sized TF frame must never shuffle for it),
+    and the per-doc top-k rank filter plans as WindowGroupLimit so
+    partial top-k runs before the window exchange."""
+    df = q(spark, "text_tfidf_top_terms")
+    assert checks.has_broadcast_join(df)
+    assert "WindowGroupLimit" in checks.explain_str(df, "simple")
+
+
+def test_unigram_logppl_broadcasts_vocab(spark):
+    """Unigram-LM scoring: vocabulary and the 1-row total scalar both ride
+    broadcasts; the only fact-sized shuffles are the term count and the
+    per-doc mean."""
+    df = q(spark, "text_unigram_logppl")
+    assert checks.has_broadcast_join(df)
+    assert checks.shuffle_count(df) <= 4, checks.shuffle_count(df)
+
+
+def test_cluster_assign_no_shuffle(spark):
+    """Cell assignment is pure scan-side work (Arrow matmul + argmin
+    column expr): zero exchanges before the size aggregation's own."""
+    from ucr_bigdata_snowfallproject_spark.operators.similarity import cluster_assign
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    assert checks.shuffle_count(cluster_assign(e)) == 0

@@ -430,6 +430,89 @@ def _train_centroids(
     return [[float(x) for x in c] for c in C]
 
 
+def _ranked_cells(n_centroids: int, centroids: list[list[float]], dots_col: Column) -> Column:
+    """(distance-expansion, cid) structs per centroid — shared by IVF cell
+    assignment and query probing. Rank is (‖c‖² − 2 v·c, cid); ‖v‖² is
+    constant per row, so omitted."""
+    c_norm2_sql = "array(" + ",".join(
+        repr(sum(x * x for x in c)) for c in centroids
+    ) + ")"
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+        lambda i: F.struct(
+            (
+                F.element_at(F.expr(c_norm2_sql), i + 1)
+                - 2.0 * F.element_at(dots_col, i + 1)
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+
+
+def _assign_cells(
+    corpus: DataFrame, id_col: str, vec_col: str, centroids: list[list[float]]
+) -> DataFrame:
+    """Nearest-centroid assignment for every corpus vector: Arrow matmul
+    for the centroid dots, argmin via array_min over (distance, cid)
+    structs. Output keeps (id, vec, __cn norm, __cell) so IVF can score
+    without recomputing norms."""
+    n_centroids = len(centroids)
+    dots_udf = matrix_dots_udf(centroids)
+    return corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+        dots_udf(F.col(vec_col)).alias("__cd"),
+    ).select(
+        id_col,
+        vec_col,
+        "__cn",
+        F.array_min(_ranked_cells(n_centroids, centroids, F.col("__cd")))
+        .getField("cid")
+        .alias("__cell"),
+    )
+
+
+def cluster_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Seeded k-means cluster assignment over an embedding column —
+    (id, cluster) out. The topic-balancing / mixture-diagnostic primitive
+    for training-data curation: cluster sizes show distribution drift and
+    over-represented modes before any expensive downstream pass.
+
+    Same quantizer + assignment machinery as :func:`ivf_topk` (bounded
+    seeded sample → driver k-means → Arrow-matmul argmin), so cost is one
+    corpus scan, no shuffle at all for the assignment itself. Pass
+    ``centroids`` to score against a fixed external codebook."""
+    if centroids is None:
+        centroids = _train_centroids(corpus, vec_col, n_centroids, seed)
+    return _assign_cells(corpus, id_col, vec_col, centroids).select(
+        id_col, F.col("__cell").alias("cluster")
+    )
+
+
+def cluster_sizes(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-cluster member counts (the mixture report): one tiny groupBy on
+    the cluster id after the scan-side assignment."""
+    return (
+        cluster_assign(corpus, id_col, vec_col, n_centroids, seed)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -465,33 +548,10 @@ def ivf_topk(
     centroids = _train_centroids(corpus, vec_col, n_centroids, seed)
 
     # centroid dot products via the Arrow-vectorized matmul UDF (array HOFs
-    # are interpreted per element — see matrix_dots_udf); cell rank is
-    # (||c||² - 2 v·c, cid) — ||v||² is constant per row, so omitted.
+    # are interpreted per element — see matrix_dots_udf); cell assignment
+    # shared with cluster_assign via _assign_cells
     dots_udf = matrix_dots_udf(centroids)
-    c_norm2_sql = "array(" + ",".join(
-        repr(sum(x * x for x in c)) for c in centroids
-    ) + ")"
-
-    def ranked(dots_col: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-            lambda i: F.struct(
-                (F.element_at(F.expr(c_norm2_sql), i + 1) - 2.0 * F.element_at(dots_col, i + 1)).alias("d"),
-                i.cast("int").alias("cid"),
-            ),
-        )
-
-    cells = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("__cn"),
-        dots_udf(F.col(vec_col)).alias("__cd"),
-    ).select(
-        id_col,
-        vec_col,
-        "__cn",
-        F.array_min(ranked(F.col("__cd"))).getField("cid").alias("__cell"),
-    )
+    cells = _assign_cells(corpus, id_col, vec_col, centroids)
     probes = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(vec_col).alias("__qvec"),
@@ -504,7 +564,8 @@ def ivf_topk(
         F.explode(
             F.slice(
                 F.transform(
-                    F.array_sort(ranked(F.col("__qd"))), lambda s: s.getField("cid")
+                    F.array_sort(_ranked_cells(n_centroids, centroids, F.col("__qd"))),
+                    lambda s: s.getField("cid"),
                 ),
                 1,
                 n_probe,

@@ -217,6 +217,46 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logppl(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document unigram log-perplexity — the classic cheap quality /
+    outlier signal for corpus curation (CCNet-style: documents whose token
+    distribution diverges from the corpus score high and get binned or
+    dropped).
+
+    score = mean over the doc's tokens of −ln p(t), with
+    p(t) = count(t) / total_tokens over the whole corpus (the corpus is its
+    own LM; swap the counts frame for a held-out LM table to score against
+    an external model — the plan is identical).
+
+    Scale shape: one explode → (term) groupBy for corpus counts (the
+    vocabulary table, tiny vs the corpus, BROADCAST back), the total-token
+    scalar rides a 1-row crossJoin broadcast, and the per-doc mean is one
+    (doc) groupBy. Same single-heavy-shuffle skeleton as
+    :func:`tfidf_top_terms`."""
+    terms = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        terms.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (-F.log(F.col("__cnt") / F.col("__total"))).alias("__nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("__nll"), round_digits).alias("logppl"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 def length_band_filter(
     df: DataFrame,
     len_col: str,

@@ -2857,6 +2857,36 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_logppl",
+    r"""
+    WITH terms AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, COUNT(*) AS cnt FROM terms GROUP BY term
+    ), total AS (
+      SELECT SUM(cnt) AS total FROM vocab
+    )
+    SELECT t.doc_id,
+           ROUND(AVG(-LN(v.cnt / total.total)), 6) AS logppl,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM terms t JOIN vocab v USING (term) CROSS JOIN total
+    GROUP BY t.doc_id
+    """,
+)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-perplexity quality signal (X4, CCNet-style): mean
+    −ln p(token) per document against the corpus's own unigram
+    distribution — the cheap outlier detector a curation pipeline bins
+    documents by. One heavy explode shuffle; the vocabulary and the
+    total-token scalar broadcast back. See operators/text.py:unigram_logppl."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.unigram_logppl(d, "doc_id", "text")
+
+
+@register(
     "curation_length_band_filter",
     """
     WITH ranked AS (
@@ -2881,6 +2911,18 @@ def curation_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.length_band_filter(
         d.select("doc_id", "source", "n_chars"), "n_chars", "doc_id"
     )
+
+
+@register("embedding_cluster_sizes", None)  # seeded k-means — engine-specific
+def embedding_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic/mixture diagnostic (X3 family): seeded k-means assignment over
+    the embedding column → per-cluster member counts. Shows distribution
+    drift and over-represented modes before any expensive curation pass.
+    Rows-only (k-means draws are engine-specific); in-Spark determinism and
+    count conservation pinned in tests. See
+    operators/similarity.py:cluster_assign."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.cluster_sizes(e, n_centroids=16, seed=42)
 
 
 @register("stratified_sample_orders", None)  # sampling draw is engine-specific

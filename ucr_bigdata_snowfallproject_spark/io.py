@@ -27,6 +27,35 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+#: path -> parquet time unit ('ns', 'us', ...) for events.ts, cached so the
+#: footer probe runs once per path per process.
+_TS_UNIT_CACHE: dict[str, str] = {}
+
+
+def _events_ts_unit(path: str) -> str:
+    """Time unit of the ``ts`` column as stored in the parquet footer.
+
+    The fixture generator has shipped both TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) encodings across rounds; Spark's TimestampType reads
+    micros natively but needs the ``nanosAsLong`` long-read workaround for
+    nanos — so the unit must be probed, not assumed. One local footer read
+    (pyarrow), cached per path."""
+    if path not in _TS_UNIT_CACHE:
+        import os
+
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            probe = os.path.join(path, parts[0]) if parts else path
+        t = pq.ParquetFile(probe).schema_arrow.field("ts").type
+        _TS_UNIT_CACHE[path] = getattr(t, "unit", "us")
+    return _TS_UNIT_CACHE[path]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one canonical fixture table with its declared schema.
 
@@ -34,12 +63,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     work; column pruning and filter pushdown then flow from whatever the
     caller selects/filters (verify with plans.checks.assert_pushed_filters).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    (µs) cannot read directly — it is read as a nanosecond long
-    (``nanosAsLong``) and converted with integer division (a double-based
-    divide would lose precision: epoch-ns ≈ 1.7e18 > 2^53).
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS) and
+    TIMESTAMP(MICROS) across fixture generations; the footer is probed
+    (:func:`_events_ts_unit`) and only the nanos encoding — which Spark's
+    TimestampType (µs) cannot read directly — takes the workaround path:
+    read as a nanosecond long (``nanosAsLong``) and convert with integer
+    division (a double-based divide would lose precision: epoch-ns ≈
+    1.7e18 > 2^53).
     """
-    if name == "events":
+    if name == "events" and _events_ts_unit(table_path(sf_dir, name)) == "ns":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType, StructField, StructType

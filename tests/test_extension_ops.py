@@ -436,6 +436,28 @@ def test_minhash_max_bucket_caps_degenerate_corpus(spark):
     assert kept.count() == 1
 
 
+def test_minhash_pair_strategies_identical(spark):
+    """The grouped-array pair expansion (default, fewest stages) and the
+    banded self-join (distributed fallback) produce identical candidate
+    sets — on a healthy corpus AND on a degenerate one that trips the
+    max_bucket star-pair cap."""
+    d = load_table(spark, SF_SMOKE, "documents").limit(400)
+    agg = sorted(map(tuple, dedup_ops.minhash_candidates(
+        d, "doc_id", "text", pair_strategy="agg").collect()))
+    join = sorted(map(tuple, dedup_ops.minhash_candidates(
+        d, "doc_id", "text", pair_strategy="join").collect()))
+    assert agg == join and agg
+    degen = spark.createDataFrame(
+        [(i, "all rows carry this identical text") for i in range(300)],
+        "doc_id long, text string",
+    )
+    agg_d = sorted(map(tuple, dedup_ops.minhash_candidates(
+        degen, "doc_id", "text", max_bucket=64, pair_strategy="agg").collect()))
+    join_d = sorted(map(tuple, dedup_ops.minhash_candidates(
+        degen, "doc_id", "text", max_bucket=64, pair_strategy="join").collect()))
+    assert agg_d == join_d and len(agg_d) == 299
+
+
 def test_embedding_near_dup_blocked_matches_exact(spark):
     """The LSH-blocked near-dup path reproduces the exact all-pairs form
     EXACTLY on the fixture (seeded hyperplanes ⇒ deterministic recall),

@@ -399,16 +399,19 @@ def _train_centroids(
     The sample is a seeded uniform ``sample(fraction)`` over the FULL
     corpus, not ``limit(n)`` — limit without ordering reads the first
     partitions only, so at scale the quantizer would train on one shard's
-    distribution and recall silently degrades on the rest. The count to
-    size the fraction is one cheap column-pruned job, paid once per index
-    build.
+    distribution and recall silently degrades on the rest. The count that
+    sizes the fraction only runs when the corpus exceeds ``sample_rows``:
+    a ``limit(sample_rows+1)`` probe-collect first — if it comes back
+    short, it IS the whole corpus (trivially unbiased) and no count job or
+    second collect is needed.
     """
     import numpy as np
 
-    n_total = corpus.count()
-    if n_total <= sample_rows:
-        rows = corpus.select(vec_col).collect()
+    probe = corpus.select(vec_col).limit(sample_rows + 1).collect()
+    if len(probe) <= sample_rows:
+        rows = probe
     else:
+        n_total = corpus.count()
         # 1.2× oversample so the post-sample limit almost never undershoots
         frac = min(1.0, 1.2 * sample_rows / n_total)
         rows = (

@@ -162,7 +162,7 @@ def tfidf_top_terms(
     text_col: str,
     k: int = 3,
     round_digits: int = 6,
-    persist_tf: bool = False,
+    persist_tf: bool = True,
 ) -> DataFrame:
     """Per-document top-k TF-IDF terms — the keyword-extraction primitive
     of a curation pipeline (topic tagging, per-domain term drift, query
@@ -174,12 +174,15 @@ def tfidf_top_terms(
     small and BROADCAST back), then a per-doc window top-k.
 
     Because the DF table derives from the TF frame, a naive plan recomputes
-    the corpus explode for that branch. ``persist_tf=True`` is the 100 TB
-    path: cache the TF frame (MEMORY_AND_DISK) so the heavy explode+shuffle
-    runs once and both the DF aggregation and the scoring join read the
-    materialized result; the remaining corpus touch is a column-pruned
-    doc-count scan. Left off by default so short-lived test/oracle sessions
-    don't accumulate cache entries.
+    the corpus explode for that branch. ``persist_tf=True`` (default — it
+    is both the 100 TB path and the measured bench win, 1.5s → 1.2s warm
+    at sf0.1) caches the TF frame (MEMORY_AND_DISK) so the heavy
+    explode+shuffle runs once and both the DF aggregation and the scoring
+    join read the materialized result; the remaining corpus touch is a
+    column-pruned doc-count scan. (A window-count over term instead of the
+    groupBy+broadcast-join measured faster still at sf0.1 but puts every
+    occurrence of a hot term in one window partition — a skew hazard the
+    partial-aggregable groupBy doesn't have; rejected.)
 
     idf = ln((N + 1) / (df + 1)) — the smoothed form, so terms present in
     every document score 0 instead of dividing by zero. Deterministic

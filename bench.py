@@ -72,6 +72,10 @@ HEADLINE = [
     "pandas_udf_vowel_ratio",
     "flagship_monthly_median_join",
     "curation_pipeline_stats",
+    # round-4 additions: bigram LM (explode-heavy text agg) and PQ ANN
+    # (code-compressed scoring) — new operator families, benched from birth
+    "text_bigram_lm",
+    "similarity_pq_topk",
 ]
 
 

@@ -905,3 +905,150 @@ def test_checkpoint_modes_identical_results(spark, tmp_path):
     assert not ckdir.isEmpty()
     with pytest.raises(ValueError, match="checkpoint mode"):
         dedup_ops._materialize(d, "bogus")
+
+
+# ---------------------------------------------------------------- round 4 ops
+
+
+def test_mixture_weights_alpha_semantics(spark):
+    """α=1 → weight = token share (epochs = 1 everywhere); α=0 → uniform
+    over sources regardless of size."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+    from ucr_bigdata_snowfallproject_spark.operators import text as text_ops
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    prop = cur.mixture_weights(d, "source", text_ops.token_count("text"), alpha=1.0).collect()
+    tot = sum(r.n_tokens for r in prop)
+    for r in prop:
+        assert abs(r.weight - r.n_tokens / tot) < 1e-5
+        assert abs(r.epochs - 1.0) < 1e-5
+    uni = cur.mixture_weights(d, "source", text_ops.token_count("text"), alpha=0.0).collect()
+    for r in uni:
+        assert abs(r.weight - 1.0 / len(uni)) < 1e-5
+
+
+def test_pack_sequences_layout(spark):
+    """Placement manifest replays the greedy concat exactly: contiguous
+    start offsets per shard, window indices consistent with a 512-token
+    grid, and at least one document genuinely spanning a boundary."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+    from ucr_bigdata_snowfallproject_spark.operators import text as text_ops
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = cur.pack_sequences(d, "doc_id", text_ops.token_count("text"), 512)
+    by_shard: dict = {}
+    for r in out.collect():
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1
+    spans = 0
+    for rows in by_shard.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.start_token == cum
+            assert r.seq_first == cum // 512
+            assert r.offset_in_seq == cum % 512
+            cum += r.n_tokens
+            assert r.seq_last == (cum - 1) // 512
+            spans += r.seq_last > r.seq_first
+    assert spans > 0
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Tiny corpus, probabilities checked by hand: add-1 smoothing over
+    V = |distinct continuations|."""
+    from ucr_bigdata_snowfallproject_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "a b c")], "id long, text string"
+    )
+    lm = {
+        (r.w1, r.w2): (r["count"], r.prob)
+        for r in text_ops.bigram_lm(docs, "text").collect()
+    }
+    # bigrams: (a,b)×2, (b,a), (b,c); V = |{b, a, c}| = 3; c(a,·)=2, c(b,·)=2
+    assert lm[("a", "b")] == (2, round(3 / 5, 6))
+    assert lm[("b", "a")] == (1, round(2 / 5, 6))
+    assert lm[("b", "c")] == (1, round(2 / 5, 6))
+    assert len(lm) == 3
+
+
+def test_incremental_exact_dedup_semantics(spark):
+    """Clones of indexed docs die on the index anti-join (whitespace/case
+    normalization applies); in-batch clones die on the min-id window; fresh
+    docs survive with their fingerprint attached."""
+    seen = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "foo bar")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "hello world"),   # dup of seen #1 after normalization
+            (11, "fresh doc"),
+            (12, "fresh  DOC"),    # in-batch dup of 11 after normalization
+            (13, "another one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup_ops.incremental_exact_dedup(new, seen, "doc_id", "text")
+    rows = {r.doc_id: r.fingerprint for r in kept.collect()}
+    assert set(rows) == {11, 13}
+    assert all(len(fp) == 32 for fp in rows.values())
+
+
+def test_incremental_minhash_dedup_semantics(spark):
+    """A batch doc identical to an indexed doc is dropped via the stored
+    signature index (corpus text never read); in-batch near-dups keep the
+    lower id; survivors carry their signature for index append."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    seen_sigs = dedup_ops.minhash_signatures_arrow(seen, "doc_id", "text")
+    clone_of_seen = seen.limit(1).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(clone_of_seen)
+    kept = dedup_ops.incremental_minhash_dedup(new, seen_sigs, "doc_id", "text")
+    ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert not any(i >= 900000 for i in ids)          # clone died on the index
+    assert ids and ids <= {r.doc_id for r in new.select("doc_id").collect()}
+    assert len(kept.first()["__sig"]) == 64            # signatures ride along
+
+
+def test_pq_encode_shape_and_range(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    books = sim_ops._train_pq(e, "embedding", m=8, ksub=16, seed=42)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = sim_ops.pq_encode(e, books).collect()
+    assert all(len(r.code) == 8 and all(0 <= c < 16 for c in r.code) for r in codes)
+    assert len(codes) == e.count()
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = _topk_sets(sim_ops.brute_force_topk(e, q, k=10))
+    approx = _topk_sets(sim_ops.pq_topk(e, q, k=10, m=8, ksub=16))
+    recalls = [len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    # uniform-random fixture is PQ's worst case too (no cluster structure
+    # for codebooks to exploit); seeded codebooks make this deterministic
+    assert mean_recall >= 0.35, mean_recall
+
+
+def test_semdedup_pairs_are_exact_subset(spark):
+    """Every SemDeDup pair is a true near-dup (sims come from the same
+    exact scorer), and the keep-set partitions the corpus with the
+    pair-loser set."""
+    e = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 500)
+    exact = {
+        (r.id_a, r.id_b): r.sim
+        for r in sim_ops.embedding_near_dup(e, threshold=0.3).collect()
+    }
+    pairs = sim_ops.semdedup_pairs(e, n_clusters=8, threshold=0.3).collect()
+    assert pairs, "fixture should produce within-cluster near-dups"
+    for r in pairs:
+        assert exact.get((r.id_a, r.id_b)) == r.sim
+    kept = sim_ops.semdedup(e, n_clusters=8, threshold=0.3)
+    losers = {r.id_b for r in pairs}
+    kept_ids = {r.vec_id for r in kept.collect()}
+    all_ids = {r.vec_id for r in e.select("vec_id").collect()}
+    assert kept_ids == all_ids - losers

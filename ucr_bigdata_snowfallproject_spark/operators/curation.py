@@ -220,3 +220,94 @@ def token_budget_mix(
     return work.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
         F.col("cum_tokens") <= budget_tokens
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    source_col: str,
+    token_count_col: F.Column,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture weights per source — the sampling-ratio
+    computation behind multi-corpus pretraining mixes (α=1 is proportional
+    sampling, α→0 uniform; α≈0.5-0.7 is the usual up-weighting of small
+    high-quality sources, as in the multilingual-BERT / XLM exponential
+    smoothing scheme).
+
+    Returns (source, n_docs, n_tokens, weight, epochs): ``weight`` is
+    tokens^α normalized over sources; ``epochs`` is the relative
+    over/under-sampling factor a sampler must apply to realize the weight
+    (weight / token share — >1 means the source repeats).
+
+    Scale: one partial-aggregable groupBy over a low-cardinality key, then
+    a broadcast scalar for the normalizer — two tiny shuffle-free-ish jobs
+    regardless of corpus size."""
+    per = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_col).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("__z"),
+        F.sum("n_tokens").alias("__t"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__z"),
+            round_digits,
+        ).alias("weight"),
+        F.round(
+            (F.pow(F.col("n_tokens").cast("double"), F.lit(alpha)) / F.col("__z"))
+            / (F.col("n_tokens") / F.col("__t")),
+            round_digits,
+        ).alias("epochs"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: F.Column,
+    context_len: int,
+    shard_col: str = "source",
+) -> DataFrame:
+    """Sequence-packing placement — concat-then-chunk, the GPT-style
+    pretraining layout: documents concatenate in a deterministic order
+    (``id`` ascending within each shard) and the token stream slices into
+    fixed ``context_len`` windows; a document may span a window boundary.
+
+    Returns one row per document: (shard, id, n_tokens, start_token,
+    seq_first, seq_last, offset_in_seq) — ``seq_first``/``seq_last`` are
+    the first/last window indices the document lands in (0-based, per
+    shard), ``offset_in_seq`` its position inside ``seq_first``. Downstream shard writers
+    consume exactly this manifest; windows never need materializing here
+    (the attention-mask / boundary handling is a training-side concern).
+
+    Scale: placement is one running sum per shard. Shards are independent
+    token streams (the standard per-worker layout), so the window
+    partitions on ``shard_col``; a shard outgrowing one reducer is
+    re-sharded upstream (e.g. ``shard = source || hash(id) % k`` — packing
+    semantics are per-shard by definition, so adding shards is free)."""
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    work = df.select(
+        F.col(shard_col).alias("shard"),
+        F.col(id_col),
+        token_count_col.cast("long").alias("n_tokens"),
+    ).withColumn("__cum", F.sum("n_tokens").over(w))
+    start = F.col("__cum") - F.col("n_tokens")
+    return work.select(
+        "shard",
+        id_col,
+        "n_tokens",
+        start.alias("start_token"),
+        F.floor(start / context_len).alias("seq_first"),
+        F.floor((F.col("__cum") - 1) / context_len).alias("seq_last"),
+        (start % context_len).alias("offset_in_seq"),
+    )

@@ -260,6 +260,66 @@ def unigram_logppl(
     )
 
 
+def bigram_lm(
+    df: DataFrame,
+    text_col: str,
+    add_k: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Count-based bigram language model over the corpus — the classic
+    MapReduce-era LM-training workload re-expressed: one table of
+    (w1, w2, count, prob) with add-k smoothing,
+    ``prob = (c(w1,w2) + k) / (c(w1,·) + k·V)`` where V is the number of
+    distinct continuations observed corpus-wide.
+
+    Scale shape: bigrams build JVM-side per row (an indexed ``transform``
+    over the token array — no self-join, no Python), then ONE explode →
+    (w1, w2) groupBy; the per-w1 continuation totals come from a second
+    partial-aggregable groupBy on the (already reduced) bigram table —
+    vocabulary-sized, not corpus-sized; V is a 1-row broadcast scalar.
+    Swap the final table into :func:`unigram_logppl`'s scoring skeleton to
+    score documents against this LM."""
+    toks = tokens(text_col)
+    k = F.size(toks) - F.lit(1)
+    # guard: Spark's sequence(1, 0) DESCENDS instead of returning empty,
+    # so single-token docs must short-circuit to a typed empty array
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = (
+        df.select(F.explode(grams).alias("__g"))
+        .select(F.col("__g.w1"), F.col("__g.w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("count"))
+    lefts = counts.groupBy("w1").agg(F.sum("count").alias("__c1"))
+    vocab = counts.select("w2").distinct().agg(F.count(F.lit(1)).alias("__v"))
+    # lefts is vocabulary-sized: small enough that AQE broadcasts it at
+    # test scale, but NOT forced — at 100 TB a 10M-word vocab stays a
+    # shuffle join on w1 (both sides already reduced, skew-free keys)
+    return (
+        counts.join(lefts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            "count",
+            F.round(
+                (F.col("count") + F.lit(add_k))
+                / (F.col("__c1") + F.lit(add_k) * F.col("__v")),
+                round_digits,
+            ).alias("prob"),
+        )
+    )
+
+
 def length_band_filter(
     df: DataFrame,
     len_col: str,

@@ -2941,6 +2941,201 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round-4 additions: training-pipeline operators (mixture weights, sequence
+# packing, bigram LM, incremental dedup, PQ ANN, SemDeDup)
+# =========================================================================
+
+
+@register(
+    "curation_mixture_weights",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(POW(n_tokens, 0.5)) AS z, SUM(n_tokens) AS t FROM per
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(POW(n_tokens, 0.5) / z, 6) AS weight,
+           ROUND((POW(n_tokens, 0.5) / z) / (n_tokens::DOUBLE / t), 6) AS epochs
+    FROM per, z
+    """,
+)
+def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights (α=0.5) per source — the
+    pretraining sampling-ratio computation (operators.curation.
+    mixture_weights): weight ∝ tokens^α normalized, epochs = weight / token
+    share. Two tiny partial-aggregable jobs at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.mixture_weights(
+        d, "source", text_ops.token_count("text"), alpha=0.5
+    )
+
+
+@register(
+    "curation_pack_sequences",
+    """
+    WITH t AS (
+      SELECT source AS shard, doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT shard, doc_id, n_tokens,
+           CAST(cum - n_tokens AS BIGINT)                   AS start_token,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT)  AS seq_first,
+           CAST(FLOOR((cum - 1) / 512.0) AS BIGINT)         AS seq_last,
+           CAST((cum - n_tokens) % 512 AS BIGINT)           AS offset_in_seq
+    FROM c
+    """,
+)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing placement manifest (operators.curation.
+    pack_sequences): concat-then-chunk into 512-token windows per source
+    shard — each doc's start offset and first/last window index. One
+    running-sum window per shard; shards are independent streams, so scale
+    = add shards."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.pack_sequences(
+        d, "doc_id", text_ops.token_count("text"), context_len=512
+    )
+
+
+@register(
+    "text_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
+    ), bg AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY w1, w2
+    ), lefts AS (
+      SELECT w1, SUM(n) AS c1 FROM counts GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS v FROM counts
+    )
+    SELECT counts.w1, counts.w2, n,
+           ROUND((n + 1.0) / (c1 + 1.0 * v), 6) AS prob
+    FROM counts JOIN lefts USING (w1), v
+    """,
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-based bigram LM with add-1 smoothing (operators.text.
+    bigram_lm) — the classic distributed LM-training workload: bigrams
+    build JVM-side per row (indexed transform, no self-join), one explode →
+    groupBy for counts, vocabulary-sized join for the conditionals."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_lm(d, "text").withColumnRenamed("count", "n")
+
+
+@register(
+    "dedup_incremental_exact",
+    """
+    WITH seen AS (
+      SELECT text FROM documents WHERE doc_id % 3 <> 0
+    ), new AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text FROM documents WHERE doc_id % 3 = 1
+    ), fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+      FROM new
+    ), fresh AS (
+      SELECT * FROM fp WHERE fingerprint NOT IN (
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) FROM seen)
+    )
+    SELECT doc_id, fingerprint FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fresh) WHERE rn = 1
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators.dedup.incremental_exact_dedup):
+    an arriving batch (⅓ of the corpus + two synthetic clone waves — one
+    duplicating batch docs under new ids, one re-sending already-indexed
+    docs) is deduped against the corpus fingerprint index and itself.
+    Survivors = exactly the original batch docs: clones of indexed docs
+    die on the index anti-join, in-batch clones die on the min-id window.
+    Corpus side reduces to distinct 32-byte fingerprints — text never
+    re-read at probe time."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 3 != 0)
+    batch0 = d.filter(F.col("doc_id") % 3 == 0).select("doc_id", "text")
+    new = (
+        batch0
+        .unionByName(batch0.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        .unionByName(
+            d.filter(F.col("doc_id") % 3 == 1).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return dedup_ops.incremental_exact_dedup(new, seen, "doc_id", "text").select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register("dedup_incremental_minhash", None)  # hash-seeded — rows-only
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a stored signature index
+    (operators.dedup.incremental_minhash_dedup): even-id docs are the
+    indexed corpus (signatures precomputed, text never re-read), odd-id
+    docs arrive as the batch; near-dups of the index or of a lower-id
+    batch doc are dropped. Rows-only: minhash seeds aren't
+    SQL-reproducible; recall/survivor semantics pinned in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    seen_sigs = dedup_ops.minhash_signatures_arrow(seen, "doc_id", "text")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    return dedup_ops.incremental_minhash_dedup(
+        new, seen_sigs, "doc_id", "text", threshold=0.8
+    ).select("doc_id", "source")
+
+
+@register("similarity_pq_topk", None)  # seeded quantizer — rows-only
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators.similarity.pq_topk):
+    corpus vectors compress to m=8 sub-codes (32× smaller than float32);
+    queries score every vector through per-query lookup tables — one
+    numpy gather+sum per Arrow batch, no shuffle before the final top-k
+    window. Rows-only (seeded codebooks); recall@10 vs the exact
+    brute-force oracle pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return sim_ops.pq_topk(e, q, k=10, m=8, ksub=16)
+
+
+@register("dedup_semdedup", None)  # seeded quantizer — rows-only
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (operators.similarity.semdedup): seeded
+    k-means clusters block the corpus; within-cluster cosine ≥ 0.3 marks
+    semantic duplicates; min-id survives. The cluster IS the blocking key
+    (learned, unlike data-independent hyperplanes), so cost is Σ|cell|²
+    not n². Rows-only (seeded quantizer); within-cluster pair semantics
+    pinned in tests against the exact scorer."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.semdedup(e, n_clusters=8, threshold=0.3).select(
+        "vec_id", "label"
+    )
+
+
+# =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on
 # rows-only (no-oracle) entries and left 39 oracle-backed queries ungated
@@ -2962,9 +3157,7 @@ _GATED_WINDOW = [
     "events_sliding_windows",
     "global_scalar_aggregates",
     "salted_group_agg_matches_plain",
-    "salted_join_matches_plain",
     "pandas_udf_vowel_ratio",
-    "pandas_udf_geometric_mean",
     "apply_in_pandas_zscore",
     "wordcount_top20",
     "q18_large_volume_customers",
@@ -2975,7 +3168,6 @@ _GATED_WINDOW = [
     "array_agg_priorities_per_segment",
     "unpivot_lineitem_measures",
     "q6_revenue_forecast",
-    "q7_volume_shipping",
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -2986,9 +3178,19 @@ _GATED_WINDOW = [
     "curation_pipeline_stats",
     "q4_priority_with_late_lines",
     "q8_market_share",
-    "q12_shipmode_priority_counts",
     "q13_customer_order_distribution",
     "resample_events_hourly_ffill",
+    # --- new oracle-backed in round 4 (training-pipeline operators).
+    # Rotated out to make room, each with its family still driver-gated:
+    # salted_join_matches_plain (skew surface: salted_group_agg stays),
+    # pandas_udf_geometric_mean (X7: vowel_ratio + zscore + udtf stay),
+    # q12_shipmode_priority_counts (CASE-sum counts: q8/q14 stay),
+    # q7_volume_shipping (dim-in-two-roles: q8 stays). All four remain
+    # oracle-checked in the local pytest mirror. ---
+    "curation_mixture_weights",
+    "curation_pack_sequences",
+    "text_bigram_lm",
+    "dedup_incremental_exact",
     # --- oracle-converted in round 3 (VERDICT r02 #5): the UDTF lateral
     # surface and THE reference end-to-end pipeline now earn hash-checked
     # driver rows; scalar_math_functions and q10_returned_items rotate to

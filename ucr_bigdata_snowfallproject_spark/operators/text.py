@@ -111,15 +111,18 @@ def redact_pii(col: str | Column) -> Column:
 
 def raw_shingles(col: str | Column, n: int = 3) -> Column:
     """Word n-grams WITHOUT dedup (unlike dedup.shingles) — repetition
-    signals need the multiset."""
+    signals need the multiset. Shifted-slice zip_with build (split runs n
+    times per ROW; the indexed transform form would re-run it per shingle
+    via lambda inlining — see dedup.shingles)."""
     c = F.col(col) if isinstance(col, str) else col
     toks = F.split(F.lower(F.trim(c)), r"\s+")
     k = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.when(
-        k > 0,
-        F.transform(F.sequence(F.lit(0), k - F.lit(1)),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    acc = F.slice(toks, 1, k)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(toks, j + 1, k), lambda a, t: F.concat(a, F.lit(" "), t)
+        )
+    return F.when(k > 0, acc).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
 def repetition_stats(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:

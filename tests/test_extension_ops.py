@@ -1052,3 +1052,31 @@ def test_semdedup_pairs_are_exact_subset(spark):
     kept_ids = {r.vec_id for r in kept.collect()}
     all_ids = {r.vec_id for r in e.select("vec_id").collect()}
     assert kept_ids == all_ids - losers
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    """The CDC property fixed-width chunking lacks: prepending text only
+    perturbs chunks up to the first content boundary — every later chunk
+    fingerprints identically, so shared passages dedup across documents
+    regardless of position."""
+    import random
+
+    rng = random.Random(7)
+    words = ["w%03d" % rng.randrange(500) for _ in range(400)]
+    base = " ".join(words)
+    shifted = "three inserted prefix tokens " + base
+    docs = spark.createDataFrame(
+        [(1, base), (2, shifted)], "doc_id long, text string"
+    )
+    ch = dedup_ops.cdc_chunks(docs, "doc_id", "text", boundary_mod=16)
+    fps: dict = {1: [], 2: []}
+    for r in ch.collect():
+        fps[r.doc_id].append((r.chunk_id, r.fingerprint))
+    f1 = {fp for _, fp in fps[1]}
+    f2 = {fp for _, fp in fps[2]}
+    # everything after doc 1's first boundary chunk must reappear in doc 2
+    tail1 = {fp for cid, fp in fps[1] if cid > min(c for c, _ in fps[1])}
+    assert tail1, "fixture text should produce multiple chunks"
+    assert tail1 <= f2
+    # and the heads genuinely differ (the insertion landed somewhere)
+    assert f1 != f2

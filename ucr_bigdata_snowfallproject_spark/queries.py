@@ -3089,6 +3089,41 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cdc_chunks",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> ''
+    ), fl AS (
+      SELECT *, CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT
+                          % 32 = 0 THEN 1 ELSE 0 END AS b
+      FROM tok
+    ), ch AS (
+      SELECT *, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+      FROM fl
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           md5(string_agg(w, ' ' ORDER BY pos)) AS fingerprint
+    FROM ch GROUP BY doc_id, chunk_id
+    """,
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators.dedup.cdc_chunks): split docs at
+    md5-hash token boundaries (mod 32) so shared passages fingerprint
+    identically wherever they appear — the sub-document dedup /
+    boilerplate-detection primitive. Doc-grained shuffles only; portable
+    hash makes fingerprints engine-reproducible (full SQL oracle)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.cdc_chunks(d, "doc_id", "text")
+
+
 @register("dedup_incremental_minhash", None)  # hash-seeded — rows-only
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup against a stored signature index

@@ -309,3 +309,48 @@ def test_stream_stream_attribution_matches_batch(spark, event_stream_dir):
     b = set(map(tuple, batch[key].values.tolist()))
     # inner stream-stream join with closed watermarks must emit every pair
     assert a == b, f"stream {len(a)} pairs vs batch {len(b)}"
+
+
+def test_quality_classifier_separates_planted_classes(spark):
+    """Model-based quality filtering (fastText-style reference-vs-rest):
+    plant two distinguishable populations — clean prose vs digit/punct
+    noise — and check the seeded pipeline separates them on held-out rows
+    and that quality_filter keeps the reference-like side."""
+    import random
+
+    from ucr_bigdata_snowfallproject_spark.ml import quality as q
+
+    rng = random.Random(11)
+    clean = [
+        " ".join(rng.choice(["the", "quick", "brown", "fox", "jumps", "over",
+                             "a", "lazy", "dog", "and", "runs", "home"])
+                 for _ in range(40))
+        for _ in range(120)
+    ]
+    noisy = [
+        " ".join("%d#%d!!" % (rng.randrange(999), rng.randrange(999))
+                 for _ in range(40))
+        for _ in range(120)
+    ]
+    rows = [(i, t, 1) for i, t in enumerate(clean)] + [
+        (1000 + i, t, 0) for i, t in enumerate(noisy)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    train = df.filter(F.col("doc_id") % 5 != 0)
+    test = df.filter(F.col("doc_id") % 5 == 0)
+    model = q.train_quality_classifier(train, "text", "label")
+    scored = q.score_quality(model, test, "text")
+    got = {r.doc_id: r.quality_prob for r in scored.collect()}
+    accuracy = sum(
+        (got[r.doc_id] >= 0.5) == (r.label == 1) for r in test.collect()
+    ) / len(got)
+    assert accuracy >= 0.95, accuracy
+    kept = q.quality_filter(model, test, "text", threshold=0.5)
+    assert {r.doc_id for r in kept.collect()} == {
+        d for d, p in got.items() if p >= 0.5
+    }
+    # determinism: retrain+rescore reproduces identical probabilities
+    model2 = q.train_quality_classifier(train, "text", "label")
+    got2 = {r.doc_id: r.quality_prob
+            for r in q.score_quality(model2, test, "text").collect()}
+    assert got == got2

@@ -3124,6 +3124,26 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.cdc_chunks(d, "doc_id", "text")
 
 
+@register("curation_quality_classifier", None)  # MLlib LBFGS — rows-only
+def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (ml.quality): train a seeded
+    reference-vs-rest logistic regression (reference slice = source
+    'src0') on scan-speed text features, score every document with
+    P(reference-like). The fastText-style curation stage; rows-only (MLlib
+    optimizer paths aren't SQL-expressible); separation + determinism
+    pinned in tests."""
+    from .ml import quality as quality_ml
+
+    d = load_table(spark, sf_dir, "documents")
+    labeled = d.withColumn(
+        "__label", (F.col("source") == "src0").cast("int")
+    )
+    model = quality_ml.train_quality_classifier(labeled, "text", "__label")
+    return quality_ml.score_quality(model, d, "text").select(
+        "doc_id", "quality_prob"
+    )
+
+
 @register("dedup_incremental_minhash", None)  # hash-seeded — rows-only
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup against a stored signature index

@@ -227,3 +227,56 @@ def test_cluster_assign_no_shuffle(spark):
 
     e = load_table(spark, SF_SMOKE, "embeddings")
     assert checks.shuffle_count(cluster_assign(e)) == 0
+
+
+def test_pack_sequences_two_column_scan_one_shuffle(spark):
+    """Packing needs only (source, doc_id, text) from the scan and exactly
+    one exchange (the per-shard window)."""
+    df = q(spark, "curation_pack_sequences")
+    scans = checks.read_schema_columns(df)
+    assert scans and all(len(cols) <= 3 for cols in scans), scans
+    assert checks.shuffle_count(df) == 1
+
+
+def test_mixture_weights_bounded_shuffles(spark):
+    """Per-source aggregate + 1-row normalizer: two aggregation exchanges,
+    no join shuffle (the scalar rides a broadcast)."""
+    df = q(spark, "curation_mixture_weights")
+    assert checks.shuffle_count(df) <= 3
+    text = checks.explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in text or "BroadcastExchange" in text
+
+
+def test_bigram_lm_no_cartesian_on_counts(spark):
+    """The conditional join keys on w1 (shuffle or broadcast — never a
+    cross join on the counts table); the V scalar is a 1-row broadcast."""
+    df = q(spark, "text_bigram_lm")
+    text = checks.explain_str(df, "simple")
+    assert "CartesianProduct" not in text
+
+
+def test_incremental_exact_dedup_narrow_probe(spark):
+    """The corpus side of the probe reduces to distinct fingerprints and
+    the batch anti-joins against it — no text columns ride the join."""
+    df = q(spark, "dedup_incremental_exact")
+    text = checks.explain_str(df, "formatted")
+    assert "LeftAnti" in text
+    # the anti-join's build side must be the md5 projection, not raw text
+    assert "CartesianProduct" not in text
+
+
+def test_cdc_chunks_doc_grained_shuffles(spark):
+    """CDC = one per-doc window + one (doc, chunk) aggregation; both key
+    on doc-grained columns. Bounded exchanges, no join at all."""
+    df = q(spark, "dedup_cdc_chunks")
+    text = checks.explain_str(df, "simple")
+    assert "Join" not in text
+    assert checks.shuffle_count(df) <= 2
+
+
+def test_pq_topk_single_shuffle_before_window(spark):
+    """ADC scoring is scan-side (codes UDF + posexplode); the only
+    exchange feeds the per-query top-k window."""
+    fn, _ = REGISTRY["similarity_pq_topk"]
+    df = fn(spark, SF_SMOKE)
+    assert checks.shuffle_count(df) <= 1, checks.explain_str(df, "simple")

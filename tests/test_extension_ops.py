@@ -1080,3 +1080,35 @@ def test_cdc_chunks_shift_invariance(spark):
     assert tail1 <= f2
     # and the heads genuinely differ (the insertion landed somewhere)
     assert f1 != f2
+
+
+def test_overlap_join_matches_naive_form(spark):
+    """Grid-binned overlap join ≡ the naive inequality join on seeded
+    random intervals — including duplicates-across-cells (intervals far
+    longer than the grid) and key isolation."""
+    import random
+
+    rng = random.Random(5)
+    lrows = [
+        (i, rng.randrange(3), s := rng.randrange(0, 5000), s + rng.randrange(0, 900))
+        for i in range(120)
+    ]
+    rrows = [
+        (1000 + i, rng.randrange(3), s := rng.randrange(0, 5000), s + rng.randrange(0, 900))
+        for i in range(120)
+    ]
+    L = spark.createDataFrame(lrows, "lid long, k long, ls long, le long")
+    R = spark.createDataFrame(rrows, "rid long, k long, rs long, re long")
+    got = {
+        (r.lid, r.rid)
+        for r in asof_ops.overlap_join(
+            L, R, "ls", "le", "rs", "re", keys=["k"], grid=100
+        ).collect()
+    }
+    want = {
+        (l[0], r[0])
+        for l in lrows
+        for r in rrows
+        if l[1] == r[1] and l[2] <= r[3] and r[2] <= l[3]
+    }
+    assert got == want and want

@@ -280,3 +280,12 @@ def test_pq_topk_single_shuffle_before_window(spark):
     fn, _ = REGISTRY["similarity_pq_topk"]
     df = fn(spark, SF_SMOKE)
     assert checks.shuffle_count(df) <= 1, checks.explain_str(df, "simple")
+
+
+def test_overlap_join_is_equi_join(spark):
+    """The interval-overlap join must plan as a hash/sort-merge equi-join
+    on (key, cell) — never a nested loop over the inequality predicate."""
+    df = q(spark, "overlap_join_click_purchase_windows")
+    text = checks.explain_str(df, "simple")
+    assert "NestedLoop" not in text and "CartesianProduct" not in text
+    assert any(j in text for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))

@@ -93,6 +93,67 @@ def asof_join(
     return out.drop("__ts", "__match_ts")
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    keys: Sequence[str] = (),
+    grid: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join — both sides are interval SETS (closed
+    intervals in the same numeric/epoch domain), matched when they overlap
+    (``l_start ≤ r_end AND r_start ≤ l_end``), optionally within equal
+    ``keys``.
+
+    The scalable shape: a naive inequality join plans a nested loop over
+    the key group. Here both sides explode to ``grid``-sized cells
+    (interval [s,e] → cells ⌊s/g⌋..⌊e/g⌋), the join keys on (keys, cell) —
+    an equi-join, hash-partitionable — and the overlap predicate filters
+    inside cells. The classic duplicate problem (a pair sharing several
+    cells matches once per cell) is solved WITHOUT a dedup shuffle by the
+    covering-cell trick: keep the match only in the cell containing
+    ``max(l_start, r_start)`` — the first cell of the overlap region,
+    which both intervals provably cover — so each overlapping pair
+    survives exactly once.
+
+    ``grid`` trades explode factor (long intervals → many cells) against
+    cell population (small grid → more cells, fewer rows per cell); set it
+    near the typical interval length."""
+    ks = list(keys)
+
+    def cells(df: DataFrame, s: str, e: str, side: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / grid), F.floor(F.col(e) / grid)
+                )
+            ).alias(f"__cell_{side}"),
+        )
+
+    lc = cells(left, l_start, l_end, "l")
+    rc = cells(right, r_start, r_end, "r")
+    cond = (F.col(f"__cell_l") == F.col(f"__cell_r"))
+    for k in ks:
+        cond = cond & (lc[k] == rc[k])
+    joined = lc.join(rc, cond).filter(
+        (F.col(l_start) <= F.col(r_end))
+        & (F.col(r_start) <= F.col(l_end))
+        # covering cell: emit only where the overlap region begins
+        & (
+            F.col("__cell_l")
+            == F.floor(F.greatest(F.col(l_start), F.col(r_start)) / grid)
+        )
+    )
+    out = joined.drop("__cell_l", "__cell_r")
+    for k in ks:
+        out = out.drop(rc[k])
+    return out
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

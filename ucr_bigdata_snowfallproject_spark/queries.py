@@ -3124,6 +3124,47 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.cdc_chunks(d, "doc_id", "text")
 
 
+@register(
+    "overlap_join_click_purchase_windows",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts + INTERVAL 10 MINUTE
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def overlap_join_click_purchase_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators.asof.overlap_join): 30-minute
+    click attention windows × 10-minute purchase windows per user, matched
+    where they overlap. Grid-binned equi-join on (user, cell) with the
+    covering-cell dedup trick — an equi-join plan where the naive
+    inequality join nests loops; the oracle IS that naive form."""
+    from .operators import asof as asof_ops
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        us.alias("c_start"),
+        (us + F.lit(30 * 60 * 1_000_000)).alias("c_end"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_start"),
+        (us + F.lit(10 * 60 * 1_000_000)).alias("p_end"),
+        F.col("user_id"),
+    )
+    out = asof_ops.overlap_join(
+        clicks, purchases,
+        "c_start", "c_end", "p_start", "p_end",
+        keys=["user_id"], grid=30 * 60 * 1_000_000,
+    )
+    return out.select("click_id", "purchase_id", "user_id")
+
+
 @register("curation_quality_classifier", None)  # MLlib LBFGS — rows-only
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml.quality): train a seeded

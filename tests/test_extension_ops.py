@@ -1112,3 +1112,27 @@ def test_overlap_join_matches_naive_form(spark):
         if l[1] == r[1] and l[2] <= r[3] and r[2] <= l[3]
     }
     assert got == want and want
+
+
+def test_sample_per_group_deterministic_and_stable(spark):
+    """Same sample on rerun; removing other rows never changes which of
+    the surviving rows are sampled (hash order is row-intrinsic); k caps
+    every group."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    s1 = {(r.doc_id, r.source) for r in cur.sample_per_group(d, "source", "doc_id", 5).collect()}
+    s2 = {(r.doc_id, r.source) for r in cur.sample_per_group(d, "source", "doc_id", 5).collect()}
+    assert s1 == s2
+    per = {}
+    for did, src in s1:
+        per.setdefault(src, set()).add(did)
+    assert all(len(v) <= 5 for v in per.values()) and len(per) > 1
+    # drop half the corpus NOT in the sample: sampled survivors must keep
+    # their membership (displacement-only stability)
+    sampled_ids = {d_ for d_, _ in s1}
+    half = d.filter((F.col("doc_id") % 2 == 0) | F.col("doc_id").isin(sampled_ids))
+    s3 = {(r.doc_id, r.source) for r in cur.sample_per_group(half, "source", "doc_id", 5).collect()}
+    # hash ranks are row-intrinsic: a surviving sampled row can only move
+    # UP in rank when others are removed, so it must still be sampled
+    assert s1 <= s3

@@ -222,6 +222,37 @@ def token_budget_mix(
     )
 
 
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: str = "grpsample",
+) -> DataFrame:
+    """Deterministic uniform k-per-group sample: rank rows inside each
+    group by their portable hash (md5-prefix — engine-reproducible, unlike
+    ``rand()`` or reservoir order) and keep the first ``k``. The
+    inspection/eval-slice primitive ("give me 100 random docs per source,
+    the same 100 every run and on every engine").
+
+    Stability: a row's hash never changes, so growing a group only ever
+    displaces the k-th member; disjoint reruns agree row-for-row.
+
+    Scale: one window per group ordered by hash. Group cardinality is the
+    knob — for few huge groups this is the same giant-partition hazard as
+    token_budget_mix; k·|groups| is tiny by construction, so a hash
+    PREFILTER (keep priority < ~4k/|group|·2^32 before the exact window)
+    bounds it the same way if a group outgrows one reducer."""
+    pri = portable_hash(id_col, seed)
+    w = Window.partitionBy(group_col).orderBy(F.asc("__pri"), F.asc(id_col))
+    return (
+        df.withColumn("__pri", pri)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__pri", "__rn")
+    )
+
+
 def mixture_weights(
     df: DataFrame,
     source_col: str,

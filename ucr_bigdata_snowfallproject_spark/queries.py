@@ -3165,6 +3165,31 @@ def overlap_join_click_purchase_windows(spark: SparkSession, sf_dir: str) -> Dat
     return out.select("click_id", "purchase_id", "user_id")
 
 
+@register(
+    "curation_sample_per_group",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                            || '#grpsample'), 1, 8))::BIGINT,
+                        doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def curation_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source uniform sample (operators.curation.
+    sample_per_group): portable md5-prefix hash ranks inside each group,
+    so the sample is identical across engines, reruns, and data growth
+    (only ever displaced, never reshuffled). One per-group window."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.sample_per_group(d, "source", "doc_id", k=5).select(
+        "doc_id", "source"
+    )
+
+
 @register("curation_quality_classifier", None)  # MLlib LBFGS — rows-only
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml.quality): train a seeded

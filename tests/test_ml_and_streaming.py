@@ -354,3 +354,51 @@ def test_quality_classifier_separates_planted_classes(spark):
     got2 = {r.doc_id: r.quality_prob
             for r in q.score_quality(model2, test, "text").collect()}
     assert got == got2
+
+
+def test_stream_near_dup_flags_match_batch_probe(spark, tmp_path_factory):
+    """The streaming index probe flags exactly the (doc, match) pairs the
+    batch banded join finds — at-least-once duplicates collapse to the
+    same set."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import (
+        minhash_signatures_arrow,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_near_dup_flags,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    seen_sigs = minhash_signatures_arrow(seen, "doc_id", "text")
+    # the stream: odd docs + one verbatim clone of an indexed doc
+    clone = seen.limit(1).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(clone)
+    stream_dir = str(tmp_path_factory.mktemp("docs-stream"))
+    new.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+    flags = run_to_memory_sink(
+        stream_near_dup_flags(stream, seen_sigs, threshold=0.8), "near_dup_flags"
+    ).toPandas()
+    got = {(r.doc_id, r.matched_id) for r in flags.itertuples(index=False)}
+
+    batch_sigs = minhash_signatures_arrow(new, "doc_id", "text")
+    est = F.aggregate(
+        F.zip_with("__sig_n", "__sig_s", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda a, x: a + x,
+    ) / F.lit(64)
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import _banded
+
+    want = {
+        (r["__id_n"], r["__id_s"])
+        for r in _banded(batch_sigs, "n", 64, 16)
+        .join(_banded(seen_sigs, "s", 64, 16), ["__band", "__bucket"])
+        .withColumn("e", est).filter(F.col("e") >= 0.8)
+        .select("__id_n", "__id_s").collect()
+    }
+    assert got == want
+    assert any(d_ >= 900000 for d_, _ in got)  # the clone was flagged

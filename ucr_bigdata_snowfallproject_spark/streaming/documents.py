@@ -1,0 +1,106 @@
+"""Streaming curation: near-dup flagging of an arriving document stream
+against a STATIC MinHash signature index (the streaming face of
+``operators.dedup.incremental_minhash_dedup``).
+
+The batch incremental form processes crawl batches; this is the same
+index-probe shape as a continuous stream: per micro-batch, signatures
+compute scan-side (Arrow UDF — streaming-safe, stateless), band hashes
+explode, and a stream-static join probes the banded index. Corpus text is
+never read; the only streamed state is Spark's file-source tracking.
+
+Output contract: APPEND-mode, AT-LEAST-ONCE flags — a (doc, match) pair
+that agrees in several bands emits once per agreeing band, and no
+watermark/state is spent deduplicating them in-flight (a stateless
+operator survives any stream volume). Consumers treat the flag stream as
+a set: dedup downstream, or merge in ``foreachBatch`` where exactly-once
+matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ..operators.dedup import minhash_signatures_arrow
+
+#: file-source schema for the documents stream (mirrors the fixture table)
+DOCUMENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based stream source over a directory of document parquet files
+    (exactly-once file tracking; swap for Kafka at deploy)."""
+    reader = spark.readStream.schema(DOCUMENT_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def _banded(sig_df: DataFrame, side: str, num_hashes: int, bands: int) -> DataFrame:
+    rows_per_band = num_hashes // bands
+    return sig_df.select(
+        F.col("__id").alias(f"__id_{side}"),
+        F.col("__sig").alias(f"__sig_{side}"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(
+                        F.slice("__sig", b * rows_per_band + 1, rows_per_band),
+                        F.lit(b),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__band", "__bucket"),
+    )
+
+
+def stream_near_dup_flags(
+    doc_stream: DataFrame,
+    seen_sigs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Flag streaming documents that are near-dups (MinHash Jaccard
+    estimate ≥ ``threshold``) of the indexed corpus.
+
+    Returns an append-mode stream of (doc_id, matched_id, jaccard_est) —
+    at-least-once per matching pair (once per agreeing band; see module
+    docstring). ``seen_sigs`` is the static (__id, __sig) index as
+    produced by :func:`~..operators.dedup.minhash_signatures_arrow` and
+    maintained by the batch pipeline; the stream side only ever computes
+    O(batch) signature work and the join probes (band, bucket) — narrow
+    keys, broadcast-able index shards."""
+    sigs = minhash_signatures_arrow(
+        doc_stream, "doc_id", "text", num_hashes, shingle_n
+    )
+    stream_b = _banded(sigs, "n", num_hashes, bands)
+    static_b = _banded(seen_sigs, "s", num_hashes, bands)
+    est = F.aggregate(
+        F.zip_with("__sig_n", "__sig_s", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.lit(num_hashes)
+    return (
+        stream_b.join(static_b, ["__band", "__bucket"])
+        .withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= threshold)
+        .select(
+            F.col("__id_n").alias("doc_id"),
+            F.col("__id_s").alias("matched_id"),
+            "jaccard_est",
+        )
+    )

@@ -1136,3 +1136,24 @@ def test_sample_per_group_deterministic_and_stable(spark):
     # hash ranks are row-intrinsic: a surviving sampled row can only move
     # UP in rank when others are removed, so it must still be sampled
     assert s1 <= s3
+
+
+def test_video_features_decode_known_params(spark):
+    """The ISO-BMFF box walker reads back exactly the timescale/duration/
+    track-count the synthesizer wrote (round-trip pin), and v1-mvhd and
+    corrupt payloads behave (parsed / dropped)."""
+    known = multimodal.mp4_bytes(duration_ms=2500, timescale=90_000, n_tracks=2)
+    scale, dur, tracks = multimodal.decode_video_stdlib(known)
+    assert (scale, tracks) == (90_000, 2) and round(dur * 1000 / scale) == 2500
+
+    media = multimodal.synthesize_media(spark, n=30)
+    feats = {r.media_id: r for r in multimodal.video_features(media).collect()}
+    vids = {r.media_id for r in media.filter(F.col("kind") == "video").collect()}
+    assert set(feats) == vids  # every synthetic MP4 decodes
+    assert all(r.n_tracks in (1, 2) and 100 <= r.duration_ms <= 60_000
+               for r in feats.values())
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        multimodal.decode_video_stdlib(b"\x00" * 64)

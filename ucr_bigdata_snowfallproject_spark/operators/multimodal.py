@@ -1,16 +1,16 @@
 """Multimodal binary columns (X5): images/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-Image decode is REAL for PNG/GIF/BMP with zero dependencies:
-:func:`_decode_image_stdlib` parses the container headers (PNG IHDR, GIF
-logical screen descriptor, BMP info header) with stdlib ``struct`` — no
-pixel decompression, exactly the lazy-header trick PIL's ``.size`` uses.
-Decoder resolution order is PIL (when installed, covers every format) →
-stdlib header parse (PNG/GIF/BMP) → deterministic stub (unknown formats,
-e.g. the synthetic video payloads). Audio decode is REAL for PCM WAV via
-the stdlib ``wave`` module (:func:`decode_audio_stdlib` →
-:func:`audio_features`). A real deployment swaps in PIL/libav inside the
-same ``mapInPandas`` contracts; nothing else changes.
+All three modalities decode REAL metadata with zero dependencies:
+images via :func:`_decode_image_stdlib` (PNG IHDR / GIF logical screen /
+BMP info header with stdlib ``struct`` — no pixel decompression, exactly
+the lazy-header trick PIL's ``.size`` uses; PIL preferred when
+installed, deterministic stub only for unrecognized formats), audio via
+the stdlib ``wave`` module (:func:`decode_audio_stdlib`), video via the
+ISO-BMFF box walker (:func:`decode_video_stdlib`: moov→mvhd timescale/
+duration + trak count — the ffprobe-header subset). A real deployment
+swaps PIL/libav-backed callables into the same ``mapInPandas``
+contracts; nothing else changes.
 
 Scale notes: binary payloads ride in Arrow record batches; keep
 ``spark.sql.files.maxPartitionBytes`` sized so a batch of payloads fits
@@ -141,6 +141,121 @@ def wav_bytes(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def mp4_bytes(
+    duration_ms: int = 1000, timescale: int = 1000, n_tracks: int = 1
+) -> bytes:
+    """A minimal valid ISO-BMFF (MP4) container: ``ftyp`` + ``moov`` with a
+    version-0 ``mvhd`` carrying the given timescale/duration and
+    ``n_tracks`` skeletal ``trak`` boxes — stdlib only. Header decoders
+    (ffprobe-class) read exactly these fields; no media data needed."""
+    import struct
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, duration)  # v0, times, scale, dur
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)          # rate, volume, rsvd
+        + b"\x00" * 8                                          # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                                         # pre_defined
+        + struct.pack(">I", n_tracks + 1),                     # next_track_ID
+    )
+    traks = b"".join(
+        box(b"trak", box(b"tkhd", struct.pack(">III", 0, 0, 0) + struct.pack(">I", t + 1) + b"\x00" * 72))
+        for t in range(n_tracks)
+    )
+    return ftyp + box(b"moov", mvhd + traks)
+
+
+def decode_video_stdlib(payload: bytes) -> tuple[int, int, int]:
+    """REAL video metadata decode for ISO-BMFF (MP4/MOV) via stdlib
+    ``struct``: walk the top-level box tree to ``moov``, read
+    (timescale, duration) from ``mvhd`` (version 0 or 1) and count
+    ``trak`` children — the ffprobe-header subset, no codec work. Raises
+    ``ValueError`` for non-BMFF payloads."""
+    import struct
+
+    def walk(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size, typ = struct.unpack(">I4s", buf[i : i + 8])
+            if size < 8 or i + size > end:
+                raise ValueError("malformed BMFF box")
+            yield typ, i + 8, i + size
+            i += size
+
+    if len(payload) < 16 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    for typ, s, e in walk(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        timescale = duration = None
+        n_tracks = 0
+        for ityp, js, je in walk(payload, s, e):
+            if ityp == b"mvhd":
+                version = payload[js]
+                if version == 1:
+                    timescale = struct.unpack(">I", payload[js + 20 : js + 24])[0]
+                    duration = struct.unpack(">Q", payload[js + 24 : js + 32])[0]
+                else:
+                    timescale, duration = struct.unpack(
+                        ">II", payload[js + 12 : js + 20]
+                    )
+            elif ityp == b"trak":
+                n_tracks += 1
+        if timescale is None:
+            raise ValueError("moov without mvhd")
+        return int(timescale), int(duration), n_tracks
+    raise ValueError("no moov box found")
+
+
+VIDEO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("n_tracks", IntegerType()),
+    ]
+)
+
+
+def video_features(media: DataFrame, decoder=None) -> DataFrame:
+    """Video metadata extraction over MP4 payloads via ``mapInPandas`` —
+    the video twin of :func:`audio_features` (same Arrow-batched,
+    narrow-output, drop-undecodable contract); swap ``decoder`` for a
+    libav-backed callable where codec-level features are needed."""
+    decode = decoder if decoder is not None else decode_video_stdlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("media_id", "timescale", "duration_ms", "n_tracks")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    scale, dur, tracks = decode(payload)
+                except ValueError:
+                    continue
+                out["media_id"].append(mid)
+                out["timescale"].append(scale)
+                out["duration_ms"].append(round(dur * 1000 / scale) if scale else 0)
+                out["n_tracks"].append(tracks)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(out["media_id"], dtype="int64"),
+                    "timescale": pd.Series(out["timescale"], dtype="int32"),
+                    "duration_ms": pd.Series(out["duration_ms"], dtype="int32"),
+                    "n_tracks": pd.Series(out["n_tracks"], dtype="int32"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        batches, schema=VIDEO_FEATURES_SCHEMA
+    )
+
+
 #: (format tag, payload builder, mime) — image synthesis rotation.
 _IMAGE_FORMATS = [
     ("png", png_bytes, "image/png"),
@@ -150,10 +265,10 @@ _IMAGE_FORMATS = [
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic media fixture: image rows carry VALID minimal payloads
-    (rotating PNG/GIF/BMP with seeded dimensions, parseable by any real
-    decoder); audio/video rows carry seeded pseudo-random bytes (their
-    decode stays stubbed — no audio/video libs anywhere in the container)."""
+    """Deterministic media fixture: every row carries a VALID minimal
+    payload parseable by real decoders — images rotate PNG/GIF/BMP with
+    seeded dimensions, audio is PCM WAV with seeded shape, video is a
+    minimal ISO-BMFF MP4 with seeded duration/track count."""
     import random
 
     rng = random.Random(seed)
@@ -171,8 +286,12 @@ def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFr
                 n_samples=rng.randrange(1, 400),
             )
         else:
-            mime = f"application/x-fake-{kind}"
-            payload = bytes(rng.randrange(256) for _ in range(128 + (i % 5) * 64))
+            mime = "video/mp4"
+            payload = mp4_bytes(
+                duration_ms=rng.randrange(100, 60_000),
+                timescale=rng.choice((600, 1000, 90_000)),
+                n_tracks=rng.choice((1, 2)),
+            )
         rows.append((i, kind, payload, mime, len(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -1463,9 +1463,10 @@ def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 multimodal plumbing: binary payload column + typed metadata →
     Arrow-batched mapInPandas feature extraction. Image payloads are VALID
     PNG/GIF/BMP and decode to their REAL dimensions via the stdlib header
-    parser (operators.multimodal._decode_image_stdlib); only video decode
-    stays stubbed (no video libs in container). Deterministic synthetic
-    media (seed=42)."""
+    parser (operators.multimodal._decode_image_stdlib); audio/video rows
+    pass through the image path's deterministic stub here and get their
+    REAL metadata from the dedicated audio/video queries. Deterministic
+    synthetic media (seed=42)."""
     from .operators import multimodal
 
     media = multimodal.synthesize_media(spark, n=96)
@@ -1482,6 +1483,19 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.synthesize_media(spark, n=96)
     return multimodal.audio_features(media)
+
+
+@register("multimodal_video_features", None)  # binary fixture — rows-only
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video path: ISO-BMFF (MP4) payloads → REAL (timescale, duration,
+    track count) via the stdlib box walker
+    (operators.multimodal.decode_video_stdlib) inside the same mapInPandas
+    contract; undecodable payloads drop. Closes the last stubbed modality —
+    all three (image/audio/video) now decode real metadata dependency-free."""
+    from .operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    return multimodal.video_features(media)
 
 
 @register("multimodal_frame_sample", None)  # binary fixture — rows-only

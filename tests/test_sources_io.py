@@ -84,3 +84,49 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert any("o_totalprice" in p for p in pushed), pushed
     scans = checks.read_schema_columns(q)
     assert all(set(c) <= {"o_orderkey", "o_totalprice"} for c in scans), scans
+
+
+def test_zorder_write_tightens_file_stats_on_both_columns(spark, tmp_path):
+    """Z-order vs single-column sort: the single sort gives tight per-file
+    ranges only on its leading column (the other column's per-file range
+    stays ~the full domain); the Morton layout keeps BOTH columns' average
+    per-file range well under the full domain — that range is exactly what
+    parquet min/max skipping prunes with."""
+    import pyarrow.parquet as pq
+    from ucr_bigdata_snowfallproject_spark.io import load_table, write_zordered
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_extendedprice", "l_quantity"
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(li, zdir, ["l_extendedprice", "l_quantity"], n_files=8)
+    (
+        li.repartitionByRange(8, "l_extendedprice")
+        .sortWithinPartitions("l_extendedprice")
+        .write.mode("overwrite").parquet(sdir)
+    )
+
+    def avg_range_fraction(d, col):
+        import glob as g
+        spans, lo_all, hi_all = [], None, None
+        for f in sorted(g.glob(d + "/*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append((lo, hi))
+            lo_all = lo if lo_all is None else min(lo_all, lo)
+            hi_all = hi if hi_all is None else max(hi_all, hi)
+        dom = hi_all - lo_all
+        return sum((h - l) / dom for l, h in spans) / len(spans)
+
+    z_price = avg_range_fraction(zdir, "l_extendedprice")
+    z_qty = avg_range_fraction(zdir, "l_quantity")
+    s_price = avg_range_fraction(sdir, "l_extendedprice")
+    s_qty = avg_range_fraction(sdir, "l_quantity")
+    # single sort: near-perfect on price, useless on quantity
+    assert s_price < 0.3 and s_qty > 0.8, (s_price, s_qty)
+    # z-order: BOTH columns skippable
+    assert z_price < 0.7 and z_qty < 0.7, (z_price, z_qty)
+    # and the data itself round-trips
+    assert spark.read.parquet(zdir).count() == li.count()

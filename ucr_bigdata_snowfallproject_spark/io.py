@@ -167,6 +167,73 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def zorder_key(cols: list, mins: list, maxs: list, bits: int = 10):
+    """Morton (Z-order) key over numeric columns as a pure bitwise
+    expression: each column min-max-scales to ``bits`` bits, then bits
+    interleave (column j contributes bit i at position i·ncols+j). Rows
+    close in the key are close in EVERY dimension — the multi-column
+    data-skipping order that a plain sort only gives its leading column."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    scaled = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        c = F.col(c) if isinstance(c, str) else c
+        span = float(hi) - float(lo)
+        frac = (c.cast("double") - float(lo)) / span if span > 0 else F.lit(0.0)
+        q = F.least(
+            F.greatest(F.floor(frac * ((1 << bits) - 1)), F.lit(0)),
+            F.lit((1 << bits) - 1),
+        ).cast("long")
+        scaled.append(q)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, q in enumerate(scaled):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftrightunsigned(q, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 10,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order clustered parquet sink — the multi-column data-skipping
+    layout (Delta OPTIMIZE ZORDER's core, on plain parquet): range-
+    partition + sort by the Morton key of ``cols`` so every file covers a
+    narrow range of EVERY z-column and parquet min/max stats prune files/
+    row-groups for predicates on ANY of them. A plain sort gives that
+    pruning only to its leading column; Z-ordering trades a little of the
+    leading column's locality to buy it for all columns (file-stat
+    tightness asserted in tests).
+
+    Cost: one min/max aggregate (parquet aggregate pushdown makes it a
+    footer read on DSv2) + one range shuffle — the same price as a sorted
+    write. At 100 TB this is the layout pass run once per table, amortized
+    over every later selective scan."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[m for c in cols for m in (F.min(c), F.max(c))]
+    ).first()
+    mins = [stats[2 * i] for i in range(len(cols))]
+    maxs = [stats[2 * i + 1] for i in range(len(cols))]
+    z = zorder_key(cols, mins, maxs, bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def read_json(
     spark: SparkSession,
     path: str,

@@ -1157,3 +1157,35 @@ def test_video_features_decode_known_params(spark):
 
     with pytest.raises(ValueError):
         multimodal.decode_video_stdlib(b"\x00" * 64)
+
+
+def test_profile_table_approx_switch_and_semantics(spark):
+    """Profile counts match hand-derivation on a table WITH nulls; the
+    approx (HLL) switch keeps exact null counts and lands distincts within
+    sketch tolerance."""
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates as agg
+
+    rows = [(i, float(i % 7) if i % 5 else None, "s%d" % (i % 3)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v double, s string")
+    prof = {r.col_name: r for r in agg.profile_table(df).collect()}
+    assert prof["v"].n_nulls == 40 and prof["v"].n_distinct == 7
+    assert prof["id"].n_nulls == 0 and prof["id"].n_distinct == 200
+    assert prof["s"].min_d is None and prof["s"].n_distinct == 3
+    assert prof["v"].min_d == 0.0 and prof["v"].max_d == 6.0
+    approx = {r.col_name: r for r in agg.profile_table(df, approx=True).collect()}
+    assert approx["v"].n_nulls == 40
+    assert abs(approx["id"].n_distinct - 200) / 200 < 0.15
+
+
+def test_snapshot_diff_hand_counts(spark):
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates as agg
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, None)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, None), (5, "new")], "k long, v string"
+    )
+    d = {r.col_name: r for r in agg.snapshot_diff(old, new, "k").collect()}
+    r = d["v"]
+    assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (1, 1, 1, 2)

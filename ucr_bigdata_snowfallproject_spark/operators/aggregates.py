@@ -126,3 +126,119 @@ def approx_quantiles(
     return df.agg(
         F.percentile_approx(col, list(probabilities), accuracy).alias(f"quantiles_{col}")
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    approx: bool = False,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Column-profiling report — the data-quality pass a curation pipeline
+    runs before anything else: one row per column with row/null/distinct
+    counts and (numeric columns) min/max/mean.
+
+    ``approx=True`` is the 100 TB switch: HyperLogLog distinct sketches
+    (mergeable, constant memory, ONE aggregation pass for every column)
+    instead of exact COUNT(DISTINCT) — Spark plans the exact form as an
+    Expand (one replica of the input per counted column), correct but
+    ×columns shuffle volume; sketches profile arbitrarily wide tables in
+    one scan.
+
+    Output: (col_name, n_rows, n_nulls, n_distinct, min_d, max_d, mean) —
+    numeric stats NULL for non-numeric columns.
+    """
+    if cols is None:
+        cols = [f.name for f in df.schema.fields]
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        in ("double", "float", "integer", "long", "short", "decimal")
+    }
+    distinct = (
+        (lambda c: F.approx_count_distinct(c)) if approx else (lambda c: F.countDistinct(c))
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        aggs.append(distinct(c).alias(f"__dist_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__max_{c}"))
+            aggs.append(
+                F.round(F.avg(F.col(c).cast("double")), round_digits).alias(f"__mean_{c}")
+            )
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        if c in numeric:
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__nulls_{c}").alias("n_nulls"),
+                    F.col(f"__dist_{c}").alias("n_distinct"),
+                    F.col(f"__min_{c}").alias("min_d"),
+                    F.col(f"__max_{c}").alias("max_d"),
+                    F.col(f"__mean_{c}").alias("mean"),
+                )
+            )
+        else:
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col("__n").alias("n_rows"),
+                    F.col(f"__nulls_{c}").alias("n_nulls"),
+                    F.col(f"__dist_{c}").alias("n_distinct"),
+                    F.lit(None).cast("double").alias("min_d"),
+                    F.lit(None).cast("double").alias("max_d"),
+                    F.lit(None).cast("double").alias("mean"),
+                )
+            )
+    return wide.select(F.explode(F.array(*rows)).alias("__p")).select("__p.*")
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Dataset drift report between two snapshots keyed by ``key``: one
+    row per compare column (col_name) with added/removed/changed/unchanged counts —
+    the regression check a curation pipeline runs between corpus versions
+    ("how much did the rewrite touch?").
+
+    One full outer join on the key (sort-merge at scale), column compares
+    are null-safe (``<=>``), and the per-column report explodes from ONE
+    joined pass — no per-column jobs."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c != key and c in old.columns]
+    o = old.select(key, *[F.col(c).alias(f"__o_{c}") for c in compare_cols]).withColumn(
+        "__in_o", F.lit(1)
+    )
+    n = new.select(key, *[F.col(c).alias(f"__n_{c}") for c in compare_cols]).withColumn(
+        "__in_n", F.lit(1)
+    )
+    j = o.join(n, key, "full_outer")
+    added = F.count(F.when(F.col("__in_o").isNull(), 1))
+    removed = F.count(F.when(F.col("__in_n").isNull(), 1))
+    both = F.col("__in_o").isNotNull() & F.col("__in_n").isNotNull()
+    reports = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            added.alias("n_added"),
+            removed.alias("n_removed"),
+            F.count(
+                F.when(both & ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), 1)
+            ).alias("n_changed"),
+            F.count(
+                F.when(both & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), 1)
+            ).alias("n_unchanged"),
+        )
+        for c in compare_cols
+    ]
+    return j.agg(F.array(*reports).alias("__r")).select(
+        F.explode("__r").alias("__p")
+    ).select("__p.*")

@@ -3204,6 +3204,104 @@ def curation_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "profile_documents",
+    """
+    SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           MIN(doc_id)::DOUBLE AS min_d, MAX(doc_id)::DOUBLE AS max_d,
+           ROUND(AVG(doc_id::DOUBLE), 4) AS mean
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           MIN(n_chars)::DOUBLE, MAX(n_chars)::DOUBLE,
+           ROUND(AVG(n_chars::DOUBLE), 4)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT), NULL, NULL, NULL
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT), NULL, NULL, NULL
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report (operators.aggregates.profile_table): one
+    aggregation pass → per-column row/null/distinct counts + numeric
+    min/max/mean. Exact distincts here (oracle-checkable); ``approx=True``
+    is the documented 100 TB switch (HLL sketches, one scan for any
+    width)."""
+    d = load_table(spark, sf_dir, "documents")
+    return aggregates.profile_table(d, ["doc_id", "n_chars", "lang", "source"])
+
+
+@register(
+    "snapshot_diff_documents",
+    """
+    WITH old AS (
+      SELECT doc_id, lang, source FROM documents
+    ), new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang,
+             source
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 500000, lang, source FROM documents WHERE doc_id % 11 = 0
+    ), j AS (
+      SELECT o.doc_id AS ok, n.doc_id AS nk,
+             o.lang AS ol, n.lang AS nl, o.source AS os, n.source AS ns
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT 'lang' AS col_name,
+           CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                         AND ol IS DISTINCT FROM nl THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                         AND ol IS NOT DISTINCT FROM nl THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+    FROM j
+    UNION ALL
+    SELECT 'source',
+           CAST(SUM(CASE WHEN ok IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nk IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                         AND os IS DISTINCT FROM ns THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN ok IS NOT NULL AND nk IS NOT NULL
+                         AND os IS NOT DISTINCT FROM ns THEN 1 ELSE 0 END) AS BIGINT)
+    FROM j
+    """,
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift between two corpus snapshots (operators.aggregates.
+    snapshot_diff): the "new" snapshot drops every 7th doc, rewrites lang
+    on every 5th, and appends clones of every 11th under new ids — the
+    diff reports added/removed/changed/unchanged per column from ONE full
+    outer join pass (null-safe compares)."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.select("doc_id", "lang", "source")
+    new = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+            "source",
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 11 == 0).select(
+                (F.col("doc_id") + 500000).alias("doc_id"), "lang", "source"
+            )
+        )
+    )
+    return aggregates.snapshot_diff(old, new, "doc_id", ["lang", "source"])
+
+
 @register("curation_quality_classifier", None)  # MLlib LBFGS — rows-only
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml.quality): train a seeded

@@ -72,10 +72,15 @@ HEADLINE = [
     "pandas_udf_vowel_ratio",
     "flagship_monthly_median_join",
     "curation_pipeline_stats",
-    # round-4 additions: bigram LM (explode-heavy text agg) and PQ ANN
-    # (code-compressed scoring) — new operator families, benched from birth
+    # round-4 additions — new operator families, benched from birth:
+    # bigram LM (explode-heavy text agg), PQ ANN (code-compressed scoring),
+    # deep star-join profit (Q9), grid-binned interval-overlap join, and
+    # content-defined chunking (per-doc window + fold)
     "text_bigram_lm",
     "similarity_pq_topk",
+    "q9_product_type_profit",
+    "overlap_join_click_purchase_windows",
+    "dedup_cdc_chunks",
 ]
 
 

@@ -130,3 +130,41 @@ def test_zorder_write_tightens_file_stats_on_both_columns(spark, tmp_path):
     assert z_price < 0.7 and z_qty < 0.7, (z_price, z_qty)
     # and the data itself round-trips
     assert spark.read.parquet(zdir).count() == li.count()
+
+
+def test_snapshot_table_merge_timetravel_compact(spark, tmp_path):
+    """MERGE semantics (update/insert/delete), immutable time travel, and
+    compaction on the snapshot-versioned parquet table layer."""
+    from ucr_bigdata_snowfallproject_spark import table as T
+
+    root = str(tmp_path / "docs_table")
+    base = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "source")
+    v0 = T.create_snapshot(base.filter(F.col("doc_id") < 100), root)
+    assert v0 == 0 and T.latest_version(root) == 0
+    n0 = T.read_snapshot(spark, root).count()
+
+    updates = spark.createDataFrame(
+        [
+            (1, "xx", "src0", False),     # update existing key 1
+            (99990, "en", "srcNEW", False),  # insert new key
+            (2, None, None, True),        # delete key 2
+        ],
+        "doc_id long, lang string, source string, del boolean",
+    )
+    v1 = T.merge_upsert(spark, root, updates, "doc_id", delete_col="del")
+    assert v1 == 1 and T.latest_version(root) == 1
+    cur = {r.doc_id: (r.lang, r.source) for r in T.read_snapshot(spark, root).collect()}
+    assert cur[1] == ("xx", "src0")
+    assert cur[99990] == ("en", "srcNEW")
+    assert 2 not in cur
+    assert len(cur) == n0  # one insert + one delete cancel out
+    # time travel: v0 is untouched
+    old = {r.doc_id: r.lang for r in T.read_snapshot(spark, root, version=0).collect()}
+    assert 2 in old and old[1] != "xx"
+
+    v2 = T.compact_snapshot(spark, root, n_files=2)
+    import glob
+    files = glob.glob(root + f"/v={v2}/*.parquet")
+    assert len(files) <= 2
+    cur2 = {r.doc_id: (r.lang, r.source) for r in T.read_snapshot(spark, root).collect()}
+    assert cur2 == cur

@@ -173,3 +173,75 @@ def test_group_quantiles_matches_numpy(spark, values, prob):
     expected = float(np.percentile(np.array(values, dtype="float64"), prob * 100,
                                    method="linear"))
     assert math.isclose(got, expected, rel_tol=0, abs_tol=1e-9), (got, expected)
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # shard
+            st.integers(min_value=1, max_value=300),     # n_tokens
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    context=st.sampled_from([16, 64, 257]),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_reference(spark, docs, context):
+    """Placement manifest ≡ a driver-side greedy concat replay for random
+    shard/token-count mixes and non-power-of-two context lengths."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+    from pyspark.sql import functions as F
+
+    rows = [(i, f"s{shard}", n) for i, (shard, n) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, shard_in string, n long")
+    got = {
+        r.doc_id: (r.start_token, r.seq_first, r.seq_last, r.offset_in_seq)
+        for r in cur.pack_sequences(
+            df, "doc_id", F.col("n"), context, shard_col="shard_in"
+        ).collect()
+    }
+    cums: dict = {}
+    for i, (shard, n) in enumerate(docs):
+        start = cums.get(shard, 0)
+        end = start + n
+        assert got[i] == (start, start // context, (end - 1) // context, start % context)
+        cums[shard] = end
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=40),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_cdc_chunks_matches_reference(spark, texts):
+    """CDC chunk table ≡ a driver-side replay of the boundary rule
+    (md5-prefix mod) over arbitrary near-degenerate texts."""
+    import hashlib
+
+    from ucr_bigdata_snowfallproject_spark.operators import dedup as dedup_ops
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.fingerprint)
+        for r in dedup_ops.cdc_chunks(df, "doc_id", "text", boundary_mod=4).collect()
+    }
+    want = {}
+    for i, t in enumerate(texts):
+        toks = [w for w in __import__("re").split(r"\s+", t.strip().lower()) if w != ""]
+        chunk_id, chunks = 0, {}
+        for w in toks:
+            if int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 4 == 0:
+                chunk_id += 1
+            chunks.setdefault(chunk_id, []).append(w)
+        for cid, ws in chunks.items():
+            want[(i, cid)] = (
+                len(ws),
+                hashlib.md5(" ".join(ws).encode()).hexdigest(),
+            )
+    assert got == want

@@ -1189,3 +1189,18 @@ def test_snapshot_diff_hand_counts(spark):
     d = {r.col_name: r for r in agg.snapshot_diff(old, new, "k").collect()}
     r = d["v"]
     assert (r.n_added, r.n_removed, r.n_changed, r.n_unchanged) == (1, 1, 1, 2)
+
+
+def test_psi_drift_detects_shift(spark):
+    """PSI ≈ 0 on identical snapshots; large under a location shift; the
+    standard monitoring thresholds order correctly."""
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates as agg
+
+    base = spark.range(2000).select((F.col("id") % 100).cast("double").alias("v"))
+    same = agg.psi_drift(base, base, "v").first()
+    assert abs(same.psi) < 1e-9 and same.n_old == same.n_new == 2000
+    shifted = spark.range(2000).select(
+        ((F.col("id") % 100) + 60).cast("double").alias("v")
+    )
+    drift = agg.psi_drift(base, shifted, "v").first()
+    assert drift.psi > 0.25, drift.psi

@@ -402,3 +402,34 @@ def test_stream_near_dup_flags_match_batch_probe(spark, tmp_path_factory):
     }
     assert got == want
     assert any(d_ >= 900000 for d_, _ in got)  # the clone was flagged
+
+
+def test_stream_merge_into_snapshot_matches_batch(spark, tmp_path_factory):
+    """Streaming CDC apply: micro-batch MERGEs into the snapshot table
+    converge to exactly the batch upsert result — last-writer-wins per
+    key across batches, one immutable version per non-empty batch."""
+    from ucr_bigdata_snowfallproject_spark import table as T
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_merge_into_snapshot,
+    )
+
+    root = str(tmp_path_factory.mktemp("merge-table") / "docs")
+    base = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 50)
+    T.create_snapshot(base, root)
+
+    updates = load_table(spark, SF_SMOKE, "documents").filter(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 75)
+    ).withColumn("lang", F.lit("zz"))
+    stream_dir = str(tmp_path_factory.mktemp("updates-stream"))
+    updates.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    q = stream_merge_into_snapshot(
+        read_document_stream(spark, stream_dir, max_files_per_trigger=1), root
+    )
+    q.awaitTermination()
+    final = {r.doc_id: r.lang for r in T.read_snapshot(spark, root).collect()}
+    assert set(final) == set(range(75))
+    assert all(final[i] == "zz" for i in range(25, 75))   # updated + inserted
+    assert all(final[i] != "zz" for i in range(25))       # untouched originals
+    assert T.latest_version(root) >= 2                    # >=2 micro-batch commits

@@ -242,3 +242,68 @@ def snapshot_diff(
     return j.agg(F.array(*reports).alias("__r")).select(
         F.explode("__r").alias("__p")
     ).select("__p.*")
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    bins: int = 10,
+    smooth: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the distribution-drift twin of :func:`snapshot_diff`'s
+    row-level report (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 shifted
+    — the standard monitoring thresholds).
+
+    Bins are fixed-width over the OLD snapshot's [min, max] (the reference
+    distribution defines the grid; new rows outside clamp into the edge
+    bins), counts are add-``smooth`` smoothed so empty bins never produce
+    infinities, and ``PSI = Σ (p_new - p_old)·ln(p_new/p_old)``.
+
+    Scale: one min/max aggregate over old + one binned groupBy per side —
+    three partial-aggregable passes, no joins wider than ``bins`` rows.
+    Output: one row (psi, n_bins, n_old, n_new)."""
+    lo, hi = old.agg(
+        F.min(F.col(col).cast("double")), F.max(F.col(col).cast("double"))
+    ).first()
+    span = (hi - lo) or 1.0
+
+    def binned(df: DataFrame) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(col).cast("double") - lo) / span * bins), F.lit(0)
+            ),
+            F.lit(bins - 1),
+        )
+        return df.filter(F.col(col).isNotNull()).groupBy(b.alias("__b")).agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+
+    o, n = binned(old).alias("o"), binned(new).alias("n")
+    grid = old.sparkSession.range(bins).select(F.col("id").alias("__b"))
+    j = (
+        grid.join(o.withColumnRenamed("__n", "__no"), "__b", "left")
+        .join(n.withColumnRenamed("__n", "__nn"), "__b", "left")
+        .select(
+            F.coalesce("__no", F.lit(0)).alias("__no"),
+            F.coalesce("__nn", F.lit(0)).alias("__nn"),
+        )
+    )
+    tot = j.agg(
+        F.sum("__no").alias("__to"), F.sum("__nn").alias("__tn")
+    )
+    p_old = (F.col("__no") + smooth) / (F.col("__to") + smooth * bins)
+    p_new = (F.col("__nn") + smooth) / (F.col("__tn") + smooth * bins)
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum((p_new - p_old) * F.log(p_new / p_old)), round_digits
+            ).alias("psi"),
+            F.lit(bins).alias("n_bins"),
+            F.max("__to").cast("bigint").alias("n_old"),
+            F.max("__tn").cast("bigint").alias("n_new"),
+        )
+    )

@@ -3495,6 +3495,52 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.snapshot_diff(old, new, "doc_id", ["lang", "source"])
 
 
+@register(
+    "psi_drift_nchars",
+    """
+    WITH bounds AS (
+      SELECT MIN(n_chars)::DOUBLE AS lo,
+             (MAX(n_chars)::DOUBLE - MIN(n_chars)::DOUBLE) AS span
+      FROM documents WHERE doc_id % 2 = 0
+    ), ob AS (
+      SELECT LEAST(GREATEST(FLOOR((n_chars::DOUBLE - lo) / span * 10), 0), 9) AS b,
+             COUNT(*) AS n
+      FROM documents, bounds WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+      GROUP BY 1
+    ), nb AS (
+      SELECT LEAST(GREATEST(FLOOR((n_chars::DOUBLE - lo) / span * 10), 0), 9) AS b,
+             COUNT(*) AS n
+      FROM documents, bounds WHERE doc_id % 2 = 1 AND n_chars IS NOT NULL
+      GROUP BY 1
+    ), grid AS (
+      SELECT g.b, COALESCE(ob.n, 0) AS no, COALESCE(nb.n, 0) AS nn
+      FROM (SELECT UNNEST(generate_series(0, 9)) AS b) g
+      LEFT JOIN ob ON ob.b = g.b LEFT JOIN nb ON nb.b = g.b
+    ), tots AS (SELECT SUM(no) AS t_o, SUM(nn) AS t_n FROM grid)
+    SELECT ROUND(SUM(((nn + 0.5) / (t_n + 5.0) - (no + 0.5) / (t_o + 5.0))
+                     * LN(((nn + 0.5) / (t_n + 5.0)) / ((no + 0.5) / (t_o + 5.0)))),
+                 6) AS psi,
+           10 AS n_bins,
+           CAST(MAX(t_o) AS BIGINT) AS n_old,
+           CAST(MAX(t_n) AS BIGINT) AS n_new
+    FROM grid, tots
+    """,
+)
+def psi_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (operators.aggregates.psi_drift) between
+    the even-id and odd-id halves of the corpus on n_chars — the
+    distribution-drift monitor (grid fixed by the reference snapshot,
+    add-0.5 smoothing, Σ(Δp·ln ratio)). Three partial-aggregable passes,
+    widest join = 10 bin rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return aggregates.psi_drift(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "n_chars",
+        bins=10,
+    )
+
+
 @register("curation_quality_classifier", None)  # MLlib LBFGS — rows-only
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml.quality): train a seeded

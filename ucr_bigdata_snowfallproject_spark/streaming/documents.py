@@ -104,3 +104,37 @@ def stream_near_dup_flags(
             "jaccard_est",
         )
     )
+
+
+def stream_merge_into_snapshot(
+    doc_stream: DataFrame,
+    root: str,
+    key: str = "doc_id",
+    delete_col: str | None = None,
+    query_name: str = "merge_apply",
+):
+    """Streaming CDC apply: every micro-batch MERGEs into a snapshot-
+    versioned parquet table (``..table.merge_upsert``) via ``foreachBatch``
+    — the upsert-sink pattern Structured Streaming uses where a sink needs
+    transactional semantics the file sink can't give. Each batch commits
+    one immutable table version; the ``_latest`` marker flip is the commit
+    point, so a crash between batches never exposes partial state (the
+    stream's checkpoint replays the batch; re-merging the same rows is
+    idempotent because MERGE is keyed).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from .. import table as snapshot_table
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        snapshot_table.merge_upsert(
+            batch_df.sparkSession, root, batch_df, key, delete_col=delete_col
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1204,3 +1204,27 @@ def test_psi_drift_detects_shift(spark):
     )
     drift = agg.psi_drift(base, shifted, "v").first()
     assert drift.psi > 0.25, drift.psi
+
+
+def test_incremental_minhash_banded_index_identity(spark):
+    """Probing a precomputed banded index table (the persisted-index scale
+    path) keeps survivor sets identical to banding the signature frame at
+    probe time."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    seen_sigs = dedup_ops.minhash_signatures_arrow(seen, "doc_id", "text")
+    new = d.filter(F.col("doc_id") % 2 == 1)
+    live = {
+        r.doc_id
+        for r in dedup_ops.incremental_minhash_dedup(
+            new, seen_sigs, "doc_id", "text"
+        ).select("doc_id").collect()
+    }
+    idx = dedup_ops.band_signatures(seen_sigs, "s")
+    stored = {
+        r.doc_id
+        for r in dedup_ops.incremental_minhash_dedup(
+            new, None, "doc_id", "text", seen_banded=idx
+        ).select("doc_id").collect()
+    }
+    assert live == stored and live

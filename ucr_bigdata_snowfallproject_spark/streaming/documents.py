@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from ..operators.dedup import minhash_signatures_arrow
+from ..operators.dedup import band_signatures, minhash_signatures_arrow
 
 #: file-source schema for the documents stream (mirrors the fixture table)
 DOCUMENT_STREAM_SCHEMA = StructType(
@@ -47,23 +47,9 @@ def read_document_stream(
     return reader.parquet(path)
 
 
-def _banded(sig_df: DataFrame, side: str, num_hashes: int, bands: int) -> DataFrame:
-    rows_per_band = num_hashes // bands
-    return sig_df.select(
-        F.col("__id").alias(f"__id_{side}"),
-        F.col("__sig").alias(f"__sig_{side}"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.hash(
-                        F.slice("__sig", b * rows_per_band + 1, rows_per_band),
-                        F.lit(b),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("__band", "__bucket"),
-    )
+#: shared with the batch incremental probe — the same banded layout is the
+#: stored index format (operators.dedup.band_signatures)
+_banded = band_signatures
 
 
 def stream_near_dup_flags(

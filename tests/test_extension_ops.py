@@ -1228,3 +1228,48 @@ def test_incremental_minhash_banded_index_identity(spark):
         ).select("doc_id").collect()
     }
     assert live == stored and live
+
+
+def test_bpe_merge_learning_matches_reference(spark):
+    """Distributed BPE merge learning ≡ a driver-side reference
+    implementation (same greedy rule, same lexicographic tie-break) on a
+    small corpus — merges, order, and weighted counts all identical."""
+    from collections import Counter
+
+    from ucr_bigdata_snowfallproject_spark.operators import text as text_ops
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new lower",
+        "low new lowest newest newer",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = text_ops.learn_bpe_merges(df, "text", n_merges=8)
+
+    # reference: classic BPE on the word-frequency table
+    wf = Counter(w for t in texts for w in t.lower().split())
+    vocab = {w: list(w) for w in wf}
+    want = []
+    for _ in range(8):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += wf[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        want.append((a, b, cnt))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    assert got == want and len(got) >= 5

@@ -3541,6 +3541,22 @@ def psi_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_bpe_merges", None)  # iterative driver-coordinated — rows-only
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (operators.text.learn_bpe_merges) —
+    the tokenizer-training workload: greedy most-frequent-adjacent-pair
+    merges over the word-frequency table (ONE corpus pass; every
+    iteration is vocabulary-sized). Deterministic (lexicographic
+    tie-break) but iterative — rows-only; pinned against a driver-side
+    reference implementation in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = text_ops.learn_bpe_merges(d, "text", n_merges=32)
+    return spark.createDataFrame(
+        [(i, l, r, c) for i, (l, r, c) in enumerate(merges)],
+        "step int, left string, right string, weighted_count long",
+    )
+
+
 @register("curation_quality_classifier", None)  # MLlib LBFGS — rows-only
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml.quality): train a seeded

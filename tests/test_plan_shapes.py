@@ -289,3 +289,18 @@ def test_overlap_join_is_equi_join(spark):
     text = checks.explain_str(df, "simple")
     assert "NestedLoop" not in text and "CartesianProduct" not in text
     assert any(j in text for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_q9_broadcasts_dims_no_cartesian(spark):
+    """Q9's deep 5-way star join: dims broadcast, never a cartesian."""
+    df = q(spark, "q9_product_type_profit")
+    text = checks.explain_str(df, "simple")
+    assert "BroadcastHashJoin" in text
+    assert "CartesianProduct" not in text
+
+
+def test_q21_semi_and_anti_joins(spark):
+    """Q21's multi-EXISTS pattern must plan as left-semi + left-anti."""
+    df = q(spark, "q21_waiting_suppliers")
+    text = checks.explain_str(df, "formatted")
+    assert "LeftSemi" in text and "LeftAnti" in text

@@ -307,3 +307,40 @@ def psi_drift(
             F.max("__tn").cast("bigint").alias("n_new"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    approx: bool = False,
+    out_col: str | None = None,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Per-group winsorization: clip ``measure`` into its group's
+    [``lower``, ``upper``] quantile band — the outlier-taming step for
+    numeric feature columns before training/statistics (keeps every row,
+    unlike the drop-the-tails :func:`~.text.length_band_filter`).
+
+    Same exact/approx policy as :func:`group_quantiles` (exact
+    interpolated percentile at test scale, mergeable sketch at 100 TB);
+    the clip bounds compute in one grouped pass and re-join by key (tiny,
+    AQE-broadcast). Appends ``out_col`` (default ``<measure>_wins``)."""
+    out_col = out_col or f"{measure}_wins"
+    bounds = group_quantiles(
+        df, keys, measure, probs=(lower, upper), approx=approx
+    )
+    lo_name = f"q{lower * 100:g}".replace(".", "_")
+    hi_name = f"q{upper * 100:g}".replace(".", "_")
+    clipped = F.least(
+        F.greatest(F.col(measure).cast("double"), F.col(lo_name)), F.col(hi_name)
+    )
+    if round_digits is not None:
+        clipped = F.round(clipped, round_digits)
+    return (
+        df.join(bounds, list(keys))
+        .withColumn(out_col, clipped)
+        .drop(lo_name, hi_name)
+    )

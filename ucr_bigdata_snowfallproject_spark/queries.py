@@ -3541,6 +3541,43 @@ def psi_drift_nchars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winsorize_prices_by_segment",
+    """
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment, o.o_totalprice AS price
+      FROM orders o JOIN customer c ON o_custkey = c_custkey
+    ), b AS (
+      SELECT segment,
+             quantile_cont(price, 0.05) AS lo,
+             quantile_cont(price, 0.95) AS hi
+      FROM j GROUP BY segment
+    )
+    SELECT j.segment, ROUND(j.price, 2) AS price,
+           ROUND(LEAST(GREATEST(j.price, b.lo), b.hi), 4) AS price_wins
+    FROM j JOIN b USING (segment)
+    """,
+)
+def winsorize_prices_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (operators.aggregates.winsorize): order
+    totals clipped into their market segment's [p5, p95] band — exact
+    interpolated quantiles (matching DuckDB quantile_cont), re-joined by
+    the low-cardinality group key (AQE-broadcast). The approx sketch form
+    is the documented 100 TB switch."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").alias("price"),
+    )
+    out = aggregates.winsorize(
+        j, ["segment"], "price", lower=0.05, upper=0.95
+    )
+    return out.select(
+        "segment", F.round("price", 2).alias("price"), "price_wins"
+    )
+
+
 @register("text_bpe_merges", None)  # iterative driver-coordinated — rows-only
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators.text.learn_bpe_merges) —

@@ -138,3 +138,73 @@ def sessionize(
     )
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_id", F.sum(is_new.cast("long")).over(run))
+
+
+def rolling_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+    value_col: str,
+    preceding: int = 30,
+    z_thresh: float = 3.0,
+    round_digits: int = 4,
+    scale: int | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly flags — the climatology-anomaly pattern of
+    the reference's weather domain (SURVEY §2.5 rolling averages): each
+    value scored against the mean/stddev of the PRECEDING ``preceding``
+    rows per key (current row excluded, so an outlier can't mask itself),
+    flagged when |z| ≥ ``z_thresh``.
+
+    Appends (roll_mean, roll_std, zscore, is_anomaly); rows without
+    enough history (or zero variance) get NULL zscore and False flag.
+    One window pass per key — same shuffle the sessionize/lag family
+    already pays.
+
+    ``scale`` engages the exact-integer-sums mode for cross-engine
+    determinism: the value scales to integers (e.g. ``scale=100`` →
+    cents), and mean/std derive from the window's EXACT integer Σx and
+    Σx² via ``var = (Σx² − (Σx)²/n)/(n−1)`` — identical on every engine,
+    unlike native sliding AVG/STDDEV whose float accumulation order
+    differs (measured 5/10k rows flipping the 4th decimal vs DuckDB).
+    ``scale=None`` uses the native aggregates (fine within one engine)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, -1)
+    )
+    if scale is None:
+        mean = F.avg(F.col(value_col)).over(w)
+        std = F.stddev_samp(F.col(value_col)).over(w)
+        v = F.col(value_col)
+        rnd = lambda c: F.round(c, round_digits)  # noqa: E731
+    else:
+        x = F.round(F.col(value_col) * scale, 0).cast("long")
+        s1 = F.sum(x).over(w).cast("double")
+        s2 = F.sum(x * x).over(w).cast("double")
+        n = F.count(x).over(w).cast("double")
+        mean = s1 / n / scale
+        std = F.when(
+            n > 1, F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / scale
+        )
+        v = x.cast("double") / scale
+        # floor-based half-up rounding: F.round on doubles goes through
+        # BigDecimal's SHORTEST-decimal representation, so an exact
+        # decimal half (common for integer-ratio means: s1/n = ...375)
+        # rounds UP in Spark but DOWN in engines that round the binary
+        # value — FLOOR(x·10^d + 0.5) evaluates identically everywhere
+        p = float(10 ** round_digits)
+        rnd = lambda c: F.floor(c * p + F.lit(0.5)) / p  # noqa: E731
+    z = (v - mean) / std
+    return (
+        df.withColumn("roll_mean", rnd(mean))
+        .withColumn("roll_std", rnd(std))
+        .withColumn(
+            "zscore",
+            F.when(std > 0, rnd(z)),
+        )
+        .withColumn(
+            "is_anomaly",
+            F.coalesce(F.abs(F.col("zscore")) >= z_thresh, F.lit(False)),
+        )
+    )

@@ -3578,6 +3578,57 @@ def winsorize_prices_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rolling_anomalies_events",
+    """
+    SELECT event_id, user_id,
+           FLOOR(m * 10000 + 0.5) / 10000 AS roll_mean,
+           FLOOR(s * 10000 + 0.5) / 10000 AS roll_std,
+           CASE WHEN s > 0
+                THEN FLOOR((v - m) / s * 10000 + 0.5) / 10000 END AS zscore,
+           COALESCE(CASE WHEN s > 0 THEN ABS((v - m) / s) >= 2.0 END,
+                    FALSE) AS is_anomaly
+    FROM (
+      SELECT event_id, user_id, x::DOUBLE / 100 AS v,
+             (s1 / n) / 100 AS m,
+             CASE WHEN n > 1
+                  THEN SQRT((s2 - s1 * s1 / n) / (n - 1)) / 100 END AS s
+      FROM (
+        SELECT event_id, user_id, x,
+               SUM(x) OVER w::DOUBLE  AS s1,
+               SUM(x * x) OVER w::DOUBLE AS s2,
+               COUNT(x) OVER w::DOUBLE AS n
+        FROM (SELECT event_id, user_id, ts,
+                     CAST(ROUND(value * 100, 0) AS BIGINT) AS x FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+      )
+    )
+    """,
+)
+def rolling_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (operators.windows.
+    rolling_anomalies) — the reference domain's climatology-anomaly
+    pattern (SURVEY §2.5): each event value scored against the preceding
+    20 events' mean/stddev per user (current row excluded), |z| ≥ 2
+    flagged. One window pass per user. scale=100 engages the
+    exact-integer-sums mode: native sliding AVG/STDDEV accumulate floats
+    in engine-specific order (5/10k rows flipped the 4th decimal vs
+    DuckDB), while integer Σx/Σx² are exact on both sides."""
+    from .operators import windows as win_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = win_ops.rolling_anomalies(
+        e, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()],
+        "value", preceding=20, z_thresh=2.0, scale=100,
+    )
+    return out.select(
+        "event_id", "user_id", "roll_mean", "roll_std", "zscore", "is_anomaly"
+    )
+
+
 @register("text_bpe_merges", None)  # iterative driver-coordinated — rows-only
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators.text.learn_bpe_merges) —

@@ -3665,6 +3665,63 @@ def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cdc_boilerplate",
+    """
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, t[i] AS w
+      FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+      WHERE t[i] <> ''
+    ), fl AS (
+      SELECT *, CASE WHEN ('0x' || substr(md5(w), 1, 8))::BIGINT
+                          % 32 = 0 THEN 1 ELSE 0 END AS b
+      FROM tok
+    ), ch AS (
+      SELECT *, SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk_id
+      FROM fl
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS fingerprint
+      FROM ch GROUP BY doc_id, chunk_id
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+    FROM chunks
+    GROUP BY fingerprint
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_occurrences DESC, fingerprint
+    LIMIT 25
+    """,
+)
+def dedup_cdc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate report over content-defined chunks: the top-25 chunk
+    fingerprints repeated across ≥2 documents, with occurrence/doc counts
+    — the sub-document dedup payoff (find the navbar/disclaimer passages
+    worth stripping corpus-wide). Composes cdc_chunks with one
+    fingerprint-keyed aggregate + TakeOrdered; deterministic tiebreak."""
+    chunks = dedup_ops.cdc_chunks(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    return (
+        chunks.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("n_tokens").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occurrences"), F.asc("fingerprint"))
+        .limit(25)
+    )
+
+
 @register("dedup_incremental_minhash", None)  # hash-seeded — rows-only
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup against a stored signature index

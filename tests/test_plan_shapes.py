@@ -201,23 +201,25 @@ def test_q10_topk_above_agg(spark):
     assert "TakeOrderedAndProject" in checks.explain_str(df, "simple")
 
 
-def test_tfidf_broadcasts_vocab_and_window_group_limit(spark):
-    """TF-IDF shape: the vocabulary-sized DF table comes back as a
-    broadcast join (the corpus-sized TF frame must never shuffle for it),
-    and the per-doc top-k rank filter plans as WindowGroupLimit so
-    partial top-k runs before the window exchange."""
+def test_tfidf_no_cartesian_and_window_group_limit(spark):
+    """TF-IDF shape: the DF-table scoring join is a keyed join (no
+    CartesianProduct — the vocabulary side is deliberately NOT force-
+    broadcast: 10⁸+ distinct tokens at 100 TB, AQE may still choose
+    broadcast at test scale), and the per-doc top-k rank filter plans as
+    WindowGroupLimit so partial top-k runs before the window exchange."""
     df = q(spark, "text_tfidf_top_terms")
-    assert checks.has_broadcast_join(df)
+    assert not checks.has_cartesian(df)
     assert "WindowGroupLimit" in checks.explain_str(df, "simple")
 
 
-def test_unigram_logppl_broadcasts_vocab(spark):
-    """Unigram-LM scoring: vocabulary and the 1-row total scalar both ride
-    broadcasts; the only fact-sized shuffles are the term count and the
-    per-doc mean."""
+def test_unigram_logppl_no_cartesian_bounded_shuffles(spark):
+    """Unigram-LM scoring: the vocab join is keyed (no CartesianProduct;
+    not force-broadcast — AQE decides), the 1-row total scalar rides a
+    broadcast, and the shuffle count stays bounded (term explode + vocab
+    agg + per-doc mean, plus at most the vocab-join exchanges)."""
     df = q(spark, "text_unigram_logppl")
-    assert checks.has_broadcast_join(df)
-    assert checks.shuffle_count(df) <= 4, checks.shuffle_count(df)
+    assert not checks.has_cartesian(df)
+    assert checks.shuffle_count(df) <= 6, checks.shuffle_count(df)
 
 
 def test_cluster_assign_no_shuffle(spark):

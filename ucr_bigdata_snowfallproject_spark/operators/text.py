@@ -173,8 +173,13 @@ def tfidf_top_terms(
 
     Scale shape: one explode→groupBy for term frequencies (shuffle keyed on
     (doc, term) — high cardinality, skew-safe), one groupBy for document
-    frequencies (keyed on term; vocabulary ≪ corpus so the DF table is
-    small and BROADCAST back), then a per-doc window top-k.
+    frequencies (keyed on term), then a per-doc window top-k. The DF table
+    is vocabulary-sized — small at test scale, where AQE converts the
+    scoring join to a broadcast on its own, but NOT forced: a 100 TB web
+    corpus has 10⁸–10⁹ distinct whitespace tokens, past any broadcast
+    threshold, so the join stays a plain shuffle join on ``term`` (both
+    sides already reduced, and TF is term-partitioned from its own groupBy
+    so the exchange is often reusable). Same rule as :func:`bigram_lm`.
 
     Because the DF table derives from the TF frame, a naive plan recomputes
     the corpus explode for that branch. ``persist_tf=True`` (default — it
@@ -203,7 +208,7 @@ def tfidf_top_terms(
         tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
-        tf.join(F.broadcast(doc_freq), "term")
+        tf.join(doc_freq, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -240,7 +245,9 @@ def unigram_logppl(
     an external model — the plan is identical).
 
     Scale shape: one explode → (term) groupBy for corpus counts (the
-    vocabulary table, tiny vs the corpus, BROADCAST back), the total-token
+    vocabulary table — small at test scale so AQE broadcasts it on its
+    own, but NOT forced: 10⁸+ distinct tokens at 100 TB stay a shuffle
+    join on ``term``, same rule as :func:`bigram_lm`), the total-token
     scalar rides a 1-row crossJoin broadcast, and the per-doc mean is one
     (doc) groupBy. Same single-heavy-shuffle skeleton as
     :func:`tfidf_top_terms`."""
@@ -250,7 +257,7 @@ def unigram_logppl(
     vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("__cnt"))
     total = vocab.agg(F.sum("__cnt").alias("__total"))
     scored = (
-        terms.join(F.broadcast(vocab), "term")
+        terms.join(vocab, "term")
         .crossJoin(F.broadcast(total))
         .select(
             F.col(id_col),

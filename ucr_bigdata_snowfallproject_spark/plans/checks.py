@@ -56,6 +56,13 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
     return "WholeStageCodegen" in text or bool(re.search(r"\+- \* \w|^\s*\* \w", text, re.M))
 
 
+def has_cartesian(df: DataFrame) -> bool:
+    """True if the plan contains an unconstrained CartesianProduct — the
+    join-explosion failure mode. A 1-row scalar ``crossJoin(broadcast(...))``
+    plans as BroadcastNestedLoopJoin and is NOT flagged."""
+    return "CartesianProduct" in explain_str(df, "simple")
+
+
 def shuffle_count(df: DataFrame) -> int:
     """Number of Exchange (shuffle) operators in the physical plan. After
     adaptive execution the explain output carries BOTH final and initial

@@ -39,20 +39,30 @@ def _events_ts_unit(path: str) -> str:
     TIMESTAMP(MICROS) encodings across rounds; Spark's TimestampType reads
     micros natively but needs the ``nanosAsLong`` long-read workaround for
     nanos — so the unit must be probed, not assumed. One local footer read
-    (pyarrow), cached per path."""
+    (pyarrow), cached per path. The probe is LOCAL-FILESYSTEM only by
+    design: for remote paths (s3://, hdfs://...) — which
+    ``spark.read.parquet`` itself handles fine — it falls back to 'us',
+    the encoding every fixture generation since r3 ships and the one
+    Spark's TimestampType reads natively."""
     if path not in _TS_UNIT_CACHE:
-        import os
+        unit = "us"
+        try:
+            import os
 
-        import pyarrow.parquet as pq
+            import pyarrow.parquet as pq
 
-        probe = path
-        if os.path.isdir(path):
-            parts = sorted(
-                f for f in os.listdir(path) if f.endswith(".parquet")
-            )
-            probe = os.path.join(path, parts[0]) if parts else path
-        t = pq.ParquetFile(probe).schema_arrow.field("ts").type
-        _TS_UNIT_CACHE[path] = getattr(t, "unit", "us")
+            probe = path
+            if os.path.isdir(path):
+                parts = sorted(
+                    f for f in os.listdir(path) if f.endswith(".parquet")
+                )
+                probe = os.path.join(path, parts[0]) if parts else path
+            if os.path.exists(probe):
+                t = pq.ParquetFile(probe).schema_arrow.field("ts").type
+                unit = getattr(t, "unit", "us")
+        except Exception:
+            unit = "us"  # unprobeable (remote FS, odd layout) → native µs
+        _TS_UNIT_CACHE[path] = unit
     return _TS_UNIT_CACHE[path]
 
 
@@ -84,6 +94,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         )
         raw = spark.read.schema(ns_schema).parquet(table_path(sf_dir, name))
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        # scope the legacy conf: a prior ns-encoded load in this session
+        # must not leak long-typed ts reads into a µs-encoded load
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
     schema = schemas.TABLES.get(name)
     reader = spark.read
     if schema is not None:

@@ -43,15 +43,21 @@ QUALITY_FEATURES = [
 
 def featurize(df: DataFrame, text_col: str) -> DataFrame:
     """Append the :data:`QUALITY_FEATURES` columns — all pure column
-    expressions (X4 text signals), no UDFs, scan-speed at 100 TB."""
-    c = F.col(text_col)
+    expressions (X4 text signals), no UDFs, scan-speed at 100 TB.
+
+    Every feature is total: NULL text coalesces to "" and the token-count
+    divisor is floored at 1, so no row ever carries a null feature — and
+    the assembler's ``handleInvalid='skip'`` safety net never silently
+    drops a document (every input row gets scored downstream)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.greatest(F.length(c), F.lit(1)).cast("double")
+    n_tokens = F.greatest(text_ops.token_count(c), F.lit(1))
     return (
         df.withColumn("f_len", F.length(c).cast("double"))
         .withColumn("f_n_tokens", text_ops.token_count(c).cast("double"))
         .withColumn(
             "f_mean_token_len",
-            F.length(F.regexp_replace(c, r"\s+", "")) / text_ops.token_count(c),
+            F.length(F.regexp_replace(c, r"\s+", "")) / n_tokens,
         )
         .withColumn("f_stopword_ratio", text_ops.stopword_ratio(c))
         .withColumn(

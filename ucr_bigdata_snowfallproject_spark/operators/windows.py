@@ -204,7 +204,14 @@ def rolling_anomalies(
             F.when(std > 0, rnd(z)),
         )
         .withColumn(
+            # flag from the UNROUNDED |z| — the emitted zscore column is
+            # rounded for cross-engine display determinism, but flagging
+            # on the rounded value would flip rows whose z lands within
+            # half an ulp-of-rounding below the threshold vs an engine
+            # flagging on the exact value (the oracle does)
             "is_anomaly",
-            F.coalesce(F.abs(F.col("zscore")) >= z_thresh, F.lit(False)),
+            F.coalesce(
+                F.when(std > 0, F.abs(z) >= F.lit(z_thresh)), F.lit(False)
+            ),
         )
     )

@@ -433,3 +433,40 @@ def test_stream_merge_into_snapshot_matches_batch(spark, tmp_path_factory):
     assert all(final[i] == "zz" for i in range(25, 75))   # updated + inserted
     assert all(final[i] != "zz" for i in range(25))       # untouched originals
     assert T.latest_version(root) >= 2                    # >=2 micro-batch commits
+
+
+def test_stream_merge_into_partitioned_snapshot(spark, tmp_path_factory):
+    """Streaming CDC apply over a BUCKETED snapshot table: foreachBatch
+    dispatches to the partition-level MERGE automatically, so each
+    micro-batch rewrites only the buckets its keys touch — and the
+    converged state is identical to the plain-table streaming merge."""
+    import os
+
+    from ucr_bigdata_snowfallproject_spark import table as T
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_merge_into_snapshot,
+    )
+
+    root = str(tmp_path_factory.mktemp("merge-bucketed") / "docs")
+    base = load_table(spark, SF_SMOKE, "documents").filter(F.col("doc_id") < 50)
+    T.create_partitioned_snapshot(base, root, "doc_id", n_buckets=8)
+
+    updates = load_table(spark, SF_SMOKE, "documents").filter(
+        (F.col("doc_id") >= 25) & (F.col("doc_id") < 75)
+    ).withColumn("lang", F.lit("zz"))
+    stream_dir = str(tmp_path_factory.mktemp("updates-stream-bucketed"))
+    updates.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    q = stream_merge_into_snapshot(
+        read_document_stream(spark, stream_dir, max_files_per_trigger=1), root
+    )
+    q.awaitTermination()
+    final = {r.doc_id: r.lang for r in T.read_snapshot(spark, root).collect()}
+    assert set(final) == set(range(75))
+    assert all(final[i] == "zz" for i in range(25, 75))
+    assert all(final[i] != "zz" for i in range(25))
+    assert T.latest_version(root) >= 2
+    # the layout stayed bucketed through every micro-batch commit
+    vdir = os.path.join(root, f"v={T.latest_version(root)}")
+    assert any(n.startswith("__pbucket=") for n in os.listdir(vdir))

@@ -1,0 +1,109 @@
+"""Persisted ANN / near-dup index artifacts.
+
+The quantizers (:func:`~.operators.similarity._train_centroids`,
+:func:`~.operators.similarity._train_pq`) and the MinHash banded index
+(:func:`~.operators.dedup.band_signatures`) are TRAIN-ONCE artifacts: at
+100 TB an index is built by one job and probed by thousands, so retraining
+per query call — fine for self-contained benchmarks — is the wrong
+production shape. This module stores each artifact through the
+snapshot-versioned table layer (:mod:`.table`), which buys the same
+guarantees the corpus tables get: immutable versions, atomic ``_latest``
+commit, time travel (probe yesterday's index to reproduce yesterday's
+dedup decision).
+
+Formats (plain parquet, engine-portable):
+
+- centroids      → one row per centroid: ``(cid int, vec array<double>)``
+- PQ codebooks   → one row per (subspace, centroid):
+  ``(subspace int, cid int, vec array<double>)``
+- MinHash index  → the banded frame as-is:
+  ``(__id_s, __sig_s, __band, __bucket)`` — stored pre-banded so probes
+  are pure equi-join lookups (``incremental_minhash_dedup(...,
+  seen_banded=...)``); repartitioned on (__band, __bucket) at write so a
+  probe join's shuffle is one-sided.
+
+Driver-side artifacts (centroids/codebooks) are vocabulary-sized — k×dim
+and m×ksub×dsub floats, a few MB at most — so collect-on-load is bounded
+by construction, never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import table as snapshot_table
+
+
+def save_centroids(
+    spark: SparkSession, centroids: list[list[float]], root: str
+) -> int:
+    """Persist a k-means coarse quantizer (``ivf_topk`` / ``cluster_assign``
+    / ``semdedup`` all accept it via ``centroids=``). Returns the committed
+    snapshot version."""
+    rows = [(cid, [float(x) for x in vec]) for cid, vec in enumerate(centroids)]
+    df = spark.createDataFrame(rows, "cid int, vec array<double>")
+    return snapshot_table.create_snapshot(df, root, n_files=1)
+
+
+def load_centroids(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[list[float]]:
+    """Load a saved quantizer (latest committed, or ``version`` for time
+    travel). cid order restored — bit-identical to what was saved."""
+    rows = (
+        snapshot_table.read_snapshot(spark, root, version)
+        .orderBy("cid")
+        .collect()
+    )
+    return [list(r.vec) for r in rows]
+
+
+def save_pq_codebooks(
+    spark: SparkSession, codebooks: list[list[list[float]]], root: str
+) -> int:
+    """Persist PQ codebooks (``m × ksub × dsub``) for ``pq_topk(...,
+    codebooks=)`` / ``pq_encode``."""
+    rows = [
+        (j, cid, [float(x) for x in vec])
+        for j, book in enumerate(codebooks)
+        for cid, vec in enumerate(book)
+    ]
+    df = spark.createDataFrame(rows, "subspace int, cid int, vec array<double>")
+    return snapshot_table.create_snapshot(df, root, n_files=1)
+
+
+def load_pq_codebooks(
+    spark: SparkSession, root: str, version: int | None = None
+) -> list[list[list[float]]]:
+    rows = (
+        snapshot_table.read_snapshot(spark, root, version)
+        .orderBy("subspace", "cid")
+        .collect()
+    )
+    books: list[list[list[float]]] = []
+    for r in rows:
+        while len(books) <= r.subspace:
+            books.append([])
+        books[r.subspace].append(list(r.vec))
+    return books
+
+
+def save_minhash_index(banded: DataFrame, root: str, n_files: int = 8) -> int:
+    """Persist a banded MinHash index (``band_signatures(sigs, "s", ...)``
+    output). Rows are hash-clustered on the probe key (__band, __bucket)
+    so an incremental probe reads co-located buckets; at 100 TB raise
+    ``n_files`` to the corpus's file-count discipline (or bucketBy through
+    ``io.write_bucketed`` if the metastore path is in play)."""
+    clustered = banded.repartition(n_files, "__band", "__bucket")
+    # repartition already fixed the file count — don't let create_snapshot
+    # re-shuffle it round-robin (which would undo the clustering)
+    return snapshot_table.create_snapshot(clustered, root, n_files=None)
+
+
+def load_minhash_index(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The stored banded index as a DataFrame — feed straight to
+    ``incremental_minhash_dedup(..., seen_banded=...)`` or the streaming
+    probe. Never collected: index size scales with the corpus."""
+    return snapshot_table.read_snapshot(spark, root, version)

@@ -526,6 +526,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
     round_digits: int | None = 4,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the scale path beside
@@ -541,6 +542,12 @@ def ivf_topk(
     Scale shape: the corpus shuffles once on cell id (cells ≈ n/n_centroids
     rows); queries broadcast; cost is ~(n_probe/n_centroids) of a full scan.
     Recall vs :func:`brute_force_topk` is pinned in tests.
+
+    Pass ``centroids`` to probe against a pre-trained coarse quantizer
+    (train once with :func:`_train_centroids` or load a saved artifact via
+    :func:`load_centroids`) — the production shape, where the index
+    artifact outlives any one query job; train-once/query-many identity
+    with per-call training is pinned in tests.
     """
     # coarse quantizer only needs approximate centroids: train on a bounded
     # driver-side sample (faiss trains IVF quantizers the same way — the
@@ -548,7 +555,9 @@ def ivf_topk(
     # not coverage, is what the sample bounds). A 50k×dim float block is
     # ≤25 MB; seeded numpy Lloyd iterations beat a distributed k-means by
     # ~100× here because MLlib launches several jobs per iteration.
-    centroids = _train_centroids(corpus, vec_col, n_centroids, seed)
+    if centroids is None:
+        centroids = _train_centroids(corpus, vec_col, n_centroids, seed)
+    n_centroids = len(centroids)
 
     # centroid dot products via the Arrow-vectorized matmul UDF (array HOFs
     # are interpreted per element — see matrix_dots_udf); cell assignment

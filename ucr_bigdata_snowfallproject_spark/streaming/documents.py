@@ -108,6 +108,12 @@ def stream_merge_into_snapshot(
     stream's checkpoint replays the batch; re-merging the same rows is
     idempotent because MERGE is keyed).
 
+    Create the target with ``table.create_partitioned_snapshot`` for the
+    100 TB shape: each micro-batch then rewrites only the key-buckets it
+    touches (partition-level MERGE) instead of copy-on-writing the whole
+    table per batch — ``merge_upsert`` dispatches on the table's layout
+    automatically.
+
     Returns the started StreamingQuery (caller awaits/stops)."""
     from .. import table as snapshot_table
 

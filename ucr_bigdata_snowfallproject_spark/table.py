@@ -9,21 +9,37 @@ travel); a marker file ``<root>/_latest`` names the committed version, and
 is written only after the snapshot directory is complete — a reader
 following the marker can never observe a half-written snapshot.
 
-Scale notes: MERGE is one full-outer join keyed on the merge key (sort-
-merge at scale; the updates side is typically ≪ target and AQE broadcasts
-it), and the rewrite cost is one full-table pass — the same cost contract
-as Delta/Iceberg copy-on-write. Partition-level rewrite (only touched
-partitions) is the documented next tier: partition the snapshot dirs and
-join only affected partitions.
+Scale notes: MERGE on an unpartitioned table is one full-outer-shaped
+join keyed on the merge key (sort-merge at scale; the updates side is
+typically ≪ target and AQE broadcasts it), and the rewrite cost is one
+full-table pass — the same cost contract as Delta/Iceberg copy-on-write.
+
+The partition-level tier (:func:`create_partitioned_snapshot`) removes
+that full-pass cost: snapshot dirs are hash-bucketed on the merge key
+(``__pbucket=K`` subdirs, Delta/Iceberg-style layout), and
+:func:`merge_upsert` on such a table rewrites ONLY the buckets containing
+touched keys — every other bucket's files carry forward into the new
+version by hard link (byte-identical, no data movement; copy fallback for
+filesystems without links). Per-batch cost becomes
+O(touched_buckets/n_buckets · table) + O(updates) instead of O(table):
+the difference between an incrementally-maintained 100 TB corpus and one
+that's rewritten nightly. Reads prune to buckets via ordinary partition
+pruning on the ``__pbucket`` directory column.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: directory-partition column of the bucketed layout (internal — stripped
+#: by read_snapshot; never part of the logical schema)
+_PART_COL = "__pbucket"
 
 
 def snapshot_versions(root: str) -> list[int]:
@@ -49,25 +65,51 @@ def latest_version(root: str) -> int | None:
     return versions[-1] if versions else None
 
 
+def table_meta(root: str) -> dict | None:
+    """Bucketing metadata (``_table.json``: bucket_key, n_buckets) for
+    tables created by :func:`create_partitioned_snapshot`; None for plain
+    snapshot tables."""
+    p = os.path.join(root, "_table.json")
+    if os.path.isfile(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def _bucket_expr(key: str, n_buckets: int):
+    """Deterministic key→bucket assignment (Murmur3 ``F.hash``, pmod so
+    negatives fold into [0, n))."""
+    return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Read a table snapshot — latest committed by default, or any
-    historical ``version`` (time travel)."""
+    historical ``version`` (time travel). On bucketed tables the internal
+    ``__pbucket`` directory column is stripped, so both layouts read back
+    with the logical schema."""
     v = latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {root}")
-    return spark.read.parquet(os.path.join(root, f"v={v}"))
+    df = spark.read.parquet(os.path.join(root, f"v={v}"))
+    if _PART_COL in df.columns:
+        df = df.drop(_PART_COL)
+    return df
+
+
+def _write_marker(root: str, version: int) -> None:
+    tmp = os.path.join(root, "_latest.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(str(version))
+    os.replace(tmp, os.path.join(root, "_latest"))  # atomic marker flip
 
 
 def _commit(df: DataFrame, root: str, version: int, n_files: int | None) -> int:
     if n_files is not None:
         df = df.repartition(n_files)
     df.write.mode("errorifexists").parquet(os.path.join(root, f"v={version}"))
-    tmp = os.path.join(root, "_latest.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(str(version))
-    os.replace(tmp, os.path.join(root, "_latest"))  # atomic marker flip
+    _write_marker(root, version)
     return version
 
 
@@ -77,6 +119,64 @@ def create_snapshot(df: DataFrame, root: str, n_files: int | None = None) -> int
     versions = snapshot_versions(root)
     v = (versions[-1] + 1) if versions else 0
     return _commit(df, root, v, n_files)
+
+
+def create_partitioned_snapshot(
+    df: DataFrame, root: str, key: str, n_buckets: int = 16
+) -> int:
+    """Create a KEY-BUCKETED snapshot table: rows land in
+    ``v=N/__pbucket=hash(key) % n_buckets/`` dirs, and every later
+    :func:`merge_upsert` rewrites only the buckets whose keys changed —
+    the partition-level MERGE tier (see module docstring).
+
+    ``n_buckets`` sizes the rewrite granularity: each merge pays
+    O(touched_buckets · table/n_buckets). At 100 TB pick n_buckets so one
+    bucket is a few GB (thousands of buckets); updates drawn from across
+    the keyspace touch many buckets — that's still bounded by n_buckets
+    reads of table/n_buckets each, never more than one full pass, and
+    hot-key batches touch few."""
+    os.makedirs(root, exist_ok=True)
+    meta = {"bucket_key": key, "n_buckets": int(n_buckets)}
+    tmp = os.path.join(root, "_table.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(root, "_table.json"))
+    versions = snapshot_versions(root)
+    v = (versions[-1] + 1) if versions else 0
+    _write_partitioned(df, root, v, key, n_buckets)
+    _write_marker(root, v)
+    return v
+
+
+def _write_partitioned(
+    df: DataFrame, root: str, version: int, key: str, n_buckets: int
+) -> None:
+    """Write ``df`` under ``v=N/`` split into ``__pbucket=K`` dirs; one
+    shuffle keyed on the bucket id so each bucket lands as O(1) files."""
+    (
+        df.withColumn(_PART_COL, _bucket_expr(key, n_buckets))
+        .repartition(n_buckets, F.col(_PART_COL))
+        .write.mode("errorifexists")
+        .partitionBy(_PART_COL)
+        .parquet(os.path.join(root, f"v={version}"))
+    )
+
+
+def _link_tree(src: str, dst: str) -> None:
+    """Carry a bucket directory into the next version WITHOUT rewriting:
+    hard links (same inode → byte-identical, zero data movement), copy
+    fallback where the filesystem refuses links. On an object store this
+    step is the metadata-only manifest re-reference Iceberg/Delta do."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        if os.path.isdir(s):
+            _link_tree(s, d)
+        else:
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
 
 
 def merge_upsert(
@@ -98,12 +198,30 @@ def merge_upsert(
     WHEN MATCHED AND u.del THEN DELETE
     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED AND NOT u.del THEN
     INSERT *``. ``updates`` must carry the full target schema (plus the
-    optional flag); one row per key."""
+    optional flag); one row per key.
+
+    On a bucketed table (created via :func:`create_partitioned_snapshot`)
+    this dispatches to the partition-level rewrite: only buckets whose
+    keys appear in ``updates`` are re-merged; all other buckets hard-link
+    forward byte-identical."""
+    meta = table_meta(root)
+    if meta is not None:
+        if meta["bucket_key"] != key:
+            raise ValueError(
+                f"table bucketed on {meta['bucket_key']!r}, merge key {key!r}"
+            )
+        return _merge_upsert_partitioned(
+            spark, root, updates, key, meta["n_buckets"], delete_col
+        )
     target = read_snapshot(spark, root)
     data_cols = [c for c in target.columns]
     if delete_col is not None:
-        dels = updates.filter(F.col(delete_col)).select(key)
-        ups = updates.filter(~F.col(delete_col)).select(*data_cols)
+        # NULL flag means "update/insert" (MERGE's WHEN MATCHED AND u.del
+        # guard is simply not taken) — without the coalesce, both filters
+        # reject NULL and the row silently vanishes from the merge
+        flag = F.coalesce(F.col(delete_col), F.lit(False))
+        dels = updates.filter(flag).select(key)
+        ups = updates.filter(~flag).select(*data_cols)
     else:
         dels = None
         ups = updates.select(*data_cols)
@@ -115,13 +233,90 @@ def merge_upsert(
     return _commit(merged, root, v, n_files)
 
 
+def _merge_upsert_partitioned(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    n_buckets: int,
+    delete_col: str | None,
+) -> int:
+    """Partition-level MERGE: same row semantics as the COW path (pinned
+    identical in tests), different cost — O(touched buckets), not
+    O(table).
+
+    Steps: (1) the touched-bucket set comes from the update keys (every
+    update/insert/delete row's bucket is in it BY CONSTRUCTION — an
+    untouched bucket cannot contain an affected key, so skipping it is
+    exact, not approximate); the collect is ≤ n_buckets small ints.
+    (2) Only touched buckets are read — a partition-pruned scan on the
+    ``__pbucket`` directory column — and merged with the updates.
+    (3) The merged rows write into the new version dir (inserted keys
+    re-bucket with the same hash, so they land inside the touched set);
+    untouched bucket dirs hard-link forward. (4) Marker flip commits."""
+    cur_v = latest_version(root)
+    new_v = snapshot_versions(root)[-1] + 1
+    src = os.path.join(root, f"v={cur_v}")
+    dst = os.path.join(root, f"v={new_v}")
+
+    touched = sorted(
+        r[0]
+        for r in updates.select(
+            _bucket_expr(key, n_buckets).alias("__b")
+        )
+        .distinct()
+        .collect()
+    )
+    data_cols = [
+        c
+        for c in spark.read.parquet(src).columns
+        if c != _PART_COL
+    ]
+    if delete_col is not None:
+        flag = F.coalesce(F.col(delete_col), F.lit(False))
+        dels = updates.filter(flag).select(key)
+        ups = updates.filter(~flag).select(*data_cols)
+    else:
+        dels = None
+        ups = updates.select(*data_cols)
+
+    if touched:
+        target = (
+            spark.read.parquet(src)
+            .filter(F.col(_PART_COL).isin([int(b) for b in touched]))
+            .drop(_PART_COL)
+        )
+        kept = target.join(ups.select(key), key, "left_anti")
+        if dels is not None:
+            kept = kept.join(dels, key, "left_anti")
+        merged = kept.unionByName(ups)
+        _write_partitioned(merged, root, new_v, key, n_buckets)
+    else:
+        os.makedirs(dst, exist_ok=True)
+
+    touched_dirs = {f"{_PART_COL}={b}" for b in touched}
+    for name in os.listdir(src):
+        if name.startswith(f"{_PART_COL}=") and name not in touched_dirs:
+            _link_tree(os.path.join(src, name), os.path.join(dst, name))
+    _write_marker(root, new_v)
+    return new_v
+
+
 def compact_snapshot(
     spark: SparkSession, root: str, n_files: int = 8
 ) -> int:
     """Small-file compaction: rewrite the latest snapshot into ``n_files``
     right-sized files as a new version — same rows, fewer tasks and
     footers for every later scan (the maintenance pass that keeps a
-    frequently-upserted table scannable)."""
-    cur = read_snapshot(spark, root)
+    frequently-upserted table scannable). Bucketed tables re-cluster on
+    the bucket id, preserving the layout (n_files applies per shuffle, so
+    each bucket compacts to O(1) files)."""
+    meta = table_meta(root)
     v = snapshot_versions(root)[-1] + 1
+    if meta is not None:
+        cur = read_snapshot(spark, root)
+        _write_partitioned(cur, root, v, meta["bucket_key"], meta["n_buckets"])
+        _write_marker(root, v)
+        return v
+    cur = read_snapshot(spark, root)
     return _commit(cur, root, v, n_files)

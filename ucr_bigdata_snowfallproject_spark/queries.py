@@ -3768,6 +3768,88 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_replay_snapshot",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source FROM documents WHERE doc_id < 300
+    ), b1 AS (
+      SELECT doc_id, 'b1' AS lang, source FROM documents
+      WHERE doc_id >= 200 AND doc_id < 400
+    ), after1 AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM b1)
+    ), b2u AS (
+      SELECT doc_id, lang, 'b2' AS source FROM documents
+      WHERE (doc_id >= 100 AND doc_id < 120)
+         OR (doc_id >= 180 AND doc_id < 185)
+    ), after2 AS (
+      SELECT * FROM b2u
+      UNION ALL
+      SELECT * FROM after1 WHERE doc_id NOT IN (SELECT doc_id FROM b2u)
+    )
+    SELECT doc_id, lang, source FROM after2
+    WHERE NOT (doc_id < 100 AND doc_id % 7 = 0)
+    """,
+)
+def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC replay through the snapshot-table MERGE (table.merge_upsert via
+    the partition-level bucketed tier — the same apply function
+    streaming.documents.stream_merge_into_snapshot runs per micro-batch,
+    driven deterministically as a batch so DuckDB can oracle the MERGE
+    semantics; VERDICT r04 #6).
+
+    Replays: base load (doc_id < 300, bucketed on doc_id) → batch 1
+    upserts 200-399 with lang='b1' (updates 200-299, inserts 300-399) →
+    batch 2 deletes doc_id<100 ∧ doc_id%7=0, updates 100-119 and (with a
+    NULL delete flag — pinning NULL⇒update, the r4 advisory fix) 180-184
+    to source='b2'. Returns the final committed snapshot; the oracle
+    computes the same last-writer-wins state in pure SQL. Each batch
+    rewrites only touched key-buckets (untouched buckets hard-link
+    forward — the 100 TB per-batch cost shape)."""
+    import tempfile
+
+    from . import table as snapshot_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    root = tempfile.mkdtemp(prefix="snowfall-cdc-replay-") + "/docs"
+    snapshot_table.create_partitioned_snapshot(
+        d.filter(F.col("doc_id") < 300), root, "doc_id", n_buckets=8
+    )
+    b1 = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+        .withColumn("lang", F.lit("b1"))
+        .withColumn("del", F.lit(False))
+    )
+    snapshot_table.merge_upsert(spark, root, b1, "doc_id", delete_col="del")
+    dels = (
+        d.filter((F.col("doc_id") < 100) & (F.col("doc_id") % 7 == 0))
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit(None).cast("string").alias("source"),
+            F.lit(True).alias("del"),
+        )
+    )
+    ups = d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120)).select(
+        "doc_id", "lang", F.lit("b2").alias("source"), F.lit(False).alias("del")
+    )
+    null_flag = d.filter(
+        (F.col("doc_id") >= 180) & (F.col("doc_id") < 185)
+    ).select(
+        "doc_id",
+        "lang",
+        F.lit("b2").alias("source"),
+        F.lit(None).cast("boolean").alias("del"),
+    )
+    snapshot_table.merge_upsert(
+        spark, root, dels.unionByName(ups).unionByName(null_flag),
+        "doc_id", delete_col="del",
+    )
+    return snapshot_table.read_snapshot(spark, root)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on
@@ -3801,13 +3883,8 @@ _GATED_WINDOW = [
     "array_agg_priorities_per_segment",
     "unpivot_lineitem_measures",
     "q6_revenue_forecast",
-    "q14_promo_revenue",
     "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q22_idle_rich_customers",
     "q11_top_share_parts",
-    "q16_supplier_variety",
     "curation_pipeline_stats",
     "q4_priority_with_late_lines",
     "q8_market_share",
@@ -3824,6 +3901,26 @@ _GATED_WINDOW = [
     "curation_pack_sequences",
     "text_bigram_lm",
     "dedup_incremental_exact",
+    # --- round-5 rotation (VERDICT r04 #2/#6): one representative per
+    # never-driver-gated round-4 family, plus the new CDC replay. Rotated
+    # out to make room — each with its family still gated (full oracle
+    # coverage retained in the local pytest mirror; see COVERAGE.md):
+    # q14_promo_revenue + q19_disjunctive_predicates (filtered-agg /
+    #   pushdown: q6 + q1 stay), q17_small_quantity_revenue +
+    #   q22_idle_rich_customers (decorrelated scalar subquery + anti-join:
+    #   q11, q4, sql_scalar_subquery_above_avg stay),
+    # q16_supplier_variety (distinct-count agg: q13 + global_scalar stay),
+    # text_repetition_stats (text signals: text_stats_documents,
+    #   text_language_id, text_redact_pii stay),
+    # curation_hash_split (curation: decontaminate, token_budget_mix,
+    #   pipeline_stats, mixture_weights, pack_sequences stay). ---
+    "q9_product_type_profit",
+    "overlap_join_click_purchase_windows",
+    "dedup_cdc_chunks",
+    "winsorize_prices_by_segment",
+    "psi_drift_nchars",
+    "rolling_anomalies_events",
+    "cdc_replay_snapshot",
     # --- oracle-converted in round 3 (VERDICT r02 #5): the UDTF lateral
     # surface and THE reference end-to-end pipeline now earn hash-checked
     # driver rows; scalar_math_functions and q10_returned_items rotate to
@@ -3835,8 +3932,6 @@ _GATED_WINDOW = [
     "text_language_id",
     "dedup_embedding_cosine_blocked",
     "text_redact_pii",
-    "text_repetition_stats",
-    "curation_hash_split",
     "curation_decontaminate",
     "curation_token_budget_mix",
     # --- round-1 driver-green representatives (regression guard) ---

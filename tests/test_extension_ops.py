@@ -1413,3 +1413,77 @@ def test_dedup_pipeline_tiers_reliable_and_table(spark, tmp_path):
                 ).collect()
             }
             assert got == base_labels, (mode, alg)
+
+
+def test_ivf_indexed_probe_identity_and_partition_pruning(spark, tmp_path):
+    """Probe-only IVF over the persisted inverted file returns exactly
+    what the self-contained ivf_topk returns (same centroids), and the
+    probe's static __cell filter reaches the partitioned store as a
+    PartitionFilter — the scan reads probed cell dirs only."""
+    import os
+
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+    from ucr_bigdata_snowfallproject_spark.plans import checks
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cents, cells = sim_ops.build_ivf_index(e, n_centroids=16, seed=42)
+    root = str(tmp_path / "ivf_cells")
+    ix.save_ivf_cells(cells, root)
+    loaded = ix.load_ivf_cells(spark, root)
+    # layout IS the index: one dir per cell
+    vdir = os.path.join(root, "v=0")
+    assert sum(n.startswith("__cell=") for n in os.listdir(vdir)) > 1
+
+    base = sim_ops.ivf_topk(e, q, k=10, n_centroids=16, n_probe=4, seed=42).collect()
+    got = sim_ops.ivf_topk_indexed(loaded, q, cents, k=10, n_probe=4).collect()
+    key = lambda rows: {(r.q_id, r.vec_id, r.sim) for r in rows}  # noqa: E731
+    assert key(got) == key(base) and base
+
+    pruned = loaded.filter(F.col("__cell").isin([0, 3]))
+    txt = checks.explain_str(pruned, "formatted")
+    seg = txt.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "__cell" in seg[1][:200], txt[:500]
+
+
+def test_apply_bpe_invariants(spark):
+    """BPE encode: hand-computed merges apply in rank order (all
+    occurrences), concatenating a word's tokens reproduces the normalized
+    word, zero merges degrade to characters, and encoding a corpus with
+    its own learned merges is deterministic."""
+    from ucr_bigdata_snowfallproject_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "abab  cab"), (2, "AB ab"), (3, None)],
+        "doc_id long, text string",
+    )
+    # rank 0 merges first: a+b -> ab everywhere, then ab+ab -> abab
+    merges = [("a", "b", 9), ("ab", "ab", 5)]
+    got = {
+        r.doc_id: (list(r.bpe_tokens), r.n_bpe_tokens)
+        for r in text_ops.apply_bpe(df, "doc_id", "text", merges).collect()
+    }
+    assert got[1] == (["abab", "c", "ab"], 3)
+    assert got[2] == (["ab", "ab"], 2)       # lowercased before encoding
+    assert got[3] == ([], 0)                 # NULL text → empty encoding
+
+    chars = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in text_ops.apply_bpe(df, "doc_id", "text", []).collect()
+    }
+    assert chars[1] == list("ababcab")
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(100)
+    learned = text_ops.learn_bpe_merges(d, "text", n_merges=16)
+    a = {r.doc_id: list(r.bpe_tokens) for r in text_ops.apply_bpe(d, "doc_id", "text", learned).collect()}
+    b = {r.doc_id: list(r.bpe_tokens) for r in text_ops.apply_bpe(d, "doc_id", "text", learned).collect()}
+    assert a == b
+    # round-trip: joining tokens reproduces the normalized text's words
+    import re
+
+    for r in d.select("doc_id", "text").collect()[:25]:
+        words = [w for w in re.split(r"\s+", (r.text or "").strip().lower()) if w]
+        toks = a[r.doc_id]
+        assert "".join(toks) == "".join(words)

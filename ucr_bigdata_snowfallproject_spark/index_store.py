@@ -16,6 +16,9 @@ Formats (plain parquet, engine-portable):
 - centroids      → one row per centroid: ``(cid int, vec array<double>)``
 - PQ codebooks   → one row per (subspace, centroid):
   ``(subspace int, cid int, vec array<double>)``
+- IVF cells      → the inverted file partitioned by cell:
+  ``v=N/__cell=K/`` with rows ``(id, vec, __cn, __cell)`` — the layout
+  IS the index; probes prune to cell dirs (:func:`save_ivf_cells`)
 - MinHash index  → the banded frame as-is:
   ``(__id_s, __sig_s, __band, __bucket)`` — stored pre-banded so probes
   are pure equi-join lookups (``incremental_minhash_dedup(...,
@@ -86,6 +89,45 @@ def load_pq_codebooks(
             books.append([])
         books[r.subspace].append(list(r.vec))
     return books
+
+
+def save_ivf_cells(cells: DataFrame, root: str) -> int:
+    """Persist the IVF inverted file (``build_ivf_index`` cells frame)
+    PARTITIONED BY ``__cell``: one snapshot version whose directory layout
+    is the index structure — ``v=N/__cell=K/``. A probe's static
+    ``__cell IN (...)`` filter then prunes to the probed directories, so
+    query jobs read ~n_probe/n_centroids of the index and none of the
+    corpus (plan-asserted in tests). The repartition keys rows to their
+    cell so each cell lands as O(1) files."""
+    import os
+
+    os.makedirs(root, exist_ok=True)
+    versions = snapshot_table.snapshot_versions(root)
+    v = (versions[-1] + 1) if versions else 0
+    from pyspark.sql import functions as F
+
+    (
+        cells.repartition(F.col("__cell"))
+        .write.mode("errorifexists")
+        .partitionBy("__cell")
+        .parquet(os.path.join(root, f"v={v}"))
+    )
+    snapshot_table._write_marker(root, v)
+    return v
+
+
+def load_ivf_cells(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The stored inverted file as a DataFrame (``__cell`` recovered from
+    the directory layout) — feed to :func:`~.operators.similarity.
+    ivf_topk_indexed` together with the matching saved centroids."""
+    v = snapshot_table.latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    import os
+
+    return spark.read.parquet(os.path.join(root, f"v={v}"))
 
 
 def save_minhash_index(banded: DataFrame, root: str, n_files: int = 8) -> int:

@@ -599,6 +599,96 @@ def ivf_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF index as a FIRST-CLASS artifact: (centroids, cells).
+
+    ``cells`` is the nearest-centroid assignment of every corpus vector —
+    (id, vec, __cn norm, __cell) — the inverted file itself. Persist it
+    partitioned by ``__cell`` (``index_store.save_ivf_cells``) and
+    :func:`ivf_topk_indexed` probes it WITHOUT touching the corpus: the
+    one corpus-sized pass (assignment) happens at build time, once, and
+    every query job after that reads only the probed cell partitions.
+    This is the faiss build/search split re-expressed as parquet layout +
+    partition pruning."""
+    if centroids is None:
+        centroids = _train_centroids(corpus, vec_col, n_centroids, seed)
+    return centroids, _assign_cells(corpus, id_col, vec_col, centroids)
+
+
+def ivf_topk_indexed(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Probe-only IVF top-k over a prebuilt cell index
+    (:func:`build_ivf_index`, optionally persisted/reloaded through
+    ``index_store``). Identical results to :func:`ivf_topk` with the same
+    centroids (pinned in tests) — the difference is pure cost shape:
+
+    - no corpus scan, no assignment recompute — the index IS the data;
+    - the probed cell ids collect to the driver (n_queries × n_probe
+      small ints — queries are few by the same contract as
+      :func:`pq_topk`) and become a static ``__cell IN (...)`` filter, so
+      a ``__cell``-partitioned store serves the probe with partition
+      pruning: the scan reads ~n_probe/n_centroids of the index files,
+      nothing else. Plan-asserted in tests.
+    """
+    n_centroids = len(centroids)
+    dots_udf = matrix_dots_udf(centroids)
+    probes = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+        dots_udf(F.col(vec_col)).alias("__qd"),
+    ).select(
+        "__qid",
+        "__qvec",
+        "__qn",
+        F.explode(
+            F.slice(
+                F.transform(
+                    F.array_sort(_ranked_cells(n_centroids, centroids, F.col("__qd"))),
+                    lambda s: s.getField("cid"),
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("__cell"),
+    )
+    # tiny frame (n_queries × n_probe rows): materialize once so the
+    # probed-cell collect and the scoring join don't recompute it
+    from pyspark import StorageLevel
+
+    probes = probes.persist(StorageLevel.MEMORY_AND_DISK)
+    probed = sorted(r[0] for r in probes.select("__cell").distinct().collect())
+    pruned = cells.filter(F.col("__cell").isin(probed))
+    sim = dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = pruned.join(F.broadcast(probes), on="__cell").select(
+        F.col("__qid").alias(query_id_col), F.col(id_col), sim.alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def _train_pq(
     corpus: DataFrame,
     vec_col: str,

@@ -7,6 +7,7 @@ scan speed over 100 TB of documents — and stay DuckDB-oracle-expressible.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -328,6 +329,73 @@ def bigram_lm(
             ).alias("prob"),
         )
     )
+
+
+def apply_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str, int]],
+) -> DataFrame:
+    """Encode documents with a learned BPE merge list — the apply half of
+    :func:`learn_bpe_merges` (train once, encode the corpus: the
+    tokenizer-application workload every training-data pipeline runs).
+
+    Standard greedy decoding: per word (same whitespace+lowercase
+    normalization as training), start from characters and repeatedly
+    merge the LOWEST-RANK mergeable adjacent pair (all its occurrences)
+    until none applies — the HuggingFace/GPT-2 application order, so a
+    merge list learned anywhere encodes identically here.
+
+    Scale shape: the merge table rides the UDF closure (vocabulary-sized
+    by construction), encoding is one Arrow-batched scan-side pass — no
+    shuffle, no driver involvement beyond the closure. Output:
+    (id, bpe_tokens array<string>, n_bpe_tokens). Invariants pinned in
+    tests: concatenating a word's tokens reproduces the word; zero merges
+    → characters; encode is deterministic."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(l, r): i for i, (l, r, _c) in enumerate(merges)}
+
+    def encode_word(w: str) -> list[str]:
+        syms = list(w)
+        while len(syms) >= 2:
+            best_rank, best_pair = None, None
+            for a, b in zip(syms, syms[1:]):
+                rk = ranks.get((a, b))
+                if rk is not None and (best_rank is None or rk < best_rank):
+                    best_rank, best_pair = rk, (a, b)
+            if best_pair is None:
+                break
+            a, b = best_pair
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in re.split(r"\s+", ("" if t is None else t).strip().lower()):
+                if w:
+                    toks.extend(encode_word(w))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col),
+        enc(F.col(text_col)).alias("bpe_tokens"),
+    ).withColumn("n_bpe_tokens", F.size("bpe_tokens"))
 
 
 def length_band_filter(

@@ -3645,6 +3645,43 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_bpe_encode", None)  # iterative merge application — rows-only
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer application (operators.text.apply_bpe): learn 32
+    merges from the corpus (one distributed word-count pass), then encode
+    every document in one Arrow-batched scan-side pass — the merge table
+    rides the UDF closure, no shuffle. The train→apply split mirrors
+    production tokenizer pipelines; encode invariants (round-trip
+    concatenation, rank order, determinism) pinned in tests."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = text_ops.learn_bpe_merges(d, "text", n_merges=32)
+    out = text_ops.apply_bpe(d, "doc_id", "text", merges)
+    return out.select("doc_id", "n_bpe_tokens").orderBy("doc_id").limit(500)
+
+
+@register("similarity_ivf_indexed_topk", None)  # seeded quantizer — rows-only
+def similarity_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only ANN over a persisted IVF index (similarity.
+    build_ivf_index → index_store.save_ivf_cells → ivf_topk_indexed):
+    the corpus-sized assignment pass runs once at build; the query job
+    reads ONLY the probed cell partitions via a static partition-pruned
+    scan (~n_probe/n_centroids of the index, zero corpus touch).
+    Identity with the self-contained ivf_topk is pinned in tests."""
+    import tempfile
+
+    from . import index_store as ix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    cents, cells = sim_ops.build_ivf_index(e, n_centroids=16, seed=42)
+    root = tempfile.mkdtemp(prefix="snowfall-ivf-") + "/cells"
+    ix.save_ivf_cells(cells, root)
+    loaded = ix.load_ivf_cells(spark, root)
+    return sim_ops.ivf_topk_indexed(loaded, q, cents, k=10, n_probe=4)
+
+
 @register("curation_quality_classifier", None)  # MLlib LBFGS — rows-only
 def curation_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (ml.quality): train a seeded

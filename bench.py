@@ -81,6 +81,12 @@ HEADLINE = [
     "q9_product_type_profit",
     "overlap_join_click_purchase_windows",
     "dedup_cdc_chunks",
+    # round-5 additions: robust stats (double grouped-median pass),
+    # ordered funnel (chained shrinking grouped passes), deterministic
+    # stratified sampling (scan-speed hash filter)
+    "mad_outliers_orders_priority",
+    "funnel_events_conversion",
+    "curation_stratified_sample",
 ]
 
 

@@ -1487,3 +1487,63 @@ def test_apply_bpe_invariants(spark):
         words = [w for w in re.split(r"\s+", (r.text or "").strip().lower()) if w]
         toks = a[r.doc_id]
         assert "".join(toks) == "".join(words)
+
+
+def test_mad_outlier_stats_hand_case(spark):
+    """MAD robustness hand-case: med/MAD ignore the outlier they flag
+    (a z-score detector would have its mean/std dragged by the 100)."""
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates as agg_ops
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 100.0),
+         ("b", 5.0), ("b", 5.0), ("b", 5.0)],
+        "g string, v double",
+    )
+    got = {r.g: r for r in agg_ops.mad_outlier_stats(df, ["g"], "v", k=3.0).collect()}
+    assert got["a"].n == 5 and got["a"].med == 3.0 and got["a"].mad == 1.0
+    assert got["a"].n_outliers == 1          # only the 100
+    assert got["b"].mad == 0.0 and got["b"].n_outliers == 0  # zero spread
+
+
+def test_stratified_sample_nested_deterministic(spark):
+    """Hash-threshold stratified sampling: deterministic, default-rate 0
+    drops unlisted strata entirely, and raising a rate only ADDS rows
+    (samples at different rates nest — the ablation-study property)."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur_ops
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    lo = {r.doc_id for r in cur_ops.stratified_sample(
+        d, "lang", {"en": 0.2}, "doc_id").select("doc_id").collect()}
+    hi = {r.doc_id for r in cur_ops.stratified_sample(
+        d, "lang", {"en": 0.6}, "doc_id").select("doc_id").collect()}
+    again = {r.doc_id for r in cur_ops.stratified_sample(
+        d, "lang", {"en": 0.2}, "doc_id").select("doc_id").collect()}
+    assert lo == again and lo and lo < hi    # strict nesting on the fixture
+    langs = {r.lang for r in cur_ops.stratified_sample(
+        d, "lang", {"en": 0.5}, "doc_id").select("lang").distinct().collect()}
+    assert langs == {"en"}                   # default_rate=0 drops the rest
+    n_en = d.filter(F.col("lang") == "en").count()
+    assert abs(len(hi) / n_en - 0.6) < 0.15  # rate is approximately honored
+
+
+def test_funnel_counts_hand_case(spark):
+    """Funnel ordering semantics: a click BEFORE the user's first view
+    doesn't count; stages anchor at the earliest qualifying event; depth
+    counts are non-increasing."""
+    import datetime as dt
+
+    from ucr_bigdata_snowfallproject_spark.operators.windows import funnel_counts
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        (2, t(2), "view"), (2, t(1), "click"), (2, t(5), "purchase"),
+        (3, t(1), "click"), (3, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r.step: (r.step_idx, r.n_users)
+        for r in funnel_counts(df, "user_id", "ts", "event_type",
+                               ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"view": (0, 2), "click": (1, 1), "purchase": (2, 1)}

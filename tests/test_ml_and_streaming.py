@@ -470,3 +470,49 @@ def test_stream_merge_into_partitioned_snapshot(spark, tmp_path_factory):
     # the layout stayed bucketed through every micro-batch commit
     vdir = os.path.join(root, f"v={T.latest_version(root)}")
     assert any(n.startswith("__pbucket=") for n in os.listdir(vdir))
+
+
+def test_stream_ann_flags_match_batch_probe(spark, tmp_path_factory):
+    """Streaming ANN probe vs the static IVF inverted file: the stream
+    flags exactly the (vec, match) pairs the same probe computes in
+    batch, and a planted clone of an indexed vector is always flagged
+    (cosine 1.0 within its own cell)."""
+    from ucr_bigdata_snowfallproject_spark.operators.similarity import build_ivf_index
+    from ucr_bigdata_snowfallproject_spark.streaming.embeddings import (
+        read_embedding_stream,
+        stream_ann_near_dup_flags,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 400)
+    cents, cells = build_ivf_index(corpus, n_centroids=8, seed=42)
+    cells = cells.localCheckpoint(eager=True)  # static side, computed once
+
+    clones = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    new = (
+        e.filter(F.col("vec_id") >= 400)
+        .select("vec_id", "embedding")
+        .unionByName(clones)
+    )
+
+    want = {
+        (r.vec_id, r.matched_id, r.sim)
+        for r in stream_ann_near_dup_flags(
+            new, cells, cents, threshold=0.98
+        ).collect()
+    }
+    assert {m for _, m, _ in want if _ >= 10000} >= set()  # shape sanity
+    assert any(v >= 10000 and s == 1.0 for v, _m, s in want)  # clones hit
+
+    stream_dir = str(tmp_path_factory.mktemp("vec-stream"))
+    new.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_embedding_stream(spark, stream_dir, max_files_per_trigger=1)
+    flags = run_to_memory_sink(
+        stream_ann_near_dup_flags(stream, cells, cents, threshold=0.98),
+        "ann_flags",
+    ).toPandas()
+    got = {(r.vec_id, r.matched_id, r.sim) for r in flags.itertuples(index=False)}
+    assert got == want

@@ -306,3 +306,35 @@ def test_q21_semi_and_anti_joins(spark):
     df = q(spark, "q21_waiting_suppliers")
     text = checks.explain_str(df, "formatted")
     assert "LeftSemi" in text and "LeftAnti" in text
+
+
+def test_mad_outliers_scan_pruned_to_two_columns(spark):
+    """MAD summary: every orders scan reads only (priority, price) — the
+    stat passes must not widen the fact scan."""
+    df = q(spark, "mad_outliers_orders_priority")
+    scans = checks.read_schema_columns(df)
+    assert scans and all(
+        set(c) <= {"o_orderpriority", "o_totalprice"} for c in scans
+    ), scans
+
+
+def test_stratified_sample_scan_speed_no_shuffle(spark):
+    """Stratified sampling is pure scan-side work: zero exchanges, and
+    the documents scan never reads the text payload."""
+    df = q(spark, "curation_stratified_sample")
+    assert checks.shuffle_count(df) == 0
+    scans = checks.read_schema_columns(df)
+    assert all("text" not in c for c in scans), scans
+
+
+def test_funnel_scan_pruned_and_no_cartesian(spark):
+    """Funnel: events scans carry only (user_id, ts, event_type); the
+    per-stage anchor joins are keyed (no cartesian), and the shuffle
+    count stays bounded (per-stage groupBys + anchor joins)."""
+    df = q(spark, "funnel_events_conversion")
+    scans = checks.read_schema_columns(df)
+    assert scans and all(
+        set(c) <= {"user_id", "ts", "event_type"} for c in scans
+    ), scans
+    assert not checks.has_cartesian(df)
+    assert checks.shuffle_count(df) <= 12, checks.shuffle_count(df)

@@ -344,3 +344,44 @@ def winsorize(
         .withColumn(out_col, clipped)
         .drop(lo_name, hi_name)
     )
+
+
+def mad_outlier_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: str,
+    k: float = 3.0,
+    approx: bool = False,
+    round_digits: int = 2,
+) -> DataFrame:
+    """Per-group robust outlier summary via median absolute deviation —
+    the outlier detector that (unlike z-scores) isn't corrupted by the
+    outliers it is hunting: med = median(x), mad = median(|x − med|),
+    flag |x − med| > k·mad. Returns one row per group:
+    (keys..., n, med, mad, n_outliers).
+
+    Same exact/approx policy as :func:`group_quantiles`: exact
+    interpolated ``percentile`` (DuckDB-oracle-matched) at test scale,
+    mergeable ``percentile_approx`` sketch at 100 TB. Cost: two grouped
+    median passes (the second over deviations) and a counting pass; the
+    per-group stat frames are group-cardinality-sized and re-join by key
+    (AQE-broadcast), so the fact table shuffles on the group key only."""
+    pctl = "percentile_approx" if approx else "percentile"
+    med = df.groupBy(*keys).agg(
+        F.expr(f"{pctl}({measure}, 0.5)").alias("__med")
+    )
+    dev = df.join(med, list(keys))
+    mad = dev.groupBy(*keys).agg(
+        F.expr(f"{pctl}(abs({measure} - __med), 0.5)").alias("__mad")
+    )
+    flagged = dev.join(mad, list(keys))
+    return flagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("__med"), round_digits).alias("med"),
+        F.round(F.first("__mad"), round_digits).alias("mad"),
+        F.sum(
+            F.when(
+                F.abs(F.col(measure) - F.col("__med")) > k * F.col("__mad"), 1
+            ).otherwise(0)
+        ).alias("n_outliers"),
+    )

@@ -342,3 +342,33 @@ def pack_sequences(
         F.floor((F.col("__cum") - 1) / context_len).alias("seq_last"),
         (start % context_len).alias("offset_in_seq"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: str = "strat",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    ``portable_hash(id) < rate(stratum) · 2^32`` — the rebalancing
+    primitive for mixture curation (downsample the over-represented
+    language/source, keep the rare one whole) when the decision must be
+    REPRODUCIBLE: the md5 rule means any engine (DuckDB, Trino) recomputes
+    the identical sample, and a row's fate never depends on partitioning,
+    row order, or corpus size (unlike ``df.sample``). Strata missing from
+    ``rates`` get ``default_rate``.
+
+    Scan-speed: one hash + one CASE per row, no shuffle, fully
+    pushdown-friendly. Subset-stability for free: raising a stratum's
+    rate only ADDS rows (hash thresholds nest), so samples at different
+    rates are nested — the property curriculum/ablation studies need."""
+    u = portable_hash(id_col, seed).cast("double") / F.lit(float(2**32))
+    thresh = F.lit(float(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(float(rate))
+        ).otherwise(thresh)
+    return df.filter(u < thresh)

@@ -215,3 +215,57 @@ def rolling_anomalies(
             ),
         )
     )
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered funnel analysis: how many users performed ``steps[0]``,
+    then ``steps[1]`` STRICTLY AFTER their first ``steps[0]``, then
+    ``steps[2]`` strictly after that, ... (the product-analytics
+    conversion funnel; each stage anchors at the user's EARLIEST
+    qualifying event, the standard first-touch semantics). Returns one
+    row per step: (step_idx, step, n_users), n_users non-increasing.
+
+    Scale shape: one filtered groupBy per step over a progressively
+    shrinking user set — K partial-aggregable passes, each shuffling only
+    (user, ts) pairs for that step's events; the per-user anchor frames
+    join key-to-key (user) so AQE reuses/broadcasts the small survivor
+    side. No giant per-user event-list window, no sequence UDF."""
+    out_frames = []
+    anchor = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("__t"))
+    )
+    out_frames.append(
+        anchor.agg(
+            F.lit(0).alias("step_idx"),
+            F.lit(steps[0]).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = (
+            df.filter(F.col(type_col) == step)
+            .join(anchor, user_col)
+            .filter(F.col(ts_col) > F.col("__t"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("__t"))
+        )
+        out_frames.append(
+            nxt.agg(
+                F.lit(i).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        anchor = nxt
+    res = out_frames[0]
+    for f in out_frames[1:]:
+        res = res.unionByName(f)
+    return res

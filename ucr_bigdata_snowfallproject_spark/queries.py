@@ -3806,6 +3806,104 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mad_outliers_orders_priority",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS priority,
+             quantile_cont(o_totalprice, 0.5) AS m
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderpriority AS priority, o.o_totalprice AS v, med.m
+      FROM orders o JOIN med ON o.o_orderpriority = med.priority
+    ), mad AS (
+      SELECT priority, quantile_cont(abs(v - m), 0.5) AS d
+      FROM dev GROUP BY priority
+    )
+    SELECT dev.priority,
+           COUNT(*)                  AS n,
+           ROUND(ANY_VALUE(dev.m), 2) AS med,
+           ROUND(ANY_VALUE(mad.d), 2) AS mad,
+           CAST(SUM(CASE WHEN abs(dev.v - dev.m) > 3.0 * mad.d
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON dev.priority = mad.priority
+    GROUP BY dev.priority
+    """,
+)
+def mad_outliers_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier summary via median absolute deviation
+    (operators.aggregates.mad_outlier_stats): per order priority,
+    med/MAD of the order total and the count of |x−med| > 3·MAD rows —
+    the outlier detector the outliers themselves can't corrupt. Exact
+    interpolated percentile here (quantile_cont-matched); the mergeable
+    sketch is the documented 100 TB switch. Group-keyed shuffles only;
+    stat frames re-join AQE-broadcast."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+    )
+    return aggregates.mad_outlier_stats(o, ["priority"], "price", k=3.0)
+
+
+@register(
+    "curation_stratified_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'), 1, 8))::BIGINT
+               AS DOUBLE) / 4294967296.0
+          < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 1.0
+                      WHEN 'zh' THEN 0.5 ELSE 0.1 END
+    """,
+)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (operators.curation.
+    stratified_sample): downsample over-represented languages, keep rare
+    ones whole — with md5-threshold decisions any engine reproduces (the
+    oracle recomputes the identical sample) and nested samples across
+    rates. Pure column expression, scan-speed, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    out = curation_ops.stratified_sample(
+        d, "lang", {"en": 0.25, "de": 1.0, "zh": 0.5}, "doc_id",
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "funnel_events_conversion",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+    )
+    SELECT 0 AS step_idx, 'view' AS step,
+           (SELECT COUNT(*) FROM s0) AS n_users
+    UNION ALL
+    SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+    UNION ALL
+    SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+    """,
+)
+def funnel_events_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (operators.windows.funnel_counts):
+    users reaching view → click-after-view → purchase-after-click, each
+    stage anchored at the user's earliest qualifying event (first-touch).
+    K filtered grouped passes over a shrinking user set — no per-user
+    event-list window, no sequence UDF."""
+    e = load_table(spark, sf_dir, "events")
+    return windows.funnel_counts(
+        e, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@register(
     "cdc_replay_snapshot",
     """
     WITH base AS (

@@ -516,3 +516,38 @@ def test_stream_ann_flags_match_batch_probe(spark, tmp_path_factory):
     ).toPandas()
     got = {(r.vec_id, r.matched_id, r.sim) for r in flags.itertuples(index=False)}
     assert got == want
+
+
+def test_stateless_curation_ops_streaming_safe(spark, tmp_path_factory):
+    """Stateless curation/text operators (stratified sampling, PII
+    redaction) apply to a document STREAM unchanged — pure column
+    expressions need no watermark/state, so the batch function IS the
+    streaming function; the micro-batched result equals the batch run."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur_ops
+    from ucr_bigdata_snowfallproject_spark.operators import text as text_ops
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    stream_dir = str(tmp_path_factory.mktemp("docs-stateless-stream"))
+    d.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+
+    def xform(df):
+        sampled = cur_ops.stratified_sample(
+            df, "lang", {"en": 0.5, "de": 1.0}, "doc_id"
+        )
+        return sampled.select(
+            "doc_id", "lang", text_ops.fingerprint(F.col("text")).alias("fp")
+        )
+
+    got = {
+        (r.doc_id, r.lang, r.fp)
+        for r in run_to_memory_sink(xform(stream), "stateless_cur")
+        .toPandas()
+        .itertuples(index=False)
+    }
+    want = {(r.doc_id, r.lang, r.fp) for r in xform(d).collect()}
+    assert got == want and got

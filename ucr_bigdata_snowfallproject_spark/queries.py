@@ -34,6 +34,21 @@ from .operators import text as text_ops
 REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Process-scoped scratch directory for queries that exercise table/
+    index artifacts (snapshot MERGE replay, persisted IVF cells): unique
+    per call so repeated runs never collide, removed at interpreter exit
+    so bench/driver loops don't accrete /tmp state. NOT removed earlier —
+    the returned DataFrame's scan reads these files lazily."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def register(name: str, oracle: str | None):
     def deco(fn):
         REGISTRY[name] = (fn, oracle)
@@ -3667,8 +3682,6 @@ def similarity_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads ONLY the probed cell partitions via a static partition-pruned
     scan (~n_probe/n_centroids of the index, zero corpus touch).
     Identity with the self-contained ivf_topk is pinned in tests."""
-    import tempfile
-
     from . import index_store as ix
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -3676,7 +3689,7 @@ def similarity_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), "embedding"
     )
     cents, cells = sim_ops.build_ivf_index(e, n_centroids=16, seed=42)
-    root = tempfile.mkdtemp(prefix="snowfall-ivf-") + "/cells"
+    root = _scratch_dir("snowfall-ivf-") + "/cells"
     ix.save_ivf_cells(cells, root)
     loaded = ix.load_ivf_cells(spark, root)
     return sim_ops.ivf_topk_indexed(loaded, q, cents, k=10, n_probe=4)
@@ -3943,12 +3956,10 @@ def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same last-writer-wins state in pure SQL. Each batch
     rewrites only touched key-buckets (untouched buckets hard-link
     forward — the 100 TB per-batch cost shape)."""
-    import tempfile
-
     from . import table as snapshot_table
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    root = tempfile.mkdtemp(prefix="snowfall-cdc-replay-") + "/docs"
+    root = _scratch_dir("snowfall-cdc-replay-") + "/docs"
     snapshot_table.create_partitioned_snapshot(
         d.filter(F.col("doc_id") < 300), root, "doc_id", n_buckets=8
     )

@@ -551,3 +551,57 @@ def test_stateless_curation_ops_streaming_safe(spark, tmp_path_factory):
     }
     want = {(r.doc_id, r.lang, r.fp) for r in xform(d).collect()}
     assert got == want and got
+
+
+def test_stream_incremental_totals_exactly_once(spark, tmp_path_factory):
+    """Streaming materialized rollup: the converged totals table equals
+    the one-shot batch aggregate bit-for-bit (integer-cent sums are
+    associative), and replaying the same stream against the table is a
+    no-op — committed batch ids are skipped, so the non-idempotent
+    additive merge still applies exactly once."""
+    from ucr_bigdata_snowfallproject_spark import table as T
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        read_event_stream,
+        stream_incremental_event_totals,
+    )
+
+    e = load_table(spark, SF_SMOKE, "events")
+    stream_dir = str(tmp_path_factory.mktemp("events-incr-stream"))
+    e.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    def empty_delta():
+        return e.limit(0).groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sum_cents"),
+        )
+
+    root = str(tmp_path_factory.mktemp("incr-table") / "totals")
+    T.create_partitioned_snapshot(empty_delta(), root, "user_id", n_buckets=8)
+
+    q = stream_incremental_event_totals(
+        read_event_stream(spark, stream_dir, max_files_per_trigger=1), root
+    )
+    q.awaitTermination()
+    got = {r.user_id: (r.n_events, r.sum_cents)
+           for r in T.read_snapshot(spark, root).collect()}
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in e.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("s"),
+        ).collect()
+    }
+    assert got == want and got
+    v_after = T.latest_version(root)
+
+    # replay the same data with a fresh checkpoint: batch ids restart at
+    # 0 ≤ committed id → every batch skips, table unchanged
+    q2 = stream_incremental_event_totals(
+        read_event_stream(spark, stream_dir, max_files_per_trigger=1), root,
+        query_name="incr_totals_replay",
+    )
+    q2.awaitTermination()
+    assert T.latest_version(root) == v_after
+    got2 = {r.user_id: (r.n_events, r.sum_cents)
+            for r in T.read_snapshot(spark, root).collect()}
+    assert got2 == want

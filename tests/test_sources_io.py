@@ -274,3 +274,25 @@ def test_partitioned_merge_links_untouched_buckets(spark, tmp_path):
         n.startswith("__pbucket=") for n in os.listdir(os.path.join(root, f"v={v2}"))
     )
     assert {r.doc_id: r.lang for r in T.read_snapshot(spark, root).collect()} == cur
+
+
+def test_merge_additive_agg_hand_case(spark, tmp_path):
+    """Additive rollup merge: matched keys add, new keys insert from an
+    implicit zero, the commit note stamps atomically with the version."""
+    from ucr_bigdata_snowfallproject_spark import table as T
+
+    root = str(tmp_path / "totals")
+    base = spark.createDataFrame(
+        [("a", 2, 10), ("c", 1, 4)], "k string, n long, s long"
+    )
+    T.create_partitioned_snapshot(base, root, "k", n_buckets=4)
+    delta = spark.createDataFrame(
+        [("a", 1, 5), ("b", 3, 7)], "k string, n long, s long"
+    )
+    v = T.merge_additive_agg(
+        spark, root, delta, "k", ["n", "s"], commit_note="batch-7"
+    )
+    got = {r.k: (r.n, r.s) for r in T.read_snapshot(spark, root).collect()}
+    assert got == {"a": (3, 15), "b": (3, 7), "c": (1, 4)}
+    assert T.version_note(root) == "batch-7" and T.version_note(root, v) == "batch-7"
+    assert T.version_note(root, 0) is None

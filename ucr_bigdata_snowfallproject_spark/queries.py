@@ -3917,6 +3917,52 @@ def funnel_events_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_agg_replay",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def incremental_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (table.merge_additive_agg — the
+    batch face of streaming.events.stream_incremental_event_totals):
+    per-user event totals built INCREMENTALLY from three deterministic
+    batches merged into a bucketed snapshot table, compared against the
+    plain one-shot GROUP BY oracle. Integer-cent sums are exactly
+    associative, so incremental == recompute bit-for-bit no matter how
+    history was batched; each merge rewrites only the key-buckets the
+    batch touches."""
+    from . import table as snapshot_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def delta(b: DataFrame) -> DataFrame:
+        return b.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_cents"
+            ),
+        )
+
+    root = _scratch_dir("snowfall-incr-") + "/totals"
+    snapshot_table.create_partitioned_snapshot(
+        delta(e.filter(F.col("event_id") % 3 == 0)), root, "user_id",
+        n_buckets=8,
+    )
+    for i in (1, 2):
+        snapshot_table.merge_additive_agg(
+            spark, root, delta(e.filter(F.col("event_id") % 3 == i)),
+            "user_id", ["n_events", "sum_cents"],
+        )
+    return snapshot_table.read_snapshot(spark, root)
+
+
+@register(
     "cdc_replay_snapshot",
     """
     WITH base AS (

@@ -303,3 +303,53 @@ def stream_stream_attribution(
         F.col("o_ts").alias("outcome_ts"),
         "outcome_value",
     )
+
+
+def stream_incremental_event_totals(
+    event_stream: DataFrame,
+    root: str,
+    query_name: str = "incr_totals",
+):
+    """Streaming materialized rollup: maintain a per-user totals snapshot
+    table — (user_id, n_events, sum_cents) — incrementally via
+    ``table.merge_additive_agg`` in ``foreachBatch``. The 100 TB shape
+    for "keep this aggregate fresh": each micro-batch shuffles only its
+    own rows (one partial agg) and merges O(batch keys) into the table —
+    on a bucketed snapshot, only touched key-buckets rewrite.
+
+    EXACTLY-ONCE, not just at-least-once: additive merges are NOT
+    idempotent, so each commit stamps its batch id as the version's
+    commit note (atomic with the ``_latest`` flip). On checkpoint replay
+    the applier sees the already-committed id and skips — a crash between
+    data write and marker flip leaves the note uncommitted, so the replay
+    correctly re-applies. Sums are integer cents (``round(value*100)``):
+    exactly associative, so the converged table is bit-identical to a
+    full recompute regardless of batching (pinned in tests).
+
+    Returns the started StreamingQuery (caller awaits/stops)."""
+    from .. import table as snapshot_table
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        note = snapshot_table.version_note(root)
+        applied = int(note) if note is not None else -1
+        if batch_id <= applied:
+            return  # checkpoint replay of a committed batch
+        delta = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("sum_cents"),
+        )
+        snapshot_table.merge_additive_agg(
+            batch_df.sparkSession, root, delta, "user_id",
+            ["n_events", "sum_cents"], commit_note=str(batch_id),
+        )
+
+    return (
+        event_stream.writeStream.foreachBatch(apply_batch)
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )

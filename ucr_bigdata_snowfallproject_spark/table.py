@@ -33,6 +33,7 @@ import json
 import os
 import re
 import shutil
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -98,6 +99,29 @@ def read_snapshot(
     return df
 
 
+def _write_note(root: str, version: int, note: str) -> None:
+    """Stamp a commit note (e.g. an applied streaming batch id) INTO the
+    version dir BEFORE the ``_latest`` flip — the note and the data commit
+    atomically together, which is what makes foreachBatch appliers
+    exactly-once (a crash between write and flip leaves the note with the
+    uncommitted version, never with the committed one)."""
+    with open(os.path.join(root, f"v={version}", "_note"), "w") as fh:
+        fh.write(note)
+
+
+def version_note(root: str, version: int | None = None) -> str | None:
+    """The commit note of ``version`` (default: latest committed), or
+    None if that version carries none."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        return None
+    p = os.path.join(root, f"v={v}", "_note")
+    if os.path.isfile(p):
+        with open(p) as fh:
+            return fh.read()
+    return None
+
+
 def _write_marker(root: str, version: int) -> None:
     tmp = os.path.join(root, "_latest.tmp")
     with open(tmp, "w") as fh:
@@ -105,10 +129,18 @@ def _write_marker(root: str, version: int) -> None:
     os.replace(tmp, os.path.join(root, "_latest"))  # atomic marker flip
 
 
-def _commit(df: DataFrame, root: str, version: int, n_files: int | None) -> int:
+def _commit(
+    df: DataFrame,
+    root: str,
+    version: int,
+    n_files: int | None,
+    note: str | None = None,
+) -> int:
     if n_files is not None:
         df = df.repartition(n_files)
     df.write.mode("errorifexists").parquet(os.path.join(root, f"v={version}"))
+    if note is not None:
+        _write_note(root, version, note)
     _write_marker(root, version)
     return version
 
@@ -186,6 +218,7 @@ def merge_upsert(
     key: str,
     delete_col: str | None = None,
     n_files: int | None = None,
+    commit_note: str | None = None,
 ) -> int:
     """MERGE INTO, copy-on-write: rows in ``updates`` replace same-key
     target rows (when matched → update), new keys insert (when not matched
@@ -211,10 +244,18 @@ def merge_upsert(
                 f"table bucketed on {meta['bucket_key']!r}, merge key {key!r}"
             )
         return _merge_upsert_partitioned(
-            spark, root, updates, key, meta["n_buckets"], delete_col
+            spark, root, updates, key, meta["n_buckets"], delete_col,
+            commit_note,
         )
-    target = read_snapshot(spark, root)
-    data_cols = [c for c in target.columns]
+    try:
+        target = read_snapshot(spark, root)
+    except Exception:
+        target = None  # bootstrap-empty version: no files to infer from
+    data_cols = [
+        c
+        for c in (target.columns if target is not None else updates.columns)
+        if c != delete_col
+    ]
     if delete_col is not None:
         # NULL flag means "update/insert" (MERGE's WHEN MATCHED AND u.del
         # guard is simply not taken) — without the coalesce, both filters
@@ -225,12 +266,15 @@ def merge_upsert(
     else:
         dels = None
         ups = updates.select(*data_cols)
-    kept = target.join(ups.select(key), key, "left_anti")
-    if dels is not None:
-        kept = kept.join(dels, key, "left_anti")
-    merged = kept.unionByName(ups)
+    if target is not None:
+        kept = target.join(ups.select(key), key, "left_anti")
+        if dels is not None:
+            kept = kept.join(dels, key, "left_anti")
+        merged = kept.unionByName(ups)
+    else:
+        merged = ups  # empty target: pure insert
     v = snapshot_versions(root)[-1] + 1
-    return _commit(merged, root, v, n_files)
+    return _commit(merged, root, v, n_files, note=commit_note)
 
 
 def _merge_upsert_partitioned(
@@ -240,6 +284,7 @@ def _merge_upsert_partitioned(
     key: str,
     n_buckets: int,
     delete_col: str | None,
+    commit_note: str | None = None,
 ) -> int:
     """Partition-level MERGE: same row semantics as the COW path (pinned
     identical in tests), different cost — O(touched buckets), not
@@ -267,10 +312,17 @@ def _merge_upsert_partitioned(
         .distinct()
         .collect()
     )
+    # an all-rows-deleted (or bootstrap-empty) version has no parquet
+    # files to infer from — fall back to the updates' schema and merge
+    # against an empty target
+    try:
+        src_df = spark.read.parquet(src)
+    except Exception:
+        src_df = None
     data_cols = [
         c
-        for c in spark.read.parquet(src).columns
-        if c != _PART_COL
+        for c in (src_df.columns if src_df is not None else updates.columns)
+        if c != _PART_COL and c != delete_col
     ]
     if delete_col is not None:
         flag = F.coalesce(F.col(delete_col), F.lit(False))
@@ -281,15 +333,16 @@ def _merge_upsert_partitioned(
         ups = updates.select(*data_cols)
 
     if touched:
-        target = (
-            spark.read.parquet(src)
-            .filter(F.col(_PART_COL).isin([int(b) for b in touched]))
-            .drop(_PART_COL)
-        )
-        kept = target.join(ups.select(key), key, "left_anti")
-        if dels is not None:
-            kept = kept.join(dels, key, "left_anti")
-        merged = kept.unionByName(ups)
+        if src_df is not None and _PART_COL in src_df.columns:
+            target = src_df.filter(
+                F.col(_PART_COL).isin([int(b) for b in touched])
+            ).drop(_PART_COL)
+            kept = target.join(ups.select(key), key, "left_anti")
+            if dels is not None:
+                kept = kept.join(dels, key, "left_anti")
+            merged = kept.unionByName(ups)
+        else:
+            merged = ups  # empty target: pure insert
         _write_partitioned(merged, root, new_v, key, n_buckets)
     else:
         os.makedirs(dst, exist_ok=True)
@@ -298,6 +351,8 @@ def _merge_upsert_partitioned(
     for name in os.listdir(src):
         if name.startswith(f"{_PART_COL}=") and name not in touched_dirs:
             _link_tree(os.path.join(src, name), os.path.join(dst, name))
+    if commit_note is not None:
+        _write_note(root, new_v, commit_note)
     _write_marker(root, new_v)
     return new_v
 
@@ -320,3 +375,45 @@ def compact_snapshot(
         return v
     cur = read_snapshot(spark, root)
     return _commit(cur, root, v, n_files)
+
+
+def merge_additive_agg(
+    spark: SparkSession,
+    root: str,
+    delta: DataFrame,
+    key: str,
+    add_cols: Sequence[str],
+    commit_note: str | None = None,
+) -> int:
+    """Incrementally maintain a grouped-aggregate snapshot table (the
+    materialized-rollup pattern): ``delta`` carries one row per key with
+    ADDITIVE partial aggregates — counts, integer-scaled sums, any
+    exactly-associative column — and merges into the current snapshot by
+    key-wise addition (new keys insert with an implicit current of 0).
+
+    The additive contract is what makes incremental == full-recompute
+    BIT-exact (pinned against a plain groupBy oracle in tests): integer
+    addition is associative, so the result is independent of how history
+    was batched — unlike double sums, whose accumulation order drifts.
+    Scale your doubles to integers (cents, micros) before deltaing.
+
+    Commits through :func:`merge_upsert`, so on a bucketed table only
+    the key-buckets present in the delta rewrite — maintaining a 100 TB
+    rollup costs O(batch keys), not O(table), per batch. Pass
+    ``commit_note`` (e.g. a streaming batch id) to stamp the commit for
+    exactly-once appliers (see :func:`version_note`)."""
+    try:
+        cur = read_snapshot(spark, root)
+    except Exception:
+        cur = None  # bootstrap-empty snapshot: no files to read yet
+    if cur is None:
+        combined = delta.select(key, *add_cols)
+    else:
+        combined = delta.alias("d").join(cur.alias("c"), key, "left").select(
+            F.col(f"d.{key}").alias(key),
+            *[
+                (F.coalesce(F.col(f"c.{c}"), F.lit(0)) + F.col(f"d.{c}")).alias(c)
+                for c in add_cols
+            ],
+        )
+    return merge_upsert(spark, root, combined, key, commit_note=commit_note)

@@ -245,3 +245,100 @@ def test_cdc_chunks_matches_reference(spark, texts):
                 hashlib.md5(" ".join(ws).encode()).hexdigest(),
             )
     assert got == want
+
+
+funnel_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),          # user
+        st.integers(min_value=0, max_value=1000),       # offset seconds
+        st.sampled_from(["a", "b", "c", "x"]),          # event type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=funnel_strategy)
+@settings(**_SETTINGS)
+def test_funnel_counts_matches_reference(spark, rows):
+    """funnel_counts vs a driver-side reference: per user, greedily chase
+    the earliest step-k event strictly after the step-(k-1) anchor."""
+    from ucr_bigdata_snowfallproject_spark.operators.windows import funnel_counts
+
+    uniq = sorted({(u, s, t) for u, s, t in rows})
+    data = [(u, T0 + datetime.timedelta(seconds=s), t) for u, s, t in uniq]
+    df = spark.createDataFrame(data, "user_id long, ts timestamp, event_type string")
+    steps = ["a", "b", "c"]
+
+    def ref_depth(user_events):
+        depth, anchor = 0, None
+        for step in steps:
+            cands = [ts for ts, t in user_events
+                     if t == step and (anchor is None or ts > anchor)]
+            if not cands:
+                break
+            anchor = min(cands)
+            depth += 1
+        return depth
+
+    by_user: dict = {}
+    for u, ts, t in data:
+        by_user.setdefault(u, []).append((ts, t))
+    want = {
+        i: sum(1 for ev in by_user.values() if ref_depth(ev) > i)
+        for i in range(len(steps))
+    }
+    got = {
+        r.step_idx: r.n_users
+        for r in funnel_counts(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert got == want
+    # depth counts never increase
+    assert got[0] >= got[1] >= got[2]
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),      # key
+            st.integers(min_value=-500, max_value=500), # cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    split=st.integers(min_value=2, max_value=4),
+)
+@settings(**_SETTINGS)
+def test_additive_merge_batching_invariance(spark, tmp_path_factory, vals, split):
+    """merge_additive_agg: ANY batching of history converges to the
+    one-shot aggregate exactly — integer addition is associative, so the
+    rollup table is independent of how batches were cut."""
+    from pyspark.sql import functions as F
+
+    from ucr_bigdata_snowfallproject_spark import table as T
+
+    rows = [(i, k, c) for i, (k, c) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, k long, cents long")
+    want = {
+        (r.k, r.n, r.s)
+        for r in df.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        ).collect()
+    }
+
+    root = str(tmp_path_factory.mktemp("rollup") / "t")
+    batches = [df.filter(F.col("i") % split == j) for j in range(split)]
+
+    def delta(b):
+        return b.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+        )
+
+    T.create_partitioned_snapshot(delta(batches[0]), root, "k", n_buckets=4)
+    for b in batches[1:]:
+        d = delta(b)
+        if d.isEmpty():
+            continue
+        T.merge_additive_agg(spark, root, d, "k", ["n", "s"])
+    got = {(r.k, r.n, r.s) for r in T.read_snapshot(spark, root).collect()}
+    assert got == want

@@ -296,3 +296,34 @@ def test_merge_additive_agg_hand_case(spark, tmp_path):
     assert got == {"a": (3, 15), "b": (3, 7), "c": (1, 4)}
     assert T.version_note(root) == "batch-7" and T.version_note(root, v) == "batch-7"
     assert T.version_note(root, 0) is None
+
+
+def test_vacuum_keeps_latest_readable_via_hard_links(spark, tmp_path):
+    """VACUUM: old versions delete, yet the kept version stays fully
+    readable — its carried-forward files are hard links, so the inodes
+    survive removal of the directories that first wrote them."""
+    import pytest
+
+    from ucr_bigdata_snowfallproject_spark import table as T
+
+    base = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "source"
+    ).filter(F.col("doc_id") < 200)
+    root = str(tmp_path / "bucketed")
+    T.create_partitioned_snapshot(base, root, "doc_id", n_buckets=8)
+    for i, (k, lang) in enumerate([(7, "xx"), (15, "yy")]):
+        ups = spark.createDataFrame(
+            [(k, lang, "s", False)],
+            "doc_id long, lang string, source string, del boolean",
+        )
+        T.merge_upsert(spark, root, ups, "doc_id", delete_col="del")
+    want = {(r.doc_id, r.lang) for r in T.read_snapshot(spark, root).collect()}
+
+    removed = T.vacuum_snapshots(root, keep_last=1)
+    assert removed == [0, 1] and T.latest_version(root) == 2
+    got = {(r.doc_id, r.lang) for r in T.read_snapshot(spark, root).collect()}
+    assert got == want  # every hard-linked file still alive
+    with pytest.raises(Exception):
+        T.read_snapshot(spark, root, version=0).collect()
+    with pytest.raises(ValueError):
+        T.vacuum_snapshots(root, keep_last=0)

@@ -417,3 +417,31 @@ def merge_additive_agg(
             ],
         )
     return merge_upsert(spark, root, combined, key, commit_note=commit_note)
+
+
+def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
+    """Retention: delete all version directories except the newest
+    ``keep_last`` (and always the committed latest) — the VACUUM half of
+    the snapshot lifecycle, without which an actively-merged table
+    accretes versions forever.
+
+    Safe BY CONSTRUCTION on bucketed tables: carried-forward files are
+    hard links, so a file shared into a kept version survives deletion of
+    the old directory (the inode lives until its last link goes) — the
+    filesystem does the reference counting a manifest-based format does
+    in metadata. Time travel to a vacuumed version subsequently raises;
+    that's the retention trade every table format makes. Returns the
+    removed version numbers."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = snapshot_versions(root)
+    latest = latest_version(root)
+    keep = set(versions[-keep_last:])
+    if latest is not None:
+        keep.add(latest)
+    removed = []
+    for v in versions:
+        if v not in keep:
+            shutil.rmtree(os.path.join(root, f"v={v}"))
+            removed.append(v)
+    return removed

@@ -1547,3 +1547,30 @@ def test_funnel_counts_hand_case(spark):
                                ["view", "click", "purchase"]).collect()
     }
     assert got == {"view": (0, 2), "click": (1, 1), "purchase": (2, 1)}
+
+
+def test_chunk_documents_overlap_semantics(spark):
+    """Chunk windows step by chunk−overlap: consecutive chunks share
+    exactly `overlap` tokens, every token appears in some chunk, the last
+    chunk may be short, and empty docs produce no chunks."""
+    from ucr_bigdata_snowfallproject_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {}
+    rows = text_ops.chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=2)
+    for r in rows.collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.n_tokens, r.chunk_text))
+    # doc 1: 10 tokens, step 6 → chunks [t0..t7], [t6..t9]
+    assert sorted(got[1]) == [
+        (0, 8, " ".join(f"t{i}" for i in range(8))),
+        (1, 4, "t6 t7 t8 t9"),
+    ]
+    assert got[2] == [(0, 2, "a b")]      # short doc → one short chunk
+    assert 3 not in got                    # whitespace-only → no chunks
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        text_ops.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)

@@ -327,3 +327,111 @@ def test_vacuum_keeps_latest_readable_via_hard_links(spark, tmp_path):
         T.read_snapshot(spark, root, version=0).collect()
     with pytest.raises(ValueError):
         T.vacuum_snapshots(root, keep_last=0)
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink (built-in since Spark 4): orders round-trip through
+    XML with values intact; an explicit schema skips inference."""
+    from ucr_bigdata_snowfallproject_spark.io import read_xml, write_xml
+
+    out = str(tmp_path / "orders_xml")
+    o = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(200)
+    write_xml(o, out, row_tag="order", root_tag="orders")
+    back = read_xml(spark, out, row_tag="order", schema=o.schema)
+    a = {(r.o_orderkey, r.o_orderstatus, float(r.o_totalprice)) for r in o.collect()}
+    b = {(r.o_orderkey, r.o_orderstatus, float(r.o_totalprice)) for r in back.collect()}
+    assert a == b
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: an updates frame carrying a NEW column grows
+    the table additively — existing rows read NULL for it (including
+    rows in untouched hard-linked buckets, via mergeSchema), inserted/
+    updated rows carry values, old versions time-travel unevolved."""
+    from ucr_bigdata_snowfallproject_spark import table as T
+
+    base = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang"
+    ).filter(F.col("doc_id") < 100)
+    for layout, root in (("cow", str(tmp_path / "cow")),
+                         ("bucketed", str(tmp_path / "bucketed"))):
+        if layout == "cow":
+            T.create_snapshot(base, root)
+        else:
+            T.create_partitioned_snapshot(base, root, "doc_id", n_buckets=8)
+        ups = spark.createDataFrame(
+            [(1, "xx", 0.9), (99990, "en", 0.5)],
+            "doc_id long, lang string, quality double",
+        )
+        T.merge_upsert(spark, root, ups, "doc_id", evolve_schema=True)
+        cur = T.read_snapshot(spark, root)
+        assert "quality" in cur.columns, layout
+        got = {r.doc_id: (r.lang, r.quality) for r in cur.collect()}
+        assert got[1] == ("xx", 0.9) and got[99990] == ("en", 0.5), layout
+        # untouched rows: NULL for the new column
+        others = [v for k, v in got.items() if k not in (1, 99990)]
+        assert others and all(q is None for _l, q in others), layout
+        # old version unevolved
+        assert "quality" not in T.read_snapshot(spark, root, version=0).columns
+        # without the flag, unknown updates columns are ignored
+        ups2 = spark.createDataFrame(
+            [(2, "yy", 1.0, "junk")],
+            "doc_id long, lang string, quality double, extra string",
+        )
+        T.merge_upsert(spark, root, ups2, "doc_id")
+        assert "extra" not in T.read_snapshot(spark, root).columns, layout
+
+
+def test_merge_sketch_combine_batching_invariant(spark, tmp_path):
+    """merge_additive_agg with an HLL-union combine: the incrementally
+    maintained sketch estimates EXACTLY match the one-shot sketch
+    (register merge is associative+commutative), and track true distinct
+    counts; counts and sketches co-maintain in one table."""
+    from ucr_bigdata_snowfallproject_spark import table as T
+
+    e = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    oneshot = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+        ).collect()
+    }
+    truth = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+
+    def delta(b):
+        return b.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.hll_sketch_agg("user_id").alias("users_hll"),
+        )
+
+    comb = {
+        "users_hll": lambda c, d: F.when(c.isNull(), d).otherwise(F.hll_union(c, d))
+    }
+    root = str(tmp_path / "hll")
+    T.create_partitioned_snapshot(
+        delta(e.filter(F.col("event_id") % 4 == 0)), root, "event_type", n_buckets=4
+    )
+    for i in (1, 2, 3):
+        T.merge_additive_agg(
+            spark, root, delta(e.filter(F.col("event_id") % 4 == i)),
+            "event_type", ["n_events", "users_hll"], combine=comb,
+        )
+    cur = T.read_snapshot(spark, root).select(
+        "event_type", "n_events",
+        F.hll_sketch_estimate("users_hll").alias("n"),
+    )
+    got = {r.event_type: (r.n_events, r.n) for r in cur.collect()}
+    n_total = e.count()
+    assert sum(v[0] for v in got.values()) == n_total  # counts still add
+    for t, (_n, est) in got.items():
+        assert est == oneshot[t], t                     # batching-invariant
+        assert abs(est - truth[t]) <= max(2, 0.1 * truth[t]), t

@@ -285,3 +285,38 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML source (built-in since Spark 4 — the spark-xml package folded
+    into core): one row per ``row_tag`` element. Same explicit-schema
+    discipline as every other source here; without one the reader infers
+    by scanning, the 100 TB antipattern."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    """XML sink — distributed, one file per partition like every Spark
+    sink (interchange format for systems that still speak XML; parquet
+    remains the engine canon)."""
+    (
+        df.write.format("xml")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+        .mode(mode)
+        .save(path)
+    )

@@ -510,3 +510,52 @@ def learn_bpe_merges(
                     i += 1
             vocab[w] = out
     return merges
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token-window document chunking with overlap — the RAG /
+    embedding-prep primitive: every document splits into windows of
+    ``chunk_tokens`` whitespace tokens, consecutive windows sharing
+    ``overlap`` tokens so no sentence is orphaned at a boundary. Output:
+    (id, chunk_id, n_tokens, chunk_text), chunk_ids 0-based per doc.
+
+    Pure column expressions — tokenization, the window index sequence,
+    per-window slice+join — so chunking runs at scan speed with no
+    shuffle and no Python (and stays DuckDB-oracle-expressible; contrast
+    :func:`~.dedup.cdc_chunks`, which cuts content-defined boundaries for
+    dedup rather than fixed windows for retrieval). Windows step by
+    ``chunk_tokens − overlap``; the final window may be short; empty/
+    whitespace-only documents produce no chunks."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(tokens(text_col), lambda t: t != "")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(F.ceil(F.greatest(n - F.lit(overlap), F.lit(1)) / F.lit(step)))
+    pieces = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            F.size(F.slice(toks, i * step + 1, chunk_tokens)).alias("n_tokens"),
+            F.array_join(F.slice(toks, i * step + 1, chunk_tokens), " ").alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        df.filter(n > 0)
+        .select(F.col(id_col), F.posexplode(pieces).alias("chunk_id", "__c"))
+        .select(
+            id_col,
+            "chunk_id",
+            F.col("__c.n_tokens").alias("n_tokens"),
+            F.col("__c.chunk_text").alias("chunk_text"),
+        )
+    )

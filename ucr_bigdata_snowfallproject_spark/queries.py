@@ -3917,6 +3917,42 @@ def funnel_events_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_chunk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), idx AS (
+      SELECT doc_id, t, CAST(i AS INTEGER) AS chunk_id
+      FROM sized,
+           UNNEST(generate_series(
+             0, CAST(CEIL(GREATEST(n - 8, 1) / 24.0) AS BIGINT) - 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(t[(chunk_id*24+1):(chunk_id*24+32)]) AS INTEGER)
+             AS n_tokens,
+           array_to_string(t[(chunk_id*24+1):(chunk_id*24+32)], ' ')
+             AS chunk_text
+    FROM idx
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window RAG chunking (operators.text.chunk_documents):
+    32-token windows stepping by 24 (8-token overlap so boundaries don't
+    orphan context) — the retrieval/embedding prep stage. Pure column
+    expressions: tokenize, window-index sequence, per-window slice+join —
+    scan speed, zero shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(
+        d, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+
+
+@register(
     "incremental_agg_replay",
     """
     SELECT user_id,
@@ -3960,6 +3996,49 @@ def incremental_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id", ["n_events", "sum_cents"],
         )
     return snapshot_table.read_snapshot(spark, root)
+
+
+@register("incremental_hll_distinct_replay", None)  # sketch ≠ SQL-exact
+def incremental_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DISTINCT maintenance via mergeable HLL sketches
+    (table.merge_additive_agg with an hll_union combine): per event type,
+    the approximate distinct-user count maintained across three batches
+    equals the one-shot sketch exactly — HLL register-merge is
+    associative and commutative, so the estimate is independent of
+    batching (pinned in tests). The pattern that keeps a 'unique users
+    per X' dashboard fresh at 100 TB without ever re-reading history:
+    each batch contributes one vocabulary-sized sketch row per key."""
+    from . import table as snapshot_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+
+    def delta(b: DataFrame) -> DataFrame:
+        return b.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("users_hll")
+        )
+
+    comb = {
+        "users_hll": lambda c, d: F.when(c.isNull(), d).otherwise(
+            F.hll_union(c, d)
+        )
+    }
+    root = _scratch_dir("snowfall-hll-") + "/distinct"
+    snapshot_table.create_partitioned_snapshot(
+        delta(e.filter(F.col("event_id") % 3 == 0)), root, "event_type",
+        n_buckets=4,
+    )
+    for i in (1, 2):
+        snapshot_table.merge_additive_agg(
+            spark, root, delta(e.filter(F.col("event_id") % 3 == i)),
+            "event_type", ["users_hll"], combine=comb,
+        )
+    out = snapshot_table.read_snapshot(spark, root)
+    return out.select(
+        "event_type",
+        F.hll_sketch_estimate("users_hll").alias("approx_users"),
+    )
 
 
 @register(

@@ -93,7 +93,13 @@ def read_snapshot(
     v = latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {root}")
-    df = spark.read.parquet(os.path.join(root, f"v={v}"))
+    # mergeSchema: after an evolve_schema merge on a bucketed table, the
+    # untouched (hard-linked) buckets still carry the pre-evolution file
+    # schema — without the union the reader could sample an old footer
+    # and silently drop the new column. Footer-read cost only.
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, f"v={v}")
+    )
     if _PART_COL in df.columns:
         df = df.drop(_PART_COL)
     return df
@@ -219,6 +225,7 @@ def merge_upsert(
     delete_col: str | None = None,
     n_files: int | None = None,
     commit_note: str | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """MERGE INTO, copy-on-write: rows in ``updates`` replace same-key
     target rows (when matched → update), new keys insert (when not matched
@@ -236,7 +243,18 @@ def merge_upsert(
     On a bucketed table (created via :func:`create_partitioned_snapshot`)
     this dispatches to the partition-level rewrite: only buckets whose
     keys appear in ``updates`` are re-merged; all other buckets hard-link
-    forward byte-identical."""
+    forward byte-identical.
+
+    ``evolve_schema=True`` enables additive schema evolution (the Delta
+    ``mergeSchema`` behavior): columns present in ``updates`` but not in
+    the target are added to the table — existing rows carry NULL — so an
+    upstream producer can grow the schema without a backfill rewrite.
+    Columns can only be added, never dropped or retyped; without the flag
+    an updates frame with unknown columns simply has them ignored (the
+    target schema wins). Note: on a bucketed table only touched buckets
+    rewrite with the new column; untouched buckets keep their old files
+    (parquet schema-merges NULL for the missing column on read — the same
+    per-file heterogeneity every evolving lakehouse table has)."""
     meta = table_meta(root)
     if meta is not None:
         if meta["bucket_key"] != key:
@@ -245,12 +263,14 @@ def merge_upsert(
             )
         return _merge_upsert_partitioned(
             spark, root, updates, key, meta["n_buckets"], delete_col,
-            commit_note,
+            commit_note, evolve_schema,
         )
     try:
         target = read_snapshot(spark, root)
     except Exception:
         target = None  # bootstrap-empty version: no files to infer from
+    if evolve_schema and target is not None:
+        target = _evolve(target, updates, delete_col)
     data_cols = [
         c
         for c in (target.columns if target is not None else updates.columns)
@@ -277,6 +297,18 @@ def merge_upsert(
     return _commit(merged, root, v, n_files, note=commit_note)
 
 
+def _evolve(
+    target: DataFrame, updates: DataFrame, delete_col: str | None
+) -> DataFrame:
+    """Additive schema evolution: append updates-only columns to the
+    target as typed NULLs (never drops or retypes existing columns)."""
+    have = set(target.columns)
+    for f in updates.schema.fields:
+        if f.name not in have and f.name != delete_col:
+            target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return target
+
+
 def _merge_upsert_partitioned(
     spark: SparkSession,
     root: str,
@@ -285,6 +317,7 @@ def _merge_upsert_partitioned(
     n_buckets: int,
     delete_col: str | None,
     commit_note: str | None = None,
+    evolve_schema: bool = False,
 ) -> int:
     """Partition-level MERGE: same row semantics as the COW path (pinned
     identical in tests), different cost — O(touched buckets), not
@@ -319,6 +352,8 @@ def _merge_upsert_partitioned(
         src_df = spark.read.parquet(src)
     except Exception:
         src_df = None
+    if evolve_schema and src_df is not None:
+        src_df = _evolve(src_df, updates, delete_col)
     data_cols = [
         c
         for c in (src_df.columns if src_df is not None else updates.columns)
@@ -384,12 +419,21 @@ def merge_additive_agg(
     key: str,
     add_cols: Sequence[str],
     commit_note: str | None = None,
+    combine: dict | None = None,
 ) -> int:
     """Incrementally maintain a grouped-aggregate snapshot table (the
     materialized-rollup pattern): ``delta`` carries one row per key with
     ADDITIVE partial aggregates — counts, integer-scaled sums, any
     exactly-associative column — and merges into the current snapshot by
     key-wise addition (new keys insert with an implicit current of 0).
+
+    ``combine`` overrides the merge per column: a map of column name →
+    ``fn(current, delta) -> Column``, where ``current`` is NULL for new
+    keys. Any mergeable partial state works through this — HLL sketches
+    (``F.hll_union``) for incremental distinct counts, min/max via
+    ``least``/``greatest``, mergeable quantile sketches — as long as the
+    combine is associative+commutative so the result stays independent of
+    batching (the invariance tests cover the sketch path too).
 
     The additive contract is what makes incremental == full-recompute
     BIT-exact (pinned against a plain groupBy oracle in tests): integer
@@ -409,10 +453,14 @@ def merge_additive_agg(
     if cur is None:
         combined = delta.select(key, *add_cols)
     else:
+        def _default(c, d):
+            return F.coalesce(c, F.lit(0)) + d
+
+        fns = combine or {}
         combined = delta.alias("d").join(cur.alias("c"), key, "left").select(
             F.col(f"d.{key}").alias(key),
             *[
-                (F.coalesce(F.col(f"c.{c}"), F.lit(0)) + F.col(f"d.{c}")).alias(c)
+                fns.get(c, _default)(F.col(f"c.{c}"), F.col(f"d.{c}")).alias(c)
                 for c in add_cols
             ],
         )

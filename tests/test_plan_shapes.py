@@ -338,3 +338,25 @@ def test_funnel_scan_pruned_and_no_cartesian(spark):
     ), scans
     assert not checks.has_cartesian(df)
     assert checks.shuffle_count(df) <= 12, checks.shuffle_count(df)
+
+
+def test_chunk_documents_scan_speed(spark):
+    """RAG chunking is one scan-speed pass: documents scan reads only
+    (doc_id, text), zero exchanges before any consumer's own."""
+    df = q(spark, "text_chunk_documents")
+    assert checks.shuffle_count(df) == 0
+    scans = checks.read_schema_columns(df)
+    assert scans and all(set(c) <= {"doc_id", "text"} for c in scans), scans
+
+
+def test_rag_prep_pipeline_single_pass(spark):
+    """The composed sample→redact→chunk→fingerprint pipeline stays a
+    single scan-speed pass: zero shuffles, pruned scan, lang filter
+    pushed to parquet."""
+    df = q(spark, "rag_prep_pipeline")
+    assert checks.shuffle_count(df) == 0
+    assert any("lang" in p for p in checks.pushed_filters(df))
+    scans = checks.read_schema_columns(df)
+    assert scans and all(
+        set(c) <= {"doc_id", "text", "lang"} for c in scans
+    ), scans

@@ -3998,6 +3998,67 @@ def incremental_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_table.read_snapshot(spark, root)
 
 
+@register(
+    "rag_prep_pipeline",
+    r"""
+    WITH sampled AS (
+      SELECT doc_id, text FROM documents
+      WHERE lang = 'en'
+        AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#strat'),
+                                 1, 8))::BIGINT AS DOUBLE) / 4294967296.0
+            < 0.5
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+?[0-9]([()\-.]? ?[()\-.]?[0-9]){7,}', '<PHONE>', 'g') AS text
+      FROM sampled
+    ), toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS t
+      FROM red
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+    ), idx AS (
+      SELECT doc_id, t, CAST(i AS INTEGER) AS chunk_id
+      FROM sized,
+           UNNEST(generate_series(
+             0, CAST(CEIL(GREATEST(n - 8, 1) / 24.0) AS BIGINT) - 1)) AS u(i)
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(t[(chunk_id*24+1):(chunk_id*24+32)]) AS INTEGER)
+             AS n_tokens,
+           md5(array_to_string(t[(chunk_id*24+1):(chunk_id*24+32)], ' '))
+             AS chunk_fp
+    FROM idx
+    """,
+)
+def rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG ingestion prep composing the round-5 curation
+    surface: deterministic stratified sample (en @ 0.5, md5-threshold) →
+    PII redaction (regexp chain) → 32-token/8-overlap chunking →
+    per-chunk md5 fingerprint (the downstream dedup/caching key). Every
+    stage is a pure column expression, so the whole pipeline is ONE
+    scan-speed pass with a single explode and zero shuffles — and the
+    DuckDB twin reproduces it end-to-end, stage for stage."""
+    d = load_table(spark, sf_dir, "documents")
+    sampled = curation_ops.stratified_sample(
+        d.filter(F.col("lang") == "en"), "lang", {"en": 0.5}, "doc_id"
+    )
+    red = sampled.select(
+        "doc_id", text_ops.redact_pii("text").alias("text")
+    )
+    chunks = text_ops.chunk_documents(
+        red, "doc_id", "text", chunk_tokens=32, overlap=8
+    )
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens",
+        F.md5("chunk_text").alias("chunk_fp"),
+    )
+
+
 @register("incremental_hll_distinct_replay", None)  # sketch ≠ SQL-exact
 def incremental_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DISTINCT maintenance via mergeable HLL sketches

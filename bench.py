@@ -87,6 +87,8 @@ HEADLINE = [
     "mad_outliers_orders_priority",
     "funnel_events_conversion",
     "curation_stratified_sample",
+    "text_chunk_documents",
+    "rag_prep_pipeline",
 ]
 
 

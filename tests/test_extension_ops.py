@@ -1574,3 +1574,38 @@ def test_chunk_documents_overlap_semantics(spark):
 
     with pytest.raises(ValueError, match="overlap"):
         text_ops.chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=4)
+
+
+def test_shard_assignments_stability_and_balance(spark):
+    """Sharding: deterministic across runs; appending new rows never
+    reorders existing examples within a shard (hash order is per-row);
+    shards are roughly balanced; (shard, pos) is a dense unique layout."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur_ops
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    half = d.filter(F.col("doc_id") < 250)
+
+    def layout(df):
+        return {
+            r.doc_id: (r.shard, r.pos)
+            for r in cur_ops.shard_assignments(df, "doc_id", n_shards=8).collect()
+        }
+
+    a, b = layout(d), layout(d)
+    assert a == b and len(a) == d.count()
+    # dense unique positions per shard
+    by_shard: dict = {}
+    for s, p in a.values():
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # rough balance: no shard more than 2.5x the mean
+    mean = len(a) / 8
+    assert all(len(ps) < 2.5 * mean for ps in by_shard.values())
+    # append-stability: relative order of the old rows is unchanged
+    small = layout(half)
+    for s in range(8):
+        old_order = [k for k, (sh, p) in sorted(small.items(), key=lambda kv: kv[1][1]) if sh == s]
+        new_order = [k for k, (sh, p) in sorted(a.items(), key=lambda kv: kv[1][1])
+                     if sh == s and k in small]
+        assert old_order == new_order, s

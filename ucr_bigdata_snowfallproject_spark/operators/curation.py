@@ -372,3 +372,30 @@ def stratified_sample(
             F.col(strata_col) == stratum, F.lit(float(rate))
         ).otherwise(thresh)
     return df.filter(u < thresh)
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int = 16,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global pseudo-shuffle + sharding — the export layout
+    step before training: every example gets a ``shard`` and a position
+    ``pos`` within it, jointly equivalent to a seeded global shuffle
+    (hash order is uncorrelated with any data order), but WITHOUT a
+    global sort: shard = md5-hash % n_shards (uniform), and pos orders by
+    the hash within each shard. Same ``portable_hash`` rule as
+    :func:`hash_split`, so any engine reproduces the exact layout and a
+    re-run after appending data leaves existing (shard, hash-order)
+    stable.
+
+    Scale shape: ONE shuffle keyed on shard + a per-shard sort — exactly
+    the write-side work a sharded-file exporter does anyway. Size
+    ``n_shards`` to the output file target (thousands at 100 TB) so a
+    shard sorts within one task; a global ORDER BY rand() would be a
+    full range-partitioned sort AND unreproducible."""
+    h = portable_hash(id_col, seed)
+    out = df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+    w = Window.partitionBy("shard").orderBy(h.asc(), F.col(id_col).asc())
+    return out.withColumn("pos", F.row_number().over(w))

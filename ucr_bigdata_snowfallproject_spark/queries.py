@@ -4059,6 +4059,35 @@ def rag_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_shard_assignments",
+    """
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS INTEGER) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(h % 8 AS INTEGER) AS shard, h
+      FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#shuffle'),
+                               1, 8))::BIGINT AS h
+        FROM documents
+      )
+    )
+    """,
+)
+def curation_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-shuffle + sharding (operators.curation.
+    shard_assignments): shard = md5-hash % 8, position = hash order
+    within the shard — jointly a seeded global shuffle for training-data
+    export, reproduced exactly by the oracle's identical md5 rule. One
+    shard-keyed shuffle + per-shard sort; no global ORDER BY rand()."""
+    d = load_table(spark, sf_dir, "documents")
+    out = curation_ops.shard_assignments(d, "doc_id", n_shards=8)
+    return out.select("doc_id", "shard", "pos")
+
+
 @register("incremental_hll_distinct_replay", None)  # sketch ≠ SQL-exact
 def incremental_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DISTINCT maintenance via mergeable HLL sketches

@@ -1609,3 +1609,33 @@ def test_shard_assignments_stability_and_balance(spark):
         new_order = [k for k, (sh, p) in sorted(a.items(), key=lambda kv: kv[1][1])
                      if sh == s and k in small]
         assert old_order == new_order, s
+
+
+def test_expectations_nulls_fail_and_quarantine_reasons(spark):
+    """Quality gates: NULL conditions violate (never slip through),
+    enforce keeps only all-pass rows, quarantine carries the sorted list
+    of violated expectation names, and the split partitions the input."""
+    from ucr_bigdata_snowfallproject_spark.operators import expectations as ex
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, None, "X"), (4, 7.0, None)],
+        "id long, price double, status string",
+    )
+    exps = {
+        "pos_price": F.col("price") > 0,
+        "known_status": F.col("status").isin("O", "F"),
+    }
+    rep = {r.expectation: (r.n_rows, r.n_fail)
+           for r in ex.expectation_report(df, exps).collect()}
+    assert rep == {"pos_price": (4, 2), "known_status": (4, 2)}
+
+    kept = {r.id for r in ex.enforce_expectations(df, exps).collect()}
+    assert kept == {1}
+    passed, bad = ex.quarantine_split(df, exps)
+    assert {r.id for r in passed.collect()} == {1}
+    reasons = {r.id: list(r.failed) for r in bad.collect()}
+    assert reasons == {
+        2: ["pos_price"],
+        3: ["known_status", "pos_price"],
+        4: ["known_status"],
+    }

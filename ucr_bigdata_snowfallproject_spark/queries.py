@@ -4088,6 +4088,52 @@ def curation_shard_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "shard", "pos")
 
 
+@register(
+    "quality_gate_orders",
+    """
+    WITH r AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                      THEN 0 ELSE 1 END) AS positive_price,
+             SUM(CASE WHEN COALESCE(o_orderdate IS NOT NULL, FALSE)
+                      THEN 0 ELSE 1 END) AS has_date,
+             SUM(CASE WHEN COALESCE(o_orderstatus IN ('O','F','P'), FALSE)
+                      THEN 0 ELSE 1 END) AS known_status,
+             SUM(CASE WHEN COALESCE(o_custkey >= 0, FALSE)
+                      THEN 0 ELSE 1 END) AS valid_custkey
+      FROM orders
+    )
+    SELECT e.expectation, CAST(r.n_rows AS BIGINT) AS n_rows,
+           CAST(CASE e.expectation
+                WHEN 'positive_price' THEN r.positive_price
+                WHEN 'has_date' THEN r.has_date
+                WHEN 'known_status' THEN r.known_status
+                ELSE r.valid_custkey END AS BIGINT) AS n_fail
+    FROM r, (VALUES ('positive_price'), ('has_date'),
+                    ('known_status'), ('valid_custkey')) AS e(expectation)
+    """,
+)
+def quality_gate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level data-quality gates (operators.expectations): named
+    boolean expectations over the orders ingest — the expect/report/
+    enforce layer a pipeline runs before data enters a curated table.
+    NULL counts as a violation (the rows gates exist to catch). The
+    report is ONE partial-aggregable job over one scan no matter how many
+    expectations are declared."""
+    from .operators import expectations as exp_ops
+
+    o = load_table(spark, sf_dir, "orders")
+    return exp_ops.expectation_report(
+        o,
+        {
+            "positive_price": F.col("o_totalprice") > 0,
+            "has_date": F.col("o_orderdate").isNotNull(),
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "valid_custkey": F.col("o_custkey") >= 0,
+        },
+    )
+
+
 @register("incremental_hll_distinct_replay", None)  # sketch ≠ SQL-exact
 def incremental_hll_distinct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental DISTINCT maintenance via mergeable HLL sketches

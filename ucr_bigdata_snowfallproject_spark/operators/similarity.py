@@ -324,6 +324,7 @@ def embedding_near_dup_blocked(
     planes: int = 4,
     tables: int = 48,
     round_digits: int = 4,
+    persist_sigs: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs with an LSH blocker — the 100 TB
     path :func:`embedding_near_dup` promises.
@@ -353,6 +354,14 @@ def embedding_near_dup_blocked(
         l2_norm(F.col(vec_col)).alias("__n"),
         buckets_udf(F.col(vec_col)).alias("__buckets"),
     )
+    if persist_sigs:
+        # three consumers (bucket explode + both vector re-joins) would
+        # each re-scan the corpus and re-run the interpreted l2_norm fold;
+        # one materialization pays the scan once (same policy as
+        # tfidf_top_terms' persist_tf — the 100 TB path AND the bench win)
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     exp = sigs.select("__id", F.posexplode("__buckets").alias("__table", "__bucket"))
     cand = (
         exp.alias("a")

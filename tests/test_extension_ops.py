@@ -1639,3 +1639,22 @@ def test_expectations_nulls_fail_and_quarantine_reasons(spark):
         3: ["known_status", "pos_price"],
         4: ["known_status"],
     }
+
+
+def test_dsir_scores_prefer_target_domain(spark):
+    """DSIR sanity: scoring the corpus against an English-target
+    distribution must rank in-domain (en) documents above the rest on
+    average — the signal the importance-resampling step selects on."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    scored = curation.dsir_scores(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text"
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    rows = scored.groupBy(F.col("lang") == "en").agg(
+        F.avg("dsir_score").alias("m")
+    ).collect()
+    means = {r[0]: r.m for r in rows}
+    assert means[True] > means[False]
+    # every scored doc carries a feature count and a finite score
+    assert scored.filter(F.col("n_feats") <= 0).count() == 0

@@ -342,3 +342,47 @@ def test_additive_merge_batching_invariance(spark, tmp_path_factory, vals, split
         T.merge_additive_agg(spark, root, d, "k", ["n", "s"])
     got = {(r.k, r.n, r.s) for r in T.read_snapshot(spark, root).collect()}
     assert got == want
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),     # group
+            st.integers(min_value=0, max_value=100),   # x
+            st.integers(min_value=-50, max_value=50),  # y
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_group_ols_matches_numpy(spark, pts):
+    """Closed-form per-group OLS == numpy.polyfit for arbitrary integer
+    point sets (degenerate single-distinct-x groups yield NULL slope)."""
+    import math
+
+    import numpy as np
+
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pts, "g int, x long, y long")
+    got = {
+        r.g: (r.slope, r.intercept, r.r2)
+        for r in aggregates.group_ols(df, ["g"], F.col("x"), F.col("y")).collect()
+    }
+    for g in {p[0] for p in pts}:
+        xs = np.array([p[1] for p in pts if p[0] == g], dtype="float64")
+        ys = np.array([p[2] for p in pts if p[0] == g], dtype="float64")
+        slope, intercept, r2 = got[g]
+        if len(set(xs)) < 2:
+            assert slope is None and intercept is None and r2 is None
+            continue
+        m, b = np.polyfit(xs, ys, 1)
+        assert math.isclose(slope, m, rel_tol=0, abs_tol=5e-6), (g, slope, m)
+        assert math.isclose(intercept, b, rel_tol=1e-6, abs_tol=5e-6)
+        if len(set(ys.tolist())) < 2:
+            assert r2 is None
+        else:
+            expected_r2 = float(np.corrcoef(xs, ys)[0, 1] ** 2)
+            assert math.isclose(r2, expected_r2, rel_tol=0, abs_tol=5e-6)

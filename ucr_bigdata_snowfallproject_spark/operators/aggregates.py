@@ -385,3 +385,66 @@ def mad_outlier_stats(
             ).otherwise(0)
         ).alias("n_outliers"),
     )
+
+
+def group_ols(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y: Column,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (y ~ x) in closed form from the
+    five classical sufficient statistics — the scan-speed way to answer
+    "what's the trend per group" without MLlib:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy − slope·Σx) / n
+        r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))
+
+    Returns (keys..., n, slope, intercept, r2). Groups with a single
+    distinct x (denominator 0) get NULL slope/intercept/r2; likewise r2
+    when y is constant.
+
+    Determinism contract: callers pass INTEGER-valued x/y expressions
+    (day ordinals, cents, counts). Integer sums are associative and
+    therefore partition-order-independent, so Σx/Σy/Σxy/Σx²/Σy² are
+    bit-identical across engines and runs; only the final closed-form
+    arithmetic is floating point, computed once per group from identical
+    operands — the same exact-integer-sums rule as
+    :func:`~..operators.windows.rolling_anomalies`. (At 100 TB, swap the
+    x·y products to DECIMAL if magnitudes threaten Σ overflow of int64 —
+    the plan shape is unchanged.)
+
+    Scale shape: one partial-aggregable groupBy — five sums and a count
+    ride a single shuffle on the group key; the derived columns are
+    per-group scalar math on the (group-cardinality-sized) result."""
+    xl = x.cast("long")
+    yl = y.cast("long")
+    agged = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xl).alias("__sx"),
+        F.sum(yl).alias("__sy"),
+        F.sum(xl * yl).alias("__sxy"),
+        F.sum(xl * xl).alias("__sxx"),
+        F.sum(yl * yl).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("__sx").cast("double")
+    sy = F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    cov_n = n * sxy - sx * sy  # n² · cov
+    var_x = n * sxx - sx * sx  # n² · var(x)
+    var_y = n * syy - sy * sy
+    slope = F.when(var_x != 0, cov_n / var_x)
+    intercept = F.when(var_x != 0, (sy - (cov_n / var_x) * sx) / n)
+    r2 = F.when((var_x != 0) & (var_y != 0), (cov_n * cov_n) / (var_x * var_y))
+    return agged.select(
+        *keys,
+        "n",
+        F.round(slope, round_digits).alias("slope"),
+        F.round(intercept, round_digits).alias("intercept"),
+        F.round(r2, round_digits).alias("r2"),
+    )

@@ -399,3 +399,114 @@ def shard_assignments(
     out = df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
     w = Window.partitionBy("shard").orderBy(h.asc(), F.col(id_col).asc())
     return out.withColumn("pos", F.row_number().over(w))
+
+
+def dsir_scores(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+    round_digits: int = 6,
+    persist_features: bool = True,
+) -> DataFrame:
+    """DSIR-style data-selection scores (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how much more likely its hashed-n-gram bag is under a
+    TARGET domain's distribution than under the RAW corpus's own —
+    the standard cheap importance signal for steering a 100 TB crawl
+    toward a curated domain (then resample ∝ exp(score), e.g. via
+    :func:`stratified_sample` over score bands).
+
+    Features are word unigrams + bigrams hashed into ``n_buckets`` via
+    :func:`portable_hash` (engine-reproducible). Per-bucket log ratio
+    λ(b) = ln p̂_target(b) − ln p̂_raw(b) with add-``alpha`` smoothing
+    over the fixed bucket domain; a document's score is the MEAN λ over
+    its feature occurrences. Documents with no tokens emit no row.
+
+    Determinism contract (exact-integer-sums rule): λ is quantized to
+    fixed point, ``floor(λ·10⁶ + 0.5)`` as int64, so the per-document
+    reduction is an INTEGER sum — associative, partition-order-
+    independent, bit-identical across engines; both engines then divide
+    and round identical operands once per document.
+
+    Scale shape: one explode→groupBy per side for bucket counts (bucket
+    tables are ≤ ``n_buckets`` rows — bounded by the PARAMETER, not the
+    corpus, so forcing the broadcast of the λ table is safe at any scale,
+    unlike an unbounded vocabulary table); the raw feature frame is
+    persisted (default) so the heavy explode runs once for counting and
+    once-materialized for scoring; per-doc aggregation shuffles on the
+    doc key. Totals ride 1-row broadcast scalars."""
+    from .text import tokens as _tokens
+
+    def feats(frame: DataFrame, cols: list[str]) -> DataFrame:
+        ctoks = F.filter(_tokens(text_col), lambda t: t != "")
+        k = F.greatest(F.size(ctoks) - F.lit(1), F.lit(0))
+        bigrams = F.zip_with(
+            F.slice(ctoks, 1, k),
+            F.slice(ctoks, 2, k),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+        return frame.select(
+            *cols, F.explode(F.concat(ctoks, bigrams)).alias("__term")
+        ).select(
+            *cols, (portable_hash(F.col("__term"), seed) % n_buckets).alias("__b")
+        )
+
+    raw = feats(df, [id_col])
+    if persist_features:
+        from pyspark import StorageLevel
+
+        raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    raw_counts = raw.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tgt_counts = feats(target, []).groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__ct")
+    )
+    tot_r = raw_counts.agg(F.sum("__cr").alias("__tr"))
+    tot_t = tgt_counts.agg(F.sum("__ct").alias("__tt"))
+    aB = float(alpha) * n_buckets
+    # docs come from the raw side, so every doc bucket appears in
+    # raw_counts — a left join covers the needed λ domain exactly
+    lam = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(F.broadcast(tot_t))
+        .select(
+            "__b",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(alpha)))
+                        / (F.col("__tt") + F.lit(aB))
+                    )
+                    - F.log(
+                        (F.col("__cr") + F.lit(float(alpha)))
+                        / (F.col("__tr") + F.lit(aB))
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("__lam"),
+        )
+    )
+    per_doc = (
+        raw.join(F.broadcast(lam), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("__lam").alias("__sfix"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_feats",
+        F.round(
+            (F.col("__sfix").cast("double") / F.lit(1000000.0))
+            / F.col("n_feats"),
+            round_digits,
+        ).alias("dsir_score"),
+    )

@@ -4257,6 +4257,116 @@ def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_table.read_snapshot(spark, root)
 
 
+@register(
+    "curation_dsir_scores",
+    """
+    WITH ctoks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), rawf AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term || '#dsir'), 1, 8))::BIGINT % 4096 AS b
+      FROM (
+        SELECT doc_id, unnest(t) AS term FROM ctoks
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+        FROM ctoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      )
+    ), tgtf AS (
+      SELECT ('0x' || substr(md5(term || '#dsir'), 1, 8))::BIGINT % 4096 AS b
+      FROM (
+        SELECT unnest(t) AS term FROM ctoks WHERE lang = 'en'
+        UNION ALL
+        SELECT t[i] || ' ' || t[i + 1] AS term
+        FROM ctoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE lang = 'en'
+      )
+    ), rc AS (SELECT b, COUNT(*) AS cr FROM rawf GROUP BY b),
+       tc AS (SELECT b, COUNT(*) AS ct FROM tgtf GROUP BY b),
+       tr AS (SELECT SUM(cr) AS tr FROM rc),
+       tt AS (SELECT SUM(ct) AS tt FROM tc),
+       lam AS (
+      SELECT rc.b,
+             CAST(FLOOR((LN((COALESCE(ct, 0) + 1.0) / (tt + 4096.0))
+                         - LN((cr + 1.0) / (tr + 4096.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lam
+      FROM rc LEFT JOIN tc ON rc.b = tc.b, tr, tt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND((CAST(SUM(lam) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+             AS dsir_score
+    FROM rawf JOIN lam USING (b)
+    GROUP BY doc_id
+    """,
+)
+def curation_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (operators.curation.dsir_scores): every
+    document scored by the mean hashed-n-gram log ratio between the
+    English-subset target distribution and the raw corpus — the standard
+    importance-resampling signal for steering a crawl toward a domain.
+    λ rides a parameter-bounded (4096-row) broadcast table; the per-doc
+    reduction is an exact fixed-point integer sum, so the oracle
+    reproduces it bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.dsir_scores(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+
+
+@register(
+    "ols_trend_orders_by_priority",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority,
+             date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS x,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS y
+      FROM orders
+    ), sums AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE)     AS sx,
+             CAST(SUM(y) AS DOUBLE)     AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts GROUP BY o_orderpriority
+    ), derived AS (
+      SELECT o_orderpriority, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS cn,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+             CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+             sx, sy
+      FROM sums
+    )
+    SELECT o_orderpriority, n,
+           ROUND(CASE WHEN vx <> 0 THEN cn / vx END, 6)                   AS slope,
+           ROUND(CASE WHEN vx <> 0 THEN (sy - (cn / vx) * sx) / nd END, 6) AS intercept,
+           ROUND(CASE WHEN vx <> 0 AND vy <> 0
+                      THEN (cn * cn) / (vx * vy) END, 6)                  AS r2
+    FROM derived
+    """,
+)
+def ols_trend_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form linear trend (aggregates.group_ols): slope /
+    intercept / r² of daily order value (whole dollars) against the day
+    ordinal since 1992-01-01, one row per order priority — the scan-speed
+    "is this segment growing" analytic, no MLlib, no second pass.
+
+    Determinism: x (day ordinal) and y (rounded dollars) are integers, so
+    the five sufficient-statistic sums are exact and
+    partition-order-independent; both engines then run the identical
+    closed-form float expression per group (exact-integer-sums rule, as
+    rolling_anomalies). One partial-aggregable shuffle on the 5-value
+    priority key — scan-bound at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    y = F.round(F.col("o_totalprice")).cast("long")
+    return aggregates.group_ols(o, ["o_orderpriority"], x, y)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -360,3 +360,13 @@ def test_rag_prep_pipeline_single_pass(spark):
     assert scans and all(
         set(c) <= {"doc_id", "text", "lang"} for c in scans
     ), scans
+
+
+def test_geo_nearest_join_no_cartesian_one_window(spark):
+    """The grid-blocked geo NN join must be a plain cell-key equi-join —
+    no CartesianProduct / nested loop even though the predicate is a
+    distance inequality."""
+    df = REGISTRY["geo_nearest_supplier_for_customers"][0](spark, SF_SMOKE)
+    text = checks.explain_str(df)
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text

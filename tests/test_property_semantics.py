@@ -386,3 +386,54 @@ def test_group_ols_matches_numpy(spark, pts):
         else:
             expected_r2 = float(np.corrcoef(xs, ys)[0, 1] ** 2)
             assert math.isclose(r2, expected_r2, rel_tol=0, abs_tol=5e-6)
+
+
+@given(
+    lpts=st.lists(
+        st.tuples(st.floats(-59.9, 59.9), st.floats(-179.9, 179.9)),
+        min_size=1, max_size=12,
+    ),
+    rpts=st.lists(
+        st.tuples(st.floats(-59.9, 59.9), st.floats(-179.9, 179.9)),
+        min_size=1, max_size=12,
+    ),
+    radius=st.sampled_from([500.0, 2500.0, 6000.0]),
+    k=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_geo_nearest_join_matches_naive(spark, lpts, rpts, radius, k):
+    """Grid-blocked bounded-radius NN join == the naive all-pairs form for
+    arbitrary points (incl. date-line-adjacent longitudes) — the cell ring
+    must cover the radius exactly, never duplicate a pair."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.operators import geo
+
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(lpts)], "lid long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(rpts)], "rid long, lat double, lon double"
+    )
+    got = sorted(
+        (r.lid, r.rid, r.rank)
+        for r in geo.geo_nearest_join(
+            left, right, "lid", "rid", radius_km=radius, k=k, max_abs_lat=60.0
+        ).collect()
+    )
+
+    def hav(p, q):
+        la1, lo1, la2, lo2 = map(math.radians, (p[0], p[1], q[0], q[1]))
+        a = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * 6371.0088 * math.asin(math.sqrt(a))
+
+    expected = []
+    for i, p in enumerate(lpts):
+        cands = sorted(
+            (hav(p, q), j) for j, q in enumerate(rpts) if hav(p, q) <= radius
+        )
+        expected += [(i, j, r + 1) for r, (_, j) in enumerate(cands[:k])]
+    assert got == sorted(expected)

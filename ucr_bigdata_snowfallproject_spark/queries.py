@@ -4258,6 +4258,75 @@ def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "geo_nearest_supplier_for_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#clat'), 1, 8))::BIGINT
+              % 120000) / 1000.0 - 60.0 AS lat,
+             (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#clon'), 1, 8))::BIGINT
+              % 360000) / 1000.0 - 180.0 AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '#slat'), 1, 8))::BIGINT
+              % 120000) / 1000.0 - 60.0 AS lat,
+             (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '#slon'), 1, 8))::BIGINT
+              % 360000) / 1000.0 - 180.0 AS lon
+      FROM supplier
+    ), terms AS (
+      SELECT c_custkey, s_suppkey,
+             sin(radians(s.lat - c.lat) / 2) AS sdlat,
+             sin(radians(s.lon - c.lon) / 2) AS sdlon,
+             cos(radians(c.lat)) * cos(radians(s.lat)) AS cc
+      FROM c, s
+    ), pairs AS (
+      SELECT c_custkey, s_suppkey,
+             2.0 * 6371.0088
+               * asin(sqrt(sdlat * sdlat + cc * sdlon * sdlon)) AS d
+      FROM terms
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, d,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY d, s_suppkey) AS nn_rank
+      FROM pairs WHERE d <= 2500.0
+    )
+    SELECT c_custkey, s_suppkey, ROUND(d, 3) AS dist_km,
+           CAST(nn_rank AS INT) AS nn_rank
+    FROM ranked WHERE nn_rank <= 1
+    """,
+)
+def geo_nearest_supplier_for_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked bounded-radius nearest-neighbor geo join
+    (operators.geo.geo_nearest_join): nearest supplier within 2500 km of
+    each customer, over deterministic pseudo-coordinates derived from the
+    keys by portable md5 (the fixtures carry no lat/lon; any engine
+    reproduces the same points — the reference's station map,
+    map_tutorial.html:44-71, is the real-world shape). The oracle is the
+    NAIVE cross-join form, so the hash gate proves the cell ring covers
+    the radius exactly. Spark side: right side replicated to a bounded
+    cell ring, one equi-join shuffle, per-customer top-1 window — no
+    cross join at any scale."""
+    from .operators import geo as geo_ops
+
+    def coords(frame: DataFrame, key: str, tag: str) -> DataFrame:
+        # per-table seed tag: otherwise customer k and supplier k would
+        # hash to identical coordinates (distance-0 degenerate pairs)
+        h = lambda seed: curation_ops.portable_hash(F.col(key), seed)  # noqa: E731
+        return frame.select(
+            F.col(key),
+            ((h(tag + "lat") % 120000) / F.lit(1000.0) - F.lit(60.0)).alias("lat"),
+            ((h(tag + "lon") % 360000) / F.lit(1000.0) - F.lit(180.0)).alias("lon"),
+        )
+
+    c = coords(load_table(spark, sf_dir, "customer"), "c_custkey", "c")
+    s = coords(load_table(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    return geo_ops.geo_nearest_join(
+        c, s, "c_custkey", "s_suppkey", radius_km=2500.0, k=1, max_abs_lat=60.0
+    ).withColumnRenamed("rank", "nn_rank")
+
+
+@register(
     "curation_dsir_scores",
     """
     WITH ctoks AS (

@@ -4459,12 +4459,13 @@ _GATED_WINDOW = [
     "global_scalar_aggregates",
     "salted_group_agg_matches_plain",
     "pandas_udf_vowel_ratio",
+    # (r5b rotation below swaps three slots for the round-5b operator
+    # families — see the block after the round-5 rotation)
     "apply_in_pandas_zscore",
     "wordcount_top20",
     "q18_large_volume_customers",
     "text_bpe_token_counts",
     "window_value_functions",
-    "scalar_string_functions_2",
     "from_json_events_props",
     "array_agg_priorities_per_segment",
     "unpivot_lineitem_measures",
@@ -4473,7 +4474,6 @@ _GATED_WINDOW = [
     "q11_top_share_parts",
     "curation_pipeline_stats",
     "q4_priority_with_late_lines",
-    "q8_market_share",
     "q13_customer_order_distribution",
     "resample_events_hourly_ffill",
     # --- new oracle-backed in round 4 (training-pipeline operators).
@@ -4483,7 +4483,6 @@ _GATED_WINDOW = [
     # q12_shipmode_priority_counts (CASE-sum counts: q8/q14 stay),
     # q7_volume_shipping (dim-in-two-roles: q8 stays). All four remain
     # oracle-checked in the local pytest mirror. ---
-    "curation_mixture_weights",
     "curation_pack_sequences",
     "text_bigram_lm",
     "dedup_incremental_exact",
@@ -4507,6 +4506,18 @@ _GATED_WINDOW = [
     "psi_drift_nchars",
     "rolling_anomalies_events",
     "cdc_replay_snapshot",
+    # --- round-5b rotation: first driver rows for the three new operator
+    # families added mid-round-5. Rotated out, each with its family still
+    # gated (all three stay oracle-checked in the local pytest mirror):
+    # scalar_string_functions_2 (scalar breadth: scalar_date_arithmetic,
+    #   wordcount_top20, text_redact_pii's regex chain stay),
+    # q8_market_share (per-group conditional-share agg: q11's
+    #   share-of-total, q6, q1 stay),
+    # curation_mixture_weights (token-weighting curation:
+    #   curation_token_budget_mix + curation_pipeline_stats stay). ---
+    "curation_dsir_scores",
+    "ols_trend_orders_by_priority",
+    "geo_nearest_supplier_for_customers",
     # --- oracle-converted in round 3 (VERDICT r02 #5): the UDTF lateral
     # surface and THE reference end-to-end pipeline now earn hash-checked
     # driver rows; scalar_math_functions and q10_returned_items rotate to

@@ -437,3 +437,46 @@ def test_geo_nearest_join_matches_naive(spark, lpts, rpts, radius, k):
         )
         expected += [(i, j, r + 1) for r, (_, j) in enumerate(cands[:k])]
     assert got == sorted(expected)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)),
+        min_size=1, max_size=25,
+    ),
+    n_iter=st.sampled_from([1, 3]),
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_integer_reference(spark, edges, n_iter):
+    """Quantized PageRank == a pure-Python replay of the same integer
+    recurrence, EXACTLY (bit-for-bit) — the property that makes an
+    iterative graph algorithm oracle-hashable. Multi-edges, self-loops,
+    and dangling nodes all drawn at random."""
+    from ucr_bigdata_snowfallproject_spark.operators import graph
+
+    df = spark.createDataFrame(edges, "s long, d long")
+    got = {
+        r.node: r.rank_fix
+        for r in graph.pagerank(df, "s", "d", n_iter=n_iter).collect()
+    }
+
+    SCALE = 10**12
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg: dict = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    base = (SCALE * 15) // (100 * n)
+    import math
+
+    r = {v: int(math.floor(float(SCALE) / n)) for v in nodes}
+    for _ in range(n_iter):
+        dm = sum(r[v] for v in nodes if v not in outdeg)
+        dsh = (dm * 85) // (100 * n)
+        nxt = {v: base + dsh for v in nodes}
+        for u, v in edges:
+            nxt[v] += (r[u] * 85) // (100 * outdeg[u])
+        r = nxt
+    assert got == r
+    # mass conservation: floors only ever LEAK mass, never create it
+    assert sum(r.values()) <= SCALE

@@ -1,0 +1,127 @@
+"""Graph centrality: fixed-point PageRank on an edge DataFrame.
+
+Why it's here: for a 100 TB web-crawl corpus, link-graph centrality is a
+first-class curation signal (OpenWebText filtered by upvotes; modern
+crawl pipelines weight documents by harmonic/PageRank centrality of their
+host). The dedup module already covers the other graph workload
+(connected components, `dedup.dup_components`); this adds the iterative
+mass-propagation one.
+
+Design — QUANTIZED, not floating:
+
+Classic PageRank sums float contributions per target; the sum order
+differs across engines/partitionings, so no two runs hash-identically.
+Here ranks live on an integer grid (``scale`` units = rank 1.0, default
+10¹²) and every step is integer arithmetic:
+
+    contrib(u→v)  = (r_u · 85) DIV (100 · outdeg_u)          [d = 0.85]
+    r'_v          = (scale·15) DIV (100·N)                    [base]
+                  + (dangling_sum · 85) DIV (100·N)           [dangling]
+                  + Σ contrib(·→v)
+
+Integer sums are associative — partition-order-independent — so the
+result is BIT-IDENTICAL across engines, cluster sizes, and reruns, which
+is what lets an iterative graph algorithm earn a DuckDB-oracle hash row
+(the oracle unrolls the same integer recurrence). The floors leak
+≤ (N + |E|)/scale of total mass per iteration — at scale 10¹² that is
+noise far below any ranking decision, and a documented contract rather
+than a hidden numeric hazard.
+
+Scale shape (per iteration): one equi-join ranks⋈edges on src + one
+groupBy dst — two key-partitioned shuffles over the edge table; the rank
+frame is node-sized. Ranks re-materialize each round through the same
+``checkpoint_mode`` tiers as connected components (`dedup._materialize`:
+persist/local/reliable/table) so lineage doesn't grow with iterations.
+Edges are re-read per round — persist them (or pass ``edges`` already
+bucketed by src) for multi-iteration runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _materialize
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    n_iter: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_mode: str = "persist",
+    round_digits: int = 12,
+) -> DataFrame:
+    """PageRank over ``edges`` (multi-edges count as parallel edges).
+    Returns one row per node: (node, rank_fix, rank) where ``rank_fix``
+    is the exact integer fixed-point mass (``scale`` = 1.0) and ``rank``
+    its float rendering. ``damping_pct`` is the damping factor in percent
+    (integer — part of the exactness contract).
+
+    int64 headroom: r_u ≤ scale, so r_u·damping_pct ≤ 10¹⁴ ≪ 2⁶³; per-dst
+    contribution sums are ≤ scale·damping_pct. Raise ``scale`` only with
+    care, lower it for graphs with > 10⁶ average in-degree."""
+    if not (0 < damping_pct < 100):
+        raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = _materialize(nodes, checkpoint_mode)
+    n_total = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # edges annotated with the sender's out-degree, reused every round
+    ed = _materialize(e.join(out_deg, "src"), checkpoint_mode)
+
+    base = (scale * (100 - damping_pct)) // (100 * n_total)
+    init = F.floor(F.lit(float(scale)) / F.lit(n_total)).cast("long")
+    ranks = _materialize(
+        nodes.select("node", init.alias("rank_fix")), checkpoint_mode
+    )
+    for _ in range(n_iter):
+        r_src = ranks.withColumnRenamed("node", "src")
+        contribs = (
+            ed.join(r_src, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"(rank_fix * {damping_pct}) DIV (100 * outdeg)").alias(
+                    "__c"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__sum"))
+        )
+        # dangling mass: ranks of nodes with no out-edges, spread uniformly
+        dangling = (
+            ranks.join(
+                out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("rank_fix"), F.lit(0)).alias("__dm"))
+            .select(
+                F.expr(f"(__dm * {damping_pct}) DIV (100 * {n_total})").alias(
+                    "__dshare"
+                )
+            )
+        )
+        ranks = _materialize(
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.col("__dshare") + F.coalesce(F.col("__sum"), F.lit(0))
+                ).alias("rank_fix"),
+            ),
+            checkpoint_mode,
+        )
+    return ranks.select(
+        "node",
+        "rank_fix",
+        F.round(F.col("rank_fix") / F.lit(float(scale)), round_digits).alias(
+            "rank"
+        ),
+    )

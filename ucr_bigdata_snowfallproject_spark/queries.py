@@ -4258,6 +4258,76 @@ def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_pagerank_parts",
+    """
+    WITH e AS (
+      SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS src,
+             'p' || CAST(l_partkey AS VARCHAR) AS dst
+      FROM lineitem
+      UNION ALL
+      SELECT 'p' || CAST(l_partkey AS VARCHAR),
+             'o' || CAST(l_orderkey AS VARCHAR)
+      FROM lineitem
+    ), nodes AS (
+      SELECT DISTINCT node
+      FROM (SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, deg.outdeg FROM e JOIN deg USING (src)),
+    b AS (SELECT (1000000000000 * 15) // (100 * n) AS base FROM nn),
+    r0 AS (
+      SELECT node, CAST(FLOOR(1000000000000.0 / n) AS BIGINT) AS r
+      FROM nodes, nn
+    ),
+    c1 AS (SELECT ed.dst AS node, SUM((r.r * 85) // (100 * ed.outdeg)) AS s
+           FROM ed JOIN r0 r ON ed.src = r.node GROUP BY ed.dst),
+    d1 AS (SELECT (dm * 85) // (100 * n) AS dsh FROM
+           (SELECT COALESCE(SUM(r0.r), 0) AS dm FROM r0
+            LEFT JOIN deg ON r0.node = deg.src WHERE deg.src IS NULL), nn),
+    r1 AS (SELECT nodes.node,
+                  CAST(base + dsh + COALESCE(c1.s, 0) AS BIGINT) AS r
+           FROM nodes LEFT JOIN c1 USING (node), b, d1),
+    c2 AS (SELECT ed.dst AS node, SUM((r.r * 85) // (100 * ed.outdeg)) AS s
+           FROM ed JOIN r1 r ON ed.src = r.node GROUP BY ed.dst),
+    d2 AS (SELECT (dm * 85) // (100 * n) AS dsh FROM
+           (SELECT COALESCE(SUM(r1.r), 0) AS dm FROM r1
+            LEFT JOIN deg ON r1.node = deg.src WHERE deg.src IS NULL), nn),
+    r2 AS (SELECT nodes.node,
+                  CAST(base + dsh + COALESCE(c2.s, 0) AS BIGINT) AS r
+           FROM nodes LEFT JOIN c2 USING (node), b, d2),
+    c3 AS (SELECT ed.dst AS node, SUM((r.r * 85) // (100 * ed.outdeg)) AS s
+           FROM ed JOIN r2 r ON ed.src = r.node GROUP BY ed.dst),
+    d3 AS (SELECT (dm * 85) // (100 * n) AS dsh FROM
+           (SELECT COALESCE(SUM(r2.r), 0) AS dm FROM r2
+            LEFT JOIN deg ON r2.node = deg.src WHERE deg.src IS NULL), nn),
+    r3 AS (SELECT nodes.node,
+                  CAST(base + dsh + COALESCE(c3.s, 0) AS BIGINT) AS r
+           FROM nodes LEFT JOIN c3 USING (node), b, d3)
+    SELECT node, r AS rank_fix, ROUND(r / 1000000000000.0, 12) AS rank
+    FROM r3 ORDER BY rank_fix DESC, node LIMIT 100
+    """,
+)
+def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators.graph.pagerank), 3 iterations over
+    the symmetric order↔part co-purchase graph (namespaced node ids) —
+    the link-centrality curation signal, made HASH-GATEABLE for an
+    iterative algorithm: ranks live on an integer 10¹² grid, every
+    contribution is integer DIV/sum (associative ⇒ partition-order-
+    independent), so the oracle's unrolled 3-step recurrence reproduces
+    the Spark result bit-for-bit. Top-100 nodes by rank."""
+    from .operators import graph as graph_ops
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    edges = l.select(o.alias("src"), p.alias("dst")).unionByName(
+        l.select(p.alias("src"), o.alias("dst"))
+    )
+    pr = graph_ops.pagerank(edges, "src", "dst", n_iter=3)
+    return relational.top_k(pr, [F.desc("rank_fix"), F.asc("node")], 100)
+
+
+@register(
     "geo_nearest_supplier_for_customers",
     """
     WITH c AS (

@@ -1658,3 +1658,46 @@ def test_dsir_scores_prefer_target_domain(spark):
     assert means[True] > means[False]
     # every scored doc carries a feature count and a finite score
     assert scored.filter(F.col("n_feats") <= 0).count() == 0
+
+
+def test_embedding_centroid_drift_self_is_one(spark):
+    """A snapshot drifted against itself must give centroid_cos == 1.0
+    for every label (exact fixed-point centroids are identical)."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    out = sim_ops.embedding_centroid_drift(e, e, "label").collect()
+    assert len(out) == 10
+    assert all(r.centroid_cos == 1.0 for r in out)
+
+
+def test_embedding_centroids_match_quantized_reference(spark):
+    """Fixed-point centroids == a numpy replay of the same quantize →
+    integer-sum → shifted floor division recurrence, exactly — including
+    negative components (where Spark DIV and naive floor diverge)."""
+    import math
+
+    rows = [
+        (0, [-0.51, 0.25, 0.0]),
+        (0, [0.49, -0.75, 1.0]),
+        (0, [-0.011, 0.333, -0.999]),
+        (1, [-1.5, 2.5, -0.25]),
+        (1, [0.5, -0.5, 0.125]),
+    ]
+    df = spark.createDataFrame(rows, "g int, embedding array<float>")
+    got = {
+        (r.g, r.pos): (r.c_fix, r.n)
+        for r in sim_ops.embedding_centroids(df, "g").collect()
+    }
+    q, shift = 10**6, 4 * 10**6
+    for g in (0, 1):
+        vecs = [v for gg, v in rows if gg == g]
+        for pos in range(3):
+            qs = [int(math.floor(float(np_f32(v[pos])) * q + 0.5)) for v in vecs]
+            s, n = sum(qs), len(qs)
+            expected = (s + shift * n) // n - shift
+            assert got[(g, pos)] == (expected, n), (g, pos, got[(g, pos)], expected)
+
+
+def np_f32(x):
+    import numpy as np
+
+    return np.float32(x)

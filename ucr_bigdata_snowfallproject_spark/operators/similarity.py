@@ -923,3 +923,107 @@ def semdedup(
         .distinct()
     )
     return corpus.join(losers, id_col, "left_anti")
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    quantize: int = 10**6,
+) -> DataFrame:
+    """Per-group element-wise centroid of an embedding column, in exact
+    fixed-point: components quantize to a 1/``quantize`` grid
+    (``floor(v·q + 0.5)``), the per-(group, pos) reduction is an INTEGER
+    sum (associative — partition-order-independent), and the centroid
+    component is the integer mean ``sum DIV n``. Bit-identical across
+    engines/reruns — the property that lets centroid analytics earn
+    oracle hash rows (same exact-integer-sums rule as
+    :func:`~.aggregates.group_ols`).
+
+    Returns (group_col, pos, c_fix, n) with ``pos`` 0-based and ``c_fix``
+    the quantized centroid component. int64 headroom: |c_fix| ≤ q·max|v|
+    regardless of group size (the DIV happens per group), so downstream
+    integer dot products over D dims stay ≤ D·(q·max|v|)² — safe for
+    q=10⁶, |v|≤1, D≤10⁴.
+
+    Integer-division portability: Spark's ``DIV`` truncates toward zero
+    while DuckDB's ``//`` floors toward −∞ — they disagree on NEGATIVE
+    dividends. The mean is therefore computed as
+    ``(sum + 4q·n) DIV n − 4q`` (shift to non-negative, divide, shift
+    back), which is exact floor division on both engines for any
+    component magnitude ≤ 4 — ample for normalized embeddings (contract:
+    max|v| ≤ 4; raise the shift for unnormalized spaces).
+
+    Scale shape: posexplode → ONE partial-aggregable groupBy on
+    (group, pos) — the classic tall-skinny layout that beats any
+    array-typed aggregation UDF at scale (no per-executor state, perfect
+    combiner locality)."""
+    q = float(quantize)
+    exploded = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    ).select(
+        group_col,
+        "pos",
+        F.floor(F.col("__v").cast("double") * F.lit(q) + F.lit(0.5))
+        .cast("long")
+        .alias("__q"),
+    )
+    shift = 4 * quantize
+    return (
+        exploded.groupBy(group_col, "pos")
+        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            group_col,
+            "pos",
+            (F.expr(f"(__s + {shift} * n) DIV n") - F.lit(shift)).alias("c_fix"),
+            "n",
+        )
+    )
+
+
+def embedding_centroid_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    quantize: int = 10**6,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Per-group cosine similarity between two snapshots' centroids — the
+    embedding-drift monitor for a continuously re-embedded corpus (model
+    swap, encoder upgrade, distribution shift): cos near 1 = stable,
+    falling cos = the group's mean representation moved.
+
+    The dot/norm reduction runs over the exact fixed-point centroids from
+    :func:`embedding_centroids` in int64 (exact), with one final float
+    division per group — deterministic and oracle-hashable. Groups
+    missing from either side, or with a zero centroid, emit NULL cosine.
+
+    Scale shape: two centroid passes + a (group, pos)-keyed join of two
+    group-cardinality-sized frames + one tiny groupBy — nothing
+    corpus-sized after the first aggregation."""
+    ca = embedding_centroids(df_a, group_col, vec_col, quantize).select(
+        group_col, "pos", F.col("c_fix").alias("__ca"), F.col("n").alias("n_a")
+    )
+    cb = embedding_centroids(df_b, group_col, vec_col, quantize).select(
+        group_col, "pos", F.col("c_fix").alias("__cb"), F.col("n").alias("n_b")
+    )
+    joined = ca.join(cb, [group_col, "pos"])
+    agged = joined.groupBy(group_col).agg(
+        F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"),
+        F.sum(F.col("__ca") * F.col("__ca")).alias("__na"),
+        F.sum(F.col("__cb") * F.col("__cb")).alias("__nb"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+    cos = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        F.col("__dot").cast("double")
+        / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))),
+    )
+    return agged.select(
+        group_col,
+        "n_a",
+        "n_b",
+        F.round(cos, round_digits).alias("centroid_cos"),
+    )

@@ -4258,6 +4258,53 @@ def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_drift_by_label",
+    """
+    WITH q AS (
+      SELECT label, vec_id,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), ca AS (
+      SELECT label, pos,
+             (SUM(qv) + 4000000 * COUNT(*)) // COUNT(*) - 4000000 AS c,
+             COUNT(*) AS n
+      FROM q WHERE vec_id % 2 = 0 GROUP BY label, pos
+    ), cb AS (
+      SELECT label, pos,
+             (SUM(qv) + 4000000 * COUNT(*)) // COUNT(*) - 4000000 AS c,
+             COUNT(*) AS n
+      FROM q WHERE vec_id % 2 = 1 GROUP BY label, pos
+    ), j AS (
+      SELECT ca.label, ca.c AS a, cb.c AS b, ca.n AS n_a, cb.n AS n_b
+      FROM ca JOIN cb ON ca.label = cb.label AND ca.pos = cb.pos
+    )
+    SELECT label,
+           CAST(MIN(n_a) AS BIGINT) AS n_a,
+           CAST(MIN(n_b) AS BIGINT) AS n_b,
+           ROUND(CASE WHEN SUM(a * a) > 0 AND SUM(b * b) > 0 THEN
+                   CAST(SUM(a * b) AS DOUBLE)
+                   / (sqrt(CAST(SUM(a * a) AS DOUBLE))
+                      * sqrt(CAST(SUM(b * b) AS DOUBLE))) END, 9)
+             AS centroid_cos
+    FROM j GROUP BY label
+    """,
+)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor (similarity.embedding_centroid_drift):
+    per-label cosine between the centroids of two corpus snapshots (here
+    the even/odd vec_id halves — stand-ins for 'before/after re-embed').
+    Centroids are exact fixed-point integer means (shift-DIV floor
+    division portable across engines), dot/norms exact int64 sums — an
+    embedding-space statistic with a bit-exact oracle hash row."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") % 2 == 0)
+    b = e.filter(F.col("vec_id") % 2 == 1)
+    return sim_ops.embedding_centroid_drift(a, b, "label")
+
+
+@register(
     "graph_pagerank_parts",
     """
     WITH e AS (

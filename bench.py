@@ -56,6 +56,11 @@ HEADLINE = [
     "dedup_exact_by_fingerprint",
     "dedup_minhash_candidates",
     "dedup_embedding_cosine_blocked",
+    "curation_dsir_scores",
+    "geo_nearest_supplier_for_customers",
+    "graph_pagerank_parts",
+    "embedding_drift_by_label",
+    "ols_trend_orders_by_priority",
     "text_language_id",
     "similarity_brute_force_topk",
     "similarity_ivf_topk",

@@ -958,6 +958,25 @@ def embedding_centroids(
     (group, pos) — the classic tall-skinny layout that beats any
     array-typed aggregation UDF at scale (no per-executor state, perfect
     combiner locality)."""
+    return centroid_finalize(
+        embedding_centroid_partials(df, group_col, vec_col, quantize),
+        group_col,
+        quantize,
+    )
+
+
+def embedding_centroid_partials(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    quantize: int = 10**6,
+) -> DataFrame:
+    """The ADDITIVE partial state behind :func:`embedding_centroids`:
+    (group, pos, s_fix, n) with ``s_fix`` the exact integer sum of
+    quantized components. Because both columns are plain integer sums,
+    partials from arbitrary data slices MERGE by addition — feed them to
+    ``table.merge_additive_agg`` for incrementally-maintained centroids
+    that replay bit-exactly equal to a full recompute."""
     q = float(quantize)
     exploded = df.select(
         F.col(group_col), F.posexplode(F.col(vec_col)).alias("pos", "__v")
@@ -968,16 +987,23 @@ def embedding_centroids(
         .cast("long")
         .alias("__q"),
     )
+    return exploded.groupBy(group_col, "pos").agg(
+        F.sum("__q").alias("s_fix"), F.count(F.lit(1)).alias("n")
+    )
+
+
+def centroid_finalize(
+    partials: DataFrame, group_col: str, quantize: int = 10**6
+) -> DataFrame:
+    """(group, pos, s_fix, n) → (group, pos, c_fix, n) via the
+    engine-portable shifted floor division (see
+    :func:`embedding_centroids`)."""
     shift = 4 * quantize
-    return (
-        exploded.groupBy(group_col, "pos")
-        .agg(F.sum("__q").alias("__s"), F.count(F.lit(1)).alias("n"))
-        .select(
-            group_col,
-            "pos",
-            (F.expr(f"(__s + {shift} * n) DIV n") - F.lit(shift)).alias("c_fix"),
-            "n",
-        )
+    return partials.select(
+        group_col,
+        "pos",
+        (F.expr(f"(s_fix + {shift} * n) DIV n") - F.lit(shift)).alias("c_fix"),
+        "n",
     )
 
 

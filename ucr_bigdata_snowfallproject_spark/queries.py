@@ -4258,6 +4258,66 @@ def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "incremental_centroid_replay",
+    """
+    WITH q AS (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings
+    ), s AS (
+      SELECT label, pos, SUM(qv) AS s_fix, COUNT(*) AS n
+      FROM q GROUP BY label, pos
+    )
+    SELECT CAST(label AS INTEGER) AS label,
+           CAST(pos AS INTEGER) AS pos,
+           CAST((s_fix + 4000000 * n) // n - 4000000 AS BIGINT) AS c_fix,
+           CAST(n AS BIGINT) AS n
+    FROM s
+    """,
+)
+def incremental_centroid_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained embedding centroids: the corpus arrives in
+    three batches (vec_id mod 3) whose ADDITIVE fixed-point partials
+    (similarity.embedding_centroid_partials) merge key-wise into a
+    bucketed snapshot via table.merge_additive_agg — and because the
+    partials are exact integer sums, the replayed state equals a full
+    recompute BIT-exactly, which is precisely what the oracle computes in
+    one pass. The 100 TB shape for 'keep corpus centroids fresh without
+    nightly re-embedding scans': per batch cost is O(batch partials) and
+    only touched key-buckets rewrite."""
+    from . import table as snapshot_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+
+    def delta(b: int) -> DataFrame:
+        p = sim_ops.embedding_centroid_partials(
+            e.filter(F.col("vec_id") % 3 == b), "label"
+        )
+        return p.select(
+            F.concat(
+                F.col("label").cast("string"), F.lit("#"), F.col("pos").cast("string")
+            ).alias("k"),
+            "s_fix",
+            "n",
+        )
+
+    root = _scratch_dir("snowfall-centroid-") + "/centroids"
+    snapshot_table.create_partitioned_snapshot(delta(0), root, "k", n_buckets=8)
+    for i in (1, 2):
+        snapshot_table.merge_additive_agg(spark, root, delta(i), "k", ["s_fix", "n"])
+    out = snapshot_table.read_snapshot(spark, root)
+    shift = 4 * 10**6
+    return out.select(
+        F.split(F.col("k"), "#")[0].cast("int").alias("label"),
+        F.split(F.col("k"), "#")[1].cast("int").alias("pos"),
+        (F.expr(f"(s_fix + {shift} * n) DIV n") - F.lit(shift)).alias("c_fix"),
+        "n",
+    )
+
+
+@register(
     "embedding_drift_by_label",
     """
     WITH q AS (

@@ -435,3 +435,22 @@ def test_merge_sketch_combine_batching_invariant(spark, tmp_path):
     for t, (_n, est) in got.items():
         assert est == oneshot[t], t                     # batching-invariant
         assert abs(est - truth[t]) <= max(2, 0.1 * truth[t]), t
+
+
+def test_jsonl_roundtrip_sharded(spark, tmp_path):
+    """JSONL sink/source round-trip through a deterministic shard layout:
+    values and shard sizes survive; explicit schema read matches."""
+    from ucr_bigdata_snowfallproject_spark.io import load_table, read_jsonl, write_jsonl
+    from ucr_bigdata_snowfallproject_spark.operators.curation import shard_assignments
+
+    d = load_table(spark, SF_SMOKE, "documents").select("doc_id", "lang", "n_chars")
+    sharded = shard_assignments(d, "doc_id", n_shards=4)
+    out = str(tmp_path / "shards")
+    write_jsonl(sharded.repartition(4, "shard"), out, compression="gzip")
+    back = read_jsonl(
+        spark, out, schema="doc_id long, lang string, n_chars long, shard int, pos int"
+    )
+    assert back.count() == d.count()
+    a = {r.doc_id: (r.lang, r.n_chars, r.shard, r.pos) for r in sharded.collect()}
+    b = {r.doc_id: (r.lang, r.n_chars, r.shard, r.pos) for r in back.collect()}
+    assert a == b

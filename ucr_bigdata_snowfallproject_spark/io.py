@@ -320,3 +320,26 @@ def write_xml(
         .mode(mode)
         .save(path)
     )
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-Lines source — the lingua franca of LLM training-data
+    interchange (one JSON object per line, gzip-transparent). Explicit
+    ``schema`` keeps the engine's declared-schema discipline and skips
+    Spark's sampling inference pass (a full extra scan at 100 TB);
+    omitted, inference is accepted for exploration."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: str | None = None) -> None:
+    """JSON-Lines sink — distributed, one file per partition; pair with
+    ``curation.shard_assignments`` + ``repartition("shard")`` for
+    deterministic training-shard exports. ``compression='gzip'`` for
+    interchange, None for local speed."""
+    w = df.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -454,3 +454,27 @@ def test_jsonl_roundtrip_sharded(spark, tmp_path):
     a = {r.doc_id: (r.lang, r.n_chars, r.shard, r.pos) for r in sharded.collect()}
     b = {r.doc_id: (r.lang, r.n_chars, r.shard, r.pos) for r in back.collect()}
     assert a == b
+
+
+def test_read_changes_with_schema_evolution(spark, tmp_path):
+    """CDF across an evolve_schema merge: the new column reads as NULL on
+    the old side, NULL→value transitions classify as updates, and
+    unchanged keys emit nothing."""
+    from ucr_bigdata_snowfallproject_spark import table as t
+
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    t.create_partitioned_snapshot(base, root, "k", n_buckets=2)
+    upd = spark.createDataFrame(
+        [(2, "b", 9), (4, "d", 7)], "k long, v string, extra long"
+    )
+    t.merge_upsert(spark, root, upd, "k", evolve_schema=True)
+    got = {
+        r.k: (r.change_type, r.v, r.extra)
+        for r in t.read_changes(spark, root, "k", 0, 1).collect()
+    }
+    # k=1,3 unchanged (v same, extra NULL on both sides) → absent;
+    # k=2 NULL→9 on extra → update; k=4 new → insert
+    assert got == {2: ("update", "b", 9), 4: ("insert", "d", 7)}

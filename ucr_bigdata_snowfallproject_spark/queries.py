@@ -4258,6 +4258,69 @@ def cdc_replay_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_changes_feed",
+    """
+    WITH base AS (
+      SELECT doc_id, lang, source FROM documents WHERE doc_id < 300
+    ), b1 AS (
+      SELECT doc_id, 'b1' AS lang, source FROM documents
+      WHERE doc_id >= 200 AND doc_id < 400
+    ), dels AS (
+      SELECT doc_id FROM documents WHERE doc_id < 50 AND doc_id % 5 = 0
+    ), after1 AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT * FROM base
+      WHERE doc_id NOT IN (SELECT doc_id FROM b1)
+        AND doc_id NOT IN (SELECT doc_id FROM dels)
+    ), diff AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN a.doc_id IS NULL THEN 'insert'
+                  WHEN b.doc_id IS NULL THEN 'delete'
+                  WHEN (a.lang IS DISTINCT FROM b.lang)
+                    OR (a.source IS DISTINCT FROM b.source) THEN 'update'
+             END AS change_type,
+             CASE WHEN b.doc_id IS NULL THEN a.lang ELSE b.lang END AS lang,
+             CASE WHEN b.doc_id IS NULL THEN a.source ELSE b.source END
+               AS source
+      FROM base a FULL JOIN after1 b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, change_type, lang, source FROM diff
+    WHERE change_type IS NOT NULL
+    """,
+)
+def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between table versions (table.read_changes —
+    Delta-CDF-lite over the snapshot layer): base load → one MERGE batch
+    (upserts 200-399 to lang='b1', deletes doc_id<50 ∧ %5=0), then read
+    the v0→v1 change rows. Inserts/updates carry new values, deletes old;
+    unchanged keys never leave the full-outer diff join. The oracle
+    recomputes both states and the IS-DISTINCT-FROM diff in pure SQL."""
+    from . import table as snapshot_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    root = _scratch_dir("snowfall-cdf-") + "/docs"
+    snapshot_table.create_partitioned_snapshot(
+        d.filter(F.col("doc_id") < 300), root, "doc_id", n_buckets=8
+    )
+    ups = (
+        d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+        .withColumn("lang", F.lit("b1"))
+        .withColumn("del", F.lit(False))
+    )
+    dels = d.filter((F.col("doc_id") < 50) & (F.col("doc_id") % 5 == 0)).select(
+        "doc_id",
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(True).alias("del"),
+    )
+    snapshot_table.merge_upsert(
+        spark, root, ups.unionByName(dels), "doc_id", delete_col="del"
+    )
+    return snapshot_table.read_changes(spark, root, "doc_id", 0, 1)
+
+
+@register(
     "incremental_centroid_replay",
     """
     WITH q AS (

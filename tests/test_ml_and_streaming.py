@@ -605,3 +605,30 @@ def test_stream_incremental_totals_exactly_once(spark, tmp_path_factory):
     got2 = {r.user_id: (r.n_events, r.sum_cents)
             for r in T.read_snapshot(spark, root).collect()}
     assert got2 == want
+
+
+def test_tune_gbt_cross_validation(spark):
+    """Seeded CV sweep: covers the full grid, best model's params minimize
+    the fold-averaged RMSE, and the sweep is reproducible."""
+    from ucr_bigdata_snowfallproject_spark.ml.regression import (
+        assemble_features,
+        tune_gbt,
+    )
+
+    df = load_table(spark, SF_SMOKE, "orders").select(
+        F.col("o_totalprice").alias("y"),
+        (F.col("o_orderkey") % 100).cast("double").alias("f1"),
+        F.dayofmonth("o_orderdate").cast("double").alias("f2"),
+    )
+    train = assemble_features(df, ["f1", "f2"])
+    best, metrics = tune_gbt(
+        train, "y", max_iter_grid=(2, 5), max_depth_grid=(2,), n_folds=2
+    )
+    rows = metrics.collect()
+    assert {(r.max_iter, r.max_depth) for r in rows} == {(2, 2), (5, 2)}
+    best_row = min(rows, key=lambda r: r.avg_rmse)
+    assert int(best.getOrDefault(best.maxIter)) == best_row.max_iter
+    _, metrics2 = tune_gbt(
+        train, "y", max_iter_grid=(2, 5), max_depth_grid=(2,), n_folds=2
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, metrics2.collect()))

@@ -370,3 +370,22 @@ def test_geo_nearest_join_no_cartesian_one_window(spark):
     text = checks.explain_str(df)
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+
+def test_join_hints_flip_physical_strategy(spark):
+    """join_with_strategy: each hint must actually change the physical
+    join operator — broadcast→BroadcastHashJoin, merge→SortMergeJoin,
+    shuffle_hash→ShuffledHashJoin."""
+    from ucr_bigdata_snowfallproject_spark.operators.relational import join_with_strategy
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    c = load_table(spark, SF_SMOKE, "customer")
+    on = [F.col("o_custkey") == F.col("c_custkey")]
+    wanted = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for strategy, op in wanted.items():
+        text = checks.explain_str(join_with_strategy(o, c, on[0], strategy))
+        assert op in text, (strategy, op)

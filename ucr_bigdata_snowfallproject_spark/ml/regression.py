@@ -129,3 +129,62 @@ def fit_random_forest(
     ).fit(train)
     train.unpersist()
     return model
+
+
+def tune_gbt(
+    train: DataFrame,
+    label_col: str,
+    features_col: str = "features",
+    max_iter_grid: Sequence[int] = (5, 20),
+    max_depth_grid: Sequence[int] = (3, 5),
+    n_folds: int = 3,
+    seed: int = GBT_DEFAULTS["seed"],
+) -> tuple[object, DataFrame]:
+    """Seeded k-fold cross-validated hyperparameter sweep for the GBT
+    model (the tuning loop the reference's notebook did by hand-editing
+    constants; M3 extension). Returns (best_model, metrics) where
+    ``metrics`` is a DataFrame (max_iter, max_depth, avg_rmse) over the
+    grid — the artifact a user inspects before trusting the pick.
+
+    Scale notes: CrossValidator with ``parallelism=4`` fits grid×folds
+    models concurrently — each fit is itself distributed, so parallelism
+    multiplies cluster load, not wall-clock alone; ``train`` is cached
+    once for all fits. The seed fixes the fold split → the sweep is
+    reproducible run-over-run."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    gbt = GBTRegressor(featuresCol=features_col, labelCol=label_col, seed=seed)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(gbt.maxIter, list(max_iter_grid))
+        .addGrid(gbt.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    evaluator = RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName="rmse"
+    )
+    cv = CrossValidator(
+        estimator=gbt,
+        estimatorParamMaps=grid,
+        evaluator=evaluator,
+        numFolds=n_folds,
+        seed=seed,
+        parallelism=4,
+    )
+    train = train.cache()
+    model = cv.fit(train)
+    train.unpersist()
+    spark = train.sparkSession
+    rows = [
+        (
+            int(pm[gbt.maxIter]),
+            int(pm[gbt.maxDepth]),
+            float(m),
+        )
+        for pm, m in zip(grid, model.avgMetrics)
+    ]
+    metrics = spark.createDataFrame(
+        rows, "max_iter int, max_depth int, avg_rmse double"
+    )
+    return model.bestModel, metrics

@@ -91,6 +91,31 @@ def join(
     return left.join(right, on=on if isinstance(on, Column) else list(on), how=how)
 
 
+_JOIN_HINTS = {"broadcast", "merge", "shuffle_hash", "shuffle_replicate_nl"}
+
+
+def join_with_strategy(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | Column,
+    strategy: str,
+    how: str = "inner",
+) -> DataFrame:
+    """:func:`join` with an explicit physical-strategy hint on the RIGHT
+    side (Spark join hints: ``broadcast`` / ``merge`` (sort-merge) /
+    ``shuffle_hash`` / ``shuffle_replicate_nl``). Hints are the escape
+    hatch when the planner's estimate is wrong at 100 TB — e.g. force
+    ``shuffle_hash`` for a medium build side that sorts expensively, or
+    ``merge`` when both sides arrive pre-sorted from bucketed layout.
+    Prefer NO hint (AQE re-plans from runtime stats) unless a measured
+    plan says otherwise — a wrong forced broadcast is the classic
+    scale-killer (see the r4 vocabulary-broadcast lesson in text.py).
+    Plan tests assert each hint actually flips the physical operator."""
+    if strategy not in _JOIN_HINTS:
+        raise ValueError(f"strategy must be one of {sorted(_JOIN_HINTS)}")
+    return join(left, right.hint(strategy), on, how)
+
+
 def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
     """Existence filter as a real semi join (J2 — the reference executes
     this row-at-a-time against a driver-side table, untitled.py:72)."""

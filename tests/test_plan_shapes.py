@@ -389,3 +389,37 @@ def test_join_hints_flip_physical_strategy(spark):
     for strategy, op in wanted.items():
         text = checks.explain_str(join_with_strategy(o, c, on[0], strategy))
         assert op in text, (strategy, op)
+
+
+def test_bloom_semi_join_prefilter_in_scan_stage(spark):
+    """bloom_semi_join: the Bloom probe must be a plain Filter on the fact
+    side BELOW the join (scan-stage xxhash64 bit tests), the join itself a
+    semi join, and the plan free of cartesian/nested-loop shapes. Also
+    pins exactness: survivors == plain left-semi join."""
+    from ucr_bigdata_snowfallproject_spark.operators.relational import (
+        bloom_semi_join, semi_join,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    hot = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    out = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+    text = checks.explain_str(out)
+    assert "xxhash64" in text  # the scan-side probe survived optimization
+    assert "CartesianProduct" not in text
+    assert "BroadcastNestedLoopJoin" not in text
+
+    plain = semi_join(
+        li, hot.select(F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"]
+    )
+    assert out.exceptAll(plain).count() == 0
+    assert plain.exceptAll(out).count() == 0
+
+    # the prefilter admits a SUPERSET of true matches but far fewer than
+    # the full fact table (fp-rate sanity at the default 8 KiB bitmap)
+    n_fact, n_true, n_out = li.count(), plain.count(), out.count()
+    assert n_true == n_out
+    assert n_out < n_fact

@@ -480,3 +480,57 @@ def test_pagerank_matches_integer_reference(spark, edges, n_iter):
     assert got == r
     # mass conservation: floors only ever LEAK mass, never create it
     assert sum(r.values()) <= SCALE
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 3),                     # key
+            st.integers(0, 50),                    # seq (dedup'd below)
+            st.one_of(st.none(), st.integers(-10_000, 10_000)),  # value cents
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    horizon=st.integers(1, 8),
+)
+@settings(**_SETTINGS)
+def test_ewma_truncated_matches_reference(spark, rows, horizon):
+    """ewma_truncated == pure-Python integer replay: power-of-two weights
+    over the last `horizon` non-NULL-aware slots (NULLs occupy a slot's
+    position in the series but are skipped from both sums)."""
+    from ucr_bigdata_snowfallproject_spark.operators.windows import ewma_truncated
+
+    uniq = sorted({(k, s) for k, s, _ in rows})
+    vals = {}
+    for k, s, v in rows:
+        vals.setdefault((k, s), v)
+    data = [
+        (k, s, None if vals[(k, s)] is None else vals[(k, s)] / 100.0)
+        for k, s in uniq
+    ]
+    df = spark.createDataFrame(data, "k long, seq long, v double")
+    out = ewma_truncated(
+        df, ["k"], ["seq"], "v", horizon=horizon, scale=100, round_digits=6
+    )
+    got = {(r.k, r.seq): r.ewma for r in out.collect()}
+
+    expected = {}
+    series: dict[int, list] = {}
+    for k, s in uniq:
+        hist = series.setdefault(k, [])
+        hist.append(vals[(k, s)])
+        num = den = 0
+        for i, c in enumerate(hist[-horizon:][::-1]):
+            if c is None:
+                continue
+            w = 1 << (horizon - 1 - i)
+            num += c * w
+            den += w
+        if den == 0:
+            expected[(k, s)] = None
+        else:
+            import math
+
+            expected[(k, s)] = math.floor(num / (den * 100.0) * 1e6 + 0.5) / 1e6
+    assert got == expected

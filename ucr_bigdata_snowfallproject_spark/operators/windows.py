@@ -269,3 +269,54 @@ def funnel_counts(
     for f in out_frames[1:]:
         res = res.unionByName(f)
     return res
+
+
+def ewma_truncated(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str | Column],
+    value_col: str,
+    horizon: int = 8,
+    scale: int = 100,
+    round_digits: int = 6,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key truncated exponential moving average with decay 1/2 —
+    the classic smoothing signal for monitoring metrics / event values,
+    bounded to the last ``horizon`` observations.
+
+    ``ewma_t = Σ_{i<h} 2^{h-1-i}·v_{t-i} / Σ_{i<h} 2^{h-1-i}`` over the
+    observations that actually exist (series shorter than ``horizon``
+    renormalize over the available prefix; NULL values are skipped from
+    BOTH sums, so they neither contribute nor dilute).
+
+    Determinism contract (exact-integer-sums rule, as
+    :func:`rolling_anomalies` / ``group_ols``): values quantize to
+    ``round(v·scale)`` integers; decay 1/2 makes every weight an exact
+    power-of-two INTEGER (no float weight products), so numerator and
+    denominator are exact int64 sums and the single final division +
+    floor-half-up rounding evaluates identically in any IEEE-754 engine —
+    a DuckDB oracle reproduces it bit-for-bit. A general α would put a
+    non-representable float in every term; 1/2 is the standard monitoring
+    default and keeps the contract exact.
+
+    Scale shape: ONE window sort per key (all ``horizon`` lags share the
+    same window frame → Spark computes them in a single WindowExec pass),
+    zero joins, zero extra shuffles. The unbounded-history recurrence
+    form would need an iterative pass or a float power ladder; truncation
+    at h≈8 is within 2^-8 of it and stays one linear scan."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for i in range(horizon):
+        weight = 1 << (horizon - 1 - i)
+        v_i = F.lag(cents, i).over(w) if i else cents
+        num = num + F.when(v_i.isNotNull(), v_i * weight).otherwise(F.lit(0))
+        den = den + F.when(v_i.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+    p = float(10**round_digits)
+    raw = num.cast("double") / (den.cast("double") * float(scale))
+    return df.withColumn(
+        out_col,
+        F.when(den > 0, F.floor(raw * p + F.lit(0.5)) / p),
+    )

@@ -4676,6 +4676,93 @@ def ols_trend_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggregates.group_ols(o, ["o_orderpriority"], x, y)
 
 
+@register(
+    "ewma_events_value",
+    """
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c0
+      FROM events
+    ), lagged AS (
+      SELECT user_id, event_id, c0,
+             lag(c0, 1) OVER w AS c1, lag(c0, 2) OVER w AS c2,
+             lag(c0, 3) OVER w AS c3, lag(c0, 4) OVER w AS c4,
+             lag(c0, 5) OVER w AS c5, lag(c0, 6) OVER w AS c6,
+             lag(c0, 7) OVER w AS c7
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sums AS (
+      SELECT user_id, event_id,
+             COALESCE(c0 * 128, 0) + COALESCE(c1 * 64, 0)
+               + COALESCE(c2 * 32, 0) + COALESCE(c3 * 16, 0)
+               + COALESCE(c4 * 8, 0) + COALESCE(c5 * 4, 0)
+               + COALESCE(c6 * 2, 0) + COALESCE(c7, 0) AS num,
+             CASE WHEN c0 IS NOT NULL THEN 128 ELSE 0 END
+               + CASE WHEN c1 IS NOT NULL THEN 64 ELSE 0 END
+               + CASE WHEN c2 IS NOT NULL THEN 32 ELSE 0 END
+               + CASE WHEN c3 IS NOT NULL THEN 16 ELSE 0 END
+               + CASE WHEN c4 IS NOT NULL THEN 8 ELSE 0 END
+               + CASE WHEN c5 IS NOT NULL THEN 4 ELSE 0 END
+               + CASE WHEN c6 IS NOT NULL THEN 2 ELSE 0 END
+               + CASE WHEN c7 IS NOT NULL THEN 1 ELSE 0 END AS den
+      FROM lagged
+    )
+    SELECT user_id, event_id,
+           CASE WHEN den > 0
+                THEN FLOOR(num / (den * 100.0) * 1000000.0 + 0.5)
+                     / 1000000.0 END AS ewma
+    FROM sums
+    """,
+)
+def ewma_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA smoothing (operators.windows.ewma_truncated): each
+    event's value smoothed against the user's last 8 observations with
+    decay 1/2 — the standard monitoring/metric-smoothing signal, done as
+    ONE window pass (all lags share the frame; no joins, no recurrence).
+
+    Determinism: cent-quantized values × power-of-two integer weights ⇒
+    exact int64 numerator/denominator sums; the single final division +
+    floor-half-up rounding is engine-bit-identical (exact-integer-sums
+    rule, as rolling_anomalies)."""
+    from .operators import windows as win_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = win_ops.ewma_truncated(
+        e, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()],
+        "value", horizon=8, scale=100, round_digits=6,
+    )
+    return out.select("user_id", "event_id", "ewma")
+
+
+@register(
+    "bloom_semi_join_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)
+def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators.relational.bloom_semi_join):
+    lineitems of high-value orders, with the fact side cut by a scan-side
+    8 KiB Bloom bitmap of the qualifying order keys BEFORE the join
+    shuffle. Result exactly equals the plain semi join (the oracle); the
+    Bloom stage only changes WHERE rows die — in the codegen'd scan
+    instead of after a full-fact exchange. The 100 TB selective-dim-join
+    pattern; bitmap reusable across queries (index-artifact contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    hot = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return relational.bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -1701,3 +1701,39 @@ def np_f32(x):
     import numpy as np
 
     return np.float32(x)
+
+
+def test_quantize_embeddings_roundtrip_and_edges(spark):
+    """int8 quantization: codes in [-127,127]; dequantize error per
+    component is ≤ scale/2 (+ float32 read noise); a ±max component hits
+    exactly ±127; zero vectors emit all-zero codes with scale 0; the
+    element-wise codes of a hand vector match the formula."""
+    data = [
+        (1, [0.5, -1.0, 0.25, 0.0]),   # maxabs 1.0 → scale 1/127
+        (2, [0.0, 0.0, 0.0, 0.0]),     # zero vector
+        (3, [2.0, 1.0, -0.5, 0.1]),
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    q = sim_ops.quantize_embeddings(df, "vec_id")
+    rows = {r.vec_id: r for r in q.collect()}
+
+    import math
+
+    def ref_codes(vec):
+        m = max(abs(x) for x in vec)
+        if m == 0:
+            return [0] * len(vec), 0.0
+        return [math.floor(x / m * 127 + 0.5) for x in vec], m / 127
+
+    for vid, vec in data:
+        exp_codes, exp_scale = ref_codes(vec)
+        assert list(rows[vid].codes) == exp_codes, vid
+        assert abs(rows[vid].q_scale - exp_scale) < 1e-15, vid
+        assert all(-127 <= c <= 127 for c in rows[vid].codes)
+
+    deq = sim_ops.dequantize_embeddings(q, out_col="recon")
+    recon = {r.vec_id: list(r.recon) for r in deq.collect()}
+    for vid, vec in data:
+        scale = rows[vid].q_scale
+        for orig, rec in zip(vec, recon[vid]):
+            assert abs(orig - rec) <= scale / 2 + 1e-12, (vid, orig, rec)

@@ -4763,6 +4763,55 @@ def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
 
 
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, xs,
+             list_aggregate(list_transform(xs, x -> ABS(x)), 'max') AS maxabs
+      FROM q
+    ), c AS (
+      SELECT vec_id, maxabs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(
+                         xs, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS INT))
+                  ELSE list_transform(xs, x -> 0) END AS codes
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS INT) AS n_dims,
+           list_aggregate(codes, 'min') AS code_min,
+           list_aggregate(codes, 'max') AS code_max,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+           FLOOR(maxabs / 127 * 1000000000.0 + 0.5) / 1000000000.0 AS scale_q
+    FROM c
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators.similarity.
+    quantize_embeddings): per-vector scale + [−127,127] codes — the 4×
+    embedding storage/shuffle-IO compression. Hashed per vector through
+    code min/max/sum + the quantized scale (the full code arrays are
+    pinned element-wise in the unit tests; aggregates keep the oracle
+    row narrow). All-IEEE-double arithmetic ⇒ engine-bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.quantize_embeddings(emb, "vec_id")
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("code_sum"),
+        (F.floor(F.col("q_scale") * 1e9 + F.lit(0.5)) / 1e9).alias("scale_q"),
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on
@@ -4792,11 +4841,8 @@ _GATED_WINDOW = [
     "wordcount_top20",
     "q18_large_volume_customers",
     "text_bpe_token_counts",
-    "window_value_functions",
     "from_json_events_props",
-    "array_agg_priorities_per_segment",
     "unpivot_lineitem_measures",
-    "q6_revenue_forecast",
     "q15_top_supplier",
     "q11_top_share_parts",
     "curation_pipeline_stats",
@@ -4845,6 +4891,17 @@ _GATED_WINDOW = [
     "curation_dsir_scores",
     "ols_trend_orders_by_priority",
     "geo_nearest_supplier_for_customers",
+    # --- round-5c rotation: the three operator families added late in
+    # round 5 earn first driver rows. Rotated out, each with its family
+    # still gated (all three stay oracle-checked in the local pytest
+    # mirror): q6_revenue_forecast (filtered scan-agg: q1 + q9 stay),
+    # array_agg_priorities_per_segment (semi-structured/array surface:
+    # from_json_events_props + unpivot_lineitem_measures stay),
+    # window_value_functions (window value fns: events_sliding_windows,
+    # resample_events_hourly_ffill, rolling_anomalies_events stay). ---
+    "ewma_events_value",
+    "bloom_semi_join_lineitem",
+    "embedding_quantize_int8",
     # --- oracle-converted in round 3 (VERDICT r02 #5): the UDTF lateral
     # surface and THE reference end-to-end pipeline now earn hash-checked
     # driver rows; scalar_math_functions and q10_returned_items rotate to

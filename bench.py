@@ -94,6 +94,14 @@ HEADLINE = [
     "curation_stratified_sample",
     "text_chunk_documents",
     "rag_prep_pipeline",
+    # round-5c additions: truncated-EWMA (single shared-frame window
+    # pass), Bloom-prefiltered semi join (scan-side bitmap cut), int8
+    # embedding quantization (scan-speed array lambdas)
+    "ewma_events_value",
+    "bloom_semi_join_lineitem",
+    "embedding_quantize_int8",
+    # line-table double shuffle (freq groupBy + doc re-aggregation)
+    "text_remove_boilerplate",
 ]
 
 

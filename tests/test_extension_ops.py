@@ -1737,3 +1737,35 @@ def test_quantize_embeddings_roundtrip_and_edges(spark):
         scale = rows[vid].q_scale
         for orig, rec in zip(vec, recon[vid]):
             assert abs(orig - rec) <= scale / 2 + 1e-12, (vid, orig, rec)
+
+
+def test_remove_boilerplate_lines_hand_case(spark):
+    """Planted boilerplate: a footer line shared by 3 docs dies
+    everywhere; unique lines and blank lines survive in order; an
+    all-boilerplate doc stays as a row with cleaned_text=''."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import (
+        remove_boilerplate_lines,
+    )
+
+    footer = "(c) 2026 example.com - all rights reserved"
+    docs = [
+        (1, f"alpha one\n\nbody text A\n{footer}"),
+        (2, f"beta two\n{footer}\nbody text B"),
+        (3, f"{footer}\ngamma three"),
+        (4, footer),                       # all-boilerplate
+        (5, "delta four\nunique line"),    # untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            df, "doc_id", "text", min_doc_freq=3
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].cleaned_text == "alpha one\n\nbody text A"
+    assert out[2].cleaned_text == "beta two\nbody text B"
+    assert out[3].cleaned_text == "gamma three"
+    assert out[4].cleaned_text == "" and out[4].n_kept == 0
+    assert out[5].cleaned_text == "delta four\nunique line"
+    assert out[1].n_lines == 4 and out[1].n_kept == 3

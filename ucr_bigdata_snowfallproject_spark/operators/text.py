@@ -559,3 +559,61 @@ def chunk_documents(
             F.col("__c.chunk_text").alias("chunk_text"),
         )
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_doc_freq: int = 3,
+) -> DataFrame:
+    """Line-level boilerplate removal (the C4/RefinedWeb cleaning step):
+    any non-blank line whose trimmed form appears in ≥ ``min_doc_freq``
+    DISTINCT documents is boilerplate (nav menus, cookie banners, footer
+    legalese) and is dropped from every document; blank lines and
+    document-unique lines survive, in their original order.
+
+    Returns (id, n_lines, n_kept, cleaned_text) — one row per input
+    document, including documents whose every line was boilerplate
+    (``cleaned_text = ''``), so the operator is row-preserving.
+
+    Scale shape: one posexplode → the line table shuffles twice — a
+    (fingerprint) groupBy for the cross-document frequency (lines hash to
+    16-byte md5 keys; the raw text never rides the frequency shuffle key)
+    and a doc-grained re-aggregation that reassembles survivors with an
+    in-group sort_array (line order restores without a global sort). The
+    frequency table is corpus-vocabulary-sized — joined on fingerprint,
+    NOT broadcast (same rule as tfidf's doc-freq table).
+
+    Docs whose every line is kept/dropped still emit one row (the keep
+    flag is aggregated, never pre-filtered), so the operator composes
+    with row-count-sensitive curation stages."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "__l"),
+    ).withColumn("__fp", F.md5(F.trim(F.col("__l"))))
+    freq = (
+        lines.filter(F.trim(F.col("__l")) != "")
+        .groupBy("__fp")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_doc_freq)
+        .select("__fp", F.lit(True).alias("__boiler"))
+    )
+    flagged = lines.join(freq, "__fp", "left").withColumn(
+        "__keep",
+        (F.trim(F.col("__l")) == "") | F.col("__boiler").isNull(),
+    )
+    kept_sorted = F.transform(
+        F.filter(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("__l"), F.col("__keep")))
+            ),
+            lambda s: s["__keep"],
+        ),
+        lambda s: s["__l"],
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        F.array_join(kept_sorted, "\n").alias("cleaned_text"),
+    )

@@ -4812,6 +4812,47 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_remove_boilerplate",
+    """
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS pos, arr[i] AS l, md5(trim(arr[i])) AS fp
+      FROM ls, UNNEST(generate_series(1, len(arr))) AS u(i)
+    ), boiler AS (
+      SELECT fp FROM lines WHERE trim(l) <> ''
+      GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 3
+    ), flagged AS (
+      SELECT doc_id, pos, l,
+             (trim(l) = '' OR fp NOT IN (SELECT fp FROM boiler)) AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+           md5(COALESCE(
+             string_agg(l, chr(10) ORDER BY pos) FILTER (keep), ''))
+             AS cleaned_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators.text.
+    remove_boilerplate_lines): lines repeated across ≥3 distinct
+    documents (nav/footer/banner text) are dropped corpus-wide, document
+    order preserved — the C4/RefinedWeb cleaning step. Row-preserving
+    (all-boilerplate docs emit cleaned_text=''); hashed through the
+    cleaned text's md5 so the oracle pins the full reassembled string,
+    not just counts."""
+    d = load_table(spark, sf_dir, "documents")
+    out = text_ops.remove_boilerplate_lines(d, "doc_id", "text", min_doc_freq=3)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

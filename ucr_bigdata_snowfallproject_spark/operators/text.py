@@ -617,3 +617,59 @@ def remove_boilerplate_lines(
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
         F.array_join(kept_sorted, "\n").alias("cleaned_text"),
     )
+
+
+def script_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document character-class composition — the standard cheap
+    script/charset filter for web corpora (drop documents that are mostly
+    digits/punctuation; route by dominant script before language-specific
+    stages): counts per Unicode class as a fraction of total characters.
+
+    Classes: ASCII letters, digits, whitespace, CJK unified ideographs,
+    Cyrillic, and "other" (the remainder — punctuation, Latin-extended,
+    emoji, ...). Counts come from length-after-strip regexes — pure
+    whole-stage-codegen column expressions, scan speed, zero shuffle,
+    identical regex semantics in any RE2/PCRE-class engine (plain
+    character-class patterns only). Empty documents emit 0 ratios.
+
+    Ratio arithmetic is int/int division + floor-half-up rounding —
+    engine-bit-identical (exact-integer-sums rule). Caveat: Spark
+    ``length`` counts UTF-16 code units while DuckDB counts code points —
+    identical on BMP-only text (fixture contract, asserted in the oracle
+    run); an emoji-heavy corpus shifts ``other_ratio`` by the astral
+    surrogate count."""
+    c = F.col(text_col)
+    n = F.length(c)
+
+    def cls_count(pattern: str) -> Column:
+        return n - F.length(F.regexp_replace(c, pattern, ""))
+
+    ascii_n = cls_count(r"[A-Za-z]")
+    digit_n = cls_count(r"[0-9]")
+    space_n = cls_count(r"[ \t\n\r]")
+    cjk_n = cls_count(r"[一-鿿]")
+    cyr_n = cls_count(r"[Ѐ-ӿ]")
+    p = float(10**round_digits)
+
+    def ratio(cnt: Column) -> Column:
+        return F.when(n > 0, F.floor(cnt / n * p + F.lit(0.5)) / p).otherwise(
+            F.lit(0.0)
+        )
+
+    return df.select(
+        F.col(id_col),
+        n.alias("n_chars"),
+        ratio(ascii_n).alias("ascii_alpha_ratio"),
+        ratio(digit_n).alias("digit_ratio"),
+        ratio(space_n).alias("space_ratio"),
+        ratio(cjk_n).alias("cjk_ratio"),
+        ratio(cyr_n).alias("cyrillic_ratio"),
+        ratio(n - ascii_n - digit_n - space_n - cjk_n - cyr_n).alias(
+            "other_ratio"
+        ),
+    )

@@ -4853,6 +4853,87 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "export_tar_shards",
+    """
+    WITH named AS (
+      SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT CAST(('0x' || substr(md5(name || '#tar'), 1, 8))::BIGINT % 8 AS INT)
+             AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(nb) AS BIGINT) AS n_bytes
+    FROM named GROUP BY 1
+    """,
+)
+def export_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard export (sources.tar.write_tar_shards):
+    every document becomes a ``<doc_id>.txt`` member of a deterministic
+    md5-routed shard archive; the query returns the export MANIFEST
+    (shard, n_members, n_bytes), which the oracle recomputes purely in
+    SQL from the portable-hash routing + utf-8 byte lengths — so the
+    side-effecting sink's accounting is externally hash-checked (the
+    archive bytes themselves are round-trip- and determinism-pinned in
+    test_sources_io)."""
+    from .sources.tar import write_tar_shards
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = _scratch_dir("targraft_")
+    m = write_tar_shards(d, out, "name", "payload", n_shards=8)
+    return m.select("shard", "n_members", "n_bytes")
+
+
+@register(
+    "text_script_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS a_n,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS d_n,
+             length(text)
+               - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS s_n,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+               AS k_n,
+             length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+               AS y_n
+      FROM documents
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_chars,
+           CASE WHEN n > 0 THEN FLOOR(a_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS ascii_alpha_ratio,
+           CASE WHEN n > 0 THEN FLOOR(d_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN FLOOR(s_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS space_ratio,
+           CASE WHEN n > 0 THEN FLOOR(k_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS cjk_ratio,
+           CASE WHEN n > 0 THEN FLOOR(y_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS cyrillic_ratio,
+           CASE WHEN n > 0
+                THEN FLOOR((n - a_n - d_n - s_n - k_n - y_n) / n
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS other_ratio
+    FROM base
+    """,
+)
+def text_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class / script composition per document (operators.text.
+    script_stats): ASCII-letter, digit, whitespace, CJK, Cyrillic and
+    other-char fractions — the cheap script filter that routes documents
+    before language-specific curation stages. Pure strip-and-measure
+    regex column expressions (scan speed, zero shuffle); int/int ratios +
+    floor-half-up rounding keep both engines bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.script_stats(d, "doc_id", "text")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -102,6 +102,10 @@ HEADLINE = [
     "embedding_quantize_int8",
     # line-table double shuffle (freq groupBy + doc re-aggregation)
     "text_remove_boilerplate",
+    # in-row run-length entropy (zero-shuffle scan) and fixed-bin
+    # histogram (one (keys,bin) groupBy + scaffold join)
+    "text_char_entropy",
+    "histogram_totalprice_by_priority",
 ]
 
 

@@ -1769,3 +1769,72 @@ def test_remove_boilerplate_lines_hand_case(spark):
     assert out[4].cleaned_text == "" and out[4].n_kept == 0
     assert out[5].cleaned_text == "delta four\nunique line"
     assert out[1].n_lines == 4 and out[1].n_kept == 3
+
+
+def test_char_entropy_hand_cases(spark):
+    """Known entropies: uniform 4-char text = 2 bits; single-char = 0;
+    empty = 0; 'aabb' = 1 bit; unicode counts as one char."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import char_entropy
+
+    docs = [
+        (1, "abcd"),      # 4 distinct, uniform -> 2.0
+        (2, "aaaa"),      # single char -> 0.0
+        (3, ""),          # empty -> 0.0
+        (4, "aabb"),      # two chars, uniform -> 1.0
+        (5, "éé"),        # unicode single char -> 0.0
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.char_entropy for r in char_entropy(df, "doc_id", "text").collect()}
+    assert got == {1: 2.0, 2: 0.0, 3: 0.0, 4: 1.0, 5: 0.0}
+
+
+def test_histogram_fixed_clamping_and_empty_bins(spark):
+    """Every group emits exactly n_bins rows; out-of-range values land in
+    the edge bins; empty bins carry n=0; NULLs excluded."""
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import histogram_fixed
+
+    rows = [
+        ("a", -5.0), ("a", 0.0), ("a", 9.9), ("a", 25.0), ("a", 100.0),
+        ("b", 15.0), ("b", None),
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = histogram_fixed(df, ["k"], "v", lo=0.0, hi=40.0, n_bins=4)
+    res = {(r.k, r.bin): (r.n, r.lo_edge, r.hi_edge) for r in out.collect()}
+    assert len(res) == 8  # 2 groups x 4 bins
+    assert res[("a", 0)][0] == 3   # -5 clamped, 0.0, 9.9
+    assert res[("a", 1)][0] == 0   # empty bin present
+    assert res[("a", 2)][0] == 1   # 25.0
+    assert res[("a", 3)][0] == 1   # 100 clamped into top bin
+    assert res[("b", 1)][0] == 1 and res[("b", 0)][0] == 0  # NULL dropped
+    assert res[("a", 2)][1:] == (20.0, 30.0)
+
+
+def test_weighted_sample_prefers_heavy_and_is_deterministic(spark):
+    """Efraimidis-Spirakis sampling: across many seeds, a 50×-heavier
+    item wins the k=1 draw far more often than the light ones; identical
+    seed ⇒ identical sample; weight≤0/NULL rows are unsampleable."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        weighted_sample_per_group,
+    )
+
+    rows = [("g", i, 500 if i == 0 else 10) for i in range(6)]
+    rows += [("g", 96, 0), ("g", 97, -3), ("g", 98, None)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+
+    wins = 0
+    n_seeds = 30
+    for s in range(n_seeds):
+        got = weighted_sample_per_group(
+            df, ["grp"], "id", "w", k=1, seed=f"s{s}"
+        ).collect()
+        assert len(got) == 1
+        assert got[0].id < 90  # nonpositive/NULL weights never sampled
+        if got[0].id == 0:
+            wins += 1
+    # P(win) = 500/550 ≈ 0.909 per draw; 30 draws ⇒ <10 wins has
+    # probability ~1e-12 — deterministic given the fixed seed list anyway
+    assert wins >= 10, wins
+
+    a = weighted_sample_per_group(df, ["grp"], "id", "w", k=3, seed="x").collect()
+    b = weighted_sample_per_group(df, ["grp"], "id", "w", k=3, seed="x").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -632,3 +632,69 @@ def test_tune_gbt_cross_validation(spark):
         train, "y", max_iter_grid=(2, 5), max_depth_grid=(2,), n_folds=2
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, metrics2.collect()))
+
+
+def test_ewma_stream_matches_batch_across_restarts(spark, tmp_path):
+    """Streaming EWMA (applyInPandasWithState) == batch ewma_truncated,
+    including per-key state carried ACROSS a query restart: chunk 1 is
+    processed, the query stops, chunk 2 lands, a new query resumes from
+    the same checkpoint — the union of emissions must equal the batch
+    result over all events (each event emitted exactly once)."""
+    from ucr_bigdata_snowfallproject_spark.operators.windows import ewma_truncated
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        read_event_stream, ewma_stream,
+    )
+
+    e = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .filter(F.col("user_id") < 20)
+    )
+    batch = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma_truncated(
+            e, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()], "value"
+        ).collect()
+    }
+
+    # two event-time-ordered chunks (per-key cross-batch order contract)
+    w = F.row_number().over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        .partitionBy(F.lit(1)).orderBy("ts", "event_id")
+    )
+    ranked = e.withColumn("__rn", w)
+    half = ranked.count() // 2
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    ranked.filter(F.col("__rn") <= half).drop("__rn").coalesce(1).write.parquet(
+        src + "/c1"
+    )
+
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        # memory sink can't recover from a checkpoint — parquet sink can
+        stream = read_event_stream(spark, src + "/*")
+        q = (
+            ewma_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(sink).collect()
+        return rows
+
+    rows1 = run_once()
+    ranked.filter(F.col("__rn") > half).drop("__rn").coalesce(1).write.parquet(
+        src + "/c2"
+    )
+    rows_all = run_once()
+
+    assert len(rows1) == half
+    assert len(rows_all) == len(batch), "restart re-emitted or dropped events"
+    merged = {(r.user_id, r.event_id): r.ewma for r in rows_all}
+    assert merged == batch

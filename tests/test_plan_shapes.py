@@ -423,3 +423,32 @@ def test_bloom_semi_join_prefilter_in_scan_stage(spark):
     n_fact, n_true, n_out = li.count(), plain.count(), out.count()
     assert n_true == n_out
     assert n_out < n_fact
+
+
+def test_char_entropy_zero_shuffle(spark):
+    """char_entropy computes per-row (sorted-array run lengths) — the
+    plan must contain NO exchange at all (the naive per-character
+    explode→groupBy would shuffle one row per character)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import char_entropy
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = char_entropy(d, "doc_id", "text")
+    assert checks.shuffle_count(out) == 0
+    assert out.count() == d.count()
+
+
+def test_histogram_fixed_single_agg_shuffle(spark):
+    """histogram_fixed: the corpus-sized pass is ONE partial-aggregable
+    (keys, bin) groupBy; the empty-bin scaffold joins broadcast (no
+    sort-merge join of the fact table against the scaffold)."""
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import histogram_fixed
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    out = histogram_fixed(
+        o, ["o_orderpriority"], "o_totalprice", lo=0.0, hi=600000.0, n_bins=12
+    )
+    text = checks.explain_str(out)
+    assert "CartesianProduct" not in text
+    # partial aggregation before the exchange (map-side combine)
+    assert "partial_count" in text or "HashAggregate" in text
+    assert out.count() == 5 * 12

@@ -448,3 +448,55 @@ def group_ols(
         F.round(intercept, round_digits).alias("intercept"),
         F.round(r2, round_digits).alias("r2"),
     )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group fixed-width histogram: ``n_bins`` equal bins over
+    [``lo``, ``hi``), out-of-range values clamped into the edge bins
+    (width_bucket semantics), EMPTY BINS EMITTED — every group yields
+    exactly ``n_bins`` rows (keys…, bin, lo_edge, hi_edge, n), so
+    downstream plotting/drift code never special-cases gaps.
+
+    Why not ``histogram_numeric``: Spark's built-in picks data-dependent
+    bin centers (a streaming heuristic) — non-deterministic across
+    partition orders and unreproducible in any other engine. Fixed edges
+    are the PSI/drift-monitoring contract (aggregates.psi_drift uses the
+    same binning rule).
+
+    Scale shape: ONE partial-aggregable groupBy on (keys…, bin) — the
+    only corpus-sized pass; the empty-bin scaffold is |groups|·n_bins
+    rows built from a distinct-keys pass and AQE-broadcast back. NULL
+    values are excluded (they're a data-quality signal, not a bin).
+
+    Determinism: bin index = clamped floor((v−lo)/width) and the edges
+    lo + bin·width are plain IEEE-754 double ops — engine-bit-identical."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    bin_col = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
+    counts = (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scaffold = (
+        df.select(*keys)
+        .distinct()
+        .select(
+            *keys, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+        )
+    )
+    return scaffold.join(counts, [*keys, "bin"], "left").select(
+        *keys,
+        "bin",
+        (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+        (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+    )

@@ -510,3 +510,43 @@ def dsir_scores(
             round_digits,
         ).alias("dsir_score"),
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per group —
+    Efraimidis-Spirakis: each row draws u = uniform(0,1] from the
+    engine-portable md5 hash of its id and ranks by ``ln(u)/w`` (the
+    order-equivalent log form of the classic ``u^(1/w)`` priority);
+    the top-k per group is a weight-proportional sample. The curation
+    workhorse for "sample documents ∝ quality/length" with reproducible,
+    seed-switchable draws — no RNG state, no partition-order dependence.
+
+    u is EXACT in float64: (hash+1)/2^32 is an integer divided by a power
+    of two. ln() is the one libm call — Java's Math.log and C libm agree
+    on these inputs (oracle-verified); ties are impossible short of an
+    md5 collision, and (key desc, id) ordering makes rank total anyway.
+
+    Rows with weight ≤ 0 or NULL are excluded (zero-weight items are
+    unsampleable by definition). Scale shape: scan-side hash + one
+    per-group top-k window (group-limit pushdown applies) — same cost as
+    any top-k-per-group; groups are whatever ``keys`` is, so skew follows
+    the caller's key choice."""
+    from pyspark.sql import Window
+
+    u = (portable_hash(id_col, seed) + 1) / F.lit(float(1 << 32))
+    key = F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(*keys).orderBy(F.desc("__es_key"), F.asc(id_col))
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__es_key", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__es_key")
+    )

@@ -673,3 +673,68 @@ def script_stats(
             "other_ratio"
         ),
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the classic gibberish/keyboard-mash/compression-artifact filter
+    (English prose sits ~4.0-4.5 bits; base64 blobs and mashed keys run
+    higher, single-char spam near 0).
+
+    Scale shape: computed ENTIRELY inside the row — sort the char array,
+    find run boundaries, run lengths, fold to the entropy sum — so it's
+    a scan-speed column expression chain with ZERO shuffle; the naive
+    per-CHARACTER explode→groupBy would shuffle one row per character
+    (~n_chars ≫ n_docs rows) for a per-doc statistic. Every intermediate
+    array binds as a real column first (the lambda-inlining O(len²)
+    hazard — see bigram_lm).
+
+    Determinism: each term (c/n)·log2(c/n) is the same IEEE double
+    expression in any engine; terms quantize to a 10^12 fixed-point grid
+    and integer-sum (order-free), so the DuckDB oracle — which counts
+    chars via a plain unnest+groupBy — lands bit-identically. Empty
+    documents emit entropy 0."""
+    tmp = (
+        df.withColumn("__srt", F.array_sort(F.split(F.col(text_col), "")))
+        .withColumn("__n", F.size(F.col("__srt")))
+        .withColumn(
+            "__bnd",
+            F.filter(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: (i == 1)
+                | (F.get(F.col("__srt"), i - 1) != F.get(F.col("__srt"), i - 2)),
+            ),
+        )
+        .withColumn(
+            "__cnt",
+            F.zip_with(
+                F.col("__bnd"),
+                F.concat(
+                    F.slice(F.col("__bnd"), 2, F.size(F.col("__bnd")) - 1),
+                    F.array(F.col("__n") + 1),
+                ),
+                lambda a, b: b - a,
+            ),
+        )
+    )
+    acc = F.aggregate(
+        F.col("__cnt"),
+        F.lit(0).cast("long"),
+        lambda a, c: a
+        + F.floor(
+            (c / F.col("__n")) * F.log2(c / F.col("__n")) * F.lit(1e12)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    p = float(10**round_digits)
+    ent = F.floor((-acc).cast("double") / F.lit(1e12) * p + F.lit(0.5)) / p
+    return tmp.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        ent.alias("char_entropy"),
+    )

@@ -4934,6 +4934,112 @@ def text_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.script_stats(d, "doc_id", "text")
 
 
+@register(
+    "histogram_totalprice_by_priority",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority, o_totalprice AS v FROM orders
+    ), counts AS (
+      SELECT o_orderpriority,
+             LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 50000.0) AS INT), 0), 11)
+               AS bin,
+             COUNT(*) AS n
+      FROM pts WHERE v IS NOT NULL GROUP BY 1, 2
+    ), scaffold AS (
+      SELECT DISTINCT o_orderpriority, i AS bin
+      FROM pts, UNNEST(generate_series(0, 11)) AS u(i)
+    )
+    SELECT o_orderpriority, CAST(bin AS INT) AS bin,
+           0.0 + bin * 50000.0 AS lo_edge,
+           0.0 + (bin + 1) * 50000.0 AS hi_edge,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n
+    FROM scaffold LEFT JOIN counts USING (o_orderpriority, bin)
+    """,
+)
+def histogram_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group fixed-width histogram (aggregates.histogram_fixed):
+    order totals binned into 12×50k buckets per priority, empty bins
+    emitted, out-of-range clamped to the edge bins — the deterministic
+    distribution profile (Spark's histogram_numeric picks data-dependent
+    centers; fixed edges are reproducible and drift-comparable). One
+    partial-aggregable (priority, bin) groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    return aggregates.histogram_fixed(
+        o, ["o_orderpriority"], "o_totalprice", lo=0.0, hi=600000.0, n_bins=12
+    )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH cc AS (
+      SELECT doc_id, n, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, length(text) AS n, substr(text, i, 1) AS ch
+        FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+      )
+      GROUP BY doc_id, n, ch
+    ), terms AS (
+      SELECT doc_id,
+             CAST(FLOOR((c / CAST(n AS DOUBLE))
+                        * log2(c / CAST(n AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS tf
+      FROM cc
+    ), agg AS (
+      SELECT doc_id, SUM(tf) AS s FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+           FLOOR(CAST(COALESCE(-s, 0) AS DOUBLE) / 1000000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS char_entropy
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (operators.text.char_entropy) — the gibberish/base64-blob filter.
+    The Spark side run-length-encodes the sorted char array INSIDE the
+    row (zero shuffle); the oracle counts chars the naive unnest way —
+    both quantize each (c/n)·log2(c/n) term to a 10^12 fixed-point grid
+    so the order-free integer sums land bit-identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.char_entropy(d, "doc_id", "text")
+
+
+@register(
+    "curation_weighted_sample",
+    """
+    WITH pr AS (
+      SELECT source, doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 8))
+                   ::BIGINT + 1) / 4294967296.0) / n_chars AS key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, CAST(rnk AS INT) AS sample_rank
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key DESC, doc_id) AS rnk
+      FROM pr
+    )
+    WHERE rnk <= 5
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (curation.
+    weighted_sample_per_group): 5 documents per source drawn ∝ n_chars
+    via Efraimidis-Spirakis priorities over engine-portable md5 uniforms
+    — reproducible weight-proportional sampling with no RNG state. The
+    oracle re-derives the exact ln(u)/w ranking in SQL (u is an
+    integer/2^32, exact in float64)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return curation_ops.weighted_sample_per_group(
+        d, ["source"], "doc_id", "n_chars", k=5, seed="ws"
+    ).select("source", "doc_id", "n_chars", "sample_rank")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on
@@ -4959,10 +5065,7 @@ _GATED_WINDOW = [
     "pandas_udf_vowel_ratio",
     # (r5b rotation below swaps three slots for the round-5b operator
     # families — see the block after the round-5 rotation)
-    "apply_in_pandas_zscore",
-    "wordcount_top20",
     "q18_large_volume_customers",
-    "text_bpe_token_counts",
     "from_json_events_props",
     "unpivot_lineitem_measures",
     "q15_top_supplier",
@@ -4978,7 +5081,6 @@ _GATED_WINDOW = [
     # q12_shipmode_priority_counts (CASE-sum counts: q8/q14 stay),
     # q7_volume_shipping (dim-in-two-roles: q8 stays). All four remain
     # oracle-checked in the local pytest mirror. ---
-    "curation_pack_sequences",
     "text_bigram_lm",
     "dedup_incremental_exact",
     # --- round-5 rotation (VERDICT r04 #2/#6): one representative per
@@ -5024,6 +5126,20 @@ _GATED_WINDOW = [
     "ewma_events_value",
     "bloom_semi_join_lineitem",
     "embedding_quantize_int8",
+    # --- round-5d rotation: four more late-round-5 families earn first
+    # driver rows (corpus-cleaning transform, side-effect sink manifest,
+    # in-row entropy, weighted sampling). Rotated out, each family still
+    # gated (all stay oracle-checked in the local pytest mirror):
+    # wordcount_top20 + text_bpe_token_counts (text token aggs:
+    #   text_stats_documents, text_language_id, text_script_stats'
+    #   char-class counting stay), apply_in_pandas_zscore (X7 UDF
+    #   surface: pandas_udf_vowel_ratio + udtf_sentence_split stay),
+    # curation_pack_sequences (curation: decontaminate,
+    #   token_budget_mix, pipeline_stats, dsir_scores stay). ---
+    "text_remove_boilerplate",
+    "export_tar_shards",
+    "text_char_entropy",
+    "curation_weighted_sample",
     # --- oracle-converted in round 3 (VERDICT r02 #5): the UDTF lateral
     # surface and THE reference end-to-end pipeline now earn hash-checked
     # driver rows; scalar_math_functions and q10_returned_items rotate to

@@ -353,3 +353,102 @@ def stream_incremental_event_totals(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def ewma_stream(
+    events: DataFrame,
+    horizon: int = 8,
+    scale: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Streaming twin of ``operators.windows.ewma_truncated``: per user,
+    every arriving event is emitted once (append mode) with its
+    decay-1/2 truncated EWMA over the last ``horizon`` observations —
+    per-key state is just the previous ``horizon−1`` quantized values
+    (plus their null mask), so state size is O(keys · horizon) regardless
+    of stream length.
+
+    Determinism contract: within a micro-batch rows are sorted by
+    (ts, event_id); ACROSS micro-batches the smoothing follows arrival
+    order (the standard streaming-EWMA semantics). When per-key arrival
+    is event-time-ordered — the replay/test fixture contract — the
+    emitted values are bit-identical to the batch operator: the same
+    shortest-decimal HALF_UP cent quantization (``decimal`` mirrors
+    Spark's BigDecimal rounding, incl. negatives where ``floor(x+0.5)``
+    differs), the same exact power-of-two integer sums, the same
+    floor-half-up final rounding."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    p = float(10**round_digits)
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            vals, mask = state.get
+            vals, mask = list(vals), list(mask)
+        else:
+            vals, mask = [], []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((vals, mask))
+            return
+        rows = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"], kind="mergesort"
+        )
+        out_ids: list[int] = []
+        out_vals: list[float | None] = []
+        for row in rows.itertuples(index=False):
+            v = row.value
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(0)
+                mask.append(False)
+            else:
+                cents = int(
+                    Decimal(repr(float(v) * scale)).quantize(
+                        Decimal(1), rounding=ROUND_HALF_UP
+                    )
+                )
+                vals.append(cents)
+                mask.append(True)
+            num = den = 0
+            recent = list(zip(vals[-horizon:], mask[-horizon:]))
+            for i, (c, ok) in enumerate(reversed(recent)):
+                if not ok:
+                    continue
+                w = 1 << (horizon - 1 - i)
+                num += c * w
+                den += w
+            out_ids.append(int(row.event_id))
+            out_vals.append(
+                None
+                if den == 0
+                else math.floor(num / (den * float(scale)) * p + 0.5) / p
+            )
+        keep = horizon - 1
+        state.update((vals[-keep:] if keep else [], mask[-keep:] if keep else []))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ids),
+                "event_id": out_ids,
+                "ewma": out_vals,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_OUTPUT_SCHEMA,
+        stateStructType="vals array<bigint>, mask array<boolean>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

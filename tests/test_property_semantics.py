@@ -534,3 +534,39 @@ def test_ewma_truncated_matches_reference(spark, rows, horizon):
 
             expected[(k, s)] = math.floor(num / (den * 100.0) * 1e6 + 0.5) / 1e6
     assert got == expected
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=60,
+    ),
+)
+@settings(**_SETTINGS)
+def test_triangle_counts_matches_brute_force(spark, edges):
+    """Degree-oriented triangle counting == brute-force enumeration on
+    random graphs (self-loops and duplicate/reversed edges collapsed;
+    per-node counts, nodes in ≥1 triangle only)."""
+    from itertools import combinations
+
+    from ucr_bigdata_snowfallproject_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame(
+        [(str(a), str(b)) for a, b in edges] or [("x", "x")],
+        "s string, t string",
+    )
+    got = {r.node: r.n_triangles for r in triangle_counts(df, "s", "t").collect()}
+
+    und = {frozenset((str(a), str(b))) for a, b in edges if a != b}
+    nodes = sorted({v for e in und for v in e})
+    expected: dict[str, int] = {}
+    for u, v, w in combinations(nodes, 3):
+        if (
+            frozenset((u, v)) in und
+            and frozenset((v, w)) in und
+            and frozenset((u, w)) in und
+        ):
+            for n in (u, v, w):
+                expected[n] = expected.get(n, 0) + 1
+    assert got == expected

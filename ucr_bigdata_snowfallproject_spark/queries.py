@@ -5040,6 +5040,55 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("source", "doc_id", "n_chars", "sample_rank")
 
 
+@register(
+    "graph_triangles_parts",
+    """
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    ), tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), nodes AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 50
+    """,
+)
+def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators.graph.triangle_counts) over
+    the part-part co-purchase graph (parts sharing an order), top-50 —
+    the local-clustering / link-farm-density signal. Spark runs the
+    degree-ORIENTED algorithm (each triangle closes exactly once, wedge
+    fan-out bounded by Σoutdeg² ~ O(m^1.5) worst case instead of the
+    naive Σdeg² hub blow-up); the oracle counts the same triangles by a
+    plain a<b<c triple join — identical multiset by construction."""
+    from .operators import graph as graph_ops
+
+    lp = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("p")
+    ).distinct()
+    x = lp.select("l_orderkey", F.col("p").alias("p1"))
+    y = lp.select("l_orderkey", F.col("p").alias("p2"))
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    out = graph_ops.triangle_counts(edges, "p1", "p2")
+    return relational.top_k(out, [F.desc("n_triangles"), F.asc("node")], 50)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

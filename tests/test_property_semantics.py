@@ -570,3 +570,63 @@ def test_triangle_counts_matches_brute_force(spark, edges):
             for n in (u, v, w):
                 expected[n] = expected.get(n, 0) + 1
     assert got == expected
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(1, 2),        # key
+            st.integers(0, 7200),     # seconds offset (spans >1 hour bucket)
+            st.integers(-500, 500),   # value cents
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+@settings(**_SETTINGS)
+def test_time_weighted_avg_matches_reference(spark, rows):
+    """time_weighted_avg == pure-Python LOCF integral replay: segment
+    [t_i, t_{i+1}) split at hour-bucket boundaries, exact integer
+    microsecond durations, open-ended last segment excluded."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.operators.resample import (
+        time_weighted_avg,
+    )
+
+    uniq = sorted({(k, s) for k, s, _ in rows})
+    vals = {}
+    for k, s, v in rows:
+        vals.setdefault((k, s), v)
+    data = [
+        (k, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=s),
+         vals[(k, s)] / 100.0)
+        for k, s in uniq
+    ]
+    df = spark.createDataFrame(data, "k long, ts timestamp, v double")
+    out = time_weighted_avg(df, ["k"], "ts", "v", bucket_us=3_600_000_000)
+    got = {(r.k, r.bucket_start): (r.covered_us, r.twa) for r in out.collect()}
+
+    BUS = 3_600_000_000
+    # fixed epoch for 2024-01-01T00:00:00Z — session TZ is UTC, so the
+    # naive datetimes above are UTC instants regardless of container TZ
+    epoch0 = 1_704_067_200 * 1_000_000
+    acc: dict = {}
+    for k in {k for k, _ in uniq}:
+        series = [(s, vals[(k, s)]) for kk, s in uniq if kk == k]
+        for (s0, v), (s1, _) in zip(series, series[1:]):
+            t0, t1 = epoch0 + s0 * 1_000_000, epoch0 + s1 * 1_000_000
+            if t1 <= t0:
+                continue
+            for b in range(t0 // BUS, (t1 - 1) // BUS + 1):
+                dur = min(t1, (b + 1) * BUS) - max(t0, b * BUS)
+                num, den = acc.get((k, b), (0, 0))
+                acc[(k, b)] = (num + v * dur, den + dur)
+    expected = {}
+    for (k, b), (num, den) in acc.items():
+        if den > 0:
+            ts = datetime.datetime.utcfromtimestamp(b * BUS / 1_000_000)
+            expected[(k, ts)] = (
+                den, math.floor(num / (den * 100.0) * 1e6 + 0.5) / 1e6
+            )
+    assert got == expected

@@ -118,3 +118,87 @@ def resample_forward_fill(
             F.last("__bucket_last", ignorenulls=True).over(w).alias("last_value"),
         )
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreakers: list[str] = (),
+    bucket_us: int = 3_600 * 1_000_000,
+    scale: int = 100,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key, per-bucket TIME-weighted average under last-observation-
+    carried-forward semantics (TimescaleDB's ``time_weight``): each
+    observation's value holds from its timestamp until the key's next
+    observation; a bucket's TWA is ∫value·dt over the bucket divided by
+    covered time. The telemetry/finance primitive a plain AVG gets wrong
+    whenever sampling is irregular (a 1-second spike shouldn't weigh like
+    an hour-long plateau).
+
+    Semantics: segments are [t_i, t_{i+1}) — the key's OPEN-ENDED last
+    observation bounds nothing and is excluded (documented; pass a sentinel
+    end-of-horizon row per key to clip against a horizon instead).
+    Equal-timestamp observations order by ``order_tiebreakers``; the
+    earlier ones form zero-length segments, so the last one wins — 
+    deterministic under any arrival order. Buckets a key never covers
+    emit nothing; partially covered buckets divide by COVERED time only.
+
+    Determinism: everything up to the final division is int64 — event
+    times in exact microseconds, segment/bucket overlaps as integer
+    durations, values as round(v·scale) integers, Σ(v·dur) and Σ(dur)
+    exact associative sums — then ONE float division + floor-half-up
+    rounding (exact-integer-sums rule; bit-identical oracle).
+
+    Scale shape: one window (lead) per key for segments; segments explode
+    to the buckets they cover (bound: gap/bucket_us rows per segment —
+    pick the bucket for the data's sparsity, exactly like resample); one
+    partial-aggregable (keys, bucket) groupBy. Nothing corpus-sized after
+    the explode."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_tiebreakers]
+    )
+    t0 = F.unix_micros(F.col(ts_col))
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    seg = (
+        df.select(
+            *keys,
+            t0.alias("__t0"),
+            F.lead(t0).over(w).alias("__t1"),
+            cents.alias("__v"),
+        )
+        .filter(F.col("__t1").isNotNull() & (F.col("__t1") > F.col("__t0")))
+    )
+    b0 = F.floor(F.col("__t0") / bucket_us).cast("long")
+    b1 = F.floor((F.col("__t1") - 1) / bucket_us).cast("long")
+    per_bucket = seg.select(
+        *keys,
+        "__t0",
+        "__t1",
+        "__v",
+        F.explode(F.sequence(b0, b1)).alias("__b"),
+    ).select(
+        *keys,
+        "__b",
+        "__v",
+        (
+            F.least(F.col("__t1"), (F.col("__b") + 1) * bucket_us)
+            - F.greatest(F.col("__t0"), F.col("__b") * bucket_us)
+        ).alias("__dur"),
+    )
+    p = float(10**round_digits)
+    agged = per_bucket.groupBy(*keys, "__b").agg(
+        F.sum(F.col("__v") * F.col("__dur")).alias("__num"),
+        F.sum("__dur").alias("__den"),
+    )
+    twa = F.floor(
+        F.col("__num") / (F.col("__den").cast("double") * scale) * p + F.lit(0.5)
+    ) / p
+    return agged.filter(F.col("__den") > 0).select(
+        *keys,
+        F.timestamp_micros(F.col("__b") * bucket_us).alias("bucket_start"),
+        F.col("__den").alias("covered_us"),
+        twa.alias("twa"),
+    )

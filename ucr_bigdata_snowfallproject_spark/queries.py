@@ -5089,6 +5089,55 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.top_k(out, [F.desc("n_triangles"), F.asc("node")], 50)
 
 
+@register(
+    "twa_events_hourly",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             epoch_us(ts) AS t0,
+             lead(epoch_us(ts)) OVER w AS t1,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), live AS (
+      SELECT * FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+    ), per_bucket AS (
+      SELECT user_id, v, b,
+             LEAST(t1, (b + 1) * 3600000000) - GREATEST(t0, b * 3600000000)
+               AS dur
+      FROM live,
+           UNNEST(generate_series(CAST(FLOOR(t0 / 3600000000) AS BIGINT),
+                                  CAST(FLOOR((t1 - 1) / 3600000000) AS BIGINT)))
+             AS u(b)
+    ), agged AS (
+      SELECT user_id, b,
+             SUM(v * dur) AS num, SUM(dur) AS den
+      FROM per_bucket GROUP BY user_id, b
+    )
+    SELECT user_id,
+           make_timestamp(b * 3600000000) AS bucket_start,
+           CAST(den AS BIGINT) AS covered_us,
+           FLOOR(num / (CAST(den AS DOUBLE) * 100) * 1000000.0 + 0.5)
+             / 1000000.0 AS twa
+    FROM agged WHERE den > 0
+    """,
+)
+def twa_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted hourly average of event values per user
+    (operators.resample.time_weighted_avg) — last-observation-carried-
+    forward TWA, the irregular-telemetry primitive plain AVG gets wrong.
+    Integer-microsecond segment/bucket overlap arithmetic end-to-end;
+    one lead() window + bucket explode + (user, bucket) groupBy."""
+    from .operators import resample as resample_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return resample_ops.time_weighted_avg(
+        e, ["user_id"], "ts", "value", order_tiebreakers=["event_id"]
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

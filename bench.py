@@ -106,6 +106,10 @@ HEADLINE = [
     # histogram (one (keys,bin) groupBy + scaffold join)
     "text_char_entropy",
     "histogram_totalprice_by_priority",
+    # the end-to-end corpus build (boilerplate→PII→floor→dedup→split)
+    # and the LOCF time-weighted hourly rollup
+    "corpus_build_pipeline",
+    "twa_events_hourly",
 ]
 
 

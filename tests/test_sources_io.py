@@ -532,3 +532,26 @@ def test_tar_shard_sink_roundtrip_and_determinism(spark, tmp_path):
     for doc_id, text in docs:
         name = f"{doc_id}.txt"
         assert "\n".join(got.get(name, [])) == text, name
+
+
+def test_read_fixed_width(spark, tmp_path):
+    """Fixed-width source: 1-based colspec slicing, trim, typed casts,
+    empty slice -> NULL."""
+    from ucr_bigdata_snowfallproject_spark.io import read_fixed_width
+
+    raw = "\n".join(
+        [
+            "001ALPHA     42.5",
+            "002BETA          ",
+            "003          -1.0",
+        ]
+    )
+    p = tmp_path / "fw.txt"
+    p.write_text(raw)
+    df = read_fixed_width(
+        spark,
+        str(p),
+        [("id", 1, 3, "int"), ("name", 4, 10, "string"), ("val", 14, 4, "double")],
+    )
+    got = {r.id: (r.name, r.val) for r in df.collect()}
+    assert got == {1: ("ALPHA", 42.5), 2: ("BETA", None), 3: (None, -1.0)}

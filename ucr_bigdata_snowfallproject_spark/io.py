@@ -343,3 +343,30 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite", compression: 
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Fixed-width text source (the mainframe/NOAA archive staple — the
+    reference's .op files are a fixed-layout report format that it
+    happened to whitespace-split, untitled.py:44-48). ``colspecs`` is
+    ``(name, start, length, type)`` with 1-based character starts;
+    fields are substring-sliced, trimmed, and cast — empty slices become
+    NULL.
+
+    Scale shape: Spark's text source splits by line; the column carve-up
+    is pure substring/trim/cast expressions — whole-stage-codegen'd scan
+    work, splittable files, no Python. Declared types keep the explicit-
+    schema discipline (no inference pass)."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(path)
+    cols = []
+    for name, start, length, dtype in colspecs:
+        raw = F.trim(F.substring(F.col("value"), start, length))
+        c = F.when(raw == "", None).otherwise(raw).cast(dtype)
+        cols.append(c.alias(name))
+    return lines.select(*cols)

@@ -1838,3 +1838,27 @@ def test_weighted_sample_prefers_heavy_and_is_deterministic(spark):
     a = weighted_sample_per_group(df, ["grp"], "id", "w", k=3, seed="x").collect()
     b = weighted_sample_per_group(df, ["grp"], "id", "w", k=3, seed="x").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bigram_logppl_hand_case(spark):
+    """Hand-computable LM: corpus {'a b a b', 'a b'} -> p(b|a)=4/5,
+    p(a|b)=2/3; doc scores are the quantized-term means; a one-token doc
+    emits no row."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.operators.text import bigram_logppl
+
+    docs = [(1, "a b a b"), (2, "a b"), (3, "solo")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.bigram_logppl, r.n_bigrams)
+        for r in bigram_logppl(df, "doc_id", "text").collect()
+    }
+
+    def q(p):
+        return math.floor(-math.log(p) * 1e12 + 0.5)
+
+    t_ab, t_ba = q(4 / 5), q(2 / 3)
+    exp1 = math.floor((t_ab * 2 + t_ba) / 3 / 1e12 * 1e6 + 0.5) / 1e6
+    exp2 = math.floor(float(t_ab) / 1 / 1e12 * 1e6 + 0.5) / 1e6
+    assert got == {1: (exp1, 3), 2: (exp2, 1)}

@@ -738,3 +738,73 @@ def char_entropy(
         F.length(F.col(text_col)).alias("n_chars"),
         ent.alias("char_entropy"),
     )
+
+
+def bigram_logppl(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    add_k: float = 1.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document bigram log-perplexity against the corpus's own add-k
+    bigram LM — the contextual upgrade of :func:`unigram_logppl` (a doc
+    full of common words in UNCOMMON orders scores high here but low
+    there; the two together are the classic cheap fluency/quality pair).
+    Completes the scoring skeleton :func:`bigram_lm`'s docstring names.
+
+    score = mean over the doc's bigrams of −ln p(w2|w1), with
+    ``p = (c(w1,w2) + k) / (c(w1,·) + k·V)`` from the corpus counts —
+    self-scoring, so every doc bigram exists in the counts table and no
+    backoff branch is needed (swap the counts/lefts frames for an
+    external LM plus a held-out backoff to score against another corpus).
+
+    Determinism: each −ln(p) term is the same IEEE double expression in
+    any engine (exact integer counts in, one division, one ln) and
+    quantizes to a 10^12 fixed-point grid before the order-free integer
+    per-doc sum — bit-identical oracle (same rule as char_entropy).
+
+    Scale shape: TWO bigram explodes (one keyed by doc for scoring, one
+    keyless for counting — the counting one is :func:`bigram_lm`'s
+    skeleton), a (w1,w2) shuffle join of doc-bigrams against the
+    vocabulary²-bounded counts table (NOT broadcast — bigram_lm's rule),
+    and a final (doc) groupBy."""
+    toks = tokens(text_col)
+    k = F.greatest(F.size(toks) - F.lit(1), F.lit(0))
+    grams = F.zip_with(
+        F.slice(toks, 1, k),
+        F.slice(toks, 2, k),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    doc_pairs = (
+        df.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .select(F.col(id_col), F.col("__g.w1"), F.col("__g.w2"))
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+    )
+    counts = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c"))
+    lefts = counts.groupBy("w1").agg(F.sum("__c").alias("__c1"))
+    vocab = counts.select("w2").distinct().agg(F.count(F.lit(1)).alias("__v"))
+    prob = (F.col("__c") + F.lit(add_k)) / (
+        F.col("__c1") + F.lit(add_k) * F.col("__v")
+    )
+    term_fix = F.floor(-F.log(prob) * F.lit(1e12) + F.lit(0.5)).cast("long")
+    scored = (
+        doc_pairs.join(counts, ["w1", "w2"])
+        .join(lefts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(F.col(id_col), term_fix.alias("__tf"))
+    )
+    p = float(10**round_digits)
+    return scored.groupBy(id_col).agg(
+        (
+            F.floor(
+                F.sum("__tf").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1e12)
+                * p
+                + F.lit(0.5)
+            )
+            / p
+        ).alias("bigram_logppl"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )

@@ -5218,6 +5218,48 @@ def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_bigram_logppl",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ), lefts AS (
+      SELECT w1, SUM(c) AS c1 FROM counts GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS v FROM counts
+    ), terms AS (
+      SELECT doc_id,
+             CAST(FLOOR(-ln((c + 1.0) / (c1 + 1.0 * v))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS tf
+      FROM bg JOIN counts USING (w1, w2) JOIN lefts USING (w1), v
+    )
+    SELECT doc_id,
+           FLOOR(CAST(SUM(tf) AS DOUBLE) / COUNT(*) / 1000000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS bigram_logppl,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram log-perplexity against the corpus-trained
+    add-1 bigram LM (operators.text.bigram_logppl) — the contextual
+    fluency signal completing unigram_logppl's pair. Each −ln p(w2|w1)
+    term quantizes to a 10^12 fixed-point grid before the order-free
+    per-doc integer sum, so the oracle lands bit-identically (documents
+    with <2 non-empty tokens have no bigrams and emit no row — matching
+    semantics both sides)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_logppl(d, "doc_id", "text")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -1862,3 +1862,27 @@ def test_bigram_logppl_hand_case(spark):
     exp1 = math.floor((t_ab * 2 + t_ba) / 3 / 1e12 * 1e6 + 0.5) / 1e6
     exp2 = math.floor(float(t_ab) / 1 / 1e12 * 1e6 + 0.5) / 1e6
     assert got == {1: (exp1, 3), 2: (exp2, 1)}
+
+
+def test_audio_chunk_manifest_known_layout(spark):
+    """Chunk manifest over a known WAV (8kHz mono, 160 samples = 20ms):
+    5ms chunks, 1ms overlap -> starts at 0,4,8,12,16; last window short;
+    byte ranges match 16-bit PCM after the 44-byte header."""
+    from ucr_bigdata_snowfallproject_spark.operators import multimodal
+
+    payload = multimodal.wav_bytes(sample_rate=8000, n_channels=1, n_samples=160)
+    media = spark.createDataFrame(
+        [(1, "audio", payload), (2, "audio", b"not a wav")],
+        "media_id long, kind string, payload binary",
+    )
+    rows = sorted(
+        multimodal.audio_chunk_manifest(media, chunk_ms=5, overlap_ms=1).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [r.media_id for r in rows] == [1] * len(rows)  # corrupt row dropped
+    assert [(r.start_ms, r.end_ms) for r in rows] == [
+        (0, 5), (4, 9), (8, 13), (12, 17), (16, 20)
+    ]
+    # 8kHz mono PCM16 = 16 bytes/ms, header 44
+    assert rows[0].byte_start == 44 and rows[0].byte_end == 44 + 5 * 16
+    assert rows[-1].byte_end == 44 + 20 * 16  # exactly the data chunk end

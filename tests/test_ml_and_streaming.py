@@ -698,3 +698,40 @@ def test_ewma_stream_matches_batch_across_restarts(spark, tmp_path):
     assert len(rows_all) == len(batch), "restart re-emitted or dropped events"
     merged = {(r.user_id, r.event_id): r.ewma for r in rows_all}
     assert merged == batch
+
+
+def test_windowed_histogram_stream_matches_batch(spark, event_stream_dir):
+    """Streaming fixed-bin histogram == the same binning computed in
+    batch over the full input (fixed edges, clamped bins)."""
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        read_event_stream, run_to_memory_sink, windowed_histogram,
+    )
+
+    stream = read_event_stream(spark, event_stream_dir, max_files_per_trigger=2)
+    got = run_to_memory_sink(
+        windowed_histogram(stream, window="6 hours", lo=0.0, hi=500.0, n_bins=5),
+        "hist_stream",
+    ).toPandas()
+
+    raw_bin = F.floor((F.col("value") - 0.0) / F.lit(100.0)).cast("int")
+    bin_col = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(4))
+    batch = (
+        spark.read.parquet(event_stream_dir)
+        .filter(F.col("value").isNotNull())
+        .groupBy(F.window("ts", "6 hours").alias("w"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "bin", "n")
+        .toPandas()
+    )
+    a = {(r.window_start, r.bin): r.n for r in got.itertuples(index=False)}
+    b = {(r.window_start, r.bin): r.n for r in batch.itertuples(index=False)}
+    # append mode withholds windows the 2h watermark hasn't closed:
+    # emitted ⊆ batch, exact where emitted, and every closed window present
+    import pandas as pd
+
+    assert len(a) > 0 and set(a) <= set(b)
+    assert all(b[k] == v for k, v in a.items())
+    max_ts = spark.read.parquet(event_stream_dir).agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - pd.Timedelta(hours=2) - pd.Timedelta(hours=6)
+    closed = {k for k in b if k[0] <= cutoff}
+    assert closed <= set(a), "a watermark-closed window was not emitted"

@@ -484,3 +484,76 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 32) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.filter(F.col("kind") == "video").mapInPandas(batches, schema=schema)
+
+
+def audio_chunk_manifest(
+    media: DataFrame,
+    chunk_ms: int = 1000,
+    overlap_ms: int = 0,
+    decoder=None,
+) -> DataFrame:
+    """Chunking manifest for audio payloads — the ASR-/audio-training
+    prep step (Whisper-style fixed windows): each decodable WAV row
+    yields one row per ``chunk_ms`` window (with ``overlap_ms`` overlap),
+    carrying the exact PCM byte range of that window so a downstream
+    stage can slice payloads without re-parsing headers.
+
+    The manifest is METADATA ONLY (media_id, chunk_id, start_ms, end_ms,
+    byte_start, byte_end) — the audio bytes never ride this frame, so at
+    100 TB the chunk planning pass shuffles kilobytes per hour of audio
+    while the byte-slicing stage runs scan-side against the original
+    payload column (same separation as pack_sequences' placement
+    manifest). Windows step by chunk_ms − overlap_ms; the final short
+    window is kept (ASR convention). Byte offsets assume canonical
+    44-byte-header PCM WAV (the stdlib writer's layout; a container-aware
+    decoder swaps in via ``decoder``)."""
+    if overlap_ms >= chunk_ms:
+        raise ValueError("overlap_ms must be < chunk_ms")
+    decode = decoder if decoder is not None else decode_audio_stdlib
+    step_ms = chunk_ms - overlap_ms
+
+    schema = (
+        "media_id long, chunk_id int, start_ms long, end_ms long, "
+        "byte_start long, byte_end long"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in
+                    ("media_id", "chunk_id", "start_ms", "end_ms",
+                     "byte_start", "byte_end")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, chans, frames = decode(payload)
+                except ValueError:
+                    continue
+                total_ms = frames * 1000 // rate
+                bytes_per_ms = rate * chans * 2 / 1000  # 16-bit PCM
+                start = 0
+                cid = 0
+                while start < max(total_ms, 1):
+                    end = min(start + chunk_ms, total_ms)
+                    rows["media_id"].append(mid)
+                    rows["chunk_id"].append(cid)
+                    rows["start_ms"].append(start)
+                    rows["end_ms"].append(end)
+                    rows["byte_start"].append(44 + int(start * bytes_per_ms))
+                    rows["byte_end"].append(44 + int(end * bytes_per_ms))
+                    if end >= total_ms:
+                        break
+                    start += step_ms
+                    cid += 1
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(rows["media_id"], dtype="int64"),
+                    "chunk_id": pd.Series(rows["chunk_id"], dtype="int32"),
+                    "start_ms": pd.Series(rows["start_ms"], dtype="int64"),
+                    "end_ms": pd.Series(rows["end_ms"], dtype="int64"),
+                    "byte_start": pd.Series(rows["byte_start"], dtype="int64"),
+                    "byte_end": pd.Series(rows["byte_end"], dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=schema
+    )

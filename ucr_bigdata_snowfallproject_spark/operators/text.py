@@ -566,6 +566,7 @@ def remove_boilerplate_lines(
     id_col: str,
     text_col: str,
     min_doc_freq: int = 3,
+    persist_lines: bool = True,
 ) -> DataFrame:
     """Line-level boilerplate removal (the C4/RefinedWeb cleaning step):
     any non-blank line whose trimmed form appears in ≥ ``min_doc_freq``
@@ -587,11 +588,20 @@ def remove_boilerplate_lines(
 
     Docs whose every line is kept/dropped still emit one row (the keep
     flag is aggregated, never pre-filtered), so the operator composes
-    with row-count-sensitive curation stages."""
+    with row-count-sensitive curation stages.
+
+    ``persist_lines`` (default) materializes the exploded line table once
+    (MEMORY_AND_DISK) — it feeds both the frequency groupBy and the
+    flagging join, and without it the corpus explode runs twice (the
+    tfidf ``persist_tf`` pattern)."""
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n")).alias("pos", "__l"),
     ).withColumn("__fp", F.md5(F.trim(F.col("__l"))))
+    if persist_lines:
+        from pyspark import StorageLevel
+
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
     freq = (
         lines.filter(F.trim(F.col("__l")) != "")
         .groupBy("__fp")

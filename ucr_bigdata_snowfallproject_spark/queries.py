@@ -5260,6 +5260,19 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bigram_logppl(d, "doc_id", "text")
 
 
+@register("multimodal_audio_chunks", None)  # binary fixture — rows-only
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio chunking (operators.multimodal.audio_chunk_manifest):
+    Whisper-style fixed windows with overlap over WAV payloads, emitted
+    as a metadata-only manifest (exact PCM byte ranges per chunk) — the
+    chunk planning pass never moves audio bytes; slicing happens
+    scan-side against the payload column."""
+    from .operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    return multimodal.audio_chunk_manifest(media, chunk_ms=5, overlap_ms=1)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -452,3 +452,41 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_histogram(
+    events: DataFrame,
+    window: str = "1 hour",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 1000.0,
+    n_bins: int = 10,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming fixed-bin histogram per event-time window — the
+    distribution monitor behind live drift/latency dashboards, using the
+    SAME clamped width_bucket binning rule as the batch
+    ``aggregates.histogram_fixed`` / ``psi_drift`` (fixed edges, so
+    micro-batch results are comparable across time and engines; empty
+    bins simply have no row in update mode — the batch twin's scaffold
+    is a presentation concern a dashboard join supplies).
+
+    Built-ins only: watermark → groupBy(window, bin) → count — fully
+    incremental partial aggregation, state bounded by
+    (windows in watermark horizon) × n_bins."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
+    bin_col = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(v.isNotNull())
+        .groupBy(F.window("ts", window).alias("w"), bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "bin",
+            (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("lo_edge"),
+            "n",
+        )
+    )

@@ -1886,3 +1886,34 @@ def test_audio_chunk_manifest_known_layout(spark):
     # 8kHz mono PCM16 = 16 bytes/ms, header 44
     assert rows[0].byte_start == 44 and rows[0].byte_end == 44 + 5 * 16
     assert rows[-1].byte_end == 44 + 20 * 16  # exactly the data chunk end
+
+
+def test_bloom_bitmap_artifact_roundtrip(spark, tmp_path):
+    """build_bloom_bitmap → save → load → bloom_semi_join(bitmap=...)
+    equals both the build-inline form and the plain semi join; the loaded
+    parameters drive the probe."""
+    from ucr_bigdata_snowfallproject_spark.index_store import (
+        load_bloom_bitmap, save_bloom_bitmap,
+    )
+    from ucr_bigdata_snowfallproject_spark.operators.relational import (
+        bloom_semi_join, build_bloom_bitmap, semi_join,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_linenumber")
+    hot = load_table(spark, SF_SMOKE, "orders").filter(F.col("o_totalprice") > 400000)
+
+    bm = build_bloom_bitmap(hot, "o_orderkey", num_bits=1 << 14, num_hashes=3)
+    root = str(tmp_path / "bloom")
+    save_bloom_bitmap(spark, bm, root, num_bits=1 << 14, num_hashes=3)
+    loaded, nb, nh = load_bloom_bitmap(spark, root)
+    assert loaded == bm and nb == 1 << 14 and nh == 3
+
+    via_artifact = bloom_semi_join(
+        li, hot, "l_orderkey", "o_orderkey", num_bits=nb, num_hashes=nh,
+        bitmap=loaded,
+    )
+    plain = semi_join(
+        li, hot.select(F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"]
+    )
+    assert via_artifact.exceptAll(plain).count() == 0
+    assert plain.exceptAll(via_artifact).count() == 0

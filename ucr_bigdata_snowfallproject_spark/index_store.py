@@ -149,3 +149,37 @@ def load_minhash_index(
     ``incremental_minhash_dedup(..., seen_banded=...)`` or the streaming
     probe. Never collected: index size scales with the corpus."""
     return snapshot_table.read_snapshot(spark, root, version)
+
+
+def save_bloom_bitmap(
+    spark: SparkSession,
+    bitmap: list[int],
+    root: str,
+    num_bits: int,
+    num_hashes: int,
+) -> int:
+    """Persist a Bloom key bitmap (``relational.build_bloom_bitmap``) with
+    its build parameters — probe-side correctness requires hashing with
+    the SAME (num_bits, num_hashes), so they travel with the words.
+    Returns the committed snapshot version. The artifact is
+    ``num_bits/64`` int64 rows (8 KiB at the default size) — rebuildable
+    from the key set at any time; persisting it amortizes the build job
+    across queries and streaming micro-batches."""
+    rows = [(w, bits, num_bits, num_hashes) for w, bits in enumerate(bitmap)]
+    df = spark.createDataFrame(
+        rows, "w int, bits long, num_bits int, num_hashes int"
+    )
+    return snapshot_table.create_snapshot(df, root, n_files=1)
+
+
+def load_bloom_bitmap(
+    spark: SparkSession, root: str, version: int | None = None
+) -> tuple[list[int], int, int]:
+    """Load a saved Bloom bitmap → (bitmap words, num_bits, num_hashes);
+    pass straight into ``relational.bloom_semi_join(..., bitmap=...,
+    num_bits=..., num_hashes=...)``."""
+    rows = (
+        snapshot_table.read_snapshot(spark, root, version).orderBy("w").collect()
+    )
+    bitmap = [r.bits for r in rows]
+    return bitmap, rows[0].num_bits, rows[0].num_hashes

@@ -167,6 +167,7 @@ def bloom_semi_join(
     build_key: str,
     num_bits: int = 1 << 16,
     num_hashes: int = 3,
+    bitmap: list[int] | None = None,
 ) -> DataFrame:
     """Semi join with an explicit scan-side Bloom prefilter: keep the
     ``fact`` rows whose ``fact_key`` exists in ``build``'s ``build_key``
@@ -191,7 +192,42 @@ def bloom_semi_join(
 
     fp_rate ≈ (1 − e^(−k·n/m))^k — size ``num_bits`` ≥ ~10× the build
     cardinality for <1% with ``num_hashes=3``; an over-full bitmap only
-    costs prefilter selectivity, never correctness."""
+    costs prefilter selectivity, never correctness.
+
+    Pass a prebuilt ``bitmap`` (from :func:`build_bloom_bitmap`, possibly
+    loaded via ``index_store.load_bloom_bitmap``) to skip the build job —
+    num_bits/num_hashes must match the bitmap's build parameters (the
+    index_store round-trips them alongside the words)."""
+    if bitmap is None:
+        bitmap = build_bloom_bitmap(build, build_key, num_bits, num_hashes)
+    bitmap_lit = F.lit(bitmap)
+    probe = F.lit(True)
+    for i in range(num_hashes):
+        pos = F.pmod(F.xxhash64(F.lit(i), F.col(fact_key)), F.lit(num_bits))
+        word = F.element_at(bitmap_lit, (pos / 64).cast("int") + 1)
+        # seed literal must stay INT to hash identically to the build side
+        # (xxhash64 is input-type-sensitive; {i}L would be a BIGINT seed)
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64({i}, {fact_key}), {num_bits}) % 64 AS INT))"
+        )
+        probe = probe & (word.bitwiseAND(bit) != 0)
+    survivors = fact.filter(probe)
+    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
+    return survivors.join(keys, fact_key, "left_semi")
+
+
+def build_bloom_bitmap(
+    build: DataFrame,
+    build_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> list[int]:
+    """Build the int64-word Bloom bitmap of ``build``'s key set — the
+    persistable half of :func:`bloom_semi_join` (save/load through
+    ``index_store.save_bloom_bitmap`` to amortize the build job across
+    queries and micro-batches). One distinct-positions aggregation; the
+    collect is bounded at ``num_bits/64`` words by construction."""
     n_words = num_bits // 64
     # SQL shiftleft takes a column shift amount; the pyspark F.shiftleft
     # wrapper only accepts a literal int — hence F.expr for the bit masks.
@@ -210,18 +246,4 @@ def bloom_semi_join(
     bitmap = [0] * n_words
     for r in words:
         bitmap[r["__w"]] = r["__bits"]
-    bitmap_lit = F.lit(bitmap)
-    probe = F.lit(True)
-    for i in range(num_hashes):
-        pos = F.pmod(F.xxhash64(F.lit(i), F.col(fact_key)), F.lit(num_bits))
-        word = F.element_at(bitmap_lit, (pos / 64).cast("int") + 1)
-        # seed literal must stay INT to hash identically to the build side
-        # (xxhash64 is input-type-sensitive; {i}L would be a BIGINT seed)
-        bit = F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), "
-            f"CAST(pmod(xxhash64({i}, {fact_key}), {num_bits}) % 64 AS INT))"
-        )
-        probe = probe & (word.bitwiseAND(bit) != 0)
-    survivors = fact.filter(probe)
-    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
-    return survivors.join(keys, fact_key, "left_semi")
+    return bitmap

@@ -116,15 +116,40 @@ def join_with_strategy(
     return join(left, right.hint(strategy), on, how)
 
 
-def semi_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
+def semi_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    broadcast: bool = True,
+) -> DataFrame:
     """Existence filter as a real semi join (J2 — the reference executes
-    this row-at-a-time against a driver-side table, untitled.py:72)."""
-    return left.join(F.broadcast(right.select(*on).distinct()), on=list(on), how="left_semi")
+    this row-at-a-time against a driver-side table, untitled.py:72).
+
+    ``broadcast=True`` (default) is the DIMENSION-side contract — the
+    reference's probe table is station-sized and must never shuffle the
+    fact side. For a corpus-sized right side pass ``broadcast=False``
+    (shuffle semi join, AQE upgrades if runtime stats allow) or reach for
+    :func:`bloom_semi_join`, which cuts the fact side scan-side first —
+    a forced broadcast of an unbounded table is the classic scale-killer
+    (the r4 vocabulary-broadcast lesson, text.py)."""
+    keys = right.select(*on).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
+    return left.join(keys, on=list(on), how="left_semi")
 
 
-def anti_join(left: DataFrame, right: DataFrame, on: Sequence[str]) -> DataFrame:
-    """Complement of :func:`semi_join` (non-existence filter)."""
-    return left.join(F.broadcast(right.select(*on).distinct()), on=list(on), how="left_anti")
+def anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    broadcast: bool = True,
+) -> DataFrame:
+    """Complement of :func:`semi_join` (non-existence filter); same
+    dimension-side broadcast contract and ``broadcast=False`` escape."""
+    keys = right.select(*on).distinct()
+    if broadcast:
+        keys = F.broadcast(keys)
+    return left.join(keys, on=list(on), how="left_anti")
 
 
 def union_all(*dfs: DataFrame) -> DataFrame:

@@ -128,8 +128,10 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp")
     )
+    # the segment-filtered customer side is still fact-scale at TPC-H
+    # scaling — no forced broadcast, AQE picks the strategy (r4 lesson)
     joined = o.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))), on="o_custkey"
+        c.select(F.col("c_custkey").alias("o_custkey")), on="o_custkey"
     ).join(l, F.col("o_orderkey") == F.col("l_orderkey"))
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
@@ -1293,7 +1295,9 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer scales WITH the fact tables (unlike nation/region) —
+        # not force-broadcast; AQE upgrades at small scale (r4 lesson)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
@@ -1999,8 +2003,10 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     return (
+        # big is a selective aggregate (forced broadcast OK);
+        # customer is fact-scale — left to AQE
         o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "o_orderkey",
@@ -2157,7 +2163,8 @@ def array_agg_priorities_per_segment(spark: SparkSession, sf_dir: str) -> DataFr
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is fact-scale: no forced broadcast (AQE decides)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.concat_ws(",", F.array_sort(F.collect_set("o_orderpriority"))).alias(

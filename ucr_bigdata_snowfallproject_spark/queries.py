@@ -5280,6 +5280,35 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_chunk_manifest(media, chunk_ms=5, overlap_ms=1)
 
 
+@register(
+    "nullsafe_join_event_props",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    ), g AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY k
+    )
+    SELECT e.event_id, e.k, g.n_events
+    FROM e JOIN g ON e.k IS NOT DISTINCT FROM g.k
+    """,
+)
+def nullsafe_join_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): events
+    keyed by a NULLABLE JSON field join their per-key counts back, with
+    the NULL group matching itself (a plain equi-join silently drops
+    every NULL-keyed row — the classic bug this surface exists to fix).
+    Same shuffle shape as any equi-join; the null bucket is a single hot
+    key by construction, the caller's salting concern."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    g = e.groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
+    return e.join(
+        g.withColumnRenamed("k", "gk"), e["k"].eqNullSafe(F.col("gk"))
+    ).select("event_id", "k", "n_events")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

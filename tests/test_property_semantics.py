@@ -630,3 +630,41 @@ def test_time_weighted_avg_matches_reference(spark, rows):
                 den, math.floor(num / (den * 100.0) * 1e6 + 0.5) / 1e6
             )
     assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-1000, 1000, allow_nan=False)),
+        min_size=0,
+        max_size=30,
+    ),
+    n_bins=st.integers(1, 6),
+)
+@settings(**_SETTINGS)
+def test_histogram_fixed_matches_reference(spark, vals, n_bins):
+    """histogram_fixed == clamped-floor replay: every group emits exactly
+    n_bins rows, counts conserve non-NULL values, edges are lo + i*width."""
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import (
+        histogram_fixed,
+    )
+
+    lo, hi = -100.0, 150.0
+    width = (hi - lo) / n_bins
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] or [("g", None)], "k string, v double"
+    )
+    out = histogram_fixed(df, ["k"], "v", lo=lo, hi=hi, n_bins=n_bins)
+    got = {r.bin: (r.n, r.lo_edge, r.hi_edge) for r in out.collect()}
+    assert len(got) == n_bins
+
+    import math
+
+    expected = [0] * n_bins
+    for v in vals:
+        if v is None:
+            continue
+        b = min(max(math.floor((v - lo) / width), 0), n_bins - 1)
+        expected[b] += 1
+    for i in range(n_bins):
+        assert got[i] == (expected[i], lo + i * width, lo + (i + 1) * width)
+    assert sum(n for n, _, _ in got.values()) == sum(v is not None for v in vals)

@@ -11,7 +11,11 @@ twins, all built on Spark Structured Streaming built-ins:
   execution; documented batch/stream divergence, SURVEY §7.4);
 - ``dropDuplicatesWithinWatermark`` stateful dedup (X1's streaming face);
 - latest-event-per-key via ``applyInPandasWithState`` — the P5 arg-max as
-  a custom stateful operator (update-mode emission).
+  a custom stateful operator (update-mode emission);
+- per-key truncated EWMA via ``applyInPandasWithState`` (restart-safe
+  bounded state, bit-identical to the batch windows.ewma_truncated);
+- windowed fixed-bin histograms (the batch aggregates.histogram_fixed
+  binning rule, incremental).
 
 State stores are keyed by (key) or (key, window); watermarks bound state
 size — both prerequisites for unbounded 100 TB/day streams.

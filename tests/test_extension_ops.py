@@ -1917,3 +1917,23 @@ def test_bloom_bitmap_artifact_roundtrip(spark, tmp_path):
     )
     assert via_artifact.exceptAll(plain).count() == 0
     assert plain.exceptAll(via_artifact).count() == 0
+
+
+def test_dedupe_doc_lines_hand_case(spark):
+    """Repeated non-blank lines keep the FIRST occurrence only; blanks
+    always survive; trim-equal lines count as repeats; zero-shuffle."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import dedupe_doc_lines
+    from ucr_bigdata_snowfallproject_spark.plans import checks
+
+    docs = [
+        (1, "a\nb\na\n\nb\nc"),        # a,b repeat; blank kept
+        (2, "x\n x \nx"),              # ' x ' trims to x -> repeat
+        (3, ""),                        # empty doc
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedupe_doc_lines(df, "doc_id", "text")
+    assert checks.shuffle_count(out) == 0
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.cleaned_text) for r in out.collect()}
+    assert got[1] == (6, 4, "a\nb\n\nc")
+    assert got[2] == (3, 1, "x")
+    assert got[3] == (1, 1, "")

@@ -818,3 +818,52 @@ def bigram_logppl(
         ).alias("bigram_logppl"),
         F.count(F.lit(1)).alias("n_bigrams"),
     )
+
+
+def dedupe_doc_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """INTRA-document duplicate-line removal (the Dolma/Gopher "dedupe
+    paragraphs" cleanup): within each document, repeated non-blank lines
+    keep only their FIRST occurrence (trimmed-form comparison); blank
+    lines are structure and always survive. The in-document complement of
+    :func:`remove_boilerplate_lines` (which drops CROSS-document
+    repeats) — chain both for the full repetition cleanup.
+
+    Scale shape: computed ENTIRELY inside the row — bound line/trim
+    arrays, a first-occurrence index filter, and an ordered rejoin — so
+    it's a zero-shuffle scan-speed transform (no line table, no
+    frequency join; nothing leaves the row). The first-occurrence test is
+    array_position per line — O(lines²) per doc on the SMALL per-doc
+    line count, the same in-row trade chunk_documents makes; the
+    cross-doc operator keeps the explode+join shape because its
+    frequency is corpus-global.
+
+    Returns (id, n_lines, n_kept, cleaned_text) — row-preserving."""
+    tmp = (
+        df.withColumn("__ls", F.split(F.col(text_col), r"\n"))
+        # NOT F.transform(col, F.trim): transform feeds (element, index)
+        # to two-arg callables, and trim's second parameter is the
+        # deprecated trimStr — the index would silently become the
+        # character set to strip. The 1-arg lambda pins the right overload.
+        .withColumn("__lt", F.transform(F.col("__ls"), lambda x: F.trim(x)))
+        .withColumn("__n", F.size(F.col("__ls")))
+    )
+    keep_idx = F.filter(
+        F.sequence(F.lit(1), F.col("__n")),
+        lambda i: (F.get(F.col("__lt"), i - 1) == "")
+        | (F.array_position(F.col("__lt"), F.get(F.col("__lt"), i - 1)) == i),
+    )
+    tmp = tmp.withColumn("__keep", keep_idx)
+    cleaned = F.array_join(
+        F.transform(F.col("__keep"), lambda i: F.get(F.col("__ls"), i - 1)),
+        "\n",
+    )
+    return tmp.select(
+        F.col(id_col),
+        F.col("__n").alias("n_lines"),
+        F.size(F.col("__keep")).cast("long").alias("n_kept"),
+        cleaned.alias("cleaned_text"),
+    )

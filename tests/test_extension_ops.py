@@ -1937,3 +1937,27 @@ def test_dedupe_doc_lines_hand_case(spark):
     assert got[1] == (6, 4, "a\nb\n\nc")
     assert got[2] == (3, 1, "x")
     assert got[3] == (1, 1, "")
+
+
+def test_ngram_containment_quote_detection(spark):
+    """A short doc quoted verbatim inside a long doc scores containment
+    ≈1 in the short→long direction while its Jaccard stays small — the
+    asymmetry that motivates the operator."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import (
+        ngram_containment_all_pairs, ngram_jaccard_all_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(200))
+    docs = [(1, quote), (2, f"{filler} {quote} {filler}")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    cont = ngram_containment_all_pairs(df, "doc_id", "text", n=3).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    assert r.containment_a_in_b >= 0.99         # the quote is fully inside
+    assert r.containment_b_in_a < 0.1           # the long doc is not in the quote
+
+    jac = ngram_jaccard_all_pairs(df, "doc_id", "text", n=3).collect()
+    assert jac[0].jaccard < 0.1                  # symmetric score misses it

@@ -5347,6 +5347,44 @@ def text_dedupe_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_ngram_containment",
+    r"""
+    WITH d AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                          generate_series(1, greatest(len(toks) - 2, 1)),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+               FROM (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                     FROM documents WHERE doc_id < 500))
+    SELECT id_a, id_b, c_a_in_b, c_b_in_a FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE / LEN(a.sh), 4)
+                 AS c_a_in_b,
+               ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE / LEN(b.sh), 4)
+                 AS c_b_in_a
+        FROM d a JOIN d b ON a.doc_id < b.doc_id)
+    WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.1
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (operators.dedup.
+    ngram_containment_all_pairs): |A∩B|/|A| per direction — the quote /
+    short-in-long duplication signal symmetric Jaccard misses. Same
+    inverted-index Σdf² shape as the Jaccard twin; the oracle is the
+    naive pairwise set form."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = dedup_ops.ngram_containment_all_pairs(
+        d, "doc_id", "text", n=3, min_containment=0.0
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a_in_b", 4).alias("c_a_in_b"),
+        F.round("containment_b_in_a", 4).alias("c_b_in_a"),
+    ).filter(F.greatest("c_a_in_b", "c_b_in_a") >= 0.1)
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -1961,3 +1961,26 @@ def test_ngram_containment_quote_detection(spark):
 
     jac = ngram_jaccard_all_pairs(df, "doc_id", "text", n=3).collect()
     assert jac[0].jaccard < 0.1                  # symmetric score misses it
+
+
+def test_proportional_interleave_evenness(spark):
+    """A 90/10 source mix interleaves ~9:1 throughout: within any prefix
+    of the global order, each source's share tracks its corpus share to
+    within one item-per-source; determinism across calls."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        proportional_interleave,
+    )
+
+    rows = [(i, "big") for i in range(90)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = proportional_interleave(df, "source", "doc_id")
+    ordered = [r.source for r in out.orderBy("interleave_rank").collect()]
+    assert len(ordered) == 100
+    for prefix in (10, 25, 50, 75, 100):
+        n_small = sum(1 for s in ordered[:prefix] if s == "small")
+        expected = prefix * 10 / 100
+        assert abs(n_small - expected) <= 1, (prefix, n_small)
+
+    again = [r.source for r in proportional_interleave(df, "source", "doc_id")
+             .orderBy("interleave_rank").collect()]
+    assert ordered == again

@@ -550,3 +550,46 @@ def weighted_sample_per_group(
         .filter(F.col("sample_rank") <= k)
         .drop("__es_key")
     )
+
+
+def proportional_interleave(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    seed: str = "il",
+) -> DataFrame:
+    """Deterministic proportional interleaving: a GLOBAL training order in
+    which every source appears evenly throughout — position i of a
+    source's (hash-shuffled) internal order maps to the global fraction
+    ``(i − 1/2) / source_total``, and the global order sorts by that
+    fraction. A 90/10 mix then alternates ~9:1 all the way down instead
+    of concatenating corpora (the curriculum-smoothing step after
+    token_budget_mix picks WHAT to train on; this decides WHEN).
+
+    Determinism: within-source order is the portable md5 hash of the id
+    (seed-switchable, partition-independent); the interleave key is a
+    ratio of exact small integers — same IEEE double in any engine — with
+    (source, id) as the total-order tiebreak. Returns the input plus
+    ``interleave_rank`` (1-based global position).
+
+    Scale shape: one per-source window for the internal rank (source
+    cardinality = parallelism; skew follows source sizes, same contract
+    as token_budget_mix), one source-sized count join, and ONE global
+    sort for the final rank — the output IS a global ordering, so a
+    total sort is irreducible; writers consume it through
+    ``repartitionByRange(interleave_rank)`` to keep it distributed."""
+    from pyspark.sql import Window
+
+    w_src = Window.partitionBy(source_col).orderBy(
+        portable_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    totals = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__tot"))
+    ranked = df.withColumn("__i", F.row_number().over(w_src)).join(
+        totals, source_col
+    )
+    frac = (F.col("__i") - F.lit(0.5)) / F.col("__tot")
+    w_all = Window.orderBy(frac.asc(), F.col(source_col).asc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("interleave_rank", F.row_number().over(w_all))
+        .drop("__i", "__tot")
+    )

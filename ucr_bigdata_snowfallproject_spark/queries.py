@@ -5385,6 +5385,38 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.greatest("c_a_in_b", "c_b_in_a") >= 0.1)
 
 
+@register(
+    "curation_interleave_order",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#il'),
+                                        1, 8))::BIGINT, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY (i - 0.5) / tot, source, doc_id) AS INT)
+             AS interleave_rank
+    FROM ranked
+    """,
+)
+def curation_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional source interleaving (curation.proportional_interleave):
+    a deterministic global training order where every source appears
+    evenly throughout rather than concatenated — the curriculum-smoothing
+    step after the mixing stages pick what to train on. Interleave key =
+    (i−½)/total per source (exact small-integer ratio → engine-identical
+    doubles), md5-shuffled within source."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation_ops.proportional_interleave(d, "source", "doc_id").select(
+        "doc_id", "source", "interleave_rank"
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -494,3 +494,24 @@ def windowed_histogram(
             "n",
         )
     )
+
+
+def windowed_approx_users(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Streaming distinct-user estimate per event-time window via
+    ``approx_count_distinct`` (HyperLogLog++) — exact streaming DISTINCT
+    needs unbounded per-window state (every seen id), while the sketch
+    keeps O(1.04/rsd²) bytes per window and merges incrementally across
+    micro-batches; the standard cardinality monitor. Batch twin: the same
+    aggregate over the full input (sketches are deterministic for a given
+    input SET, so stream == batch once windows close)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(F.approx_count_distinct("user_id", rsd).alias("approx_users"))
+        .select(F.col("w.start").alias("window_start"), "approx_users")
+    )

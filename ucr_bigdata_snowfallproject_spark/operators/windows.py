@@ -320,3 +320,37 @@ def ewma_truncated(
         out_col,
         F.when(den > 0, F.floor(raw * p + F.lit(0.5)) / p),
     )
+
+
+def rate_of_change(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    order_tiebreakers: Sequence[str] = (),
+    scale: int = 100,
+    round_digits: int = 6,
+    out_col: str = "rate_per_sec",
+) -> DataFrame:
+    """Per-key discrete derivative: (v_t − v_prev) / (t − t_prev) in
+    value-units per second — the telemetry slope/velocity signal (counter
+    rates, balance deltas, sensor drift). First observation per key and
+    zero-Δt successors (equal timestamps) emit NULL.
+
+    Determinism: Δvalue in exact cents (``round(v·scale)`` int64) and Δt
+    in exact microseconds; ONE float division + floor-half-up rounding —
+    engine-bit-identical (exact-integer-sums rule). One window (lag) pass
+    per key, zero joins."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), *[F.col(c).asc() for c in order_tiebreakers]
+    )
+    cents = F.round(F.col(value_col) * scale).cast("long")
+    t_us = F.unix_micros(F.col(ts_col))
+    dv = cents - F.lag(cents).over(w)
+    dt = t_us - F.lag(t_us).over(w)
+    p = float(10**round_digits)
+    raw = dv.cast("double") / scale / (dt.cast("double") / 1e6)
+    return df.withColumn(
+        out_col,
+        F.when(dt > 0, F.floor(raw * p + F.lit(0.5)) / p),
+    )

@@ -5417,6 +5417,43 @@ def curation_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rate_of_change_events",
+    """
+    WITH pts AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS t,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             lag(epoch_us(ts)) OVER w AS pt,
+             lag(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS pc
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN pt IS NOT NULL AND t > pt
+                THEN FLOOR(CAST(c - pc AS DOUBLE) / 100
+                           / (CAST(t - pt AS DOUBLE) / 1000000.0)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS rate_per_sec
+    FROM pts
+    """,
+)
+def rate_of_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user discrete derivative of event values (operators.windows.
+    rate_of_change): Δvalue/Δt in units per second — the telemetry
+    slope/velocity signal. Exact cent/microsecond integer deltas, one
+    float division + floor-half-up rounding (bit-identical oracle); one
+    lag window pass, zero joins."""
+    from .operators import windows as win_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = win_ops.rate_of_change(
+        e, ["user_id"], "ts", "value", order_tiebreakers=["event_id"]
+    )
+    return out.select("user_id", "event_id", "rate_per_sec")
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on

@@ -1984,3 +1984,25 @@ def test_proportional_interleave_evenness(spark):
     again = [r.source for r in proportional_interleave(df, "source", "doc_id")
              .orderBy("interleave_rank").collect()]
     assert ordered == again
+
+
+def test_term_distribution_jsd_bounds_and_identity(spark):
+    """JSD properties: identical corpora -> 0 bits; disjoint vocabularies
+    -> 1 bit; symmetric in its arguments."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import (
+        term_distribution_jsd,
+    )
+
+    a = spark.createDataFrame([(1, "apple banana apple")], "i long, text string")
+    b = spark.createDataFrame([(2, "cherry date date")], "i long, text string")
+
+    same = term_distribution_jsd(a, a, "text").collect()[0]
+    assert same.jsd_bits == 0.0
+
+    disj = term_distribution_jsd(a, b, "text").collect()[0]
+    assert disj.jsd_bits == 1.0
+    assert disj.vocab == 4 and disj.n_terms_a == 3 and disj.n_terms_b == 3
+
+    fwd = term_distribution_jsd(a, b, "text").collect()[0].jsd_bits
+    rev = term_distribution_jsd(b, a, "text").collect()[0].jsd_bits
+    assert fwd == rev

@@ -867,3 +867,63 @@ def dedupe_doc_lines(
         F.size(F.col("__keep")).cast("long").alias("n_kept"),
         cleaned.alias("cleaned_text"),
     )
+
+
+def term_distribution_jsd(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram
+    distributions — the TEXT drift monitor pairing aggregates.psi_drift's
+    numeric binning: JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, in
+    bits ∈ [0, 1]; symmetric and finite even for vocabulary
+    disappearances (unlike raw KL). Returns ONE row
+    (jsd_bits, n_terms_a, n_terms_b, vocab) — run per (source, week,
+    snapshot version…) by filtering the inputs.
+
+    Scale shape: one explode→(term) groupBy per side, a full-outer
+    vocabulary join on term (NOT broadcast — bigram_lm's rule), then a
+    1-row aggregate. Totals ride 1-row broadcast scalars.
+
+    Determinism: counts are exact ints; p, q, and the two log terms are
+    the same IEEE expression per term in any engine and quantize to a
+    10^12 fixed-point grid before the order-free integer sum (the
+    char_entropy rule) — bit-identical oracle."""
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens(text_col)).alias("term"))
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca, cb = counts(df_a, "__ca"), counts(df_b, "__cb")
+    joined = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("__ca", F.lit(0)).alias("__ca"),
+        F.coalesce("__cb", F.lit(0)).alias("__cb"),
+    )
+    tot = joined.agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    j = joined.crossJoin(F.broadcast(tot))
+    p = F.col("__ca") / F.col("__ta")
+    q = F.col("__cb") / F.col("__tb")
+    m = (p + q) / 2
+    term_bits = (
+        F.when(F.col("__ca") > 0, p * F.log2(p / m)).otherwise(F.lit(0.0))
+        + F.when(F.col("__cb") > 0, q * F.log2(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    tf = F.floor(term_bits * F.lit(1e12) + F.lit(0.5)).cast("long")
+    p10 = float(10**round_digits)
+    return j.agg(
+        (
+            F.floor(F.sum(tf).cast("double") / F.lit(1e12) * p10 + F.lit(0.5))
+            / p10
+        ).alias("jsd_bits"),
+        F.first("__ta").alias("n_terms_a"),
+        F.first("__tb").alias("n_terms_b"),
+        F.count(F.lit(1)).alias("vocab"),
+    )

@@ -110,6 +110,11 @@ HEADLINE = [
     # and the LOCF time-weighted hourly rollup
     "corpus_build_pipeline",
     "twa_events_hourly",
+    # text drift (two explodes + full-outer vocabulary join), global
+    # interleave ordering (one total sort), and the lag-derivative
+    "text_jsd_en_vs_rest",
+    "curation_interleave_order",
+    "rate_of_change_events",
 ]
 
 

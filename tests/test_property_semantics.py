@@ -668,3 +668,31 @@ def test_histogram_fixed_matches_reference(spark, vals, n_bins):
     for i in range(n_bins):
         assert got[i] == (expected[i], lo + i * width, lo + (i + 1) * width)
     assert sum(n for n, _, _ in got.values()) == sum(v is not None for v in vals)
+
+
+@given(
+    xs=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+    ys=st.lists(st.integers(0, 40), min_size=1, max_size=30),
+)
+@settings(**_SETTINGS)
+def test_ks_statistic_matches_scipy_formula(spark, xs, ys):
+    """ks_statistic == the classic max|ECDF_a − ECDF_b| over pooled
+    values, with heavy ties (integer samples) exercising the
+    step-together correction."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import ks_statistic
+
+    da = spark.createDataFrame([(float(x),) for x in xs], "v double")
+    db = spark.createDataFrame([(float(y),) for y in ys], "v double")
+    row = ks_statistic(da, db, "v").collect()[0]
+    assert (row.n_a, row.n_b) == (len(xs), len(ys))
+
+    na, nb = len(xs), len(ys)
+    pooled = sorted(set(xs) | set(ys))
+    d = max(
+        abs(sum(1 for x in xs if x <= v) * nb - sum(1 for y in ys if y <= v) * na)
+        for v in pooled
+    )
+    expected = math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
+    assert row.ks == expected

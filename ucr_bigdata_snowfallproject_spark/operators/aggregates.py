@@ -500,3 +500,74 @@ def histogram_fixed(
         (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias("hi_edge"),
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
     )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the binning-free drift
+    test completing the monitor trio (``psi_drift`` needs bin choices,
+    ``text.term_distribution_jsd`` covers text): D = max|ECDF_a − ECDF_b|
+    over the pooled values, tie-correct (the ECDFs step together at
+    shared values). Returns ONE row (ks, n_a, n_b).
+
+    Exactness: the supremum is found on the INTEGER lattice —
+    ``|cum_a·n_b − cum_b·n_a|`` per distinct value (int64: needs
+    n_a·n_b < 2⁶³, i.e. both sides < ~3·10⁹ rows; at larger scale sample
+    first, as every KS user does) — and only the final max divides by
+    n_a·n_b: one float division + floor-half-up rounding, engine-bit-
+    identical. NULLs are excluded (not a distribution value).
+
+    Scale shape: per-side (value) groupBys reduce to distinct-value
+    counts; ONE window cumsum over the merged distinct-value table —
+    vocabulary-sized, not row-sized — then a 1-row max. The global-order
+    window is a single-partition sort over DISTINCT values only; for
+    genuinely high-cardinality doubles, quantize upstream."""
+    from pyspark.sql import Window
+
+    a = (
+        df_a.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("__a"))
+    )
+    b = (
+        df_b.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("__b"))
+    )
+    merged = a.join(b, "v", "full_outer").select(
+        "v",
+        F.coalesce("__a", F.lit(0)).alias("__a"),
+        F.coalesce("__b", F.lit(0)).alias("__b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = merged.select(
+        F.sum("__a").over(w).alias("__ca"),
+        F.sum("__b").over(w).alias("__cb"),
+    )
+    tot = merged.agg(
+        F.sum("__a").alias("__na"), F.sum("__b").alias("__nb")
+    )
+    p = float(10**round_digits)
+    d_int = F.max(
+        F.abs(F.col("__ca") * F.col("__nb") - F.col("__cb") * F.col("__na"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            (
+                F.floor(
+                    d_int.cast("double")
+                    / (F.first("__na") * F.first("__nb")).cast("double")
+                    * p
+                    + F.lit(0.5)
+                )
+                / p
+            ).alias("ks"),
+            F.first("__na").alias("n_a"),
+            F.first("__nb").alias("n_b"),
+        )
+    )

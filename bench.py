@@ -115,6 +115,8 @@ HEADLINE = [
     "text_jsd_en_vs_rest",
     "curation_interleave_order",
     "rate_of_change_events",
+    # BM25 retrieval: TF-IDF-shaped corpus pass + broadcast posting probe
+    "retrieval_bm25_topk",
 ]
 
 

@@ -2006,3 +2006,72 @@ def test_term_distribution_jsd_bounds_and_identity(spark):
     fwd = term_distribution_jsd(a, b, "text").collect()[0].jsd_bits
     rev = term_distribution_jsd(b, a, "text").collect()[0].jsd_bits
     assert fwd == rev
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 on a hand-built corpus: a document matching BOTH query terms
+    outranks single-term documents; a rarer term contributes more than a
+    common one (idf ordering); scores are non-negative (Lucene variant)."""
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quantum common stuff here"),    # both query terms
+            (2, "quantum theory basics here"),   # rare term only
+            (3, "common words common words"),    # common term only, tf=2
+            (4, "common filler text here"),      # common term only
+            (5, "unrelated content entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "quantum common")], "query_id long, query string")
+    out = retrieval.bm25_topk(q, docs, "doc_id", "text", k=5)
+    rows = {r.doc_id: (r.rank, r.score) for r in out.collect()}
+    assert 5 not in rows                      # no shared term → never scored
+    assert all(s >= 0 for _, s in rows.values())
+    assert rows[1][0] == 1                    # both-terms doc wins
+    # 'quantum' (df=2) must outscore 'common' (df=3) at equal tf:
+    assert rows[2][1] > rows[3][1]
+
+
+def test_bm25_prebuilt_stats_identity(spark):
+    """Train-once/query-many: scoring against prebuilt corpus stats (as a
+    user would after persisting them through table.py) is bit-identical to
+    the inline single-plan form."""
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(100)
+    q = spark.createDataFrame(
+        [(0, "spark window agg"), (1, "fast table scan")],
+        "query_id long, query string",
+    )
+    inline = retrieval.bm25_topk(q, docs, "doc_id", "text", k=5).collect()
+    stats = retrieval.bm25_corpus_stats(docs, "doc_id", "text")
+    reused = retrieval.bm25_topk(
+        q, docs, "doc_id", "text", k=5, corpus_stats=stats
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(inline, key=key) == sorted(reused, key=key)
+
+
+def test_key_skew_stats_hand_case(spark):
+    """One hot key (90 rows) + 10 singleton keys: every stat is hand
+    computable; the approx-percentile switch stays within sketch error."""
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import (
+        key_skew_stats,
+    )
+
+    rows = [(0,)] * 90 + [(k,) for k in range(1, 11)]
+    df = spark.createDataFrame(rows, "k long")
+    r = key_skew_stats(df, ["k"]).collect()[0]
+    assert (r.n_keys, r.n_rows, r.max_count) == (11, 100, 90)
+    assert r.p50_count == 1.0          # 10 of 11 keys are singletons
+    assert r.top_share == 0.9
+    # cv = sqrt(11*(8100+10) - 100^2)/100 = sqrt(79210)/100
+    import math
+
+    assert r.cv_count == round(math.sqrt(11 * 8110 - 10000) / 100, 6)
+
+    ra = key_skew_stats(df, ["k"], approx=True).collect()[0]
+    assert (ra.n_keys, ra.n_rows, ra.max_count) == (11, 100, 90)
+    assert abs(ra.p50_count - 1.0) <= 1.0

@@ -452,3 +452,15 @@ def test_histogram_fixed_single_agg_shuffle(spark):
     # partial aggregation before the exchange (map-side combine)
     assert "partial_count" in text or "HashAggregate" in text
     assert out.count() == 5 * 12
+
+
+def test_bm25_broadcast_probe_no_cartesian(spark):
+    """BM25's corpus side must only be probed by broadcasts: the bounded
+    query-term frame broadcasts into the vocabulary-sized df table and the
+    pruned idf frame broadcasts into the TF posting join — never a
+    cartesian; the documents scan reads only (doc_id, text)."""
+    df = q(spark, "retrieval_bm25_topk")
+    assert checks.has_broadcast_join(df)
+    assert not checks.has_cartesian(df)
+    scans = checks.read_schema_columns(df)
+    assert any(set(c) <= {"doc_id", "text"} for c in scans), scans

@@ -9,6 +9,7 @@
 - :mod:`.dedup`       — exact (X1) + MinHash-LSH / SimHash / n-gram Jaccard
   near-dedup (X2)
 - :mod:`.similarity`  — embedding similarity search (X3)
+- :mod:`.retrieval`   — BM25 lexical scoring / top-k retrieval (RAG stack)
 - :mod:`.text`        — text analysis: lang-id, quality, tokens, fingerprints (X4)
 - :mod:`.multimodal`  — binary/multimodal column plumbing (X5)
 - :mod:`.asof`        — as-of / range joins (SURVEY §2.3 extension)

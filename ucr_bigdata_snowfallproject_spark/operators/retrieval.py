@@ -1,0 +1,195 @@
+"""Full-text retrieval: BM25 scoring and top-k search over a document
+corpus — the retrieval half of a RAG / data-curation stack (query mining,
+eval-set retrieval, nearest-document audits) that complements the embedding
+ANN operators in :mod:`.similarity` with the classic lexical ranker.
+
+Reference scope note: the reference project (untitled.py:19-241) has no
+retrieval surface; this module is part of the LLM-data-pipeline extension
+the engine adds on top of reference parity (SURVEY §2 extension X-series).
+
+Scale shape (the part that must survive 100 TB):
+
+- The corpus statistics (term frequencies, document lengths, document
+  frequencies) are ONE explode → (doc, term) groupBy over the corpus —
+  identical skeleton to :func:`..text.tfidf_top_terms`, partial-aggregable
+  and skew-free (the hot shuffle is keyed by (doc, term), whose heavy
+  hitters are bounded by document length).
+- Document lengths and document frequencies both DERIVE from the TF frame
+  (sum / count over it) — the corpus text is scanned once; the TF frame is
+  persisted (MEMORY_AND_DISK) so the derivations don't recompute the
+  explode.
+- The query set is bounded by contract (a user-supplied list of query
+  strings — tens to thousands, never corpus-sized), so query-term frames
+  are explicitly broadcast; the corpus-sized TF frame is only ever probed
+  by broadcast-hash joins and never reshuffled beyond its own groupBy.
+- The vocabulary-sized DF table is pruned to the query's terms by joining
+  the (tiny, broadcast) query-term frame INTO it — after pruning the
+  per-term IDF frame is query-sized and rides a broadcast into the posting
+  join. The full vocabulary table is never forced into a broadcast (same
+  rule as text.bigram_lm: 10⁸+ distinct tokens at 100 TB).
+
+BM25 formula (Robertson / Lucene non-negative variant):
+
+    idf(t)  = ln(1 + (N - df(t) + 0.5) / (df(t) + 0.5))
+    norm(d) = k1 * (1 - b + b * len(d) / avgdl)
+    score(q, d) = Σ_{t ∈ distinct(q) ∩ d}  idf(t) * tf(t,d) * (k1 + 1)
+                                           / (tf(t,d) + norm(d))
+
+Query-side term frequency is intentionally ignored (distinct query terms),
+matching Lucene's practical default for short queries; swap the distinct
+for a (query, term) count to weight repeated query terms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+__all__ = ["bm25_corpus_stats", "bm25_scores", "bm25_topk"]
+
+
+def bm25_corpus_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    persist_tf: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the three corpus-side BM25 frames from one corpus scan:
+
+    - ``tf``:      (id, term, tf)        — term frequency per document
+    - ``lens``:    (id, dl)              — document token counts
+    - ``dfreq``:   (term, df)            — document frequency per term
+
+    ``lens`` and ``dfreq`` are aggregations OVER the tf frame, so with
+    ``persist_tf=True`` (default; the 100 TB path) the heavy explode +
+    (doc, term) shuffle runs once and all three frames read the
+    materialized result. The returned frames are plain DataFrames — write
+    them through :mod:`..table` / parquet to make the index a reusable
+    artifact (the scan-once property then holds across queries, not just
+    within one plan)."""
+    terms = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if persist_tf:
+        from pyspark import StorageLevel
+
+        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    lens = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return tf, lens, dfreq
+
+
+def bm25_scores(
+    queries: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+    corpus_stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Score every (query, document) pair that shares ≥1 term — the
+    sparse BM25 join. Emits (query_id, id, score).
+
+    Only matching postings are ever materialized: the query-term frame
+    (bounded by contract) broadcasts into the TF frame, so the work is
+    Σ over query terms of df(term) posting rows — never |Q| × |D|.
+    Pass ``corpus_stats`` (from :func:`bm25_corpus_stats`, possibly read
+    back from parquet) to reuse a prebuilt index across calls."""
+    tf, lens, dfreq = (
+        corpus_stats
+        if corpus_stats is not None
+        else bm25_corpus_stats(docs, id_col, text_col)
+    )
+    # N and avgdl: 1-row scalar frame, rides a broadcast crossJoin.
+    scalars = lens.agg(
+        F.count(F.lit(1)).alias("__n"), F.avg("dl").alias("__avgdl")
+    )
+    qterms = (
+        queries.select(
+            F.col(query_id_col), F.explode(tokens(query_text_col)).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    # Prune the vocabulary-sized DF table down to the query's terms: tiny
+    # broadcast side probes dfreq, result is query-sized → safe to
+    # broadcast into the posting join below.
+    q_idf = (
+        dfreq.join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            query_id_col,
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("__idf"),
+            "__avgdl",
+        )
+    )
+    matched = tf.join(F.broadcast(q_idf), "term")
+    # Posting rows join their document's length: the matched side is
+    # query-term-postings-sized (≪ corpus); AQE broadcasts it when small,
+    # otherwise a doc-keyed shuffle join — either is fine at 100 TB.
+    scored = matched.join(lens, id_col).select(
+        query_id_col,
+        id_col,
+        (
+            F.col("__idf")
+            * F.col("tf")
+            * (k1 + 1.0)
+            / (
+                F.col("tf")
+                + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
+            )
+        ).alias("__part"),
+    )
+    return scored.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("__part"), round_digits).alias("score")
+    )
+
+
+def bm25_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+    corpus_stats: tuple[DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Top-k documents per query by BM25 — (query_id, rank, id, score),
+    deterministic tiebreak (score desc, id asc). The ranking window
+    partitions by query_id (bounded cardinality, no skew risk) and the
+    row_number filter pushes a per-partition group-limit below the final
+    sort (same plan shape as text.tfidf_top_terms's top-k, plan-asserted
+    there)."""
+    scored = bm25_scores(
+        queries,
+        docs,
+        id_col,
+        text_col,
+        query_id_col=query_id_col,
+        query_text_col=query_text_col,
+        k1=k1,
+        b=b,
+        round_digits=round_digits,
+        corpus_stats=corpus_stats,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )

@@ -2075,3 +2075,30 @@ def test_key_skew_stats_hand_case(spark):
     ra = key_skew_stats(df, ["k"], approx=True).collect()[0]
     assert (ra.n_keys, ra.n_rows, ra.max_count) == (11, 100, 90)
     assert abs(ra.p50_count - 1.0) <= 1.0
+
+
+def test_bm25_index_roundtrip(spark, tmp_path):
+    """Persisted BM25 corpus stats (index_store.save/load_bm25_stats)
+    answer queries bit-identically to the inline form — the
+    train-once/query-many artifact shape; the corpus text is never
+    re-read at probe time."""
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(120)
+    q = spark.createDataFrame(
+        [(0, "spark window agg"), (1, "stream batch merge")],
+        "query_id long, query string",
+    )
+    inline = retrieval.bm25_topk(q, docs, "doc_id", "text", k=5).collect()
+
+    root = str(tmp_path / "bm25_idx")
+    stats = retrieval.bm25_corpus_stats(docs, "doc_id", "text", persist_tf=False)
+    versions = ix.save_bm25_stats(*stats, root)
+    assert versions == (0, 0, 0)
+    loaded = ix.load_bm25_stats(spark, root)
+    reused = retrieval.bm25_topk(
+        q, docs, "doc_id", "text", k=5, corpus_stats=loaded
+    ).collect()
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    assert sorted(inline, key=key) == sorted(reused, key=key)

@@ -19,6 +19,9 @@ Formats (plain parquet, engine-portable):
 - IVF cells      → the inverted file partitioned by cell:
   ``v=N/__cell=K/`` with rows ``(id, vec, __cn, __cell)`` — the layout
   IS the index; probes prune to cell dirs (:func:`save_ivf_cells`)
+- BM25 index     → three sibling snapshot tables ``tf/ lens/ dfreq/``
+  (tf term-clustered so query probes read co-located postings) — feed to
+  ``retrieval.bm25_topk(..., corpus_stats=load_bm25_stats(...))``
 - MinHash index  → the banded frame as-is:
   ``(__id_s, __sig_s, __band, __bucket)`` — stored pre-banded so probes
   are pure equi-join lookups (``incremental_minhash_dedup(...,
@@ -183,3 +186,46 @@ def load_bloom_bitmap(
     )
     bitmap = [r.bits for r in rows]
     return bitmap, rows[0].num_bits, rows[0].num_hashes
+
+
+def save_bm25_stats(
+    tf: DataFrame,
+    lens: DataFrame,
+    dfreq: DataFrame,
+    root: str,
+    n_files: int = 8,
+) -> tuple[int, int, int]:
+    """Persist a BM25 corpus index (:func:`~.operators.retrieval.
+    bm25_corpus_stats` output) as three sibling snapshot tables under
+    ``root`` — tf/ (term-clustered so a query's posting probe reads
+    co-located rows), lens/, dfreq/. Never collected: tf scales with the
+    corpus. Returns the three committed versions."""
+    import os
+
+    v_tf = snapshot_table.create_snapshot(
+        tf.repartition(n_files, "term"), os.path.join(root, "tf"), n_files=None
+    )
+    v_lens = snapshot_table.create_snapshot(
+        lens, os.path.join(root, "lens"), n_files=n_files
+    )
+    v_df = snapshot_table.create_snapshot(
+        dfreq, os.path.join(root, "dfreq"), n_files=n_files
+    )
+    return v_tf, v_lens, v_df
+
+
+def load_bm25_stats(
+    spark: SparkSession,
+    root: str,
+    versions: tuple[int | None, int | None, int | None] = (None, None, None),
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Load a saved BM25 index → the (tf, lens, dfreq) triple for
+    ``bm25_topk(..., corpus_stats=...)`` — the train-once/query-many
+    production shape (the corpus text is never re-read at query time)."""
+    import os
+
+    return (
+        snapshot_table.read_snapshot(spark, os.path.join(root, "tf"), versions[0]),
+        snapshot_table.read_snapshot(spark, os.path.join(root, "lens"), versions[1]),
+        snapshot_table.read_snapshot(spark, os.path.join(root, "dfreq"), versions[2]),
+    )

@@ -571,3 +571,71 @@ def ks_statistic(
             F.first("__nb").alias("n_b"),
         )
     )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    approx: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: the distribution of per-key row counts
+    for a prospective join/groupBy key — THE question to ask before
+    shuffling 100 TB on it ("is this key salted-join material?",
+    SCALE.md's skew row). Returns ONE row:
+
+    - ``n_keys``, ``n_rows``, ``max_count`` — cardinality & the hot key
+    - ``p<P>_count`` per prob — count percentiles (exact interpolated
+      ``percentile`` at test scale; mergeable ``percentile_approx`` at
+      100 TB, same switch as :func:`group_quantiles`)
+    - ``top_share`` — max_count / n_rows (the skew-join trigger: AQE's
+      skew threshold is a per-partition analog of this)
+    - ``cv_count`` — coefficient of variation of the counts, computed
+      from INTEGER moments (√(n·Σc² − (Σc)²) / Σc — one sqrt + one
+      division on exact int64 sums, engine-bit-identical; Σc² caps the
+      exactness at ~3·10⁹ rows per key, far past any sane key)
+
+    Scale shape: one partial-aggregable (keys) groupBy count — the same
+    shuffle the diagnosed join would pay, but with count-collapsed
+    payload — then a 1-row aggregate over the key-count frame."""
+    counts = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+
+    def pname(p: float) -> str:
+        return f"p{p * 100:g}_count".replace(".", "_")
+
+    if approx:
+        qaggs = [
+            F.percentile_approx("__c", p, accuracy).cast("double").alias(pname(p))
+            for p in probs
+        ]
+    else:
+        qaggs = [F.expr(f"percentile(__c, {p!r})").alias(pname(p)) for p in probs]
+    row = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.max("__c").alias("max_count"),
+        F.sum(F.col("__c") * F.col("__c")).alias("__sum2"),
+        *qaggs,
+    )
+    return row.select(
+        "n_keys",
+        "n_rows",
+        "max_count",
+        *[F.round(F.col(pname(p)), 4).alias(pname(p)) for p in probs],
+        F.round(F.col("max_count") / F.col("n_rows").cast("double"), 6).alias(
+            "top_share"
+        ),
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_keys") * F.col("__sum2")
+                    - F.col("n_rows") * F.col("n_rows")
+                ).cast("double")
+            )
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("cv_count"),
+    )

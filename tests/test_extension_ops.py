@@ -2102,3 +2102,40 @@ def test_bm25_index_roundtrip(spark, tmp_path):
     ).collect()
     key = lambda r: (r.query_id, r.rank)  # noqa: E731
     assert sorted(inline, key=key) == sorted(reused, key=key)
+
+
+def test_heavy_hitters_exact_across_partitionings(spark):
+    """The MG candidate phase must never lose a true heavy hitter
+    regardless of partition layout: compare against the plain
+    groupBy/HAVING answer on a skewed synthetic column under 1, 7, and 32
+    partitions; also pin the tiny-counter edge (k far below the distinct
+    count) where compaction pressure is maximal."""
+    from ucr_bigdata_snowfallproject_spark.operators.aggregates import (
+        heavy_hitters,
+    )
+
+    # 3 hot values (1200/800/400 rows) + 400 singleton values, n=2800
+    rows = (
+        [("hot_a",)] * 1200 + [("hot_b",)] * 800 + [("hot_c",)] * 400
+        + [(f"cold_{i}",) for i in range(400)]
+    )
+    df = spark.createDataFrame(rows, "v string")
+    expected = {("hot_a", 1200), ("hot_b", 800), ("hot_c", 400)}  # >5% of 2800
+    for parts in (1, 7, 32):
+        got = {
+            (r.item, r.cnt)
+            for r in heavy_hitters(
+                df.repartition(parts), "v", min_share=0.05
+            ).collect()
+        }
+        assert got == expected, (parts, got)
+    # counters below the guarantee bound are clamped up (ceil(1/0.05)=20),
+    # so exactness survives a user lowball; a raised value is honored too
+    for forced in (3, 100):
+        got = {
+            (r.item, r.cnt)
+            for r in heavy_hitters(
+                df.repartition(5), "v", min_share=0.05, counters=forced
+            ).collect()
+        }
+        assert got == expected, forced

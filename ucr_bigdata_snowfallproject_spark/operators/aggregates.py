@@ -639,3 +639,77 @@ def key_skew_stats(
             6,
         ).alias("cv_count"),
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    min_share: float = 0.01,
+    counters: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters — every value of ``col`` whose frequency
+    exceeds ``min_share`` of the (non-NULL) rows — via the two-phase
+    Misra-Gries pattern, the standard way to get exact answers without
+    ever shuffling the full distinct-value set:
+
+    1. **Candidates**: each partition runs a Misra-Gries summary with
+       ``k ≥ ceil(1/min_share)`` counters over Arrow batches (per-batch
+       vectorized ``value_counts`` merged into the summary, then the
+       standard decrement-and-clip compaction). MG guarantees any item
+       with LOCAL frequency > n_p/(k+1) survives its partition's summary;
+       an item with GLOBAL share > 1/(k+1) must exceed that bound in at
+       least one partition, so the UNION of partition candidates is a
+       superset of every true heavy hitter. ≤ k rows per partition leave
+       the Python worker — the only Python stage, O(k) memory.
+    2. **Verification**: one exact count restricted to the candidate set
+       (broadcast semi-probe — candidates are O(k × partitions), bounded
+       by construction, never corpus-sized), filtered to
+       ``count > min_share · n``. No approximation survives to the
+       output; MG only prunes what CANNOT qualify.
+
+    Returns (item, cnt, share) — ``item`` keeps the source column's type
+    via a final cast. NULLs are excluded (not a value). The full groupBy
+    this replaces shuffles every distinct value; at 100 TB with 10⁹⁺
+    distinct keys this shuffles only candidates."""
+    import math
+
+    import pandas as pd
+
+    # k = ceil(1/s) ⇒ 1/(k+1) < s, so the MG superset bound covers
+    # min_share. A user-supplied ``counters`` can only RAISE k (a larger
+    # summary admits more candidates, trading verification-join width for
+    # compaction work) — lowering it below ceil(1/s) would void the
+    # exactness guarantee, so it is clamped.
+    k = max(counters or 0, math.ceil(1.0 / min_share))
+    src = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
+    item_type = src.schema["item"].dataType.simpleString()
+    as_str = src.select(F.col("item").cast("string"))
+
+    def mg_partition(batches):
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            for item, c in pdf["item"].value_counts().items():
+                counts[item] = counts.get(item, 0) + int(c)
+            if len(counts) > k:
+                # decrement-and-clip: subtract the (k+1)-th largest count
+                # from everyone, drop non-positives (mergeable-summaries
+                # compaction; preserves count lower bounds within n_p/(k+1))
+                cut = sorted(counts.values(), reverse=True)[k]
+                counts = {i: c - cut for i, c in counts.items() if c > cut}
+        if counts:
+            yield pd.DataFrame({"item": list(counts.keys())})
+
+    candidates = as_str.mapInPandas(mg_partition, "item string").distinct()
+    total = src.agg(F.count(F.lit(1)).alias("__n"))
+    exact = (
+        as_str.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") > F.lit(min_share) * F.col("__n"))
+    )
+    return exact.select(
+        F.col("item").cast(item_type).alias("item"),
+        "cnt",
+        F.round(F.col("cnt") / F.col("__n").cast("double"), 6).alias("share"),
+    )

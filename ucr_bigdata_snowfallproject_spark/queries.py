@@ -5553,6 +5553,32 @@ def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitters_quantity",
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM lineitem WHERE l_quantity IS NOT NULL)
+    SELECT l_quantity AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) / CAST(n AS DOUBLE), 6) AS share
+    FROM lineitem, t
+    WHERE l_quantity IS NOT NULL
+    GROUP BY l_quantity, n
+    HAVING COUNT(*) > CAST(0.02 AS DOUBLE) * n
+    """,
+)
+def heavy_hitters_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (aggregates.heavy_hitters) over lineitem
+    quantities at 2% support — two-phase Misra-Gries: per-partition O(k)
+    candidate summaries (the only Python stage, Arrow value_counts per
+    batch), then ONE exact count restricted to the broadcast candidate
+    set. The oracle is the full GROUP BY/HAVING the operator replaces —
+    at 100 TB the operator shuffles only candidates, never the 10⁹⁺
+    distinct-value set."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return aggregates.heavy_hitters(l, "l_quantity", min_share=0.02)
+
+
+@register(
     "skew_stats_events_by_user",
     """
     WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
@@ -5676,7 +5702,6 @@ _GATED_WINDOW = [
     "from_json_events_props",
     "unpivot_lineitem_measures",
     "q15_top_supplier",
-    "q11_top_share_parts",
     "q4_priority_with_late_lines",
     "q13_customer_order_distribution",
     # --- new oracle-backed in round 4 (training-pipeline operators).
@@ -5769,6 +5794,11 @@ _GATED_WINDOW = [
     # the local pytest mirror. ---
     "retrieval_bm25_topk",
     "skew_stats_events_by_user",
+    # --- round-5g rotation: exact two-phase heavy hitters earns a first
+    # driver row. Rotated out: q11_top_share_parts (share-of-total scalar
+    # subquery family keeps correlated_subquery_above_custavg and seven
+    # other TPC-H shapes gated; q11 stays in the local mirror). ---
+    "heavy_hitters_quantity",
     # --- oracle-converted in round 3 (VERDICT r02 #5): the UDTF lateral
     # surface and THE reference end-to-end pipeline now earn hash-checked
     # driver rows; scalar_math_functions and q10_returned_items rotate to

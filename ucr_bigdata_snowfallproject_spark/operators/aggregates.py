@@ -593,8 +593,12 @@ def key_skew_stats(
       skew threshold is a per-partition analog of this)
     - ``cv_count`` — coefficient of variation of the counts, computed
       from INTEGER moments (√(n·Σc² − (Σc)²) / Σc — one sqrt + one
-      division on exact int64 sums, engine-bit-identical; Σc² caps the
-      exactness at ~3·10⁹ rows per key, far past any sane key)
+      division on exact decimal(38,0) sums/products, engine-bit-identical;
+      the binding exactness bound is n_keys·Σc² < 10³⁸, and past it the
+      decimal arithmetic yields NULL — a visible failure, never a
+      plausible-but-wrong CV. For context: at 10¹⁵ rows (≈100 TB) with
+      10⁹ keys, n_keys·Σc² ≤ n_keys·n_rows·max_count ≈ 10³⁹ only if ONE
+      key holds ~all rows — real key spreads sit orders below the bound)
 
     Scale shape: one partial-aggregable (keys) groupBy count — the same
     shuffle the diagnosed join would pay, but with count-collapsed
@@ -617,7 +621,11 @@ def key_skew_stats(
         F.count(F.lit(1)).alias("n_keys"),
         F.sum("__c").alias("n_rows"),
         F.max("__c").alias("max_count"),
-        F.sum(F.col("__c") * F.col("__c")).alias("__sum2"),
+        # decimal(19,0)·long → decimal(38,0) product/sum: exact past the
+        # int64 range (long·long wraps silently with ANSI off — the
+        # overflow would surface exactly at the huge-corpus scale this
+        # diagnostic exists for)
+        F.sum(F.col("__c").cast("decimal(19,0)") * F.col("__c")).alias("__sum2"),
         *qaggs,
     )
     return row.select(
@@ -631,8 +639,10 @@ def key_skew_stats(
         F.round(
             F.sqrt(
                 (
-                    F.col("n_keys") * F.col("__sum2")
-                    - F.col("n_rows") * F.col("n_rows")
+                    # stays in decimal(38,0): exact up to n_keys·Σc² < 10³⁸,
+                    # NULL (not wrapped) beyond — see docstring bound
+                    F.col("n_keys").cast("decimal(19,0)") * F.col("__sum2")
+                    - F.col("n_rows").cast("decimal(19,0)") * F.col("n_rows")
                 ).cast("double")
             )
             / F.col("n_rows").cast("double"),
@@ -670,10 +680,18 @@ def heavy_hitters(
     Returns (item, cnt, share) — ``item`` keeps the source column's type
     via a final cast. NULLs are excluded (not a value). The full groupBy
     this replaces shuffles every distinct value; at 100 TB with 10⁹⁺
-    distinct keys this shuffles only candidates."""
+    distinct keys this shuffles only candidates.
+
+    Supported item types: ATOMIC, string-round-trippable ones — string,
+    integral/fractional numerics, decimal, boolean, date, timestamp (all
+    of which survive ``cast(string)`` → ``cast(back)`` value-exact in
+    Spark). Binary is REJECTED (invalid UTF-8 collapses under the string
+    cast, silently merging distinct values), as are arrays/structs/maps
+    (their string rendering is not injective)."""
     import math
 
     import pandas as pd
+    from pyspark.sql import types as T
 
     # k = ceil(1/s) ⇒ 1/(k+1) < s, so the MG superset bound covers
     # min_share. A user-supplied ``counters`` can only RAISE k (a larger
@@ -682,7 +700,15 @@ def heavy_hitters(
     # exactness guarantee, so it is clamped.
     k = max(counters or 0, math.ceil(1.0 / min_share))
     src = df.select(F.col(col).alias("item")).filter(F.col("item").isNotNull())
-    item_type = src.schema["item"].dataType.simpleString()
+    dt = src.schema["item"].dataType
+    if isinstance(dt, T.BinaryType) or not isinstance(dt, T.AtomicType):
+        raise TypeError(
+            f"heavy_hitters: column {col!r} has type {dt.simpleString()}; "
+            "only atomic string-round-trippable types are supported "
+            "(string/numeric/decimal/boolean/date/timestamp) — binary and "
+            "complex types do not survive the internal string round-trip"
+        )
+    item_type = dt.simpleString()
     as_str = src.select(F.col("item").cast("string"))
 
     def mg_partition(batches):

@@ -175,9 +175,11 @@ def triangle_counts(
     if persist_oriented:
         from pyspark import StorageLevel
 
+        from ._util import track_persist
+
         # und feeds both the degree pass and the orientation join — without
         # this the whole upstream edge build runs twice
-        und = und.persist(StorageLevel.MEMORY_AND_DISK)
+        und = track_persist(und.persist(StorageLevel.MEMORY_AND_DISK))
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -201,7 +203,9 @@ def triangle_counts(
     if persist_oriented:
         from pyspark import StorageLevel
 
-        oriented = oriented.persist(StorageLevel.MEMORY_AND_DISK)
+        from ._util import track_persist
+
+        oriented = track_persist(oriented.persist(StorageLevel.MEMORY_AND_DISK))
     adj = oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nb"))
     e_adj = (
         oriented.join(adj.select("s", F.col("nb").alias("nb_s")), "s")

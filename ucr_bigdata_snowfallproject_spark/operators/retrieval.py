@@ -76,7 +76,14 @@ def bm25_corpus_stats(
     if persist_tf:
         from pyspark import StorageLevel
 
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        from ._util import track_persist
+
+        # Session-lifetime state: release via tf.unpersist(), the bulk
+        # _util.release_tracked(), or session.clear_session_state — or pass
+        # persist_tf=False / a prebuilt corpus_stats in long-lived sessions
+        # issuing many inline bm25 calls (the production path is a
+        # PERSISTED index via index_store.save_bm25_stats anyway).
+        tf = track_persist(tf.persist(StorageLevel.MEMORY_AND_DISK))
     lens = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     return tf, lens, dfreq
@@ -138,21 +145,33 @@ def bm25_scores(
     # Posting rows join their document's length: the matched side is
     # query-term-postings-sized (≪ corpus); AQE broadcasts it when small,
     # otherwise a doc-keyed shuffle join — either is fine at 100 TB.
+    part = (
+        F.col("__idf")
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl")))
+    )
+    # Per-term partials quantize to a 10^12 fixed-point grid BEFORE the
+    # sum (same rule as text.term_distribution_jsd / bigram_logppl): a
+    # float Σ's accumulation order is partitioning-dependent, so a sum
+    # landing on a rounding boundary could flip oracle hashes and rank
+    # ties as corpus/query sizes grow. Integer sums are order-free; the
+    # grid keeps ~7 significant digits past any sane round_digits.
+    # Bound: partials ≤ (k1+1)·idf ≤ ~50 → ≤5·10¹³ per term, and a
+    # (query, doc) group has ≤|query terms| rows — no int64 risk.
     scored = matched.join(lens, id_col).select(
         query_id_col,
         id_col,
-        (
-            F.col("__idf")
-            * F.col("tf")
-            * (k1 + 1.0)
-            / (
-                F.col("tf")
-                + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl"))
-            )
-        ).alias("__part"),
+        F.floor(part * F.lit(1e12) + F.lit(0.5)).cast("long").alias("__part"),
     )
+    p = float(10**round_digits)
     return scored.groupBy(query_id_col, id_col).agg(
-        F.round(F.sum("__part"), round_digits).alias("score")
+        (
+            F.floor(
+                F.sum("__part").cast("double") / F.lit(1e12) * p + F.lit(0.5)
+            )
+            / p
+        ).alias("score")
     )
 
 

@@ -361,7 +361,9 @@ def embedding_near_dup_blocked(
         # tfidf_top_terms' persist_tf — the 100 TB path AND the bench win)
         from pyspark import StorageLevel
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        from ._util import track_persist
+
+        sigs = track_persist(sigs.persist(StorageLevel.MEMORY_AND_DISK))
     exp = sigs.select("__id", F.posexplode("__buckets").alias("__table", "__bucket"))
     cand = (
         exp.alias("a")
@@ -681,7 +683,9 @@ def ivf_topk_indexed(
     # probed-cell collect and the scoring join don't recompute it
     from pyspark import StorageLevel
 
-    probes = probes.persist(StorageLevel.MEMORY_AND_DISK)
+    from ._util import track_persist
+
+    probes = track_persist(probes.persist(StorageLevel.MEMORY_AND_DISK))
     probed = sorted(r[0] for r in probes.select("__cell").distinct().collect())
     pruned = cells.filter(F.col("__cell").isin(probed))
     sim = dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cn"))

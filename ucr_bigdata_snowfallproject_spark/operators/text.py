@@ -206,7 +206,9 @@ def tfidf_top_terms(
     if persist_tf:
         from pyspark import StorageLevel
 
-        tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+        from ._util import track_persist
+
+        tf = track_persist(tf.persist(StorageLevel.MEMORY_AND_DISK))
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
         tf.join(doc_freq, "term")
@@ -601,7 +603,9 @@ def remove_boilerplate_lines(
     if persist_lines:
         from pyspark import StorageLevel
 
-        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+        from ._util import track_persist
+
+        lines = track_persist(lines.persist(StorageLevel.MEMORY_AND_DISK))
     freq = (
         lines.filter(F.trim(F.col("__l")) != "")
         .groupBy("__fp")

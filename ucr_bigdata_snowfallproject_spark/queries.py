@@ -5640,13 +5640,14 @@ _BM25_QUERIES = [
            WHERE term <> ''),
     scored AS (
       SELECT qt.query_id, tf.doc_id,
-             ROUND(SUM(
+             floor(CAST(SUM(CAST(floor((
                  ln(1.0 + (CAST(scal.n - dfreq.df AS DOUBLE) + 0.5)
                         / (CAST(dfreq.df AS DOUBLE) + 0.5))
                  * CAST(tf.tf AS DOUBLE) * 2.2
                  / (CAST(tf.tf AS DOUBLE)
                     + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE) / avgdl))
-             ), 4) AS score
+             ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 * 1e4 + 0.5) / 1e4 AS score
       FROM qt
       JOIN dfreq USING (term)
       JOIN tf USING (term)

@@ -5676,6 +5676,44 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_ops.bm25_topk(q, d, "doc_id", "text", k=5, round_digits=4)
 
 
+@register(
+    "retrieval_bm25_prebuilt",
+    # IDENTICAL oracle to retrieval_bm25_topk ON PURPOSE: the contract
+    # under test is that a persisted-index probe returns exactly what the
+    # inline corpus build returns — train once, query many, same answers.
+    REGISTRY["retrieval_bm25_topk"][1],
+)
+def retrieval_bm25_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-artifact LIFECYCLE end-to-end (VERDICT r05 #5): build the
+    BM25 corpus stats once, persist them through the snapshot-versioned
+    index store (index_store.save_bm25_stats → tf/ lens/ dfreq/ sibling
+    tables, tf term-clustered), read them BACK, and score the fixed query
+    set against the prebuilt artifact (bm25_topk(corpus_stats=...)).
+
+    The oracle is the same SQL as retrieval_bm25_topk, so the driver's
+    hash check pins prebuilt-probe ≡ inline-build ≡ ANSI SQL — the
+    train-once/query-many production contract, externally verified. At
+    100 TB this is THE retrieval shape: the corpus explode runs in one
+    indexing job; query jobs only read the (pruned, term-clustered)
+    posting tables and never touch corpus text."""
+    from . import index_store
+    from .operators import retrieval as retrieval_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    root = _scratch_dir("snowfall-bm25-index-") + "/bm25"
+    # persist_tf=False: the three frames are written immediately below —
+    # the snapshot files ARE the materialization, no session-cache state.
+    tf, lens, dfreq = retrieval_ops.bm25_corpus_stats(
+        d, "doc_id", "text", persist_tf=False
+    )
+    index_store.save_bm25_stats(tf, lens, dfreq, root)
+    stats = index_store.load_bm25_stats(spark, root)
+    return retrieval_ops.bm25_topk(
+        q, d, "doc_id", "text", k=5, round_digits=4, corpus_stats=stats
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on
@@ -5691,20 +5729,66 @@ def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: r01 window never gated, then the 2 converted/new this round, then 13
 #: round-1-green representatives (one per operator family) to fill 50.
 _GATED_WINDOW = [
+    # =====================================================================
+    # Round-6 rotation (VERDICT r05 #2/#5): 17 never-driver-gated queries
+    # earn first rows — the 16 the judge named (ks_drift_totalprice,
+    # text_jsd_en_vs_rest, nullsafe_join_event_props, text_bigram_logppl,
+    # text_dedupe_doc_lines, dedup_ngram_containment,
+    # curation_shard_assignments, snapshot_changes_feed,
+    # incremental_agg_replay, quality_gate_orders, rag_prep_pipeline,
+    # funnel_events_conversion, mad_outliers_orders_priority, TPC-H
+    # q2/q20/q21) plus the new retrieval_bm25_prebuilt index-lifecycle
+    # query. Rotated OUT (all r05 driver-green, all still oracle-checked
+    # in the local pytest mirror), each with its family still gated:
+    #   q18_large_volume_customers + q13_customer_order_distribution +
+    #     q9_product_type_profit (TPC-H join/agg shapes: q1, q3, q4, q5,
+    #     q15 stay; q2/q20/q21 come in),
+    #   unpivot_lineitem_measures (semi-structured: from_json stays),
+    #   text_bigram_lm (LM family: text_bigram_logppl — its superset
+    #     signal — comes in),
+    #   overlap_join_click_purchase_windows (join breadth: nullsafe join
+    #     in; geo NN + bloom semi join stay),
+    #   dedup_cdc_chunks (dedup: exact, ngram_jaccard, embedding-blocked
+    #     stay; ngram_containment in),
+    #   winsorize_prices_by_segment + ols_trend_orders_by_priority (robust
+    #     stats: mad_outliers in; histogram + skew_stats stay),
+    #   psi_drift_nchars (drift: ks_drift + text_jsd in),
+    #   rolling_anomalies_events (windows: ewma, twa stay; funnel in),
+    #   cdc_replay_snapshot (snapshot tables: snapshot_changes_feed in —
+    #     same MERGE machinery via the CDF read path),
+    #   curation_dsir_scores + curation_weighted_sample (curation:
+    #     decontaminate + token_budget_mix stay; shard_assignments in),
+    #   text_remove_boilerplate (text cleanup: text_dedupe_doc_lines in;
+    #     text_char_entropy + text_redact_pii stay),
+    #   corpus_build_pipeline (pipelines: rag_prep_pipeline in),
+    #   udtf_sentence_split (UDF surface: pandas_udf_vowel_ratio stays).
+    # =====================================================================
+    "ks_drift_totalprice",
+    "text_jsd_en_vs_rest",
+    "nullsafe_join_event_props",
+    "text_bigram_logppl",
+    "text_dedupe_doc_lines",
+    "dedup_ngram_containment",
+    "curation_shard_assignments",
+    "snapshot_changes_feed",
+    "incremental_agg_replay",
+    "quality_gate_orders",
+    "rag_prep_pipeline",
+    "funnel_events_conversion",
+    "mad_outliers_orders_priority",
+    "q2_min_cost_supplier",
+    "q20_supplier_part_volume",
+    "q21_waiting_suppliers",
+    "retrieval_bm25_prebuilt",
     # --- oracle-backed, ungated in round 1 (registration slots 50-88) ---
     "correlated_subquery_above_custavg",
     "scalar_date_arithmetic",
     "global_scalar_aggregates",
     "salted_group_agg_matches_plain",
     "pandas_udf_vowel_ratio",
-    # (r5b rotation below swaps three slots for the round-5b operator
-    # families — see the block after the round-5 rotation)
-    "q18_large_volume_customers",
     "from_json_events_props",
-    "unpivot_lineitem_measures",
     "q15_top_supplier",
     "q4_priority_with_late_lines",
-    "q13_customer_order_distribution",
     # --- new oracle-backed in round 4 (training-pipeline operators).
     # Rotated out to make room, each with its family still driver-gated:
     # salted_join_matches_plain (skew surface: salted_group_agg stays),
@@ -5712,7 +5796,6 @@ _GATED_WINDOW = [
     # q12_shipmode_priority_counts (CASE-sum counts: q8/q14 stay),
     # q7_volume_shipping (dim-in-two-roles: q8 stays). All four remain
     # oracle-checked in the local pytest mirror. ---
-    "text_bigram_lm",
     # --- round-5 rotation (VERDICT r04 #2/#6): one representative per
     # never-driver-gated round-4 family, plus the new CDC replay. Rotated
     # out to make room — each with its family still gated (full oracle
@@ -5726,13 +5809,6 @@ _GATED_WINDOW = [
     #   text_language_id, text_redact_pii stay),
     # curation_hash_split (curation: decontaminate, token_budget_mix,
     #   pipeline_stats, mixture_weights, pack_sequences stay). ---
-    "q9_product_type_profit",
-    "overlap_join_click_purchase_windows",
-    "dedup_cdc_chunks",
-    "winsorize_prices_by_segment",
-    "psi_drift_nchars",
-    "rolling_anomalies_events",
-    "cdc_replay_snapshot",
     # --- round-5b rotation: first driver rows for the three new operator
     # families added mid-round-5. Rotated out, each with its family still
     # gated (all three stay oracle-checked in the local pytest mirror):
@@ -5742,8 +5818,6 @@ _GATED_WINDOW = [
     #   share-of-total, q6, q1 stay),
     # curation_mixture_weights (token-weighting curation:
     #   curation_token_budget_mix + curation_pipeline_stats stay). ---
-    "curation_dsir_scores",
-    "ols_trend_orders_by_priority",
     "geo_nearest_supplier_for_customers",
     # --- round-5c rotation: the three operator families added late in
     # round 5 earn first driver rows. Rotated out, each with its family
@@ -5766,10 +5840,8 @@ _GATED_WINDOW = [
     #   surface: pandas_udf_vowel_ratio + udtf_sentence_split stay),
     # curation_pack_sequences (curation: decontaminate,
     #   token_budget_mix, pipeline_stats, dsir_scores stay). ---
-    "text_remove_boilerplate",
     "export_tar_shards",
     "text_char_entropy",
-    "curation_weighted_sample",
     # --- round-5e rotation: the final late-round-5 families (end-to-end
     # corpus build, time-weighted rollup, triangle analytics, fixed-bin
     # histogram). Rotated out, each family still gated (all local-mirror
@@ -5781,7 +5853,6 @@ _GATED_WINDOW = [
     # dedup_cdc_chunks, dedup_ngram_jaccard, embedding near-dup stay),
     # resample_events_hourly_ffill (time grid: twa_events_hourly is the
     # new resample-family representative). ---
-    "corpus_build_pipeline",
     "twa_events_hourly",
     "graph_triangles_parts",
     "histogram_totalprice_by_priority",
@@ -5805,7 +5876,6 @@ _GATED_WINDOW = [
     # driver rows; scalar_math_functions and q10_returned_items rotate to
     # local-only (their families stay driver-covered:
     # scalar_string_functions_2/scalar_date_arithmetic and q3) ---
-    "udtf_sentence_split",
     "gsod_reference_pipeline",
     # --- oracle-converted / new in round 2 ---
     "dedup_embedding_cosine_blocked",

@@ -2227,3 +2227,69 @@ def test_key_skew_stats_cv_exact_past_int64(spark):
     # uniform counts → variance 0 → exact 0.0 (int64 would have wrapped
     # into garbage or NaN under sqrt)
     assert row.num == 0.0
+
+
+def test_twa_exact_at_int64_overflow_boundary(spark):
+    """VERDICT r05 #4: Σ(v·dur) must not wrap int64. At scale=100 /
+    hourly buckets a long·long product overflows for |value| ≳ 2.56e7;
+    values near and past that boundary must still match the DuckDB
+    oracle (HUGEINT sums) exactly — the decimal(38,0) path guarantees it."""
+    import datetime
+
+    import duckdb
+
+    from ucr_bigdata_snowfallproject_spark.operators.resample import (
+        time_weighted_avg,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # v=4e7 → __v=4e9 cents; a full-hour segment's product is
+    # 4e9·3.6e9 = 1.44e19 > 2^63 ≈ 9.22e18 (wraps as a long multiply).
+    rows = [
+        (1, at(0), 40_000_000.0),     # held 2 full hours
+        (1, at(120), -30_000_000.0),  # negative side of the boundary
+        (1, at(180), 12_345_678.9),   # partial coverage tail
+        (1, at(210), 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = time_weighted_avg(df, ["k"], "ts", "v", bucket_us=3_600_000_000)
+    got = sorted(
+        (r.k, str(r.bucket_start), r.covered_us, r.twa) for r in out.collect()
+    )
+
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"(1, TIMESTAMP '{ts.isoformat(sep=' ')}', {v!r})" for _, ts, v in rows
+    )
+    ddf = con.sql(f"""
+    WITH obs(k, ts, value) AS (VALUES {vals}),
+    seg AS (
+      SELECT k, epoch_us(ts) AS t0, lead(epoch_us(ts)) OVER w AS t1,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM obs WINDOW w AS (PARTITION BY k ORDER BY ts)
+    ), live AS (SELECT * FROM seg WHERE t1 IS NOT NULL AND t1 > t0),
+    per_bucket AS (
+      SELECT k, v, b,
+             LEAST(t1, (b+1)*3600000000) - GREATEST(t0, b*3600000000) AS dur
+      FROM live,
+           UNNEST(generate_series(CAST(FLOOR(t0/3600000000) AS BIGINT),
+                                  CAST(FLOOR((t1-1)/3600000000) AS BIGINT))) AS u(b)
+    ), agged AS (
+      SELECT k, b, SUM(CAST(v AS HUGEINT) * dur) AS num, SUM(dur) AS den
+      FROM per_bucket GROUP BY k, b
+    )
+    SELECT k, make_timestamp(b*3600000000) AS bucket_start,
+           CAST(den AS BIGINT) AS covered_us,
+           FLOOR(CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * 100) * 1e6 + 0.5)
+             / 1e6 AS twa
+    FROM agged WHERE den > 0
+    """).fetchall()
+    want = sorted((k, str(b), c, t) for k, b, c, t in ddf)
+    assert got == want
+    # sanity: constant 4e7 held across full buckets reproduces EXACTLY
+    assert any(t == 40_000_000.0 for _, _, _, t in got)
+    con.close()

@@ -146,11 +146,17 @@ def time_weighted_avg(
     deterministic under any arrival order. Buckets a key never covers
     emit nothing; partially covered buckets divide by COVERED time only.
 
-    Determinism: everything up to the final division is int64 — event
-    times in exact microseconds, segment/bucket overlaps as integer
-    durations, values as round(v·scale) integers, Σ(v·dur) and Σ(dur)
-    exact associative sums — then ONE float division + floor-half-up
-    rounding (exact-integer-sums rule; bit-identical oracle).
+    Determinism: everything up to the final division is exact integer
+    arithmetic — event times in exact microseconds, segment/bucket
+    overlaps as integer durations, values as round(v·scale) integers,
+    and Σ(v·dur) as a decimal(38,0) sum of decimal·long products (each
+    product |v·scale|·overlap ≤ 2⁶³·bucket_us would overflow a LONG
+    multiply for |value| > 2⁶³/(scale·bucket_us) ≈ 2.6·10⁷ at hourly
+    buckets/scale 100 — well inside telemetry range; the decimal path is
+    exact to 10³⁸, i.e. |value|·scale·bucket_us·rows < 10³⁸, and NULLs
+    visibly past it instead of wrapping) — then ONE float division +
+    floor-half-up rounding (exact-integer-sums rule; bit-identical
+    oracle, whose HUGEINT sums are exact the same way).
 
     Scale shape: one window (lead) per key for segments; segments explode
     to the buckets they cover (bound: gap/bucket_us rows per segment —
@@ -190,7 +196,9 @@ def time_weighted_avg(
     )
     p = float(10**round_digits)
     agged = per_bucket.groupBy(*keys, "__b").agg(
-        F.sum(F.col("__v") * F.col("__dur")).alias("__num"),
+        # decimal(19,0)·long → decimal(38,0): exact where a long·long
+        # multiply would silently wrap (|v·scale| > 2⁶³/bucket_us)
+        F.sum(F.col("__v").cast("decimal(19,0)") * F.col("__dur")).alias("__num"),
         F.sum("__dur").alias("__den"),
     )
     twa = F.floor(

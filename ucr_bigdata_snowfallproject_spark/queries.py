@@ -4302,13 +4302,20 @@ def snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (upserts 200-399 to lang='b1', deletes doc_id<50 ∧ %5=0), then read
     the v0→v1 change rows. Inserts/updates carry new values, deletes old;
     unchanged keys never leave the full-outer diff join. The oracle
-    recomputes both states and the IS-DISTINCT-FROM diff in pure SQL."""
+    recomputes both states and the IS-DISTINCT-FROM diff in pure SQL.
+
+    The table runs carry='manifest' (the object-store carry tier, round
+    6): both versions resolve through per-version manifests, so this
+    driver row also hash-checks the zero-copy carry-forward read path —
+    untouched buckets of v1 are metadata re-references into v0's files,
+    never links or copies."""
     from . import table as snapshot_table
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     root = _scratch_dir("snowfall-cdf-") + "/docs"
     snapshot_table.create_partitioned_snapshot(
-        d.filter(F.col("doc_id") < 300), root, "doc_id", n_buckets=8
+        d.filter(F.col("doc_id") < 300), root, "doc_id", n_buckets=8,
+        carry="manifest",
     )
     ups = (
         d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
@@ -5118,7 +5125,7 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS u(b)
     ), agged AS (
       SELECT user_id, b,
-             SUM(v * dur) AS num, SUM(dur) AS den
+             SUM(CAST(v AS HUGEINT) * dur) AS num, SUM(dur) AS den
       FROM per_bucket GROUP BY user_id, b
     )
     SELECT user_id,

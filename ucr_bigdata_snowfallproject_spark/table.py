@@ -18,13 +18,32 @@ The partition-level tier (:func:`create_partitioned_snapshot`) removes
 that full-pass cost: snapshot dirs are hash-bucketed on the merge key
 (``__pbucket=K`` subdirs, Delta/Iceberg-style layout), and
 :func:`merge_upsert` on such a table rewrites ONLY the buckets containing
-touched keys — every other bucket's files carry forward into the new
-version by hard link (byte-identical, no data movement; copy fallback for
-filesystems without links). Per-batch cost becomes
+touched keys. Untouched buckets carry forward by one of two modes
+(``carry=`` on :func:`create_partitioned_snapshot`, recorded in
+``_table.json``):
+
+- ``"link"`` (default): hard links into the new version dir —
+  byte-identical, zero data movement on POSIX filesystems; physical-copy
+  fallback where links are refused.
+- ``"manifest"``: the object-store tier — each version commits a
+  ``_manifest.json`` mapping bucket → list of data-file paths (relative
+  to the table root, possibly pointing into EARLIER versions'
+  directories). An untouched bucket costs zero bytes and zero copies on
+  ANY storage (S3/GCS have no hard links): the new manifest simply
+  re-references the previous version's files — the metadata-only
+  re-reference Iceberg/Delta snapshots do. Readers resolve versions
+  through the manifest; :func:`vacuum_snapshots` reference-counts:
+  files a kept version still references survive removal of the version
+  directory that first wrote them (relocated by rename, then the kept
+  manifests are rewritten).
+
+Per-batch cost in both modes is
 O(touched_buckets/n_buckets · table) + O(updates) instead of O(table):
 the difference between an incrementally-maintained 100 TB corpus and one
 that's rewritten nightly. Reads prune to buckets via ordinary partition
-pruning on the ``__pbucket`` directory column.
+pruning on the ``__pbucket`` directory column (link mode) or via
+driver-side manifest pruning (manifest mode — the touched-bucket scan
+reads exactly the manifest-listed files, no directory listing at all).
 """
 
 from __future__ import annotations
@@ -83,6 +102,55 @@ def _bucket_expr(key: str, n_buckets: int):
     return F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
 
 
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, f"v={version}", "_manifest.json")
+
+
+def _read_manifest(root: str, version: int) -> dict[str, list[str]] | None:
+    """The version's committed manifest (bucket dir name → root-relative
+    data-file paths), or None on link-mode / pre-manifest versions."""
+    p = _manifest_path(root, version)
+    if os.path.isfile(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def _write_manifest(root: str, version: int, manifest: dict[str, list[str]]) -> None:
+    """Stamp the manifest INTO the version dir before the ``_latest``
+    flip — like commit notes, it commits atomically with the data."""
+    tmp = _manifest_path(root, version) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, _manifest_path(root, version))
+
+
+def _self_manifest(root: str, version: int) -> dict[str, list[str]]:
+    """Manifest entries for the buckets PHYSICALLY present under ``v=N``
+    (fresh writes reference themselves; also the resolution fallback for
+    link-mode versions, whose directory contents ARE the snapshot)."""
+    vd = os.path.join(root, f"v={version}")
+    man: dict[str, list[str]] = {}
+    if not os.path.isdir(vd):
+        return man
+    for name in sorted(os.listdir(vd)):
+        if not name.startswith(f"{_PART_COL}="):
+            continue
+        files = sorted(
+            f"v={version}/{name}/{f}"
+            for f in os.listdir(os.path.join(vd, name))
+            if not f.startswith(("_", "."))
+        )
+        if files:
+            man[name] = files
+    return man
+
+
+def _manifest_or_self(root: str, version: int) -> dict[str, list[str]]:
+    man = _read_manifest(root, version)
+    return man if man is not None else _self_manifest(root, version)
+
+
 def read_snapshot(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
@@ -93,13 +161,27 @@ def read_snapshot(
     v = latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {root}")
-    # mergeSchema: after an evolve_schema merge on a bucketed table, the
-    # untouched (hard-linked) buckets still carry the pre-evolution file
-    # schema — without the union the reader could sample an old footer
-    # and silently drop the new column. Footer-read cost only.
-    df = spark.read.option("mergeSchema", "true").parquet(
-        os.path.join(root, f"v={v}")
-    )
+    # Manifest-mode versions resolve to their referenced file list — the
+    # files may live in EARLIER versions' directories (zero-copy
+    # carry-forward); the version directory's own contents are only the
+    # buckets that version rewrote.
+    man = _read_manifest(root, v)
+    if man is not None:
+        files = [os.path.join(root, rel) for rels in man.values() for rel in rels]
+        if not files:
+            raise FileNotFoundError(
+                f"snapshot v={v} under {root} is empty (all rows deleted)"
+            )
+        df = spark.read.option("mergeSchema", "true").parquet(*files)
+    else:
+        # mergeSchema: after an evolve_schema merge on a bucketed table,
+        # the untouched (hard-linked) buckets still carry the
+        # pre-evolution file schema — without the union the reader could
+        # sample an old footer and silently drop the new column.
+        # Footer-read cost only.
+        df = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(root, f"v={v}")
+        )
     if _PART_COL in df.columns:
         df = df.drop(_PART_COL)
     return df
@@ -160,7 +242,7 @@ def create_snapshot(df: DataFrame, root: str, n_files: int | None = None) -> int
 
 
 def create_partitioned_snapshot(
-    df: DataFrame, root: str, key: str, n_buckets: int = 16
+    df: DataFrame, root: str, key: str, n_buckets: int = 16, carry: str = "link"
 ) -> int:
     """Create a KEY-BUCKETED snapshot table: rows land in
     ``v=N/__pbucket=hash(key) % n_buckets/`` dirs, and every later
@@ -172,9 +254,16 @@ def create_partitioned_snapshot(
     bucket is a few GB (thousands of buckets); updates drawn from across
     the keyspace touch many buckets — that's still bounded by n_buckets
     reads of table/n_buckets each, never more than one full pass, and
-    hot-key batches touch few."""
+    hot-key batches touch few.
+
+    ``carry`` picks the untouched-bucket carry-forward mode (module
+    docstring): ``"link"`` (hard links, POSIX) or ``"manifest"``
+    (metadata-only re-reference — the object-store tier, zero bytes per
+    untouched bucket on any storage)."""
+    if carry not in ("link", "manifest"):
+        raise ValueError(f"carry must be 'link' or 'manifest', got {carry!r}")
     os.makedirs(root, exist_ok=True)
-    meta = {"bucket_key": key, "n_buckets": int(n_buckets)}
+    meta = {"bucket_key": key, "n_buckets": int(n_buckets), "carry": carry}
     tmp = os.path.join(root, "_table.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
@@ -182,6 +271,8 @@ def create_partitioned_snapshot(
     versions = snapshot_versions(root)
     v = (versions[-1] + 1) if versions else 0
     _write_partitioned(df, root, v, key, n_buckets)
+    if carry == "manifest":
+        _write_manifest(root, v, _self_manifest(root, v))
     _write_marker(root, v)
     return v
 
@@ -263,7 +354,7 @@ def merge_upsert(
             )
         return _merge_upsert_partitioned(
             spark, root, updates, key, meta["n_buckets"], delete_col,
-            commit_note, evolve_schema,
+            commit_note, evolve_schema, carry=meta.get("carry", "link"),
         )
     try:
         target = read_snapshot(spark, root)
@@ -318,6 +409,7 @@ def _merge_upsert_partitioned(
     delete_col: str | None,
     commit_note: str | None = None,
     evolve_schema: bool = False,
+    carry: str = "link",
 ) -> int:
     """Partition-level MERGE: same row semantics as the COW path (pinned
     identical in tests), different cost — O(touched buckets), not
@@ -328,10 +420,14 @@ def _merge_upsert_partitioned(
     untouched bucket cannot contain an affected key, so skipping it is
     exact, not approximate); the collect is ≤ n_buckets small ints.
     (2) Only touched buckets are read — a partition-pruned scan on the
-    ``__pbucket`` directory column — and merged with the updates.
+    ``__pbucket`` directory column in link mode, or the manifest-listed
+    files of exactly the touched buckets in manifest mode (driver-side
+    pruning, no directory listing) — and merged with the updates.
     (3) The merged rows write into the new version dir (inserted keys
     re-bucket with the same hash, so they land inside the touched set);
-    untouched bucket dirs hard-link forward. (4) Marker flip commits."""
+    untouched buckets carry forward — hard links in link mode, a
+    metadata-only manifest re-reference (zero bytes) in manifest mode.
+    (4) Manifest/note stamp, then the marker flip commits."""
     cur_v = latest_version(root)
     new_v = snapshot_versions(root)[-1] + 1
     src = os.path.join(root, f"v={cur_v}")
@@ -345,13 +441,30 @@ def _merge_upsert_partitioned(
         .distinct()
         .collect()
     )
+    touched_dirs = {f"{_PART_COL}={b}" for b in touched}
+    prev_man = _manifest_or_self(root, cur_v) if carry == "manifest" else None
     # an all-rows-deleted (or bootstrap-empty) version has no parquet
     # files to infer from — fall back to the updates' schema and merge
     # against an empty target
-    try:
-        src_df = spark.read.parquet(src)
-    except Exception:
-        src_df = None
+    if prev_man is not None:
+        src_files = [
+            os.path.join(root, rel)
+            for d in sorted(touched_dirs)
+            for rel in prev_man.get(d, [])
+        ]
+        try:
+            src_df = (
+                spark.read.option("mergeSchema", "true").parquet(*src_files)
+                if src_files
+                else None
+            )
+        except Exception:
+            src_df = None
+    else:
+        try:
+            src_df = spark.read.parquet(src)
+        except Exception:
+            src_df = None
     if evolve_schema and src_df is not None:
         src_df = _evolve(src_df, updates, delete_col)
     data_cols = [
@@ -368,10 +481,16 @@ def _merge_upsert_partitioned(
         ups = updates.select(*data_cols)
 
     if touched:
-        if src_df is not None and _PART_COL in src_df.columns:
-            target = src_df.filter(
-                F.col(_PART_COL).isin([int(b) for b in touched])
-            ).drop(_PART_COL)
+        if src_df is not None:
+            if _PART_COL in src_df.columns:
+                # link mode: the directory scan sees ALL buckets — prune
+                # to touched via the partition column
+                target = src_df.filter(
+                    F.col(_PART_COL).isin([int(b) for b in touched])
+                ).drop(_PART_COL)
+            else:
+                # manifest mode: the file list was already pruned
+                target = src_df.select(*data_cols)
             kept = target.join(ups.select(key), key, "left_anti")
             if dels is not None:
                 kept = kept.join(dels, key, "left_anti")
@@ -382,10 +501,19 @@ def _merge_upsert_partitioned(
     else:
         os.makedirs(dst, exist_ok=True)
 
-    touched_dirs = {f"{_PART_COL}={b}" for b in touched}
-    for name in os.listdir(src):
-        if name.startswith(f"{_PART_COL}=") and name not in touched_dirs:
-            _link_tree(os.path.join(src, name), os.path.join(dst, name))
+    if carry == "manifest":
+        # Untouched buckets: zero-copy — the new manifest re-references
+        # whatever files the previous version resolved to (which may
+        # already live several versions back).
+        new_man = _self_manifest(root, new_v)  # touched buckets only
+        for d, rels in prev_man.items():
+            if d not in touched_dirs and rels:
+                new_man[d] = rels
+        _write_manifest(root, new_v, new_man)
+    else:
+        for name in os.listdir(src):
+            if name.startswith(f"{_PART_COL}=") and name not in touched_dirs:
+                _link_tree(os.path.join(src, name), os.path.join(dst, name))
     if commit_note is not None:
         _write_note(root, new_v, commit_note)
     _write_marker(root, new_v)
@@ -406,6 +534,11 @@ def compact_snapshot(
     if meta is not None:
         cur = read_snapshot(spark, root)
         _write_partitioned(cur, root, v, meta["bucket_key"], meta["n_buckets"])
+        if meta.get("carry") == "manifest":
+            # compaction rewrites every bucket physically, so the new
+            # manifest is fully self-referencing — it also drops every
+            # reference into older versions, making them vacuumable for free
+            _write_manifest(root, v, _self_manifest(root, v))
         _write_marker(root, v)
         return v
     cur = read_snapshot(spark, root)
@@ -473,25 +606,59 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
     the snapshot lifecycle, without which an actively-merged table
     accretes versions forever.
 
-    Safe BY CONSTRUCTION on bucketed tables: carried-forward files are
-    hard links, so a file shared into a kept version survives deletion of
-    the old directory (the inode lives until its last link goes) — the
-    filesystem does the reference counting a manifest-based format does
-    in metadata. Time travel to a vacuumed version subsequently raises;
-    that's the retention trade every table format makes. Returns the
-    removed version numbers."""
+    Safe BY CONSTRUCTION in both carry modes. Link mode: carried-forward
+    files are hard links, so a file shared into a kept version survives
+    deletion of the old directory (the inode lives until its last link
+    goes) — the filesystem does the reference counting. Manifest mode:
+    explicit reference counting — every data file a KEPT version's
+    manifest still references is relocated (``os.replace`` rename, no
+    data movement) into the first kept version that references it before
+    the old directory is removed, and all kept manifests are rewritten to
+    the new location; unreferenced files die with their directory. Time
+    travel to a vacuumed version subsequently raises; that's the
+    retention trade every table format makes. Returns the removed
+    version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(root)
     latest = latest_version(root)
-    keep = set(versions[-keep_last:])
-    if latest is not None:
-        keep.add(latest)
-    removed = []
-    for v in versions:
-        if v not in keep:
-            shutil.rmtree(os.path.join(root, f"v={v}"))
-            removed.append(v)
+    keep = sorted(set(versions[-keep_last:]) | ({latest} if latest is not None else set()))
+    removed = [v for v in versions if v not in keep]
+    removed_set = set(removed)
+    # manifest-mode GC: rescue still-referenced files out of doomed dirs
+    moves: dict[str, str] = {}
+    for kv in keep:
+        man = _read_manifest(root, kv)
+        if man is None:
+            continue
+        changed = False
+        for bucket, rels in man.items():
+            new_rels = []
+            for rel in rels:
+                head = rel.split("/", 1)[0]  # "v=N"
+                src_v = int(head.split("=")[1])
+                if src_v not in removed_set:
+                    new_rels.append(rel)
+                    continue
+                if rel not in moves:
+                    base = os.path.basename(rel)
+                    dst_rel = f"v={kv}/{bucket}/{base}"
+                    if os.path.exists(os.path.join(root, dst_rel)):
+                        dst_rel = f"v={kv}/{bucket}/gc{src_v}-{base}"
+                    os.makedirs(
+                        os.path.dirname(os.path.join(root, dst_rel)), exist_ok=True
+                    )
+                    os.replace(
+                        os.path.join(root, rel), os.path.join(root, dst_rel)
+                    )
+                    moves[rel] = dst_rel
+                new_rels.append(moves[rel])
+                changed = True
+            man[bucket] = new_rels
+        if changed:
+            _write_manifest(root, kv, man)
+    for v in removed:
+        shutil.rmtree(os.path.join(root, f"v={v}"))
     return removed
 
 

@@ -2293,3 +2293,87 @@ def test_twa_exact_at_int64_overflow_boundary(spark):
     # sanity: constant 4e7 held across full buckets reproduces EXACTLY
     assert any(t == 40_000_000.0 for _, _, _, t in got)
     con.close()
+
+
+def test_bm25_incremental_append_is_zero_copy_and_exact(spark, tmp_path):
+    """append_bm25_delta contract: tf/lens versions re-reference every
+    existing file (zero-copy manifest append — only delta files are new),
+    dfreq merges additively per term-bucket, and the merged index scores
+    EXACTLY like a full rebuild."""
+    import json
+    import os
+
+    from ucr_bigdata_snowfallproject_spark import index_store
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 60)
+    delta = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 100))
+    both = docs.filter(F.col("doc_id") < 100)
+    root = str(tmp_path / "bm25")
+
+    tf, lens, dfreq = retrieval.bm25_corpus_stats(
+        base, "doc_id", "text", persist_tf=False
+    )
+    index_store.save_bm25_stats(tf, lens, dfreq, root)
+    v0_files = set(
+        json.load(open(os.path.join(root, "tf", "v=0", "_manifest.json")))["__data"]
+    )
+    index_store.append_bm25_delta(spark, root, delta, "doc_id", "text")
+
+    # zero-copy: v1's manifest contains ALL of v0's files verbatim plus
+    # only-new delta files; nothing physical from v0 exists under v=1
+    man1 = set(
+        json.load(open(os.path.join(root, "tf", "v=1", "_manifest.json")))["__data"]
+    )
+    assert v0_files < man1
+    assert all(rel.startswith("v=1/") for rel in man1 - v0_files)
+    on_disk_v1 = set(os.listdir(os.path.join(root, "tf", "v=1")))
+    assert not any(os.path.basename(rel) in on_disk_v1 for rel in v0_files)
+
+    # exactness: merged index == full rebuild, score for score
+    q = spark.createDataFrame(
+        [(0, "spark window agg"), (1, "fast table scan")],
+        "query_id long, query string",
+    )
+    inc = retrieval.bm25_topk(
+        q, both, "doc_id", "text", k=5, round_digits=4,
+        corpus_stats=index_store.load_bm25_stats(spark, root),
+    )
+    full = retrieval.bm25_topk(q, both, "doc_id", "text", k=5, round_digits=4)
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # time travel: the pre-delta index still answers as of version 0
+    old = retrieval.bm25_topk(
+        q, base, "doc_id", "text", k=5, round_digits=4,
+        corpus_stats=index_store.load_bm25_stats(spark, root, versions=(0, 0, 0)),
+    )
+    old_direct = retrieval.bm25_topk(q, base, "doc_id", "text", k=5, round_digits=4)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, old_direct.collect()))
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF semantics by hand: doc ranked 1st+2nd across two lists beats a
+    doc ranked 1st in one list only; quantized contributions match the
+    closed form floor(1e12/(60+r)+0.5)."""
+    from ucr_bigdata_snowfallproject_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = {r.doc_id: (r.rank, r.rrf_score)
+           for r in rrf_fuse([a, b], id_col="doc_id", k=3).collect()}
+
+    def c(r):
+        import math
+        return math.floor(1e12 / (60 + r) + 0.5)
+
+    def score(*ranks):
+        import math
+        return math.floor(sum(c(r) for r in ranks) / 1e12 * 1e6 + 0.5) / 1e6
+
+    assert out[11] == (1, score(2, 1))      # in both lists → wins
+    assert out[10] == (2, score(1))         # single first place
+    assert out[12] == (3, score(2))

@@ -194,22 +194,84 @@ def save_bm25_stats(
     dfreq: DataFrame,
     root: str,
     n_files: int = 8,
+    n_term_buckets: int = 16,
 ) -> tuple[int, int, int]:
     """Persist a BM25 corpus index (:func:`~.operators.retrieval.
     bm25_corpus_stats` output) as three sibling snapshot tables under
-    ``root`` — tf/ (term-clustered so a query's posting probe reads
-    co-located rows), lens/, dfreq/. Never collected: tf scales with the
-    corpus. Returns the three committed versions."""
+    ``root`` — tf/ and lens/ as APPEND-ONLY tables (term-clustered /
+    doc-grained file sets new document batches extend zero-copy via
+    :func:`append_bm25_delta`), dfreq/ as a term-bucketed
+    ``carry='manifest'`` table so incremental document-frequency merges
+    rewrite only the term buckets a batch touches. Never collected: tf
+    scales with the corpus. Returns the three committed versions."""
     import os
 
-    v_tf = snapshot_table.create_snapshot(
-        tf.repartition(n_files, "term"), os.path.join(root, "tf"), n_files=None
+    v_tf = snapshot_table.append_snapshot(
+        tf.repartition(n_files, "term"), os.path.join(root, "tf")
     )
-    v_lens = snapshot_table.create_snapshot(
-        lens, os.path.join(root, "lens"), n_files=n_files
+    v_lens = snapshot_table.append_snapshot(
+        lens.repartition(max(1, n_files // 4)), os.path.join(root, "lens")
     )
-    v_df = snapshot_table.create_snapshot(
-        dfreq, os.path.join(root, "dfreq"), n_files=n_files
+    v_df = snapshot_table.create_partitioned_snapshot(
+        dfreq,
+        os.path.join(root, "dfreq"),
+        "term",
+        n_buckets=n_term_buckets,
+        carry="manifest",
+    )
+    return v_tf, v_lens, v_df
+
+
+def append_bm25_delta(
+    spark: SparkSession,
+    root: str,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_files: int = 2,
+    commit_note: str | None = None,
+) -> tuple[int, int, int]:
+    """Incrementally extend a persisted BM25 index with a batch of NEW
+    documents — O(batch), never O(corpus):
+
+    - tf/lens rows of new docs are disjoint from existing ones (documents
+      are the unit of ingestion), so both tables grow by zero-copy
+      APPEND (:func:`~.table.append_snapshot` — the new version's
+      manifest re-references every existing posting file, only the
+      delta's files are written);
+    - dfreq merges ADDITIVELY per term (``table.merge_additive_agg`` on
+      the term-bucketed manifest table: only touched term-buckets
+      rewrite) — document frequency is a count, exactly associative, so
+      incremental == full rebuild BIT-for-bit (pinned by the
+      retrieval_bm25_incremental oracle, which is the full-corpus SQL).
+
+    Contract: ``new_docs`` ids must be NEW (re-ingesting an existing doc
+    would double its postings — run exact dedup / an anti-join against
+    lens first, the same rule every append-only corpus has). N and avgdl
+    are derived from lens at query time, so they track the growth with
+    no extra bookkeeping. Returns the three new committed versions."""
+    import os
+
+    from .operators.retrieval import bm25_corpus_stats
+
+    tf_d, lens_d, dfreq_d = bm25_corpus_stats(
+        new_docs, id_col, text_col, persist_tf=True
+    )
+    v_tf = snapshot_table.append_snapshot(
+        tf_d.repartition(n_files, "term"),
+        os.path.join(root, "tf"),
+        note=commit_note,
+    )
+    v_lens = snapshot_table.append_snapshot(
+        lens_d.coalesce(n_files), os.path.join(root, "lens"), note=commit_note
+    )
+    v_df = snapshot_table.merge_additive_agg(
+        spark,
+        os.path.join(root, "dfreq"),
+        dfreq_d,
+        "term",
+        ["df"],
+        commit_note=commit_note,
     )
     return v_tf, v_lens, v_df
 

@@ -76,6 +76,16 @@ def pagerank(
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edges annotated with the sender's out-degree, reused every round
     ed = _materialize(e.join(out_deg, "src"), checkpoint_mode)
+    # Dangling MEMBERSHIP (nodes with no out-edges) is loop-invariant —
+    # only the mass on it changes per round. Materialize the set once and,
+    # when it's empty (every symmetric/undirected graph), skip the
+    # per-round dangling aggregate entirely: that removes one anti-join +
+    # full-ranks scan + 1-row agg per iteration from the plan.
+    dang_nodes = _materialize(
+        nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti"),
+        checkpoint_mode,
+    )
+    has_dangling = bool(dang_nodes.limit(1).count())
 
     base = (scale * (100 - damping_pct)) // (100 * n_total)
     init = F.floor(F.lit(float(scale)) / F.lit(n_total)).cast("long")
@@ -95,28 +105,28 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__sum"))
         )
-        # dangling mass: ranks of nodes with no out-edges, spread uniformly
-        dangling = (
-            ranks.join(
-                out_deg.withColumnRenamed("src", "node"), "node", "left_anti"
-            )
-            .agg(F.coalesce(F.sum("rank_fix"), F.lit(0)).alias("__dm"))
-            .select(
-                F.expr(f"(__dm * {damping_pct}) DIV (100 * {n_total})").alias(
-                    "__dshare"
+        step = nodes.join(contribs, "node", "left")
+        if has_dangling:
+            # dangling mass: ranks of no-out-edge nodes, spread uniformly
+            dangling = (
+                ranks.join(dang_nodes.select("node"), "node", "left_semi")
+                .agg(F.coalesce(F.sum("rank_fix"), F.lit(0)).alias("__dm"))
+                .select(
+                    F.expr(
+                        f"(__dm * {damping_pct}) DIV (100 * {n_total})"
+                    ).alias("__dshare")
                 )
             )
-        )
+            step = step.crossJoin(F.broadcast(dangling))
+            rank_expr = (
+                F.lit(base)
+                + F.col("__dshare")
+                + F.coalesce(F.col("__sum"), F.lit(0))
+            )
+        else:
+            rank_expr = F.lit(base) + F.coalesce(F.col("__sum"), F.lit(0))
         ranks = _materialize(
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit(base) + F.col("__dshare") + F.coalesce(F.col("__sum"), F.lit(0))
-                ).alias("rank_fix"),
-            ),
-            checkpoint_mode,
+            step.select("node", rank_expr.alias("rank_fix")), checkpoint_mode
         )
     return ranks.select(
         "node",

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_corpus_stats", "bm25_scores", "bm25_topk"]
+__all__ = ["bm25_corpus_stats", "bm25_scores", "bm25_topk", "rrf_fuse"]
 
 
 def bm25_corpus_stats(
@@ -211,4 +211,70 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
+    )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    query_id_col: str = "query_id",
+    rank_col: str = "rank",
+    k_rrf: int = 60,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher) — THE standard way
+    to combine lexical (BM25) and semantic (ANN) result lists into one
+    hybrid ranking without score calibration:
+
+        rrf(q, d) = Σ_over_lists 1 / (k_rrf + rank_list(q, d))
+
+    Each input frame carries (query_id, id, rank) per retrieved item
+    (items absent from a list simply contribute nothing). Returns
+    (query_id, rank, id, rrf_score) — top-``k`` per query, deterministic
+    tiebreak (score desc, id asc).
+
+    Determinism: each contribution quantizes to a 10¹² fixed-point grid
+    (floor(1e12/(k_rrf+rank)+0.5) — exact same double on every engine),
+    the per-(query, doc) sum is an order-free integer Σ, then one float
+    division + floor-half-up rounding. Same exactness rule as bm25_scores.
+
+    Scale shape: inputs are top-k-per-query frames — bounded by
+    #queries·k, never corpus-sized — so the union + (query, doc) groupBy
+    is trivially partial-aggregable and usually broadcast-small; nothing
+    here touches the corpus. int64 headroom: ≤ |lists|·1e12/(k_rrf+1)
+    per group, no risk."""
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias("__r"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    if contribs is None:
+        raise ValueError("rrf_fuse needs at least one ranking frame")
+    quant = F.floor(
+        F.lit(1e12) / (F.lit(float(k_rrf)) + F.col("__r")) + F.lit(0.5)
+    ).cast("long")
+    p = float(10**round_digits)
+    scored = (
+        contribs.select(query_id_col, id_col, quant.alias("__c"))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            (
+                F.floor(
+                    F.sum("__c").cast("double") / F.lit(1e12) * p + F.lit(0.5)
+                )
+                / p
+            ).alias("rrf_score")
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "rrf_score")
     )

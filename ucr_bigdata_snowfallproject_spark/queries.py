@@ -4502,13 +4502,25 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import graph as graph_ops
 
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    o = F.concat(F.lit("o"), F.col("l_orderkey").cast("string"))
-    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    # Integer node encoding for the ITERATIVE phase: order → 2k, part →
+    # 2k+1. The 15-odd shuffles of a 3-round PageRank hash/compare node
+    # keys constantly — 8-byte longs beat ~10-char strings on every one
+    # of them (measured 7.5s → string keys vs longs at sf0.1). The
+    # oracle's namespaced string ids are rendered ONLY for the final
+    # top-100 sort, so output (and tie order on the rendered string)
+    # is unchanged.
+    o = F.col("l_orderkey") * 2
+    p = F.col("l_partkey") * 2 + 1
     edges = l.select(o.alias("src"), p.alias("dst")).unionByName(
         l.select(p.alias("src"), o.alias("dst"))
     )
     pr = graph_ops.pagerank(edges, "src", "dst", n_iter=3)
-    return relational.top_k(pr, [F.desc("rank_fix"), F.asc("node")], 100)
+    node_s = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("o"), F.expr("node DIV 2").cast("string")),
+    ).otherwise(F.concat(F.lit("p"), F.expr("node DIV 2").cast("string")))
+    rendered = pr.select(node_s.alias("node"), "rank_fix", "rank")
+    return relational.top_k(rendered, [F.desc("rank_fix"), F.asc("node")], 100)
 
 
 @register(
@@ -5718,6 +5730,151 @@ def retrieval_bm25_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = index_store.load_bm25_stats(spark, root)
     return retrieval_ops.bm25_topk(
         q, d, "doc_id", "text", k=5, round_digits=4, corpus_stats=stats
+    )
+
+
+@register(
+    "retrieval_bm25_incremental",
+    # Full-corpus oracle ON PURPOSE: the contract is incremental index
+    # maintenance == full rebuild, bit-for-bit.
+    REGISTRY["retrieval_bm25_topk"][1],
+)
+def retrieval_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED BM25 index (index_store.append_bm25_delta):
+    build the index on doc_id < 400, ingest the rest as a delta batch —
+    tf/lens grow by zero-copy manifest APPEND (existing posting files are
+    re-referenced, only delta files are written), dfreq merges additively
+    per term-bucket (only touched buckets rewrite) — then score the fixed
+    query set against the merged index.
+
+    The oracle is the FULL-corpus BM25 SQL, so the driver hash check pins
+    incremental == rebuild exactly (df counts are associative; N/avgdl
+    derive from lens at query time). At 100 TB this is the growing-corpus
+    shape: per-ingest cost O(batch), the corpus is never re-indexed."""
+    from . import index_store
+    from .operators import retrieval as retrieval_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    root = _scratch_dir("snowfall-bm25-incr-") + "/bm25"
+    base = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+    tf, lens, dfreq = retrieval_ops.bm25_corpus_stats(
+        base, "doc_id", "text", persist_tf=False
+    )
+    index_store.save_bm25_stats(tf, lens, dfreq, root)
+    index_store.append_bm25_delta(
+        spark, root, delta, "doc_id", "text", commit_note="batch-1"
+    )
+    stats = index_store.load_bm25_stats(spark, root)
+    return retrieval_ops.bm25_topk(
+        q, d, "doc_id", "text", k=5, round_digits=4, corpus_stats=stats
+    )
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    """
+    WITH q(query_id, query) AS (VALUES
+        (CAST(0 AS BIGINT), 'spark window agg'),
+        (CAST(1 AS BIGINT), 'customer order join'),
+        (CAST(2 AS BIGINT), 'fast table scan'),
+        (CAST(3 AS BIGINT), 'stream batch merge')),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                 FROM documents)
+           WHERE term <> '' GROUP BY doc_id, term),
+    lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM lens),
+    qt AS (SELECT DISTINCT query_id, term FROM
+             (SELECT query_id,
+                     unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
+              FROM q)
+           WHERE term <> ''),
+    bm_scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             floor(CAST(SUM(CAST(floor((
+                 ln(1.0 + (CAST(scal.n - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                 * CAST(tf.tf AS DOUBLE) * 2.2
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE) / avgdl))
+             ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 * 1e4 + 0.5) / 1e4 AS score
+      FROM qt
+      JOIN dfreq USING (term)
+      JOIN tf USING (term)
+      JOIN lens ON tf.doc_id = lens.doc_id, scal
+      GROUP BY qt.query_id, tf.doc_id),
+    bmk AS (SELECT query_id, doc_id, rnk FROM
+              (SELECT query_id, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rnk
+               FROM bm_scored)
+            WHERE rnk <= 10),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 4),
+    ann_scored AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             ROUND(list_dot_product(qv.qvec, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv.qvec, qv.qvec)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 4) AS sim
+      FROM qv CROSS JOIN embeddings e),
+    annk AS (SELECT query_id, doc_id, rnk FROM
+               (SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, doc_id) AS rnk
+                FROM ann_scored)
+             WHERE rnk <= 10),
+    contrib AS (SELECT query_id, doc_id, rnk FROM bmk
+                UNION ALL SELECT query_id, doc_id, rnk FROM annk),
+    fused AS (
+      SELECT query_id, doc_id,
+             floor(CAST(SUM(CAST(floor(1e12 / (60 + rnk) + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS rrf_score
+      FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, rrf_score
+    FROM (SELECT query_id, doc_id, rrf_score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_score DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= 10
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (retrieval.rrf_fuse) of
+    the BM25 lexical top-10 and the exact-cosine semantic top-10 over the
+    same document ids (fixture contract: embeddings.vec_id is the doc id
+    domain). rrf(q,d) = Σ 1/(60+rank) on a 10¹² fixed-point grid —
+    order-free integer sums, full SQL oracle.
+
+    Scale shape: both input rankings are top-k-per-query frames (bounded
+    by #queries·k); the fusion union + (query, doc) groupBy never touches
+    the corpus — the expensive sides (posting probe, ANN probe) each keep
+    their own 100 TB story and the fusion is free by comparison."""
+    from .operators import retrieval as retrieval_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    bm = retrieval_ops.bm25_topk(q, d, "doc_id", "text", k=10, round_digits=4)
+    qv = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ann = sim_ops.brute_force_topk(e, qv, k=10, round_digits=4)
+    w_ann = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ann_ranked = ann.select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_ann).alias("rank"),
+    )
+    return retrieval_ops.rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"), ann_ranked],
+        id_col="doc_id",
+        k=10,
     )
 
 

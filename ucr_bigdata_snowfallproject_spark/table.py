@@ -241,6 +241,75 @@ def create_snapshot(df: DataFrame, root: str, n_files: int | None = None) -> int
     return _commit(df, root, v, n_files)
 
 
+def _self_files(root: str, version: int) -> list[str]:
+    """Root-relative data files of ``v=N`` — top-level files plus bucket
+    subdir files (resolution fallback for manifest-less versions)."""
+    vd = os.path.join(root, f"v={version}")
+    out: list[str] = []
+    if not os.path.isdir(vd):
+        return out
+    for name in sorted(os.listdir(vd)):
+        p = os.path.join(vd, name)
+        if name.startswith(("_", ".")):
+            continue
+        if os.path.isdir(p):
+            out.extend(
+                f"v={version}/{name}/{f}"
+                for f in sorted(os.listdir(p))
+                if not f.startswith(("_", "."))
+            )
+        else:
+            out.append(f"v={version}/{name}")
+    return out
+
+
+def append_snapshot(
+    df: DataFrame, root: str, n_files: int | None = None, note: str | None = None
+) -> int:
+    """APPEND-ONLY commit: the new version = every file the previous
+    version resolved to PLUS the delta's files — existing data is never
+    rewritten, copied, or linked (a manifest re-reference, like the
+    bucketed ``carry='manifest'`` tier but for row-append workloads:
+    growing posting lists, event logs, corpus shards). Cost per batch is
+    O(delta); on any storage including object stores.
+
+    Contract: pure INSERT — the caller guarantees delta rows are new
+    (append-only tables have no key). Readers resolve through the
+    manifest, so old versions stay time-travelable and
+    :func:`vacuum_snapshots` reference-counts shared files."""
+    os.makedirs(root, exist_ok=True)
+    versions = snapshot_versions(root)
+    if not versions:
+        v = 0
+        _commit_files = df
+        if n_files is not None:
+            _commit_files = df.repartition(n_files)
+        _commit_files.write.mode("errorifexists").parquet(
+            os.path.join(root, f"v={v}")
+        )
+        _write_manifest(root, v, {"__data": _self_files(root, v)})
+        if note is not None:
+            _write_note(root, v, note)
+        _write_marker(root, v)
+        return v
+    cur_v = latest_version(root)
+    new_v = versions[-1] + 1
+    man = _read_manifest(root, cur_v)
+    prev_files = (
+        [rel for rels in man.values() for rel in rels]
+        if man is not None
+        else _self_files(root, cur_v)
+    )
+    delta = df.repartition(n_files) if n_files is not None else df
+    delta.write.mode("errorifexists").parquet(os.path.join(root, f"v={new_v}"))
+    new_files = _self_files(root, new_v)
+    _write_manifest(root, new_v, {"__data": sorted(prev_files) + new_files})
+    if note is not None:
+        _write_note(root, new_v, note)
+    _write_marker(root, new_v)
+    return new_v
+
+
 def create_partitioned_snapshot(
     df: DataFrame, root: str, key: str, n_buckets: int = 16, carry: str = "link"
 ) -> int:

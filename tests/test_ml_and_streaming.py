@@ -772,3 +772,63 @@ def test_windowed_approx_users_stream_matches_batch(spark, event_stream_dir):
     assert len(a) > 0 and set(a) <= set(b)
     for k, est in a.items():
         assert abs(est - b[k]) <= max(3, 5 * 0.05 * b[k]), (k, est, b[k])
+
+
+def test_stream_bm25_scores_match_batch(spark, tmp_path_factory):
+    """Streaming BM25 probe vs the static prebuilt index: windowed
+    micro-batched scores equal the batch scorer's, query for query —
+    the lexical face of the ANN stream probe. Queries arrive across
+    multiple files (several micro-batches) inside one event-time window;
+    the windowed sum still emits one exact score per (query, doc)."""
+    import datetime
+
+    from ucr_bigdata_snowfallproject_spark import index_store
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_query_stream,
+        stream_bm25_scores,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        run_to_memory_sink,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    root = str(tmp_path_factory.mktemp("bm25-idx")) + "/bm25"
+    tf, lens, dfreq = retrieval.bm25_corpus_stats(
+        docs, "doc_id", "text", persist_tf=False
+    )
+    index_store.save_bm25_stats(tf, lens, dfreq, root)
+    stats = index_store.load_bm25_stats(spark, root)
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 30)
+    queries = [
+        (t0, 0, "spark window agg"),
+        (t0, 1, "customer order join"),
+        (t0, 2, "fast table scan"),
+        (t0, 3, "spark spark spark agg"),  # repeated terms: row-local dedup
+    ]
+    qdf = spark.createDataFrame(queries, "ts timestamp, query_id long, query string")
+
+    want = {
+        (r.query_id, r.doc_id, r.score)
+        for r in retrieval.bm25_scores(
+            qdf, docs, "doc_id", "text", corpus_stats=stats
+        ).collect()
+    }
+    assert want  # fixture vocabulary matches
+
+    stream_dir = str(tmp_path_factory.mktemp("query-stream"))
+    qdf.repartition(2).write.mode("overwrite").parquet(stream_dir)
+    stream = read_query_stream(spark, stream_dir, max_files_per_trigger=1)
+    # complete mode: the in-window events never advance the watermark
+    # past the window end inside this bounded run, so append would hold
+    # the rows back — complete materializes the final aggregate state
+    # (production uses append + a real watermark on a live clock)
+    out = run_to_memory_sink(
+        stream_bm25_scores(stream, stats), "bm25_stream", output_mode="complete"
+    ).toPandas()
+    got = {
+        (r.query_id, r.doc_id, r.score) for r in out.itertuples(index=False)
+    }
+    assert got == want
+    assert set(out["window_start"]) == {datetime.datetime(2024, 1, 1, 0, 0)}

@@ -20,7 +20,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
 
 from ..operators.dedup import band_signatures, minhash_signatures_arrow
 
@@ -129,4 +135,106 @@ def stream_merge_into_snapshot(
         .queryName(query_name)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+#: file-source schema for a retrieval QUERY stream: (ts, query_id, query)
+QUERY_STREAM_SCHEMA = StructType(
+    [
+        StructField("ts", TimestampType()),
+        StructField("query_id", LongType()),
+        StructField("query", StringType()),
+    ]
+)
+
+
+def read_query_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based stream of retrieval queries (exactly-once file tracking;
+    swap for Kafka at deploy)."""
+    reader = spark.readStream.schema(QUERY_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def stream_bm25_scores(
+    query_stream: DataFrame,
+    corpus_stats,
+    ts_col: str = "ts",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query",
+    window: str = "1 minute",
+    watermark: str = "0 seconds",
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score a STREAM of search queries against a static, prebuilt BM25
+    index (``index_store.load_bm25_stats`` output) — the online face of
+    ``operators.retrieval.bm25_scores``, completing the streaming probe
+    family (MinHash flags, ANN probe → lexical probe).
+
+    Per micro-batch: each query row's DISTINCT terms come from a row-local
+    ``array_distinct`` (no stateful streaming distinct needed — BM25's
+    query-side dedup is within one query string); a stream-static join
+    probes the term-clustered tf table; per-term partials quantize to the
+    same 10¹² fixed-point grid as the batch scorer; the windowed
+    (query, doc) sum is an event-time aggregation, so append mode emits
+    exactly-once per window after the watermark. Corpus text is never
+    read; N/avgdl are collected ONCE from the static lens table at plan
+    time (the index is immutable by contract — time-travel to re-pin).
+
+    Returns (window_start, query_id, id, score); batch-twin identity with
+    ``bm25_scores`` is pinned in tests."""
+    tf, lens, dfreq = corpus_stats
+    from ..operators.text import tokens
+
+    id_col = [c for c in tf.columns if c not in ("term", "tf")][0]
+    n_row = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_total, avgdl = int(n_row.n), float(n_row.avgdl)
+    qterms = query_stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window).alias("__w"),
+        F.col(query_id_col),
+        F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
+    ).filter(F.col("term") != "")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_total)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    part = (
+        F.col("__idf")
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    p = float(10**round_digits)
+    return (
+        qterms.join(dfreq.select("term", idf.alias("__idf")), "term")
+        .join(tf, "term")
+        .join(lens, id_col)
+        .select(
+            "__w",
+            query_id_col,
+            id_col,
+            F.floor(part * F.lit(1e12) + F.lit(0.5)).cast("long").alias("__p"),
+        )
+        .groupBy("__w", query_id_col, id_col)
+        .agg(
+            (
+                F.floor(
+                    F.sum("__p").cast("double") / F.lit(1e12) * p + F.lit(0.5)
+                )
+                / p
+            ).alias("score")
+        )
+        .select(
+            F.col("__w.start").alias("window_start"),
+            query_id_col,
+            id_col,
+            "score",
+        )
     )

@@ -5944,6 +5944,14 @@ _GATED_WINDOW = [
     "q20_supplier_part_volume",
     "q21_waiting_suppliers",
     "retrieval_bm25_prebuilt",
+    # --- round-6b: the two operators BUILT this round earn driver rows
+    # immediately (incremental BM25 maintenance, RRF hybrid fusion).
+    # Rotated out: q5_nation_revenue (TPC-H joins keep q1/q3/q4/q15 +
+    # q2/q20/q21) and dedup_ngram_jaccard (dedup keeps
+    # exact_by_fingerprint, embedding_cosine_blocked, ngram_containment).
+    # Both stay oracle-checked in the local pytest mirror. ---
+    "retrieval_bm25_incremental",
+    "retrieval_hybrid_rrf",
     # --- oracle-backed, ungated in round 1 (registration slots 50-88) ---
     "correlated_subquery_above_custavg",
     "scalar_date_arithmetic",
@@ -6049,10 +6057,8 @@ _GATED_WINDOW = [
     # --- round-1 driver-green representatives (regression guard) ---
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q5_nation_revenue",
     "flagship_monthly_median_join",
     "dedup_exact_by_fingerprint",
-    "dedup_ngram_jaccard",
     "similarity_brute_force_topk",
     "text_stats_documents",
 ]

@@ -66,6 +66,7 @@ HEADLINE = [
     "ols_trend_orders_by_priority",
     "text_language_id",
     "similarity_brute_force_topk",
+    "similarity_int8_rerank_topk",
     "similarity_ivf_topk",
     "asof_join_purchase_attribution",
     "sessionize_events",

@@ -51,6 +51,21 @@ def test_ivf_recall_vs_brute_force(spark):
     assert all(k in approx[k] for k in exact)
 
 
+def test_int8_rerank_recall_vs_brute_force(spark):
+    """SQ8 coarse scan + exact rerank: quantization error is ≤ scale/2 per
+    component (≤0.4% of max|x|), so the coarse top-k·4 candidate set
+    almost never drops a true top-10 neighbor — recall must be near
+    exact, far above the bucket-probing LSH/IVF floors."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = _topk_sets(sim_ops.brute_force_topk(e, q, k=10))
+    approx = _topk_sets(sim_ops.int8_rerank_topk(e, q, k=10, refine=4))
+    # a query's own vector quantizes to the identical codes → coarse sim 1
+    assert all(k in approx[k] for k in exact)
+    recalls = [len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
 def test_ann_recall_at_sf01(spark):
     """VERDICT r02 #6: recall@10 pinned at sf0.1 (2000 vecs), not just the
     500-vec fixture — a 4× larger corpus dilutes buckets/cells, so this
@@ -2377,3 +2392,25 @@ def test_rrf_fuse_hand_case(spark):
     assert out[11] == (1, score(2, 1))      # in both lists → wins
     assert out[10] == (2, score(1))         # single first place
     assert out[12] == (3, score(2))
+
+
+def test_join_size_estimate_matches_actual_join(spark):
+    """The estimate IS the inner-join cardinality — pin it against the
+    real join at fixture scale, plus the empty-intersection zero path."""
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates
+
+    e = load_table(spark, SF_SMOKE, "events")
+    est = aggregates.join_size_estimate(e, e, ["user_id"]).collect()[0]
+    actual = e.select("user_id").join(
+        e.select(F.col("user_id").alias("u2")), F.col("user_id") == F.col("u2")
+    ).count()
+    assert int(est["join_rows"]) == actual
+    assert int(est["max_key_rows"]) <= actual
+    assert 0.0 < est["top_share"] <= 1.0
+
+    disjoint = aggregates.join_size_estimate(
+        e.filter(F.col("user_id") < 0), e, ["user_id"]
+    ).collect()[0]
+    assert int(disjoint["join_rows"]) == 0
+    assert disjoint["n_join_keys"] == 0
+    assert disjoint["top_share"] == 0.0

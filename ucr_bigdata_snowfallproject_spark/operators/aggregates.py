@@ -651,6 +651,87 @@ def key_skew_stats(
     )
 
 
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    left_keys: Sequence[str],
+    right_keys: Sequence[str] | None = None,
+    top_keys: int = 5,
+) -> DataFrame:
+    """Pre-flight inner-join output-size diagnostic: the EXACT
+    ``|A ⋈ B| = Σ_k cA(k)·cB(k)`` plus where it concentrates — THE
+    question to answer before launching a 100 TB join whose output might
+    be 100× its inputs (key_skew_stats answers "is ONE side skewed";
+    this answers "does the PAIR multiply").
+
+    Returns ONE row:
+
+    - ``join_rows`` — exact inner-join cardinality (decimal(38,0) sum of
+      per-key count products: exact to 10³⁸, NULL — never wrapped — past
+      it)
+    - ``n_join_keys`` — distinct keys present on BOTH sides
+    - ``max_key_rows`` — the largest single key's contribution (the row
+      count the hottest post-join partition must absorb: the AQE
+      skew-join / salting trigger)
+    - ``top_share`` — Σ(top ``top_keys`` contributions) / join_rows —
+      how concentrated the blow-up is
+    - ``amplification`` — join_rows / max(|A|, |B|) (>1 ⇒ the join
+      EXPANDS its larger input; the "did you mean this" alarm)
+
+    Cost shape: two count-collapsed groupBys (partial-aggregable — the
+    shuffle carries one row per distinct key per side, never the fact
+    rows) + one equi-join on the collapsed profiles + one scalar agg.
+    Per-key contributions cA·cB are computed in decimal(19,0)·long →
+    decimal(38,0): exact where int64 would silently wrap (cA, cB ~10⁹
+    each already overflows long). Integer arithmetic end-to-end ⇒
+    engine-bit-identical, DuckDB-oracle-able."""
+    right_keys = list(right_keys or left_keys)
+    left_keys = list(left_keys)
+    a = left.groupBy(*[F.col(k).alias(f"__k{i}") for i, k in enumerate(left_keys)]).agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    b = right.groupBy(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(right_keys)]
+    ).agg(F.count(F.lit(1)).alias("__cb"))
+    keys = [f"__k{i}" for i in range(len(left_keys))]
+    prod = a.join(b, keys).select(
+        (F.col("__ca").cast("decimal(19,0)") * F.col("__cb")).alias("__p")
+    )
+    # everything below is 1-row frames — the crossJoins are scalar
+    # broadcasts (the repo-wide bounded-crossJoin contract), no collect
+    row = prod.agg(
+        F.sum("__p").alias("join_rows"),
+        F.count(F.lit(1)).alias("n_join_keys"),
+        F.max("__p").alias("max_key_rows"),
+    )
+    # top-k contributions: TakeOrderedAndProject (bounded), then one sum
+    topsum = (
+        prod.orderBy(F.desc("__p"))
+        .limit(top_keys)
+        .agg(F.coalesce(F.sum("__p"), F.lit(0).cast("decimal(38,0)")).alias("__topsum"))
+    )
+    sizes = left.agg(F.count(F.lit(1)).alias("__na")).crossJoin(
+        right.agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    jr = F.coalesce(F.col("join_rows"), F.lit(0))  # empty intersection ⇒ 0
+    return row.crossJoin(topsum).crossJoin(sizes).select(
+        jr.cast("decimal(38,0)").alias("join_rows"),
+        F.col("n_join_keys"),
+        F.coalesce(F.col("max_key_rows"), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("max_key_rows"),
+        F.when(
+            jr > 0,
+            F.round(F.col("__topsum").cast("double") / jr.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("top_share"),
+        F.round(
+            jr.cast("double")
+            / F.greatest(F.col("__na"), F.col("__nb"), F.lit(1)).cast("double"),
+            6,
+        ).alias("amplification"),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

@@ -2414,3 +2414,37 @@ def test_join_size_estimate_matches_actual_join(spark):
     assert int(disjoint["join_rows"]) == 0
     assert disjoint["n_join_keys"] == 0
     assert disjoint["top_share"] == 0.0
+
+
+def test_epoch_upsample_realized_counts(spark):
+    """Realized copies per source track epochs × n_docs (hash-Bernoulli on
+    the fractional part — deterministic, so the tolerance is statistical
+    only in the fixture sense), and copy_idx is dense 1..n per doc."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    ep = cur.mixture_weights(d, "source", F.col("n_chars"), alpha=0.5).select(
+        "source", "epochs"
+    )
+    up = cur.epoch_upsample(d.join(F.broadcast(ep), "source"), "doc_id", "epochs")
+    per = {
+        r["source"]: (r["n"], r["e"], r["docs"])
+        for r in up.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.first("epochs").alias("e"))
+        .join(
+            d.groupBy("source").agg(F.count(F.lit(1)).alias("docs")), "source"
+        )
+        .collect()
+    }
+    assert per
+    for src, (n, e, docs) in per.items():
+        expect = e * docs
+        assert abs(n - expect) <= 0.15 * docs + 2, (src, n, expect)
+    # copy_idx dense per doc: max == count
+    bad = (
+        up.groupBy("doc_id")
+        .agg(F.max("copy_idx").alias("mx"), F.count(F.lit(1)).alias("c"))
+        .filter(F.col("mx") != F.col("c"))
+        .count()
+    )
+    assert bad == 0

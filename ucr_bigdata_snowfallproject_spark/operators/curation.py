@@ -593,3 +593,45 @@ def proportional_interleave(
         ranked.withColumn("interleave_rank", F.row_number().over(w_all))
         .drop("__i", "__tot")
     )
+
+
+def epoch_upsample(
+    df: DataFrame,
+    id_col: str,
+    epochs_col: F.Column | str,
+    seed: str = "epoch",
+    out_col: str = "copy_idx",
+) -> DataFrame:
+    """Realize FRACTIONAL per-row epoch factors as deterministic repeats —
+    the materialization step after :func:`mixture_weights` decides a
+    source should be seen e.g. 2.3 times per pass (the LLaMA/Pile-style
+    "epochs per source" recipe): every row emits ``floor(e)`` copies plus
+    one more with probability ``frac(e)``, decided by the portable md5
+    uniform of its id (never an RNG), so the realized token count is
+    within one doc of ``e × n`` per source and the SAME rows get the
+    extra copy on every engine, retry, and backfill.
+
+    Output: input columns + ``copy_idx`` (1-based); rows with a realized
+    count of 0 (e < 1 and the hash draw fails) disappear — fractional
+    DOWN-sampling falls out of the same rule.
+
+    Scale shape: zero shuffle — the epoch factor arrives via whatever
+    join produced it (broadcast source→epochs is the
+    :func:`mixture_weights` pattern), the hash draw and the
+    ``explode(sequence(...))`` are map-side row-local work, and the
+    output streams straight to the shard writer. At 100 TB the cost is
+    the scan plus output volume — the theoretical floor for upsampling."""
+    e = F.col(epochs_col) if isinstance(epochs_col, str) else epochs_col
+    # u in [0,1): 2^32 exact in double; epochs rounded upstream ⇒ the
+    # comparison is deterministic cross-engine
+    u = portable_hash(id_col, seed).cast("double") / F.lit(4294967296.0)
+    n_copies = (
+        F.floor(e).cast("long")
+        + (u < (e - F.floor(e))).cast("long")
+    )
+    return (
+        df.withColumn("__nc", n_copies)
+        .filter(F.col("__nc") >= 1)
+        .withColumn(out_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("__nc"))))
+        .drop("__nc")
+    )

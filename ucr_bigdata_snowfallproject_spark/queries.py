@@ -3270,6 +3270,53 @@ def curation_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_epoch_upsample",
+    """
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(regexp_split_to_array(lower(trim(text)), '\\s+')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(POW(n_tokens, 0.5)) AS z, SUM(n_tokens) AS t FROM per
+    ), ep AS (
+      SELECT source,
+             ROUND((POW(n_tokens, 0.5) / z) / (n_tokens::DOUBLE / t), 6)
+               AS epochs
+      FROM per, z
+    ), d AS (
+      SELECT dd.doc_id, dd.source,
+             CAST(FLOOR(epochs) AS BIGINT)
+             + CASE WHEN (('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)
+                                              || '#epoch'), 1, 8))::BIGINT
+                          ::DOUBLE / 4294967296.0)
+                         < (epochs - FLOOR(epochs))
+                    THEN 1 ELSE 0 END AS nc
+      FROM documents dd JOIN ep USING (source)
+    )
+    SELECT doc_id, source, CAST(ci AS BIGINT) AS copy_idx
+    FROM (SELECT doc_id, source, unnest(range(1, nc + 1)) AS ci
+          FROM d WHERE nc >= 1)
+    """,
+)
+def curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realize the mixture_weights ``epochs`` factors as deterministic
+    repeats (operators.curation.epoch_upsample): floor(e) copies per doc
+    + one more when the portable md5 uniform of doc_id lands under
+    frac(e) — the LLaMA-style epochs-per-source materialization. The
+    epochs frame is source-cardinality (broadcast); the repeat expansion
+    is map-side explode — zero added shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    ep = curation_ops.mixture_weights(
+        d, "source", text_ops.token_count("text"), alpha=0.5
+    ).select("source", "epochs")
+    joined = d.join(F.broadcast(ep), "source")
+    return curation_ops.epoch_upsample(joined, "doc_id", "epochs").select(
+        "doc_id", "source", "copy_idx"
+    )
+
+
+@register(
     "curation_pack_sequences",
     """
     WITH t AS (
@@ -6175,7 +6222,10 @@ _GATED_WINDOW = [
     # --- oracle-converted / new in round 2 ---
     "dedup_embedding_cosine_blocked",
     "text_redact_pii",
-    "curation_decontaminate",
+    # curation_decontaminate rotated out in round 6e (r05 driver-green;
+    # curation keeps token_budget_mix, shard_assignments,
+    # rag_prep_pipeline) for the round-6-built epochs materializer:
+    "curation_epoch_upsample",
     "curation_token_budget_mix",
     # --- round-1 driver-green representatives (regression guard) ---
     "q1_pricing_summary",

@@ -291,3 +291,24 @@ def load_bm25_stats(
         snapshot_table.read_snapshot(spark, os.path.join(root, "lens"), versions[1]),
         snapshot_table.read_snapshot(spark, os.path.join(root, "dfreq"), versions[2]),
     )
+
+
+def save_sq8_codes(codes: DataFrame, root: str, n_files: int = 8) -> int:
+    """Persist an int8 scalar-quantization code table
+    (:func:`~.operators.similarity.quantize_embeddings` output:
+    ``(id, codes array<int>, q_scale double)``) as a snapshot version —
+    the 4×-smaller scan surface :func:`~.operators.similarity.
+    int8_rerank_topk`'s coarse stage reads INSTEAD of the float corpus
+    when passed via ``corpus_codes=``. Same train-once/probe-many
+    contract as the IVF cells: quantize 100 TB once, answer every query
+    against the code table, touch float embeddings only for the
+    candidate rerank join. Returns the committed snapshot version."""
+    return snapshot_table.create_snapshot(codes, root, n_files=n_files)
+
+
+def load_sq8_codes(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Load a saved SQ8 code table (latest, or ``version`` for time
+    travel) — bit-identical to what :func:`save_sq8_codes` stored."""
+    return snapshot_table.read_snapshot(spark, root, version)

@@ -1134,10 +1134,20 @@ def int8_rerank_topk(
     k: int = 10,
     refine: int = 4,
     round_digits: int = 4,
+    corpus_codes: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage ANN: int8 coarse scan → exact float rerank — the
     scalar-quantization (SQ8) search shape production vector stores use
     (FAISS ``SQ8``, Milvus/pgvector quantized scans).
+
+    ``corpus_codes`` (optional): a PREBUILT code table
+    (:func:`quantize_embeddings` output, e.g. via
+    ``index_store.save_sq8_codes``/``load_sq8_codes``) — the
+    train-once/query-many path: the coarse stage then scans ONLY the 4×
+    smaller code artifact, and the float corpus is touched exclusively by
+    the candidate rerank join. Output is bit-identical to the inline
+    build (quantization is deterministic), so the indexed path shares
+    the inline path's oracle.
 
     Stage 1 (coarse): corpus and queries quantize to int8 codes
     (:func:`quantize_embeddings`). Cosine of the DEQUANTIZED vectors
@@ -1168,7 +1178,11 @@ def int8_rerank_topk(
     cq = quantize_embeddings(queries, query_id_col, vec_col).select(
         F.col(query_id_col).alias("__qid"), F.col("codes").alias("__qc")
     )
-    cc = quantize_embeddings(corpus, id_col, vec_col)
+    cc = (
+        corpus_codes.select(id_col, "codes")
+        if corpus_codes is not None
+        else quantize_embeddings(corpus, id_col, vec_col)
+    )
 
     def int_dot(a, b):
         return F.aggregate(

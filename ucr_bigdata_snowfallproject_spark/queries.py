@@ -1064,9 +1064,10 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.lsh_topk(e, q, dim=64, k=10)
 
 
-@register(
-    "similarity_int8_rerank_topk",
-    """
+#: Shared by the inline and the saved-artifact (indexed) SQ8 queries —
+#: quantization is deterministic, so save→load→probe is bit-identical to
+#: the inline build and both paths hash-check against ONE oracle.
+_INT8_RERANK_ORACLE = """
     WITH base AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
       FROM embeddings
@@ -1114,8 +1115,10 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY sim DESC, vec_id) AS rn
         FROM rerank)
     WHERE rn <= 10
-    """,
-)
+    """
+
+
+@register("similarity_int8_rerank_topk", _INT8_RERANK_ORACLE)
 def similarity_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3 two-stage ANN, the production SQ8 shape: int8 coarse scan (4×
     less scan IO; per-vector scale cancels in cosine so the coarse score
@@ -1127,6 +1130,28 @@ def similarity_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
     return sim_ops.int8_rerank_topk(e, q, k=10, refine=4)
+
+
+@register("similarity_int8_indexed_topk", _INT8_RERANK_ORACLE)
+def similarity_int8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ8 index LIFECYCLE end-to-end: quantize the corpus once,
+    persist the code table as a snapshot artifact
+    (index_store.save_sq8_codes), load it back, and answer the query
+    batch against the ARTIFACT (int8_rerank_topk(corpus_codes=...)) —
+    the coarse scan reads the 4×-smaller saved codes, the float corpus
+    is touched only by the candidate rerank join. Quantization is
+    deterministic ⇒ bit-identical to the inline build, so this probe-only
+    path shares the inline query's full DuckDB oracle — the
+    train-once/query-many contract externally hash-checked."""
+    from . import index_store as ix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    codes = sim_ops.quantize_embeddings(e, "vec_id")
+    root = _scratch_dir("snowfall-sq8-") + "/codes"
+    ix.save_sq8_codes(codes, root)
+    loaded = ix.load_sq8_codes(spark, root)
+    return sim_ops.int8_rerank_topk(e, q, k=10, refine=4, corpus_codes=loaded)
 
 
 # =========================================================================
@@ -6112,12 +6137,16 @@ _GATED_WINDOW = [
     # --- round-6c: int8 coarse-scan + exact-rerank ANN (built this round)
     # earns its driver row immediately — the first FULLY-oracle-backed
     # approximate-ANN entry (integer coarse arithmetic makes the whole
-    # two-stage path SQL-reproducible). Rotated out:
+    # two-stage path SQL-reproducible). Gated via its INDEX-LIFECYCLE
+    # variant (quantize → save_sq8_codes → load → probe; deterministic
+    # quantization makes it bit-identical to the inline build, so both
+    # share one oracle — the stronger external claim). Rotated out:
     # similarity_brute_force_topk (r05 driver-green; X3 keeps
     # embedding_quantize_int8, and the rerank stage of this very query IS
-    # the brute-force kernel over candidates). Stays oracle-checked in the
-    # local pytest mirror. ---
-    "similarity_int8_rerank_topk",
+    # the brute-force kernel over candidates). The inline
+    # similarity_int8_rerank_topk stays oracle-checked in the local
+    # pytest mirror. ---
+    "similarity_int8_indexed_topk",
     # --- oracle-backed, ungated in round 1 (registration slots 50-88) ---
     "correlated_subquery_above_custavg",
     "scalar_date_arithmetic",

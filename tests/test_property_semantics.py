@@ -432,8 +432,14 @@ def test_geo_nearest_join_matches_naive(spark, lpts, rpts, radius, k):
 
     expected = []
     for i, p in enumerate(lpts):
+        # ranking key mirrors the operator: distance ROUNDED to the output
+        # grid (3 digits) then id — on raw doubles the order is
+        # implementation-defined for sub-ulp distance differences (the
+        # falsifying example was two right points 2e-16° apart)
         cands = sorted(
-            (hav(p, q), j) for j, q in enumerate(rpts) if hav(p, q) <= radius
+            (round(hav(p, q), 3), j)
+            for j, q in enumerate(rpts)
+            if hav(p, q) <= radius
         )
         expected += [(i, j, r + 1) for r, (_, j) in enumerate(cands[:k])]
     assert got == sorted(expected)

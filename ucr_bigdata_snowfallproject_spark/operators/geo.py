@@ -89,7 +89,9 @@ def geo_nearest_join(
     round_digits: int = 3,
 ) -> DataFrame:
     """For every left point, the ``k`` nearest right points within
-    ``radius_km`` (haversine), ties broken by ``right_id``. Returns
+    ``radius_km`` (haversine), ranked on the distance ROUNDED to
+    ``round_digits`` (the same rounding the output carries — see the
+    ranking-key note below), ties broken by ``right_id``. Returns
     (left_id, right_id, out_dist, rank); left points with no right point
     in radius emit no row — the bounded-radius contract that makes grid
     blocking EXACT rather than approximate.
@@ -191,22 +193,30 @@ def geo_nearest_join(
         .withColumn("__d", dist)
         .filter(F.col("__d") <= F.lit(float(radius_km)))
     )
+    # Ranking key: the ROUNDED distance (the same rounding the output
+    # carries), with right_id breaking ties. Ranking on the raw double
+    # would make the order implementation-defined when two candidates'
+    # distances differ below double rounding (hypothesis found such a
+    # pair: two right points 2e-16° apart — different engines/op orders
+    # legitimately disagree on which raw haversine is smaller). On the
+    # rounded grid the order is a well-defined function of the data.
+    dq = F.round(F.col("__d"), round_digits)
     if k == 1:
         # arg-min as a partial-aggregable struct-min: map-side combine
         # collapses each partition to ≤1 candidate per left key before the
         # shuffle — measured ~2× over the window form at sf0.1. Struct
-        # comparison is lexicographic (d, then right_id) = the same
-        # tie-break as the window's ORDER BY.
+        # comparison is lexicographic (rounded d, then right_id) = the
+        # same tie-break as the window's ORDER BY.
         agged = cands.groupBy(left_id).agg(
-            F.min(F.struct(F.col("__d"), F.col(right_id))).alias("__m")
+            F.min(F.struct(dq.alias("__dq"), F.col(right_id))).alias("__m")
         )
         return agged.select(
             left_id,
             F.col(f"__m.{right_id}").alias(right_id),
-            F.round(F.col("__m.__d"), round_digits).alias(out_dist),
+            F.col("__m.__dq").alias(out_dist),
             F.lit(1).alias("rank"),
         )
-    w = Window.partitionBy(left_id).orderBy(F.asc("__d"), F.asc(right_id))
+    w = Window.partitionBy(left_id).orderBy(dq.asc(), F.asc(right_id))
     return (
         cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

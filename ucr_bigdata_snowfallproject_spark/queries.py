@@ -4691,7 +4691,7 @@ def graph_pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT c_custkey, s_suppkey, d,
              ROW_NUMBER() OVER (PARTITION BY c_custkey
-                                ORDER BY d, s_suppkey) AS nn_rank
+                                ORDER BY ROUND(d, 3), s_suppkey) AS nn_rank
       FROM pairs WHERE d <= 2500.0
     )
     SELECT c_custkey, s_suppkey, ROUND(d, 3) AS dist_km,

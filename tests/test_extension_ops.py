@@ -2448,3 +2448,26 @@ def test_epoch_upsample_realized_counts(spark):
         .count()
     )
     assert bad == 0
+
+
+def test_negative_sample_contract(spark):
+    """Negatives are pool members, never the anchor, ≤ k slots per anchor,
+    and deterministic across invocations (hash draws, no RNG)."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 20)
+    neg = cur.negative_sample(e, anchors, "vec_id", k=4)
+    rows = neg.collect()
+    pool = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert rows
+    per_anchor: dict = {}
+    for r in rows:
+        assert r["neg_id"] in pool
+        assert r["neg_id"] != r["anchor"]
+        assert 1 <= r["slot"] <= 4
+        per_anchor.setdefault(r["anchor"], set()).add(r["slot"])
+    assert all(len(s) <= 4 for s in per_anchor.values())
+    again = sorted((r["anchor"], r["slot"], r["neg_id"]) for r in
+                   cur.negative_sample(e, anchors, "vec_id", k=4).collect())
+    assert again == sorted((r["anchor"], r["slot"], r["neg_id"]) for r in rows)

@@ -635,3 +635,91 @@ def epoch_upsample(
         .withColumn(out_col, F.explode(F.sequence(F.lit(1).cast("long"), F.col("__nc"))))
         .drop("__nc")
     )
+
+
+def negative_sample(
+    pool: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    k: int = 4,
+    seed: str = "neg",
+    bucket_target: int = 64,
+) -> DataFrame:
+    """Deterministic random negatives for contrastive training: for every
+    anchor id, ``k`` pseudo-random picks from ``pool`` (anchor itself
+    excluded) — the in-batch/random-negative mining step of embedding
+    and reranker training, made reproducible across engines and retries
+    (hash draws, never an RNG).
+
+    Mechanism (never a global index, never a cross join): pool ids hash
+    into ``B ≈ |pool| / bucket_target`` buckets; each (anchor, slot j)
+    hash-picks a bucket, and within it the pick is the argmin of a
+    per-(anchor, slot) rehash of the member ids — one equi-join on the
+    bucket key plus a partial-aggregable struct-min. A global
+    ``row_number`` index would serialize 100 TB through one sort; this
+    shape is one pool shuffle on the bucket key with per-slot work
+    bounded by ``bucket_target``.
+
+    Output: (anchor, slot, neg_id) — slot 1..k. Two slots of one anchor
+    can land on the same bucket and (rarely) the same pick; consumers
+    wanting distinct negatives dropDuplicates on (anchor, neg_id). A
+    slot whose bucket holds only the anchor itself emits no row (bounded
+    by 1/bucket_target probability per slot).
+
+    Determinism: bucket assignment, bucket choice, and the within-bucket
+    argmin all derive from :func:`portable_hash` (md5) of the ids — the
+    SAME negatives on any engine, so a DuckDB oracle hash-matches."""
+    cnt = pool.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.floor(F.count(F.lit(1)) / F.lit(bucket_target)).cast("long"),
+        ).alias("__B")
+    )
+    pb = (
+        pool.select(F.col(id_col).alias("__pid"))
+        .crossJoin(F.broadcast(cnt))
+        .withColumn(
+            "__bkt", F.pmod(portable_hash("__pid", seed + "-bucket"), F.col("__B"))
+        )
+        .select("__pid", "__bkt")
+    )
+    aj = (
+        anchors.select(F.col(id_col).alias("anchor"))
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "anchor",
+            F.explode(F.sequence(F.lit(1), F.lit(int(k)))).alias("slot"),
+            F.col("__B"),
+        )
+        .withColumn(
+            "__bkt",
+            F.pmod(
+                portable_hash(
+                    F.concat(
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("slot").cast("string"),
+                    ),
+                    seed + "-pick",
+                ),
+                F.col("__B"),
+            ),
+        )
+        .select("anchor", "slot", "__bkt")
+    )
+    cand = aj.join(pb, "__bkt").filter(F.col("__pid") != F.col("anchor"))
+    rank = portable_hash(
+        F.concat(
+            F.col("__pid").cast("string"),
+            F.lit("|"),
+            F.col("anchor").cast("string"),
+            F.lit(":"),
+            F.col("slot").cast("string"),
+        ),
+        seed + "-rank",
+    )
+    return (
+        cand.groupBy("anchor", "slot")
+        .agg(F.min(F.struct(rank.alias("__r"), F.col("__pid"))).alias("__m"))
+        .select("anchor", "slot", F.col("__m.__pid").alias("neg_id"))
+    )

@@ -3342,6 +3342,55 @@ def curation_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_negative_sample",
+    """
+    WITH cnt AS (
+      SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / 64.0) AS BIGINT)) AS B
+      FROM embeddings
+    ), pb AS (
+      SELECT vec_id AS pid,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)
+                                 || '#neg-bucket'), 1, 8))::BIGINT % B AS bkt
+      FROM embeddings, cnt
+    ), aj AS (
+      SELECT e.vec_id AS anchor, CAST(j AS INTEGER) AS slot,
+             ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || ':'
+                                 || CAST(j AS VARCHAR)
+                                 || '#neg-pick'), 1, 8))::BIGINT % B AS bkt
+      FROM embeddings e
+      CROSS JOIN cnt
+      CROSS JOIN (SELECT unnest(range(1, 5)) AS j)
+      WHERE e.vec_id < 20
+    ), cand AS (
+      SELECT anchor, slot, pid,
+             ('0x' || substr(md5(CAST(pid AS VARCHAR) || '|'
+                                 || CAST(anchor AS VARCHAR) || ':'
+                                 || CAST(slot AS VARCHAR)
+                                 || '#neg-rank'), 1, 8))::BIGINT AS r
+      FROM aj JOIN pb USING (bkt)
+      WHERE pid <> anchor
+    )
+    SELECT anchor, slot, pid AS neg_id FROM (
+      SELECT anchor, slot, pid,
+             ROW_NUMBER() OVER (PARTITION BY anchor, slot
+                                ORDER BY r, pid) AS rn
+      FROM cand)
+    WHERE rn = 1
+    """,
+)
+def curation_negative_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negatives (operators.curation.
+    negative_sample): 4 hash-drawn pool picks per anchor via bucket-hash →
+    within-bucket argmin of a per-(anchor, slot) md5 rehash — random-
+    negative mining for embedding/reranker training with NO RNG, no
+    global index sort, no cross join: one pool shuffle on the bucket key,
+    per-slot work bounded by the bucket target. Bit-identical oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 20)
+    return curation_ops.negative_sample(e, anchors, "vec_id", k=4)
+
+
+@register(
     "curation_pack_sequences",
     """
     WITH t AS (
@@ -6208,7 +6257,11 @@ _GATED_WINDOW = [
     # curation_pack_sequences (curation: decontaminate,
     #   token_budget_mix, pipeline_stats, dsir_scores stay). ---
     "export_tar_shards",
-    "text_char_entropy",
+    # text_char_entropy rotated out in round 6f (r05 driver-green; text
+    # signals keep text_stats_documents, text_redact_pii, text_jsd,
+    # text_dedupe_doc_lines, text_bigram_logppl) for the round-6-built
+    # deterministic contrastive-negative miner:
+    "curation_negative_sample",
     # --- round-5e rotation: the final late-round-5 families (end-to-end
     # corpus build, time-weighted rollup, triangle analytics, fixed-bin
     # histogram). Rotated out, each family still gated (all local-mirror

@@ -2471,3 +2471,33 @@ def test_negative_sample_contract(spark):
     again = sorted((r["anchor"], r["slot"], r["neg_id"]) for r in
                    cur.negative_sample(e, anchors, "vec_id", k=4).collect())
     assert again == sorted((r["anchor"], r["slot"], r["neg_id"]) for r in rows)
+
+
+def test_eval_ranking_hand_computed(spark):
+    """eval_ranking against a hand-worked example, incl. the
+    unanswered-query zero-row contract (no silent query drops)."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval as ret
+
+    run = spark.createDataFrame(
+        [(1, "b", 1), (1, "x", 2), (1, "a", 3)],
+        "query_id long, doc string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "z")], "query_id long, doc string"
+    )
+    rows = {
+        r["query_id"]: r
+        for r in ret.eval_ranking(run, qrels, "doc", k=3).collect()
+    }
+    r1 = rows[1]
+    assert (r1["n_rel"], r1["n_hit"]) == (3, 2)
+    assert r1["recall_k"] == round(2 / 3, 6)
+    assert r1["precision_k"] == round(2 / 3, 6)
+    assert r1["mrr_k"] == 1.0  # first hit at rank 1
+    g = [int(math.floor(1e12 / math.log2(i + 1) + 0.5)) for i in (1, 2, 3)]
+    assert r1["ndcg_k"] == round((g[0] + g[2]) / (g[0] + g[1] + g[2]), 6)
+    r2 = rows[2]  # query with relevant docs but no run rows: all zeros
+    assert (r2["n_rel"], r2["n_hit"]) == (1, 0)
+    assert r2["recall_k"] == 0.0 and r2["mrr_k"] == 0.0 and r2["ndcg_k"] == 0.0

@@ -47,7 +47,13 @@ from pyspark.sql import functions as F
 
 from .text import tokens
 
-__all__ = ["bm25_corpus_stats", "bm25_scores", "bm25_topk", "rrf_fuse"]
+__all__ = [
+    "bm25_corpus_stats",
+    "bm25_scores",
+    "bm25_topk",
+    "rrf_fuse",
+    "eval_ranking",
+]
 
 
 def bm25_corpus_stats(
@@ -277,4 +283,91 @@ def rrf_fuse(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "rrf_score")
+    )
+
+
+def eval_ranking(
+    run: DataFrame,
+    qrels: DataFrame,
+    id_col: str,
+    query_id_col: str = "query_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Offline ranking-quality evaluation — the step after ANY retriever
+    (BM25, ANN, RRF hybrid): per-query recall@k, precision@k, MRR@k and
+    nDCG@k of ``run`` (a (query_id, id, rank) result list) against
+    ``qrels`` (the (query_id, id) relevant set, binary relevance).
+
+    Returns ONE row per query: (query_id, n_rel, n_hit, recall_k,
+    precision_k, mrr_k, ndcg_k). Macro-average downstream with one tiny
+    agg. Queries present in ``qrels`` but absent from ``run`` still
+    appear (zero metrics) — silently dropping unanswered queries
+    overstates every metric, the classic eval bug (trec_eval's
+    ``-c`` behavior, made the default here).
+
+    Math (binary relevance): recall = hits/|rel|, precision = hits/k,
+    MRR = 1/first-hit-rank, nDCG = DCG/IDCG with DCG = Σ_hits 1/log2(r+1)
+    and IDCG = Σ_{i=1..min(|rel|,k)} 1/log2(i+1).
+
+    Scale shape: run frames are top-k-per-query (bounded by #queries·k,
+    never corpus-sized); the qrel join keys on (query, doc) and the
+    per-query rollup is partial-aggregable.
+
+    Determinism: each DCG contribution quantizes to a 10¹² fixed-point
+    grid (floor(1e12/log2(r+1)+0.5) — the same double on every engine
+    since r ≤ k is a small integer), so the per-query Σ is an order-free
+    integer sum; IDCG is the matching integer constant. One float
+    division + rounding at the end — the rrf_fuse exactness contract,
+    immune to the float-sum-order caveat flagged for bm25_scores.
+    """
+    r = run.filter(F.col(rank_col) <= k).select(
+        F.col(query_id_col).alias("__q"),
+        F.col(id_col).alias("__d"),
+        F.col(rank_col).alias("__r"),
+    )
+    q = qrels.select(
+        F.col(query_id_col).alias("__q"), F.col(id_col).alias("__d")
+    ).dropDuplicates(["__q", "__d"])
+    import math
+
+    nrel = q.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = r.join(q, ["__q", "__d"])
+    # fixed-point DCG term per hit: rank ≤ k ⇒ a k-entry integer table,
+    # summed order-free in int64 (≤ k·10¹² per query — no overflow)
+    gain = [int(math.floor(1e12 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)]
+    gain_fix = F.lit(0).cast("long")
+    for i in range(k, 0, -1):
+        gain_fix = F.when(F.col("__r") == i, F.lit(gain[i - 1])).otherwise(gain_fix)
+    per = hits.withColumn("__g", gain_fix).groupBy("__q").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.min("__r").alias("__first"),
+        F.sum("__g").alias("__dcg_fix"),
+    )
+    # IDCG: the matching integer prefix-sum, keyed on min(n_rel, k)
+    prefix = [0]
+    for g in gain:
+        prefix.append(prefix[-1] + g)
+    idcg_fix = F.lit(prefix[1]).cast("long")
+    for i in range(2, k + 1):
+        idcg_fix = F.when(
+            F.least(F.col("n_rel"), F.lit(k)) == i, F.lit(prefix[i])
+        ).otherwise(idcg_fix)
+    out = nrel.join(per, "__q", "left")
+    z = F.coalesce(F.col("n_hit"), F.lit(0))
+    return out.select(
+        F.col("__q").alias(query_id_col),
+        "n_rel",
+        z.alias("n_hit"),
+        F.round(z / F.col("n_rel"), round_digits).alias("recall_k"),
+        F.round(z / F.lit(float(k)), round_digits).alias("precision_k"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)), round_digits
+        ).alias("mrr_k"),
+        F.round(
+            F.coalesce(F.col("__dcg_fix"), F.lit(0)).cast("double")
+            / idcg_fix.cast("double"),
+            round_digits,
+        ).alias("ndcg_k"),
     )

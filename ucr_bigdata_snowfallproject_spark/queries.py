@@ -1132,6 +1132,125 @@ def similarity_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.int8_rerank_topk(e, q, k=10, refine=4)
 
 
+def _dcg_gains(k: int) -> list[int]:
+    """Fixed-point DCG gain table (mirrors retrieval.eval_ranking):
+    floor(1e12 / log2(rank+1) + 0.5) for rank 1..k — deterministic integer
+    constants, inlined into the eval oracle so both engines sum the SAME
+    integers order-free."""
+    import math
+
+    return [int(math.floor(1e12 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)]
+
+
+_EVAL_GAINS = _dcg_gains(10)
+_EVAL_GAIN_CASE = "CASE r.rank " + " ".join(
+    f"WHEN {i + 1} THEN {g}" for i, g in enumerate(_EVAL_GAINS)
+) + " END"
+_EVAL_IDCG = sum(_EVAL_GAINS)  # n_rel is 10 for every query here
+
+_RETRIEVAL_EVAL_ORACLE = f"""
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, xs,
+             list_aggregate(list_transform(xs, x -> ABS(x)), 'max') AS maxabs
+      FROM base
+    ), codes AS (
+      SELECT vec_id, xs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(
+                         xs, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS DOUBLE))
+                  ELSE list_transform(xs, x -> CAST(0 AS DOUBLE)) END AS c
+      FROM m
+    ), q AS (
+      SELECT vec_id AS q_id, xs AS qxs, c AS qc,
+             list_dot_product(c, c) AS qn
+      FROM codes WHERE vec_id < 8
+    ), coarse AS (
+      SELECT q.q_id, e.vec_id,
+             CASE WHEN q.qn > 0 AND list_dot_product(e.c, e.c) > 0
+                  THEN ROUND(list_dot_product(q.qc, e.c) /
+                             (sqrt(q.qn) * sqrt(list_dot_product(e.c, e.c))), 4)
+                  ELSE 0.0 END AS csim
+      FROM q CROSS JOIN codes e
+    ), cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY csim DESC, vec_id) AS rn
+        FROM coarse)
+      WHERE rn <= 40
+    ), rerank AS (
+      SELECT cand.q_id, cand.vec_id,
+             ROUND(list_dot_product(q.qxs, b.xs) /
+                   (sqrt(list_dot_product(q.qxs, q.qxs)) *
+                    sqrt(list_dot_product(b.xs, b.xs))), 4) AS sim
+      FROM cand
+      JOIN q ON q.q_id = cand.q_id
+      JOIN base b ON b.vec_id = cand.vec_id
+    ), run AS (
+      SELECT q_id, vec_id, CAST(rn AS INTEGER) AS rank FROM (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM rerank)
+      WHERE rn <= 10
+    ), truth_scored AS (
+      SELECT q.q_id, b.vec_id,
+             ROUND(list_dot_product(q.qxs, b.xs) /
+                   (sqrt(list_dot_product(q.qxs, q.qxs)) *
+                    sqrt(list_dot_product(b.xs, b.xs))), 4) AS sim
+      FROM q CROSS JOIN base b
+    ), qrels AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM truth_scored)
+      WHERE rn <= 10
+    ), nrel AS (
+      SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels GROUP BY q_id
+    ), per AS (
+      SELECT r.q_id,
+             CAST(COUNT(*) AS BIGINT) AS n_hit,
+             MIN(r.rank) AS first_hit,
+             CAST(SUM({_EVAL_GAIN_CASE}) AS BIGINT) AS dcg_fix
+      FROM run r JOIN qrels USING (q_id, vec_id)
+      GROUP BY r.q_id
+    )
+    SELECT nrel.q_id, nrel.n_rel,
+           COALESCE(per.n_hit, 0) AS n_hit,
+           ROUND(COALESCE(per.n_hit, 0) / CAST(nrel.n_rel AS DOUBLE), 6)
+             AS recall_k,
+           ROUND(COALESCE(per.n_hit, 0) / 10.0, 6) AS precision_k,
+           ROUND(COALESCE(1.0 / per.first_hit, 0.0), 6) AS mrr_k,
+           ROUND(COALESCE(per.dcg_fix, 0) / CAST({_EVAL_IDCG} AS DOUBLE), 6)
+             AS ndcg_k
+    FROM nrel LEFT JOIN per USING (q_id)
+    """
+
+
+@register("retrieval_eval_metrics", _RETRIEVAL_EVAL_ORACLE)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline ranking-quality evaluation (retrieval.eval_ranking) of the
+    SQ8 two-stage ANN run against the exact brute-force top-10 as the
+    relevant set: per-query recall@10, precision@10, MRR@10, nDCG@10 —
+    the standard IR eval step after any retriever, with the no-silent-
+    query-drop contract (unanswered queries keep zero-metric rows).
+    Fixed-point integer DCG sums (order-free) ⇒ fully deterministic,
+    both the run AND the truth AND the metrics in one SQL oracle."""
+    from .operators import retrieval as retrieval_ops
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    run = sim_ops.int8_rerank_topk(e, q, k=10, refine=4)
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    run = run.withColumn("rank", F.row_number().over(w))
+    qrels = sim_ops.brute_force_topk(e, q, k=10).select("q_id", "vec_id")
+    return retrieval_ops.eval_ranking(run, qrels, "vec_id", query_id_col="q_id", k=10)
+
+
 @register("similarity_int8_indexed_topk", _INT8_RERANK_ORACLE)
 def similarity_int8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQ8 index LIFECYCLE end-to-end: quantize the corpus once,
@@ -6243,7 +6362,10 @@ _GATED_WINDOW = [
     # from_json_events_props + unpivot_lineitem_measures stay),
     # window_value_functions (window value fns: events_sliding_windows,
     # resample_events_hourly_ffill, rolling_anomalies_events stay). ---
-    "ewma_events_value",
+    # ewma_events_value rotated out in round 6g (r05 driver-green; the
+    # window/time family keeps twa_events_hourly + funnel_events_conversion)
+    # for the round-6-built IR evaluation operator:
+    "retrieval_eval_metrics",
     "bloom_semi_join_lineitem",
     "embedding_quantize_int8",
     # --- round-5d rotation: four more late-round-5 families earn first

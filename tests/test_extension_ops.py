@@ -2501,3 +2501,21 @@ def test_eval_ranking_hand_computed(spark):
     r2 = rows[2]  # query with relevant docs but no run rows: all zeros
     assert (r2["n_rel"], r2["n_hit"]) == (1, 0)
     assert r2["recall_k"] == 0.0 and r2["mrr_k"] == 0.0 and r2["ndcg_k"] == 0.0
+
+
+def test_bipartite_project_cap_and_weights(spark):
+    """Co-occurrence weights count each group once per pair (row
+    multiplicity collapsed), and over-cap groups are excluded entirely."""
+    from ucr_bigdata_snowfallproject_spark.operators import graph as graph_ops
+
+    rows = (
+        [(1, "a"), (1, "b"), (1, "b"), (2, "a"), (2, "b"), (2, "c")]
+        + [(3, x) for x in "abcde"]  # size 5 > cap 4 → excluded
+    )
+    df = spark.createDataFrame(rows, "g long, i string")
+    got = {
+        (r["item_a"], r["item_b"]): r["weight"]
+        for r in graph_ops.bipartite_project(df, "g", "i", max_group=4).collect()
+    }
+    # group 3 contributes nothing; (a,b) in groups 1+2, (a,c)/(b,c) in 2
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}

@@ -230,3 +230,56 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.sum("c").cast("long").alias("n_triangles"))
     )
+
+
+def bipartite_project(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group: int = 256,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Project a bipartite (group, item) relation onto weighted item–item
+    co-occurrence edges — the graph-construction step behind co-purchase /
+    co-click / co-citation networks: ``weight(a, b)`` = number of groups
+    containing BOTH items (each group counted once per pair regardless of
+    row multiplicity). Returns (item_a, item_b, weight) with
+    ``item_a < item_b``.
+
+    The quadratic hazard: one group with k items emits C(k,2) pairs — a
+    single 10⁶-item group is 5·10¹¹ rows from ONE key. Groups larger than
+    ``max_group`` are EXCLUDED (not star-truncated like the LSH kernel:
+    co-occurrence weights must stay exact for every emitted edge, and a
+    hub group that big carries no signal — every pair in it co-occurs
+    with everything). The caller sizes ``max_group`` to the largest
+    meaningful basket; total pair work is then ≤ groups·max_group²/2.
+
+    Scale shape: ONE groupBy shuffle on the group key (collect_set
+    dedupes item multiplicity in the same exchange), pair expansion is
+    JVM array lambdas inside the row (the bucket_pairs kernel shape),
+    then one partial-aggregable (item_a, item_b) count. No self-join, no
+    cross join; ``min_weight`` prunes the singleton-pair tail before it
+    ever leaves the final aggregate."""
+    grouped = (
+        df.groupBy(F.col(group_col).alias("__g"))
+        .agg(F.sort_array(F.collect_set(F.col(item_col))).alias("__ids"))
+        .filter((F.size("__ids") >= 2) & (F.size("__ids") <= max_group))
+    )
+    ids = F.col("__ids")
+    k = F.size(ids)
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), k - i - F.lit(1)),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs).alias("__p"))
+        .select("__p.item_a", "__p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )

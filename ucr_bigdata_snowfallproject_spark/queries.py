@@ -5421,6 +5421,38 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_copurchase_edges",
+    """
+    WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    sz AS (SELECT g, COUNT(*) AS n FROM gi GROUP BY g),
+    ok AS (SELECT g FROM sz WHERE n BETWEEN 2 AND 50),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b
+      FROM gi a JOIN gi b USING (g) JOIN ok USING (g)
+      WHERE a.i < b.i
+    )
+    SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM pairs GROUP BY item_a, item_b HAVING COUNT(*) >= 2
+    """,
+)
+def graph_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-purchase projection (operators.graph.
+    bipartite_project): order→part baskets projected onto weighted
+    part–part edges (weight = #orders containing both, baskets > 50
+    items excluded — the quadratic-hub guard), keeping edges seen ≥2
+    times. THE graph-construction step the pagerank/triangle queries
+    consume; one groupBy shuffle + in-row array pair expansion, no
+    self-join. The oracle is the naive distinct self-join form —
+    identical multiset by construction."""
+    from .operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph_ops.bipartite_project(
+        li, "l_orderkey", "l_partkey", max_group=50, min_weight=2
+    )
+
+
+@register(
     "twa_events_hourly",
     """
     WITH seg AS (
@@ -6396,7 +6428,11 @@ _GATED_WINDOW = [
     # resample_events_hourly_ffill (time grid: twa_events_hourly is the
     # new resample-family representative). ---
     "twa_events_hourly",
-    "graph_triangles_parts",
+    # graph_triangles_parts rotated out in round 6h (r05 driver-green;
+    # its edge-building join is a sub-plan of the new entry) for the
+    # round-6-built co-purchase projection — the graph-CONSTRUCTION step
+    # the pagerank/triangle queries consume:
+    "graph_copurchase_edges",
     "histogram_totalprice_by_priority",
     # --- round-5f rotation: the BM25 retrieval and key-skew-diagnostic
     # families earn first driver rows. Rotated out: text_language_id

@@ -464,3 +464,38 @@ def test_bm25_broadcast_probe_no_cartesian(spark):
     assert not checks.has_cartesian(df)
     scans = checks.read_schema_columns(df)
     assert any(set(c) <= {"doc_id", "text"} for c in scans), scans
+
+
+def test_int8_rerank_broadcasts_and_no_unintended_cartesian(spark):
+    """SQ8 two-stage ANN: the coarse stage is the INTENDED broadcast
+    nested-loop (bounded query codes × corpus codes); the rerank stage
+    must broadcast the candidate set into the float corpus (never
+    shuffle the corpus for the probe) — both hash joins broadcast."""
+    df = q(spark, "similarity_int8_rerank_topk")
+    plan = checks.explain_str(df)
+    # count tree-form nodes ("<name> Inner") — the formatted detail
+    # section repeats each node name once more
+    assert plan.count("BroadcastHashJoin Inner") >= 2, plan[:2000]
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the coarse scan's query broadcast
+    assert plan.count("BroadcastNestedLoopJoin Inner") == 1
+
+
+def test_copurchase_projection_two_shuffles_no_join(spark):
+    """Bipartite projection = ONE group-key exchange + ONE pair-count
+    exchange — no self-join, no cartesian; pair expansion is in-row."""
+    df = q(spark, "graph_copurchase_edges")
+    assert checks.shuffle_count(df) <= 3  # group, pair agg (+AQE read)
+    plan = checks.explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_negative_sample_single_pool_shuffle(spark):
+    """Negative mining: the pool shuffles ONCE on the bucket key; the
+    1-row count frame rides broadcasts (never a real cartesian)."""
+    df = q(spark, "curation_negative_sample")
+    plan = checks.explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert checks.has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan

@@ -832,3 +832,56 @@ def test_stream_bm25_scores_match_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert set(out["window_start"]) == {datetime.datetime(2024, 1, 1, 0, 0)}
+
+
+def test_stream_sq8_flags_match_batch_probe(spark, tmp_path_factory):
+    """Streaming SQ8 probe vs the static persisted code table: the stream
+    flags exactly the (vec, match) pairs the batch probe computes, and a
+    planted clone of an indexed vector is always flagged (sim 1.0 — its
+    inline-quantized codes equal the stored quantize_embeddings codes, so
+    the coarse cosine is exactly 1, which also pins the two quantization
+    code paths against each other)."""
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+    from ucr_bigdata_snowfallproject_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.embeddings import (
+        read_embedding_stream,
+        stream_sq8_near_dup_flags,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 400)
+    root = str(tmp_path_factory.mktemp("sq8-idx")) + "/codes"
+    ix.save_sq8_codes(quantize_embeddings(corpus, "vec_id"), root)
+    codes = ix.load_sq8_codes(spark, root).localCheckpoint(eager=True)
+
+    clones = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    new = (
+        e.filter(F.col("vec_id") >= 400)
+        .select("vec_id", "embedding")
+        .unionByName(clones)
+    )
+
+    want = {
+        (r.vec_id, r.matched_id, r.sim)
+        for r in stream_sq8_near_dup_flags(
+            new, codes, corpus, threshold=0.95, coarse_threshold=0.90
+        ).collect()
+    }
+    assert any(v >= 10000 and s == 1.0 for v, _m, s in want)  # clones hit
+
+    stream_dir = str(tmp_path_factory.mktemp("sq8-stream"))
+    new.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_embedding_stream(spark, stream_dir, max_files_per_trigger=1)
+    flags = run_to_memory_sink(
+        stream_sq8_near_dup_flags(
+            stream, codes, corpus, threshold=0.95, coarse_threshold=0.90
+        ),
+        "sq8_flags",
+    ).toPandas()
+    got = {(r.vec_id, r.matched_id, r.sim) for r in flags.itertuples(index=False)}
+    assert got == want

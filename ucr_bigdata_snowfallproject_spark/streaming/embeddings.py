@@ -1,7 +1,9 @@
 """Streaming ANN: flag arriving embeddings that are near-duplicates of a
-STATIC IVF-indexed corpus — the vector-space face of
-:mod:`.documents`' MinHash stream probe, and the streaming consumer of
-:func:`~..operators.similarity.build_ivf_index`.
+STATIC indexed corpus — the vector-space face of :mod:`.documents`'
+MinHash stream probe. Two index consumers: the IVF inverted file
+(:func:`stream_ann_near_dup_flags`, cell-pruned probes) and the SQ8 int8
+code table (:func:`stream_sq8_near_dup_flags`, coarse int8 pass over the
+4×-smaller artifact + exact float rescore of survivors).
 
 Per micro-batch, each arriving vector computes its centroid dots
 scan-side (Arrow UDF — stateless, streaming-safe), explodes to its
@@ -106,6 +108,107 @@ def stream_ann_near_dup_flags(
         .select(
             F.col("__qid").alias(id_col),
             F.col(id_col).alias("matched_id"),
+            "sim",
+        )
+    )
+
+
+def stream_sq8_near_dup_flags(
+    vec_stream: DataFrame,
+    corpus_codes: DataFrame,
+    corpus_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_threshold: float = 0.90,
+    threshold: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Streaming consumer of the persisted SQ8 code artifact
+    (``index_store.save_sq8_codes``): flag arriving vectors whose EXACT
+    cosine to an indexed corpus vector is ≥ ``threshold``, with the
+    two-stage SQ8 cost shape — the int8 coarse pass scans the 4×-smaller
+    static code table and only coarse survivors (coarse cosine ≥
+    ``coarse_threshold``, set BELOW ``threshold`` by the quantization
+    error margin so no true match dies early) rejoin the float corpus
+    for the exact rescore.
+
+    Everything is stateless (quantization is pure column exprs, both
+    probes are stream-static joins), so append mode needs no
+    watermark/state store and the batch function IS the streaming
+    function — the batch-twin identity is pinned in tests. Returns an
+    append-mode stream of (id, matched_id, sim); self-matches excluded.
+
+    Coarse-threshold safety: cosine of the int8 codes differs from the
+    float cosine by ≤ ~2·(scale error)/|v| per side — well under 0.01
+    for 64-dim unit-scale data; the default 0.05 gap is ~5× that margin.
+    """
+
+    def int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    cc = corpus_codes.select(
+        F.col(id_col).alias("__pid"), F.col("codes").alias("__pc")
+    ).withColumn("__pn", int_dot(F.col("__pc"), F.col("__pc")).cast("double"))
+    # the float vector rides THROUGH the coarse stage — re-joining back to
+    # vec_stream would be a stream-stream self-join (watermark/state).
+    # Quantization is inlined (same formula as similarity.
+    # quantize_embeddings, element-identical — pinned in tests) because
+    # that helper prunes to (id, codes, scale) and the float vector must
+    # survive. __maxabs materializes as a real column BEFORE the codes
+    # lambda — an outer expression referenced inside a lambda re-evaluates
+    # per element (the O(len²) hazard quantize_embeddings documents).
+    q = (
+        vec_stream.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qvn"),
+        )
+        .withColumn("__xs", F.transform(F.col("__qv"), lambda x: x.cast("double")))
+        .withColumn("__maxabs", F.array_max(F.transform(F.col("__xs"), F.abs)))
+    )
+    m = F.col("__maxabs")
+    codes = F.when(
+        m > 0,
+        F.transform(
+            F.col("__xs"), lambda x: F.floor(x / m * 127 + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0)))
+    q = (
+        q.withColumn("__qc", codes)
+        .drop("__xs", "__maxabs")
+        .withColumn("__qn", int_dot(F.col("__qc"), F.col("__qc")).cast("double"))
+    )
+    coarse_sim = F.when(
+        (F.col("__qn") > 0) & (F.col("__pn") > 0),
+        int_dot(F.col("__qc"), F.col("__pc")).cast("double")
+        / (F.sqrt("__qn") * F.sqrt("__pn")),
+    ).otherwise(F.lit(-1.0))
+    survivors = (
+        q.join(cc)  # stream-static: per-batch scan of the static code table
+        .filter(coarse_sim >= F.lit(float(coarse_threshold)))
+        .filter(F.col("__qid") != F.col("__pid"))
+        .select("__qid", "__qv", "__qvn", "__pid")
+    )
+    pv = corpus_vecs.select(
+        F.col(id_col).alias("__pid"),
+        F.col(vec_col).alias("__pv"),
+        l2_norm(F.col(vec_col)).alias("__pvn"),
+    )
+    sim = F.round(
+        dot(F.col("__qv"), F.col("__pv")) / (F.col("__qvn") * F.col("__pvn")),
+        round_digits,
+    )
+    return (
+        survivors.join(pv, "__pid")
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= F.lit(float(threshold)))
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("__pid").alias("matched_id"),
             "sim",
         )
     )

@@ -62,6 +62,9 @@ HEADLINE = [
     "curation_dsir_scores",
     "geo_nearest_supplier_for_customers",
     "graph_pagerank_parts",
+    "graph_copurchase_edges",
+    "curation_epoch_upsample",
+    "join_size_estimate_events",
     "embedding_drift_by_label",
     "ols_trend_orders_by_priority",
     "text_language_id",

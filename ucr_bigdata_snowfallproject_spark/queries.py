@@ -1251,6 +1251,35 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_ops.eval_ranking(run, qrels, "vec_id", query_id_col="q_id", k=10)
 
 
+@register(
+    "retrieval_eval_macro",
+    f"""
+    WITH per AS ({_RETRIEVAL_EVAL_ORACLE})
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(recall_k), 6) AS macro_recall,
+           ROUND(AVG(precision_k), 6) AS macro_precision,
+           ROUND(AVG(mrr_k), 6) AS macro_mrr,
+           ROUND(AVG(ndcg_k), 6) AS macro_ndcg
+    FROM per
+    """,
+)
+def retrieval_eval_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Macro-averaged retrieval metrics (the dashboard row): mean of the
+    per-query recall/precision/MRR/nDCG@10 from retrieval_eval_metrics —
+    unanswered queries count as zeros (they are rows, not absences), so
+    the macro can never be inflated by silent query drops. The AVG is
+    over ≤ #queries 6-digit-rounded values — a bounded float sum whose
+    rounding both engines reproduce."""
+    per = retrieval_eval_metrics(spark, sf_dir)
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall_k"), 6).alias("macro_recall"),
+        F.round(F.avg("precision_k"), 6).alias("macro_precision"),
+        F.round(F.avg("mrr_k"), 6).alias("macro_mrr"),
+        F.round(F.avg("ndcg_k"), 6).alias("macro_ndcg"),
+    )
+
+
 @register("similarity_int8_indexed_topk", _INT8_RERANK_ORACLE)
 def similarity_int8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQ8 index LIFECYCLE end-to-end: quantize the corpus once,

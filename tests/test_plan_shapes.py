@@ -499,3 +499,23 @@ def test_negative_sample_single_pool_shuffle(spark):
     plan = checks.explain_str(df)
     assert "CartesianProduct" not in plan
     assert checks.has_broadcast_join(df) or "BroadcastNestedLoopJoin" in plan
+
+
+def test_interleave_no_partitionless_window(spark):
+    """VERDICT r06 #2: proportional_interleave must compute its GLOBAL
+    rank without any partition-less Window (one task holding the corpus)
+    — both ranks are two-pass bucketed prefix counts; the offset frames
+    ride broadcast joins."""
+    df = q(spark, "curation_interleave_order")
+    assert checks.partitionless_window_count(df) == 0
+    assert checks.has_broadcast_join(df)
+
+
+def test_token_budget_mix_no_partitionless_window(spark):
+    """VERDICT r06 #3: token_budget_mix's per-source running sum is a
+    bucketed two-pass prefix sum — every Window in the plan is
+    partitioned by at least (source, bucket) or runs over the tiny
+    sources×buckets offset frame; none is partition-less."""
+    df = q(spark, "curation_token_budget_mix")
+    assert checks.partitionless_window_count(df) == 0
+    assert checks.has_broadcast_join(df)

@@ -652,3 +652,63 @@ def test_manifest_carry_forward_references_not_copies(spark, tmp_path):
     )
     assert {(r.doc_id, r.lang) for r in T.read_snapshot(spark, m_root).collect()} \
         == (cur_m - {(7, "xx")}) | {(7, "zz")}
+
+
+def test_manifest_vacuum_crash_safe_idempotent(spark, tmp_path):
+    """ADVICE r06 (medium): manifest-mode VACUUM must be crash-safe —
+    rescue files by LINK first, rewrite kept manifests, delete doomed
+    dirs LAST. Simulate a run that died after rescuing every
+    still-referenced file but before any manifest rewrite or deletion:
+    the table must still read through the OLD manifest (sources are
+    never unlinked early), and a re-run must complete idempotently
+    (reusing the already-rescued destinations instead of colliding)."""
+    import json
+    import os
+
+    from ucr_bigdata_snowfallproject_spark import table as T
+
+    base = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "source"
+    ).filter(F.col("doc_id") < 100)
+    n_buckets = 4
+    root = str(tmp_path / "crashy")
+    T.create_partitioned_snapshot(base, root, "doc_id", n_buckets=n_buckets,
+                                  carry="manifest")
+    ups = spark.createDataFrame(
+        [(1, "xx", "s", False)],
+        "doc_id long, lang string, source string, del boolean",
+    )
+    v1 = T.merge_upsert(spark, root, ups, "doc_id", delete_col="del")
+    before = {(r.doc_id, r.lang) for r in T.read_snapshot(spark, root).collect()}
+
+    # --- replay the crashed run's rescue phase by hand: link every v0
+    # file the kept manifest references into v1, touch NOTHING else ---
+    man1_path = os.path.join(root, f"v={v1}", "_manifest.json")
+    man1 = json.load(open(man1_path))
+    n_rescued = 0
+    for bucket, rels in man1.items():
+        for rel in rels:
+            if not rel.startswith("v=0/"):
+                continue
+            dst = os.path.join(root, f"v={v1}", bucket, os.path.basename(rel))
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(dst):
+                os.link(os.path.join(root, rel), dst)
+                n_rescued += 1
+    assert n_rescued > 0  # v1 really did reference v0 files
+
+    # crash point: old manifest untouched, sources intact → table whole
+    assert {(r.doc_id, r.lang)
+            for r in T.read_snapshot(spark, root).collect()} == before
+
+    # re-run completes: reuses the rescued links, rewrites, then deletes
+    removed = T.vacuum_snapshots(root, keep_last=1)
+    assert removed == [0] and not os.path.isdir(os.path.join(root, "v=0"))
+    man1b = json.load(open(man1_path))
+    assert all(
+        rel.startswith(f"v={v1}/") for rels in man1b.values() for rel in rels
+    )
+    assert {(r.doc_id, r.lang)
+            for r in T.read_snapshot(spark, root).collect()} == before
+    # and a third run is a clean no-op
+    assert T.vacuum_snapshots(root, keep_last=1) == []

@@ -273,6 +273,10 @@ def append_bm25_delta(
         ["df"],
         commit_note=commit_note,
     )
+    # the three committed snapshot versions ARE the materialization — drop
+    # the delta tf cache now instead of leaving session-lifetime blocks
+    # behind per ingest batch (the leak class clear_session_state targets)
+    tf_d.unpersist()
     return v_tf, v_lens, v_df
 
 

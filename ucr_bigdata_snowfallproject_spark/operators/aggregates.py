@@ -507,6 +507,7 @@ def ks_statistic(
     df_b: DataFrame,
     value_col: str,
     round_digits: int = 6,
+    quantize: tuple[float, float, int] | None = None,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic — the binning-free drift
     test completing the monitor trio (``psi_drift`` needs bin choices,
@@ -524,18 +525,38 @@ def ks_statistic(
     Scale shape: per-side (value) groupBys reduce to distinct-value
     counts; ONE window cumsum over the merged distinct-value table —
     vocabulary-sized, not row-sized — then a 1-row max. The global-order
-    window is a single-partition sort over DISTINCT values only; for
-    genuinely high-cardinality doubles, quantize upstream."""
+    window is a single-partition sort over DISTINCT values only, so like
+    ``group_median``'s exact/approx switch there are two modes:
+
+    - ``quantize=None`` (exact): D over the raw distinct values — right
+      whenever their cardinality is bounded (categorical codes, prices,
+      integer grids).
+    - ``quantize=(lo, hi, n_bins)``: values first snap to the lower edge
+      of their bin under the SAME clamped width_bucket rule as
+      :func:`histogram_fixed` (out-of-range clamps to the edge bins),
+      bounding the window input to ≤ n_bins rows BY CONSTRUCTION — the
+      100 TB default for high-cardinality doubles. Binned D is the
+      standard lower bound on exact D (both ECDFs are evaluated on the
+      same coarsened grid); edges are plain IEEE double ops, so the
+      statistic stays engine-bit-identical."""
     from pyspark.sql import Window
+
+    v_in = F.col(value_col)
+    if quantize is not None:
+        lo, hi, n_bins = quantize
+        width = (hi - lo) / n_bins
+        raw_bin = F.floor((v_in - F.lit(float(lo))) / F.lit(width)).cast("int")
+        clamped = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
+        v_in = F.lit(float(lo)) + clamped.cast("double") * F.lit(width)
 
     a = (
         df_a.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
+        .groupBy(v_in.alias("v"))
         .agg(F.count(F.lit(1)).alias("__a"))
     )
     b = (
         df_b.filter(F.col(value_col).isNotNull())
-        .groupBy(F.col(value_col).alias("v"))
+        .groupBy(v_in.alias("v"))
         .agg(F.count(F.lit(1)).alias("__b"))
     )
     merged = a.join(b, "v", "full_outer").select(

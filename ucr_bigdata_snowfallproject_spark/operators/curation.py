@@ -190,6 +190,7 @@ def token_budget_mix(
     seed: str = "mix",
     prefilter: bool = False,
     prefilter_slack: float = 8.0,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Token-budget data mixing: keep a deterministic, uniformly-sampled
     subset of each source whose token sum stays within ``budget_tokens``
@@ -200,25 +201,55 @@ def token_budget_mix(
 
     Returns the kept rows with (priority, n_tokens, cum_tokens) attached.
 
-    Scale: the window partitions by source — low cardinality, so at 100 TB
-    one reducer would sort ~a whole source. ``prefilter=True`` engages
+    Scale: the per-source running sum is a DISTRIBUTED two-pass prefix
+    sum, never a one-task-per-source window. The hash space is carved
+    into ``n_buckets`` fixed priority ranges (order-preserving, so the
+    prefix over (source, bucket) slices composes exactly): pass 1 windows
+    within (source, bucket) — each task holds ~1/n_buckets of a source —
+    and aggregates per-bucket token totals; pass 2 turns the totals into
+    per-source prefix OFFSETS via a window over the tiny
+    sources×n_buckets frame (≤ n_buckets rows per partition by
+    construction) and broadcast-joins them back:
+    ``cum = in_bucket_cum + offset``. Long addition is associative, so
+    the result is bit-identical to the single-window form at any
+    bucketing. ``prefilter=True`` additionally engages
     :func:`_prefilter_candidates`: a hash-threshold filter (from one
-    per-source token-total scan) bounds the window input to a budget-sized
+    per-source token-total scan) bounds the input to a budget-sized
     candidate slice first, with a verification pass that PROVES the kept
-    set is unchanged (widening the threshold on the rare miss). Default
-    off — at test/bench scale the plain window is cheaper than the extra
-    aggregate jobs; flip it on when a source outgrows one reducer."""
+    set is unchanged (widening the threshold on the rare miss)."""
     pri = portable_hash(id_col, seed)
     work = df.withColumn("priority", pri).withColumn("n_tokens", token_count_col)
     if prefilter:
         work = _prefilter_candidates(work, source_col, budget_tokens, prefilter_slack)
-    w = (
-        Window.partitionBy(source_col)
+    # bucket = fixed hash range ⇒ (bucket asc, priority asc) ≡ priority asc
+    bucket_width = _HASH_SPACE // n_buckets + 1
+    work = work.withColumn("__bkt", F.expr(f"priority DIV {bucket_width}"))
+    w_in = (
+        Window.partitionBy(source_col, "__bkt")
         .orderBy(F.asc("priority"), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return work.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
-        F.col("cum_tokens") <= budget_tokens
+    partials = work.groupBy(source_col, "__bkt").agg(
+        F.sum("n_tokens").cast("long").alias("__bkt_tot")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc("__bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        source_col,
+        "__bkt",
+        F.coalesce(F.sum("__bkt_tot").over(w_off), F.lit(0).cast("long")).alias(
+            "__off"
+        ),
+    )
+    return (
+        work.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+        .join(F.broadcast(offsets), [source_col, "__bkt"])
+        .withColumn("cum_tokens", F.col("__cum_in") + F.col("__off"))
+        .filter(F.col("cum_tokens") <= budget_tokens)
+        .drop("__bkt", "__cum_in", "__off")
     )
 
 
@@ -557,6 +588,7 @@ def proportional_interleave(
     source_col: str,
     id_col: str,
     seed: str = "il",
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Deterministic proportional interleaving: a GLOBAL training order in
     which every source appears evenly throughout — position i of a
@@ -572,26 +604,90 @@ def proportional_interleave(
     (source, id) as the total-order tiebreak. Returns the input plus
     ``interleave_rank`` (1-based global position).
 
-    Scale shape: one per-source window for the internal rank (source
-    cardinality = parallelism; skew follows source sizes, same contract
-    as token_budget_mix), one source-sized count join, and ONE global
-    sort for the final rank — the output IS a global ordering, so a
-    total sort is irreducible; writers consume it through
+    Scale shape: NO single-task stage anywhere — both ranks are two-pass
+    distributed prefix counts over order-preserving bucketings (the
+    repo-wide rule that a partition-less or whole-source window must
+    never hold the corpus in one task):
+
+    1. within-source position ``i``: the hash space is carved into
+       ``n_buckets`` fixed priority ranges; row_number within
+       (source, bucket) + per-source prefix offsets computed by a window
+       over the tiny sources×n_buckets count frame (≤ n_buckets rows per
+       partition), broadcast-joined back. Bit-identical to a whole-source
+       window because buckets partition the order-key space monotonically.
+    2. global ``interleave_rank``: bucket = ``floor(frac·n_buckets)``
+       (monotone in the sort key, so bucket boundaries respect the global
+       order); row_number within bucket + prefix offsets from the ≤
+       n_buckets global bucket counts, collected to the driver (bounded
+       by the constant ``n_buckets`` — the documented bounded-collect
+       contract) and rejoined as a broadcast literal frame.
+
+    The output is a global ordering; writers consume it through
     ``repartitionByRange(interleave_rank)`` to keep it distributed."""
     from pyspark.sql import Window
 
-    w_src = Window.partitionBy(source_col).orderBy(
-        portable_hash(id_col, seed).asc(), F.col(id_col).asc()
+    spark = df.sparkSession
+    bucket_width = _HASH_SPACE // n_buckets + 1
+    work = df.withColumn("__pri", portable_hash(id_col, seed)).withColumn(
+        "__pbkt", F.expr(f"__pri DIV {bucket_width}")
     )
-    totals = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__tot"))
-    ranked = df.withColumn("__i", F.row_number().over(w_src)).join(
-        totals, source_col
+    # pass 1a: rank within (source, hash-bucket)
+    w_in = Window.partitionBy(source_col, "__pbkt").orderBy(
+        F.asc("__pri"), F.asc(id_col)
+    )
+    counts = work.groupBy(source_col, "__pbkt").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc("__pbkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy(source_col)
+    offsets = counts.select(
+        source_col,
+        "__pbkt",
+        F.coalesce(F.sum("__c").over(w_off), F.lit(0).cast("long")).alias("__ioff"),
+        F.sum("__c").over(w_tot).alias("__tot"),
+    )
+    ranked = (
+        work.withColumn("__irn", F.row_number().over(w_in).cast("long"))
+        .join(F.broadcast(offsets), [source_col, "__pbkt"])
+        .withColumn("__i", F.col("__ioff") + F.col("__irn"))
     )
     frac = (F.col("__i") - F.lit(0.5)) / F.col("__tot")
-    w_all = Window.orderBy(frac.asc(), F.col(source_col).asc(), F.col(id_col).asc())
+    # pass 2: global rank via frac-range buckets (frac ∈ (0,1) strictly)
+    ranked = ranked.withColumn(
+        "__gbkt",
+        F.least(
+            F.floor(frac * F.lit(float(n_buckets))).cast("long"),
+            F.lit(n_buckets - 1).cast("long"),
+        ),
+    )
+    gcounts = {
+        r["__gbkt"]: r["__c"]
+        for r in ranked.groupBy("__gbkt").agg(F.count(F.lit(1)).alias("__c")).collect()
+    }
+    goff, acc = [], 0
+    for b in sorted(gcounts):
+        goff.append((b, acc))
+        acc += gcounts[b]
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    goff_df = spark.createDataFrame(
+        goff,
+        StructType(
+            [StructField("__gbkt", LongType()), StructField("__goff", LongType())]
+        ),
+    )
+    w_g = Window.partitionBy("__gbkt").orderBy(
+        frac.asc(), F.col(source_col).asc(), F.col(id_col).asc()
+    )
     return (
-        ranked.withColumn("interleave_rank", F.row_number().over(w_all))
-        .drop("__i", "__tot")
+        ranked.withColumn("__grn", F.row_number().over(w_g).cast("long"))
+        .join(F.broadcast(goff_df), "__gbkt")
+        .withColumn("interleave_rank", (F.col("__goff") + F.col("__grn")).cast("int"))
+        .drop("__pri", "__pbkt", "__irn", "__ioff", "__i", "__tot", "__gbkt", "__grn", "__goff")
     )
 
 
@@ -601,6 +697,7 @@ def epoch_upsample(
     epochs_col: F.Column | str,
     seed: str = "epoch",
     out_col: str = "copy_idx",
+    null_epochs: float | None = None,
 ) -> DataFrame:
     """Realize FRACTIONAL per-row epoch factors as deterministic repeats —
     the materialization step after :func:`mixture_weights` decides a
@@ -620,8 +717,28 @@ def epoch_upsample(
     :func:`mixture_weights` pattern), the hash draw and the
     ``explode(sequence(...))`` are map-side row-local work, and the
     output streams straight to the shard writer. At 100 TB the cost is
-    the scan plus output volume — the theoretical floor for upsampling."""
+    the scan plus output volume — the theoretical floor for upsampling.
+
+    NULL epochs (e.g. a source that missed the epochs join) are NOT a
+    silent drop: by default the job FAILS with the offending id (a
+    mis-joined mixture table must not quietly shrink the corpus); pass
+    ``null_epochs=<factor>`` (typically 1.0) to opt into an explicit
+    fallback instead."""
     e = F.col(epochs_col) if isinstance(epochs_col, str) else epochs_col
+    if null_epochs is None:
+        e = F.when(e.isNotNull(), e).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "epoch_upsample: NULL epochs (mis-joined mixture "
+                        "table?) for id "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+    else:
+        e = F.coalesce(e, F.lit(float(null_epochs)))
     # u in [0,1): 2^32 exact in double; epochs rounded upstream ⇒ the
     # comparison is deterministic cross-engine
     u = portable_hash(id_col, seed).cast("double") / F.lit(4294967296.0)

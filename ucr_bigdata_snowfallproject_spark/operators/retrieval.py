@@ -53,6 +53,7 @@ __all__ = [
     "bm25_topk",
     "rrf_fuse",
     "eval_ranking",
+    "macro_average",
 ]
 
 
@@ -337,9 +338,12 @@ def eval_ranking(
     # fixed-point DCG term per hit: rank ≤ k ⇒ a k-entry integer table,
     # summed order-free in int64 (≤ k·10¹² per query — no overflow)
     gain = [int(math.floor(1e12 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)]
-    gain_fix = F.lit(0).cast("long")
-    for i in range(k, 0, -1):
-        gain_fix = F.when(F.col("__r") == i, F.lit(gain[i - 1])).otherwise(gain_fix)
+    # array-literal lookup, not a k-deep nested CASE chain: expression
+    # depth stays O(1) in k, so k=1000-style evals never hit codegen
+    # limits (element_at is 1-indexed; __r ∈ 1..k by the filter above)
+    gain_fix = F.element_at(
+        F.array(*[F.lit(g).cast("long") for g in gain]), F.col("__r").cast("int")
+    )
     per = hits.withColumn("__g", gain_fix).groupBy("__q").agg(
         F.count(F.lit(1)).alias("n_hit"),
         F.min("__r").alias("__first"),
@@ -349,11 +353,12 @@ def eval_ranking(
     prefix = [0]
     for g in gain:
         prefix.append(prefix[-1] + g)
-    idcg_fix = F.lit(prefix[1]).cast("long")
-    for i in range(2, k + 1):
-        idcg_fix = F.when(
-            F.least(F.col("n_rel"), F.lit(k)) == i, F.lit(prefix[i])
-        ).otherwise(idcg_fix)
+    # same array-lookup shape: index the IDCG prefix table by
+    # min(n_rel, k) ∈ 1..k (n_rel ≥ 1 — it comes from a groupBy)
+    idcg_fix = F.element_at(
+        F.array(*[F.lit(p).cast("long") for p in prefix[1:]]),
+        F.least(F.col("n_rel"), F.lit(k)).cast("int"),
+    )
     out = nrel.join(per, "__q", "left")
     z = F.coalesce(F.col("n_hit"), F.lit(0))
     return out.select(
@@ -370,4 +375,33 @@ def eval_ranking(
             / idcg_fix.cast("double"),
             round_digits,
         ).alias("ndcg_k"),
+    )
+
+
+def macro_average(
+    per: DataFrame,
+    metric_cols: tuple[str, ...] = ("recall_k", "precision_k", "mrr_k", "ndcg_k"),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Macro-average :func:`eval_ranking` output into the one-row
+    dashboard frame (n_queries, macro_<metric>…). Because eval_ranking
+    keeps zero-metric rows for unanswered queries, the macro can never be
+    inflated by silent query drops — averaging over rows IS averaging
+    over the full query set.
+
+    Determinism: the per-query metrics are already ``round_digits``-digit
+    decimals, so lifting them onto the 10^round_digits fixed-point
+    integer grid is EXACT; the macro is an order-free long sum and ONE
+    float division (``F.avg`` over doubles would be accumulation-order-
+    dependent on a rounding boundary — the repo-wide
+    fixed-point-before-sum discipline)."""
+    p = float(10**round_digits)
+
+    def _macro(c: str) -> F.Column:
+        fix = F.round(F.col(c) * F.lit(p)).cast("long")
+        return F.round(F.sum(fix) / (F.count(F.lit(1)) * F.lit(p)), round_digits)
+
+    return per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        *[_macro(c).alias(f"macro_{c.removesuffix('_k')}") for c in metric_cols],
     )

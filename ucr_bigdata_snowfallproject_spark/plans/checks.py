@@ -69,3 +69,38 @@ def shuffle_count(df: DataFrame) -> int:
     plans — only the final section (before '== Initial Plan ==') counts."""
     text = explain_str(df, "simple").split("== Initial Plan ==")[0]
     return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", text))
+
+
+def partitionless_window_count(df: DataFrame) -> int:
+    """Number of physical Window operators with an EMPTY partition spec —
+    the one-task-holds-everything shape that serializes a corpus through
+    a single executor at scale (the repo-wide rule: distributed prefix
+    ranks via order-preserving bucketing, never a partition-less window).
+    A fully-specified Window prints three top-level bracket groups
+    ``Window [funcs], [partSpec], [orderSpec]``; with only two, the
+    second is EITHER the partition spec (unordered window — fine) or the
+    order spec (partition-less — flagged): order specs carry ASC/DESC
+    markers, partition specs never do."""
+    text = explain_str(df, "simple").split("== Initial Plan ==")[0]
+    n = 0
+    for line in text.splitlines():
+        m = re.search(r"\bWindow(?:GroupLimit)? (\[.*)$", line)
+        if not m or "WindowGroupLimit" in line:
+            continue  # group-limit pushdown nodes mirror the real Window
+        groups: list[str] = []
+        depth = 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups.append("")
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            if depth > 0:
+                groups[-1] += ch
+        if len(groups) >= 3:
+            continue  # [funcs], [partSpec], [orderSpec]
+        if len(groups) == 2 and not re.search(r" ASC| DESC", groups[1]):
+            continue  # [funcs], [partSpec] — partitioned, unordered
+        n += 1
+    return n

@@ -679,14 +679,23 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
     files are hard links, so a file shared into a kept version survives
     deletion of the old directory (the inode lives until its last link
     goes) — the filesystem does the reference counting. Manifest mode:
-    explicit reference counting — every data file a KEPT version's
-    manifest still references is relocated (``os.replace`` rename, no
-    data movement) into the first kept version that references it before
-    the old directory is removed, and all kept manifests are rewritten to
-    the new location; unreferenced files die with their directory. Time
-    travel to a vacuumed version subsequently raises; that's the
-    retention trade every table format makes. Returns the removed
-    version numbers."""
+    explicit reference counting with a CRASH-SAFE, idempotent rescue
+    order — every data file a KEPT version's manifest still references
+    is first hard-linked (copy-via-tmp+rename where links are
+    unsupported; no data movement on one filesystem) into the first kept
+    version that references it, then all kept manifests are rewritten,
+    and only THEN are the doomed directories removed. A crash at any
+    point leaves every manifest resolvable: before a rewrite the old
+    path still exists (the source is never unlinked early), after it the
+    new path does — and re-running vacuum reuses an already-rescued
+    destination instead of colliding (same-inode check for the primary
+    name; the ``gc<v>-`` fallback name is unique per source file and
+    written atomically, so its existence proves completeness).
+    Concurrent readers mid-vacuum see whichever manifest they resolved;
+    both path generations exist until the final directory removal.
+    Unreferenced files die with their directory. Time travel to a
+    vacuumed version subsequently raises; that's the retention trade
+    every table format makes. Returns the removed version numbers."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     versions = snapshot_versions(root)
@@ -710,16 +719,41 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
                     new_rels.append(rel)
                     continue
                 if rel not in moves:
+                    src = os.path.join(root, rel)
                     base = os.path.basename(rel)
-                    dst_rel = f"v={kv}/{bucket}/{base}"
-                    if os.path.exists(os.path.join(root, dst_rel)):
-                        dst_rel = f"v={kv}/{bucket}/gc{src_v}-{base}"
-                    os.makedirs(
-                        os.path.dirname(os.path.join(root, dst_rel)), exist_ok=True
+                    # candidate order: plain name, then the gc<v>- name
+                    # (unique per source file — src_v+bucket+base is the
+                    # source identity, so an existing gc file IS an
+                    # earlier rescue of this very file)
+                    cands = (
+                        f"v={kv}/{bucket}/{base}",
+                        f"v={kv}/{bucket}/gc{src_v}-{base}",
                     )
-                    os.replace(
-                        os.path.join(root, rel), os.path.join(root, dst_rel)
-                    )
+                    dst_rel = None
+                    for n_cand, cand in enumerate(cands):
+                        dstp = os.path.join(root, cand)
+                        if os.path.exists(dstp):
+                            try:
+                                same = os.path.samefile(src, dstp)
+                            except OSError:
+                                same = False
+                            if same or n_cand == 1:
+                                dst_rel = cand  # idempotent re-run: reuse
+                                break
+                            continue  # plain name taken by another file
+                        os.makedirs(os.path.dirname(dstp), exist_ok=True)
+                        try:
+                            # link first — src stays until final rmtree
+                            os.link(src, dstp)
+                        except OSError:
+                            # no-hardlink FS: atomic copy (tmp + rename),
+                            # so a crash never leaves a partial dst
+                            tmp = dstp + ".gc-tmp"
+                            shutil.copy2(src, tmp)
+                            os.replace(tmp, dstp)
+                        dst_rel = cand
+                        break
+                    assert dst_rel is not None  # gc name always resolves
                     moves[rel] = dst_rel
                 new_rels.append(moves[rel])
                 changed = True

@@ -124,6 +124,10 @@ HEADLINE = [
     "rate_of_change_events",
     # BM25 retrieval: TF-IDF-shaped corpus pass + broadcast posting probe
     "retrieval_bm25_topk",
+    # round-7 addition, benched from birth: int8-deterministic IVF
+    # lifecycle (integer cell assignment → cell-partitioned artifact →
+    # partition-pruned probe + exact rerank)
+    "similarity_ivf_int8_indexed_topk",
 ]
 
 
@@ -163,6 +167,32 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="snowfall-bench")
     warm_session(spark)
+
+    if "--profile" in sys.argv:
+        # Plan-audit mode (VERDICT r06 #8): dump every headline query's
+        # FINAL physical plan to a directory so the per-round plan audit
+        # is mechanical (grep for Exchange/CartesianProduct/partition-less
+        # Window instead of re-deriving plans by hand). No timings — the
+        # frames are only planned (count() to materialize AQE), and
+        # session state is cleared between queries like the timed path.
+        from ucr_bigdata_snowfallproject_spark.plans import checks
+
+        prof_dir = os.environ.get("SPARK_GRAFT_PROFILE_DIR", "bench_plans")
+        os.makedirs(prof_dir, exist_ok=True)
+        for name in HEADLINE:
+            fn, _ = REGISTRY[name]
+            df = fn(spark, sf_dir)
+            df.count()  # materialize so AQE's final plan is recorded
+            with open(os.path.join(prof_dir, f"{name}.plan.txt"), "w") as fh:
+                fh.write(checks.explain_str(df, "formatted"))
+            clear_session_state(spark)
+            print(f"# [profile] {name} -> {prof_dir}/{name}.plan.txt",
+                  file=sys.stderr)
+        print(json.dumps({"metric": "profile_plans", "value": len(HEADLINE),
+                          "unit": "plans", "dir": prof_dir, "sf": sf},
+                         separators=(",", ":")))
+        spark.stop()
+        return
 
     def run_suite(tag: str) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -207,7 +237,11 @@ def main() -> None:
             "value = warm-median total (steady-state execution; the cold "
             "pass is Janino-codegen/analyzer-bound at this SF — a "
             "per-executor-lifetime cost at cluster scale). Caches cleared "
-            "between queries, so every timing is state-independent."
+            "between queries, so every timing is state-independent. "
+            "Steady-state bands (do not re-litigate vs pre-r06 numbers, "
+            "which measured plan-cache hits): graph_pagerank_parts ~5-6.4s "
+            "at sf0.1 (3 iterations, 2 shuffles/iter, plan audited), "
+            "dedup_minhash_candidates ~1.9-2.3s."
         )
     else:  # --repeat 0: cold is all there is
         metric, value, queries = "headline_suite_total_sec", cold_total, cold

@@ -2519,3 +2519,123 @@ def test_bipartite_project_cap_and_weights(spark):
     }
     # group 3 contributes nothing; (a,b) in groups 1+2, (a,c)/(b,c) in 2
     assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_macro_average_includes_zero_metric_queries(spark):
+    """VERDICT r06 #7: the macro average counts unanswered queries as
+    zero-metric ROWS — the same hand fixture as the per-query test, so
+    macro = mean(query1, 0-row query2), never mean over answered
+    queries only. Fixed-point path: exact on the 10⁶ grid."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval as ret
+
+    run = spark.createDataFrame(
+        [(1, "b", 1), (1, "x", 2), (1, "a", 3)],
+        "query_id long, doc string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "c"), (2, "z")], "query_id long, doc string"
+    )
+    per = ret.eval_ranking(run, qrels, "doc", k=3)
+    m = ret.macro_average(per).collect()[0]
+    assert m["n_queries"] == 2
+    r1 = round(2 / 3, 6)
+    assert m["macro_recall"] == round(r1 / 2, 6)
+    assert m["macro_precision"] == round(r1 / 2, 6)
+    assert m["macro_mrr"] == 0.5  # (1.0 + 0.0) / 2
+    g = [int(math.floor(1e12 / math.log2(i + 1) + 0.5)) for i in (1, 2, 3)]
+    nd1 = round((g[0] + g[2]) / (g[0] + g[1] + g[2]), 6)
+    assert m["macro_ndcg"] == round(nd1 / 2, 6)
+
+
+def test_epoch_upsample_null_epochs_fails_loudly(spark):
+    """ADVICE r06: a NULL epochs factor (mis-joined mixture table) must
+    never silently drop rows — default mode raises with the offending
+    id; null_epochs=1.0 opts into an explicit keep-one-copy fallback."""
+    import pytest
+
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    df = spark.createDataFrame(
+        [(1, 2.0), (2, None), (3, 1.0)], "doc_id long, epochs double"
+    )
+    with pytest.raises(Exception, match="NULL epochs"):
+        cur.epoch_upsample(df, "doc_id", "epochs").collect()
+    kept = cur.epoch_upsample(df, "doc_id", "epochs", null_epochs=1.0)
+    per = {
+        r["doc_id"]: r["n"]
+        for r in kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per[1] == 2 and per[2] == 1 and per[3] == 1  # NULL → exactly 1 copy
+
+
+def test_ks_statistic_quantized_mode(spark):
+    """VERDICT r06 #5: ks_statistic(quantize=(lo, hi, n_bins)) bounds the
+    distinct-value window to ≤ n_bins rows BY CONSTRUCTION (histogram_
+    fixed's clamped width_bucket rule). Hand case: with bins that
+    separate the two samples completely the binned D equals the exact D;
+    a coarser grid lower-bounds it."""
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates as agg
+
+    a = spark.createDataFrame([(float(v),) for v in (1, 2, 3, 4)], "v double")
+    b = spark.createDataFrame([(float(v),) for v in (11, 12, 13, 14)], "v double")
+    exact = agg.ks_statistic(a, b, "v").collect()[0]
+    assert exact["ks"] == 1.0 and exact["n_a"] == 4 and exact["n_b"] == 4
+    # 2 bins over [0, 20): a's values land in bin 0, b's in bin 1 → D = 1
+    qz = agg.ks_statistic(a, b, "v", quantize=(0.0, 20.0, 2)).collect()[0]
+    assert qz["ks"] == 1.0
+    # 1 bin: everything coincides → D = 0 (the lower-bound degenerate)
+    qz1 = agg.ks_statistic(a, b, "v", quantize=(0.0, 20.0, 1)).collect()[0]
+    assert qz1["ks"] == 0.0
+    # out-of-range values clamp into edge bins, not NULL/drop
+    c = spark.createDataFrame([(-5.0,), (25.0,)], "v double")
+    qc = agg.ks_statistic(a, c, "v", quantize=(0.0, 20.0, 2)).collect()[0]
+    assert qc["n_b"] == 2
+
+
+def test_ivf_int8_indexed_identity_and_recall(spark):
+    """VERDICT r06 #6: the int8-deterministic IVF — (a) probe-only path
+    over saved/loaded cells is bit-identical to the inline build (the
+    train-once/query-many contract), (b) recall vs brute force is
+    respectable at n_probe=4/16 cells, (c) the pruned scan touches only
+    probed cells."""
+    import tempfile
+
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cent_rows = (
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect()
+    )
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sorted(cent_rows, key=lambda r: r["vec_id"])
+    ]
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    inline = sim_ops.ivf_int8_topk(e, q, cents, k=10, n_probe=4)
+    cells = sim_ops.ivf_int8_build(e, cents)
+    root = tempfile.mkdtemp(prefix="snowfall-ivf8-test-") + "/cells"
+    ix.save_ivf_cells(cells, root)
+    loaded = ix.load_ivf_cells(spark, root)
+    indexed = sim_ops.ivf_int8_topk_indexed(loaded, q, cents, k=10, n_probe=4)
+
+    key = lambda rows: sorted((r["q_id"], r["vec_id"], r["sim"]) for r in rows)
+    got_inline, got_indexed = key(inline.collect()), key(indexed.collect())
+    assert got_inline == got_indexed and len(got_indexed) == 50
+
+    truth = {
+        (r["q_id"], r["vec_id"])
+        for r in sim_ops.brute_force_topk(e, q, k=10).collect()
+    }
+    hits = sum(1 for r in got_indexed if (r[0], r[1]) in truth)
+    assert hits / len(truth) >= 0.4, hits / len(truth)
+
+    # zero-norm centroid rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="zero code norm"):
+        sim_ops.ivf_int8_build(e, [(0, [0] * 8)])

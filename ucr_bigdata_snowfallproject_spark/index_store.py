@@ -119,18 +119,80 @@ def save_ivf_cells(cells: DataFrame, root: str) -> int:
     return v
 
 
+def append_ivf_cells(
+    cells_delta: DataFrame, root: str
+) -> int:
+    """Incrementally extend a persisted inverted file with NEW vectors —
+    O(batch), never O(corpus): the delta's cell assignments (from
+    :func:`~.operators.similarity.ivf_int8_build` over the batch with the
+    SAME centroid codes) land in a new version directory, and a compose
+    manifest (``_compose.json``, underscore-hidden from parquet readers)
+    re-references every earlier member directory — existing cell files
+    are never rewritten or copied. Because int8 cell assignment is
+    per-row deterministic, append == full rebuild row-for-row, so the
+    incremental artifact shares the full build's SQL oracle.
+
+    Contract: delta ids must be NEW (same rule as ``append_bm25_delta``).
+    Compact a long compose chain via
+    ``save_ivf_cells(load_ivf_cells(...), new_root)`` — and do NOT
+    ``vacuum_snapshots`` a composed root directly: earlier versions are
+    live members of the latest view, not superseded history."""
+    import json
+    import os
+
+    versions = snapshot_table.snapshot_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no snapshots under {root}")
+    latest = snapshot_table.latest_version(root)
+    prev = _read_ivf_compose(root, latest)
+    v = versions[-1] + 1
+    from pyspark.sql import functions as F
+
+    (
+        cells_delta.repartition(F.col("__cell"))
+        .write.mode("errorifexists")
+        .partitionBy("__cell")
+        .parquet(os.path.join(root, f"v={v}"))
+    )
+    with open(os.path.join(root, f"v={v}", "_compose.json"), "w") as fh:
+        json.dump({"includes": [*prev, v]}, fh)
+    snapshot_table._write_marker(root, v)
+    return v
+
+
+def _read_ivf_compose(root: str, version: int) -> list[int]:
+    """Member version dirs of an IVF view: the version's compose manifest,
+    or just itself for plain :func:`save_ivf_cells` versions."""
+    import json
+    import os
+
+    p = os.path.join(root, f"v={version}", "_compose.json")
+    if os.path.exists(p):
+        return list(json.load(open(p))["includes"])
+    return [version]
+
+
 def load_ivf_cells(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """The stored inverted file as a DataFrame (``__cell`` recovered from
     the directory layout) — feed to :func:`~.operators.similarity.
-    ivf_topk_indexed` together with the matching saved centroids."""
+    ivf_topk_indexed` together with the matching saved centroids. A
+    version written by :func:`append_ivf_cells` resolves through its
+    compose manifest to the UNION of its member directories (each member
+    read keeps its own partition discovery, so ``__cell`` pruning pushes
+    into every branch)."""
     v = snapshot_table.latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots under {root}")
     import os
+    from functools import reduce
 
-    return spark.read.parquet(os.path.join(root, f"v={v}"))
+    parts = [
+        spark.read.parquet(os.path.join(root, f"v={m}"))
+        for m in _read_ivf_compose(root, v)
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def save_minhash_index(banded: DataFrame, root: str, n_files: int = 8) -> int:

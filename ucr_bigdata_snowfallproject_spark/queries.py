@@ -1402,6 +1402,40 @@ def similarity_ivf_int8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFr
     return sim_ops.ivf_int8_topk_indexed(loaded, q, centroid_codes, k=10, n_probe=4)
 
 
+@register("similarity_ivf_int8_incremental", _IVF_INT8_ORACLE)
+def similarity_ivf_int8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL maintenance of the int8 IVF artifact
+    (index_store.append_ivf_cells): build the inverted file from 80% of
+    the corpus, append the remaining 20% as an O(batch) delta version
+    (the compose manifest re-references the base cell files — zero bytes
+    rewritten), and probe the composed view. int8 cell assignment is
+    per-row deterministic, so incremental == full rebuild row-for-row
+    and this query shares the FULL-corpus SQL oracle — the
+    index-maintenance contract (the BM25 append's twin for the ANN
+    family) externally hash-checked. Cell pruning pushes into every
+    compose member (each keeps its own partition discovery)."""
+    from . import index_store as ix
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect()
+    )
+    centroid_codes = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sorted(cent_rows, key=lambda r: r["vec_id"])
+    ]
+    base = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    root = _scratch_dir("snowfall-ivf8i-") + "/cells"
+    ix.save_ivf_cells(sim_ops.ivf_int8_build(base, centroid_codes), root)
+    ix.append_ivf_cells(sim_ops.ivf_int8_build(delta, centroid_codes), root)
+    loaded = ix.load_ivf_cells(spark, root)
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    return sim_ops.ivf_int8_topk_indexed(loaded, q, centroid_codes, k=10, n_probe=4)
+
+
 # =========================================================================
 # Flagship (SURVEY §7.1): monthly median measures + dimension join
 # =========================================================================
@@ -6608,7 +6642,12 @@ _GATED_WINDOW = [
     # its edge-building join is a sub-plan of the new entry) for the
     # round-6-built co-purchase projection — the graph-CONSTRUCTION step
     # the pagerank/triangle queries consume:
-    "histogram_totalprice_by_priority",
+    # histogram_totalprice_by_priority rotated out in round 7b (r06
+    # driver-green; the distribution-diagnostics family keeps
+    # skew_stats_events_by_user gated plus the incoming profile_documents)
+    # for the round-7-built incremental IVF maintenance entry — append ==
+    # full rebuild under the full-corpus oracle:
+    "similarity_ivf_int8_incremental",
     # --- round-5f rotation: the BM25 retrieval and key-skew-diagnostic
     # families earn first driver rows. Rotated out: text_language_id
     # (text-signal family keeps text_stats_documents, text_redact_pii,

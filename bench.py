@@ -130,6 +130,8 @@ HEADLINE = [
     # incremental-append maintenance path
     "similarity_ivf_int8_indexed_topk",
     "similarity_ivf_int8_incremental",
+    # exported-weights quality logit: pure column fold, scan speed
+    "curation_quality_linear",
 ]
 
 

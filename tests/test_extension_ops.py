@@ -2721,3 +2721,37 @@ def test_ivf_int8_append_matches_full_rebuild(spark, tmp_path):
     # time travel: version 0 still reads as just the base
     v0 = ix.load_ivf_cells(spark, root, version=0)
     assert v0.count() == base.count()
+
+
+def test_export_linear_scorer_matches_mllib(spark):
+    """ml.quality.export_linear_scorer: folding the scaler into raw-
+    feature weights reproduces the MLlib pipeline's probabilities —
+    sigmoid(exported logit) == score_quality's quality_prob (within
+    fold-order float tolerance) — so the shipped-config apply path
+    (score_quality_linear, zero MLlib) is a faithful stand-in for the
+    trained model."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.ml import quality as q
+
+    d = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "text", "lang")
+        .withColumn("__label", (F.col("lang") == "en").cast("double"))
+    )
+    model = q.train_quality_classifier(d, "text", "__label")
+    w = q.export_linear_scorer(model)
+    assert set(w) == {*q.QUALITY_FEATURES, "__intercept"}
+
+    probs = {
+        r["doc_id"]: r["quality_prob"]
+        for r in q.score_quality(model, d, "text").collect()
+    }
+    logits = {
+        r["doc_id"]: r["quality_logit"]
+        for r in q.score_quality_linear(d, "text", w, round_digits=8).collect()
+    }
+    assert probs.keys() == logits.keys() and probs
+    for k in probs:
+        p = 1.0 / (1.0 + math.exp(-logits[k]))
+        assert abs(p - probs[k]) < 2e-4, (k, p, probs[k])

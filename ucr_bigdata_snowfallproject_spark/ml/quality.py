@@ -134,3 +134,52 @@ def quality_filter(
     return score_quality(model, df, text_col).filter(
         F.col("quality_prob") >= threshold
     )
+
+
+def export_linear_scorer(model: PipelineModel) -> dict[str, float]:
+    """Export the trained classifier as a PLAIN weight dict over the raw
+    :data:`QUALITY_FEATURES` (scaler folded in: ``w_i' = w_i/σ_i``,
+    ``b' = b − Σ w_i·μ_i/σ_i``) plus ``__intercept`` — the shipped-config
+    artifact of the fastText-filter recipe. Training stays an MLlib job;
+    APPLYING the model needs none of MLlib: the exported weights drive
+    :func:`score_quality_linear`'s pure column expressions, engine-
+    portable and cheap enough to inline into any scan (the
+    train-offline / score-as-config production split)."""
+    scaler = model.stages[1]
+    lr = model.stages[2]
+    coef = lr.coefficients.toArray()
+    mean = scaler.mean.toArray()
+    std = scaler.std.toArray()
+    out: dict[str, float] = {}
+    b = float(lr.intercept)
+    for i, name in enumerate(QUALITY_FEATURES):
+        s = float(std[i]) if float(std[i]) != 0.0 else 1.0
+        out[name] = float(coef[i]) / s
+        b -= float(coef[i]) * float(mean[i]) / s
+    out["__intercept"] = b
+    return out
+
+
+def score_quality_linear(
+    df: DataFrame,
+    text_col: str,
+    weights: dict[str, float],
+    out_col: str = "quality_logit",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Score documents with an EXPORTED weight artifact
+    (:func:`export_linear_scorer`, or any fixed published weights): the
+    raw-feature logit ``b + Σ w_i·f_i`` as one left-folded column
+    expression — zero MLlib, zero UDFs, scan speed at 100 TB, and fully
+    deterministic (each feature is a ratio of exact integers; the fold
+    order is fixed by construction, so the double arithmetic is
+    bit-identical in any engine — a DuckDB oracle hash-matches the
+    ROUNDED logit). The sigmoid is intentionally NOT applied: exp() is
+    only 1-ulp-accurate and libm-dependent, while thresholding is
+    monotone in the logit anyway (prob ≥ p ⟺ logit ≥ ln(p/(1−p)))."""
+    feats = featurize(df, text_col)
+    logit: F.Column = F.lit(float(weights["__intercept"]))
+    for name in QUALITY_FEATURES:
+        logit = logit + F.lit(float(weights[name])) * F.col(name)
+    keep = [c for c in df.columns]
+    return feats.select(*keep, F.round(logit, round_digits).alias(out_col))

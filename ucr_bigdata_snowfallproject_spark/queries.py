@@ -6426,6 +6426,76 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The shipped quality-filter weight artifact (the fastText-filter
+#: production split: train_quality_classifier runs offline/rows-only,
+#: export_linear_scorer emits THIS shape, deploys apply it as config).
+#: Fixed literals here so the apply path is externally hash-checkable.
+_QUALITY_WEIGHTS = {
+    "f_len": 0.0004,
+    "f_n_tokens": 0.002,
+    "f_mean_token_len": 0.25,
+    "f_stopword_ratio": 3.0,
+    "f_punct_density": -2.0,
+    "f_digit_density": -4.0,
+    "f_upper_density": -1.5,
+    "f_space_density": 0.8,
+    "__intercept": -1.2,
+}
+
+
+@register(
+    "curation_quality_linear",
+    r"""
+    WITH d AS (SELECT doc_id, COALESCE(text, '') AS c FROM documents),
+    f AS (
+      SELECT doc_id,
+        CAST(length(c) AS DOUBLE) AS f_len,
+        CAST(len(regexp_split_to_array(lower(trim(c)), '\s+')) AS DOUBLE)
+          AS f_n_tokens,
+        length(regexp_replace(c, '\s+', '', 'g'))
+          / GREATEST(len(regexp_split_to_array(lower(trim(c)), '\s+')), 1)
+          AS f_mean_token_len,
+        len(list_filter(regexp_split_to_array(lower(trim(c)), '\s+'),
+            t -> t IN ('the','a','of','and','to','in','is','it')))
+          / len(regexp_split_to_array(lower(trim(c)), '\s+'))
+          AS f_stopword_ratio,
+        length(regexp_replace(c, '[^.,;:!?]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_punct_density,
+        length(regexp_replace(c, '[^0-9]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_digit_density,
+        length(regexp_replace(c, '[^A-Z]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_upper_density,
+        length(regexp_replace(c, '[^ ]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_space_density
+      FROM d)
+    SELECT doc_id,
+           ROUND(-1.2 + 0.0004 * f_len + 0.002 * f_n_tokens
+                 + 0.25 * f_mean_token_len + 3.0 * f_stopword_ratio
+                 + -2.0 * f_punct_density + -4.0 * f_digit_density
+                 + -1.5 * f_upper_density + 0.8 * f_space_density, 6)
+             AS quality_logit
+    FROM f
+    """,
+)
+def curation_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, the APPLY half (ml.quality.
+    score_quality_linear): the exported fastText-style weight artifact
+    (_QUALITY_WEIGHTS — what export_linear_scorer emits from the MLlib
+    training job) drives a pure-column raw-feature logit at scan speed —
+    zero MLlib, zero UDFs, zero shuffle. Every feature is a ratio of
+    exact integers and the multiply-add fold order is fixed, so the
+    rounded logit is engine-bit-identical (the sigmoid is deliberately
+    omitted: exp() is libm-dependent, and keep/drop thresholds are
+    monotone in the logit). Training stays the rows-only MLlib path; the
+    production filter decision is THIS externally-hash-checked scan."""
+    from .ml.quality import score_quality_linear
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality_linear(d, "text", _QUALITY_WEIGHTS).select(
+        "doc_id", "quality_logit"
+    )
+
+
 # =========================================================================
 # Registry ordering: the driver's correctness gate checks the FIRST 50
 # entries in registration order. Round 1 spent 11 of those slots on
@@ -6562,7 +6632,12 @@ _GATED_WINDOW = [
     # --- oracle-backed, ungated in round 1 (registration slots 50-88) ---
     "correlated_subquery_above_custavg",
     "scalar_date_arithmetic",
-    "global_scalar_aggregates",
+    # global_scalar_aggregates rotated out in round 7c (r06 driver-green;
+    # the aggregate family keeps q1_pricing_summary gated plus the
+    # incoming group_quantiles_lineitem + profile_documents) for the
+    # round-7-built exported-weights quality scorer — the fastText-filter
+    # APPLY path as pure column math under a full oracle:
+    "curation_quality_linear",
     "salted_group_agg_matches_plain",
     "pandas_udf_vowel_ratio",
     "from_json_events_props",

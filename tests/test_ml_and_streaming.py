@@ -885,3 +885,100 @@ def test_stream_sq8_flags_match_batch_probe(spark, tmp_path_factory):
     ).toPandas()
     got = {(r.vec_id, r.matched_id, r.sim) for r in flags.itertuples(index=False)}
     assert got == want
+
+
+def test_quality_linear_scoring_streaming_safe(spark, tmp_path_factory):
+    """The exported-weights quality scorer (ml.quality.
+    score_quality_linear) is a pure column fold, so it applies to a
+    document STREAM unchanged — the ingest-time quality-filter shape
+    (score every arriving doc against the shipped weight artifact, no
+    model server, no state). Micro-batched result == batch run,
+    bit-for-bit."""
+    from ucr_bigdata_snowfallproject_spark.ml.quality import score_quality_linear
+    from ucr_bigdata_snowfallproject_spark.queries import _QUALITY_WEIGHTS
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    stream_dir = str(tmp_path_factory.mktemp("docs-quality-stream"))
+    d.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+
+    def xform(df):
+        return score_quality_linear(
+            df.select("doc_id", "text"), "text", _QUALITY_WEIGHTS
+        ).select("doc_id", "quality_logit")
+
+    got = {
+        (r.doc_id, r.quality_logit)
+        for r in run_to_memory_sink(xform(stream), "quality_stream")
+        .toPandas()
+        .itertuples(index=False)
+    }
+    want = {(r["doc_id"], r["quality_logit"]) for r in xform(d).collect()}
+    assert got == want and got
+
+
+def test_stream_ivf_int8_flags_match_batch_probe(spark, tmp_path_factory):
+    """Streaming consumer of the int8-deterministic inverted file (incl.
+    a composed incremental-append view): the stream flags exactly the
+    pairs the same probe computes in batch, and a planted clone of an
+    indexed vector is always flagged (cosine 1.0 within its own cell —
+    identical int8 codes land in the identical cell)."""
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+    from ucr_bigdata_snowfallproject_spark.operators import similarity as sim
+    from ucr_bigdata_snowfallproject_spark.streaming.embeddings import (
+        read_embedding_stream,
+        stream_ivf_int8_near_dup_flags,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    corpus = e.filter(F.col("vec_id") < 400)
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sim.quantize_embeddings(
+            corpus.filter(F.col("vec_id") < 8), "vec_id"
+        ).select("vec_id", "codes").collect()
+    ]
+    root = str(tmp_path_factory.mktemp("ivf8-stream")) + "/cells"
+    ix.save_ivf_cells(
+        sim.ivf_int8_build(corpus.filter(F.col("vec_id") < 300), cents), root
+    )
+    ix.append_ivf_cells(
+        sim.ivf_int8_build(
+            corpus.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)),
+            cents,
+        ),
+        root,
+    )
+    cells = ix.load_ivf_cells(spark, root)  # composed static side
+
+    clones = corpus.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    new = (
+        e.filter(F.col("vec_id") >= 400)
+        .select("vec_id", "embedding")
+        .unionByName(clones)
+    )
+
+    want = {
+        (r.vec_id, r.matched_id, r.sim)
+        for r in stream_ivf_int8_near_dup_flags(
+            new, cells, cents, threshold=0.98
+        ).collect()
+    }
+    assert any(v >= 10000 and s == 1.0 for v, _m, s in want)  # clones hit
+
+    stream_dir = str(tmp_path_factory.mktemp("vec8-stream"))
+    new.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_embedding_stream(spark, stream_dir, max_files_per_trigger=1)
+    flags = run_to_memory_sink(
+        stream_ivf_int8_near_dup_flags(stream, cells, cents, threshold=0.98),
+        "ivf8_flags",
+    ).toPandas()
+    got = {(r.vec_id, r.matched_id, r.sim) for r in flags.itertuples(index=False)}
+    assert got == want

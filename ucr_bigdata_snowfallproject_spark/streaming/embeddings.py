@@ -212,3 +212,96 @@ def stream_sq8_near_dup_flags(
             "sim",
         )
     )
+
+
+def stream_ivf_int8_near_dup_flags(
+    vec_stream: DataFrame,
+    cells: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 4,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Streaming consumer of the int8-deterministic inverted file
+    (:func:`~..operators.similarity.ivf_int8_build`, persisted/reloaded
+    via ``index_store.save_ivf_cells``/``load_ivf_cells`` incl. composed
+    incremental-append views): flag arriving vectors whose exact cosine
+    to an indexed vector within their ``n_probe`` best cells is ≥
+    ``threshold``.
+
+    Differences from the batch probe (``ivf_int8_topk_indexed``): no
+    driver-side probed-cell collect (an unbounded stream cannot collect)
+    — the stream-static equi-join on ``__cell`` prunes dynamically per
+    micro-batch instead — and no top-k window: this is the append-mode
+    threshold flagger, the same at-least-once set contract as the other
+    index probes. Everything is stateless (quantization + integer
+    centroid dots are scan-side; the Arrow matmul UDF is deterministic
+    exact int64), so the batch function IS the streaming function —
+    batch-twin identity pinned in tests."""
+    from ..operators.similarity import (
+        _int8_centroid_scores,
+        matrix_int_dots_udf,
+    )
+
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    # quantization INLINED as sibling columns (same formula as
+    # quantize_embeddings, element-identical — pinned in tests): joining
+    # a derived code frame back to vec_stream would be a stream-stream
+    # self-join needing watermarks/state for nothing. __maxabs
+    # materializes as a real column BEFORE the codes lambda (the O(len²)
+    # outer-expression-in-lambda hazard quantize_embeddings documents).
+    q = (
+        vec_stream.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+        .withColumn(
+            "__xs", F.transform(F.col("__qvec"), lambda x: x.cast("double"))
+        )
+        .withColumn("__maxabs", F.array_max(F.transform(F.col("__xs"), F.abs)))
+    )
+    m = F.col("__maxabs")
+    codes = F.when(
+        m > 0,
+        F.transform(
+            F.col("__xs"), lambda x: F.floor(x / m * 127 + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0)))
+    probes = (
+        q.withColumn("__qc", codes)
+        .drop("__xs", "__maxabs")
+        .withColumn("__qd", dots_udf(F.col("__qc")))
+        .select(
+            "__qid",
+            "__qvec",
+            "__qn",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            _int8_centroid_scores(F.col("__qd"), centroid_codes)
+                        ),
+                        lambda s: s.getField("cid"),
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("__cell"),
+        )
+    )
+    sim = dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cfn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        probes.join(cells, "__cell")
+        .withColumn("sim", sim)
+        .filter((F.col("sim") >= threshold) & (F.col("__qid") != F.col(id_col)))
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col(id_col).alias("matched_id"),
+            "sim",
+        )
+    )

@@ -2755,3 +2755,28 @@ def test_export_linear_scorer_matches_mllib(spark):
     for k in probs:
         p = 1.0 / (1.0 + math.exp(-logits[k]))
         assert abs(p - probs[k]) < 2e-4, (k, p, probs[k])
+
+
+def test_keep_best_survivor_policy(spark):
+    """dedup.keep_best: the survivor per key follows the caller's total
+    order (quality desc, id tiebreak), degenerating to exact_dedup's
+    min-id rule under [id asc]."""
+    from ucr_bigdata_snowfallproject_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [("k1", 1, 0.2), ("k1", 2, 0.9), ("k1", 3, 0.9),
+         ("k2", 4, 0.1), ("k3", 5, None)],
+        "k string, id long, q double",
+    )
+    best = {
+        r["k"]: r["id"]
+        for r in dd.keep_best(
+            df, ["k"], [F.col("q").desc_nulls_last(), F.col("id").asc()]
+        ).collect()
+    }
+    assert best == {"k1": 2, "k2": 4, "k3": 5}  # tie -> lower id; NULL kept
+    minid = {
+        r["k"]: r["id"]
+        for r in dd.keep_best(df, ["k"], [F.col("id").asc()]).collect()
+    }
+    assert minid == {"k1": 1, "k2": 4, "k3": 5}

@@ -6443,10 +6443,10 @@ _QUALITY_WEIGHTS = {
 }
 
 
-@register(
-    "curation_quality_linear",
-    r"""
-    WITH d AS (SELECT doc_id, COALESCE(text, '') AS c FROM documents),
+#: Shared oracle CTE: (doc_id, quality_logit) under _QUALITY_WEIGHTS —
+#: used by the scorer query and the quality-survivor dedup.
+_QUALITY_LOGIT_CTE = r"""
+    d AS (SELECT doc_id, COALESCE(text, '') AS c FROM documents),
     f AS (
       SELECT doc_id,
         CAST(length(c) AS DOUBLE) AS f_len,
@@ -6467,15 +6467,21 @@ _QUALITY_WEIGHTS = {
           AS f_upper_density,
         length(regexp_replace(c, '[^ ]', '', 'g')) / GREATEST(length(c), 1)
           AS f_space_density
-      FROM d)
-    SELECT doc_id,
-           ROUND(-1.2 + 0.0004 * f_len + 0.002 * f_n_tokens
-                 + 0.25 * f_mean_token_len + 3.0 * f_stopword_ratio
-                 + -2.0 * f_punct_density + -4.0 * f_digit_density
-                 + -1.5 * f_upper_density + 0.8 * f_space_density, 6)
-             AS quality_logit
-    FROM f
-    """,
+      FROM d),
+    ql AS (
+      SELECT doc_id,
+             ROUND(-1.2 + 0.0004 * f_len + 0.002 * f_n_tokens
+                   + 0.25 * f_mean_token_len + 3.0 * f_stopword_ratio
+                   + -2.0 * f_punct_density + -4.0 * f_digit_density
+                   + -1.5 * f_upper_density + 0.8 * f_space_density, 6)
+               AS quality_logit
+      FROM f)
+"""
+
+
+@register(
+    "curation_quality_linear",
+    f"WITH {_QUALITY_LOGIT_CTE} SELECT doc_id, quality_logit FROM ql",
 )
 def curation_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring, the APPLY half (ml.quality.
@@ -6494,6 +6500,49 @@ def curation_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality_linear(d, "text", _QUALITY_WEIGHTS).select(
         "doc_id", "quality_logit"
     )
+
+
+@register(
+    "dedup_quality_survivor",
+    f"""
+    WITH {_QUALITY_LOGIT_CTE},
+    fp AS (
+      SELECT doc_id, lang, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents)
+    SELECT doc_id, lang, source, quality_logit FROM (
+        SELECT fp.doc_id, fp.lang, fp.source, ql.quality_logit,
+               ROW_NUMBER() OVER (
+                 PARTITION BY fp.f
+                 ORDER BY ql.quality_logit DESC, fp.doc_id) AS rn
+        FROM fp JOIN ql USING (doc_id))
+    WHERE rn = 1
+    """,
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (dedup.keep_best): per normalized-text
+    fingerprint keep the BEST copy by the exported quality logit
+    (doc_id tiebreak) — the keep-the-best-copy survivor policy a
+    production dedup adopts the moment a quality signal exists
+    (exact_dedup's min-id rule is its [id asc] special case). Composes
+    two round-7 pieces — the columnar quality scorer feeds the survivor
+    order — in ONE plan: scan-speed scoring, one dedup-key shuffle,
+    row_number streaming per group. The ROUNDED logit is the order key
+    on both engines, so the survivor set is engine-bit-identical."""
+    from .ml.quality import score_quality_linear
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    scored = score_quality_linear(d, "text", _QUALITY_WEIGHTS).withColumn(
+        "__fp", text_ops.fingerprint("text")
+    )
+    out = dedup_ops.keep_best(
+        scored,
+        ["__fp"],
+        [F.col("quality_logit").desc(), F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "lang", "source", "quality_logit")
 
 
 # =========================================================================
@@ -6749,7 +6798,12 @@ _GATED_WINDOW = [
     "gsod_reference_pipeline",
     # --- oracle-converted / new in round 2 ---
     "dedup_embedding_cosine_blocked",
-    "text_redact_pii",
+    # text_redact_pii rotated out in round 7d (driver-green r02-r06; the
+    # text family keeps text_stats_documents + text_jsd_en_vs_rest gated
+    # plus four incoming text entries) for the round-7-built quality-
+    # survivor dedup — the keep-best-copy policy composing the exported
+    # quality scorer into the dedup survivor order:
+    "dedup_quality_survivor",
     # curation_decontaminate rotated out in round 6e (r05 driver-green;
     # curation keeps token_budget_mix, shard_assignments,
     # rag_prep_pipeline) for the round-6-built epochs materializer:

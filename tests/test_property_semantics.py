@@ -702,3 +702,96 @@ def test_ks_statistic_matches_scipy_formula(spark, xs, ys):
     )
     expected = math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
     assert row.ks == expected
+
+
+_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=500),   # doc id (deduped below)
+        st.sampled_from(["web", "book", "code"]),  # source
+        st.integers(min_value=1, max_value=40),    # token count
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_docs_strategy, budget=st.integers(min_value=1, max_value=300),
+       n_buckets=st.sampled_from([1, 2, 7, 64]))
+@settings(**_SETTINGS)
+def test_token_budget_mix_bucketed_matches_naive_window(
+    spark, rows, budget, n_buckets
+):
+    """VERDICT r06 #3 refactor guard: the bucketed two-pass prefix sum is
+    BIT-identical to the naive whole-source running-sum window at every
+    bucketing (incl. n_buckets=1, the degenerate single-bucket case)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    uniq = {}
+    for i, src, nt in rows:
+        uniq.setdefault(i, (src, nt))
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in uniq.items()],
+        "doc_id long, source string, n_tokens_in int",
+    )
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in cur.token_budget_mix(
+            df, "source", "doc_id", F.col("n_tokens_in"),
+            budget_tokens=budget, n_buckets=n_buckets,
+        ).collect()
+    }
+    # naive reference: one whole-source window
+    pri = cur.portable_hash("doc_id", "mix")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        df.withColumn("priority", pri)
+        .withColumn("n_tokens", F.col("n_tokens_in"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+    want = {(r.doc_id, r.cum_tokens) for r in naive.collect()}
+    assert got == want
+
+
+@given(rows=_docs_strategy, n_buckets=st.sampled_from([1, 3, 64]))
+@settings(**_SETTINGS)
+def test_interleave_bucketed_matches_naive_global_window(spark, rows, n_buckets):
+    """VERDICT r06 #2 refactor guard: the two-pass distributed interleave
+    rank equals the naive global row_number over ((i-1/2)/tot, source,
+    id) — the exact semantics the DuckDB oracle encodes — at every
+    bucketing."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    uniq = {}
+    for i, src, _ in rows:
+        uniq.setdefault(i, src)
+    df = spark.createDataFrame(
+        list(uniq.items()), "doc_id long, source string"
+    )
+    got = {
+        (r.doc_id, r.interleave_rank)
+        for r in cur.proportional_interleave(
+            df, "source", "doc_id", n_buckets=n_buckets
+        ).collect()
+    }
+    pri = cur.portable_hash("doc_id", "il")
+    w_src = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
+    totals = df.groupBy("source").agg(F.count(F.lit(1)).alias("__tot"))
+    ranked = df.withColumn("__i", F.row_number().over(w_src)).join(totals, "source")
+    frac = (F.col("__i") - F.lit(0.5)) / F.col("__tot")
+    w_all = Window.orderBy(frac.asc(), F.col("source").asc(), F.col("doc_id").asc())
+    naive = ranked.withColumn(
+        "interleave_rank", F.row_number().over(w_all).cast("int")
+    )
+    want = {(r.doc_id, r.interleave_rank) for r in naive.collect()}
+    assert got == want

@@ -2780,3 +2780,30 @@ def test_keep_best_survivor_policy(spark):
         for r in dd.keep_best(df, ["k"], [F.col("id").asc()]).collect()
     }
     assert minid == {"k1": 1, "k2": 4, "k3": 5}
+
+
+def test_sq8_append_matches_full_requantize(spark, tmp_path):
+    """index_store.append_sq8_codes: base + delta compose (zero-copy
+    manifest append) to exactly the full corpus quantization, and a probe
+    over the appended artifact is bit-identical to the inline two-stage
+    search over the whole corpus."""
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    base = e.filter(F.col("vec_id") % 4 != 0)
+    delta = e.filter(F.col("vec_id") % 4 == 0)
+    root = str(tmp_path / "sq8")
+    ix.save_sq8_codes(sim_ops.quantize_embeddings(base, "vec_id"), root)
+    ix.append_sq8_codes(sim_ops.quantize_embeddings(delta, "vec_id"), root)
+    loaded = ix.load_sq8_codes(spark, root)
+    full = sim_ops.quantize_embeddings(e, "vec_id")
+    key = lambda rows: sorted(
+        (r["vec_id"], tuple(r["codes"]), r["q_scale"]) for r in rows
+    )
+    assert key(loaded.collect()) == key(full.collect())
+
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    got = sim_ops.int8_rerank_topk(e, q, k=10, refine=4, corpus_codes=loaded)
+    want = sim_ops.int8_rerank_topk(e, q, k=10, refine=4)
+    rk = lambda rows: sorted((r["q_id"], r["vec_id"], r["sim"]) for r in rows)
+    assert rk(got.collect()) == rk(want.collect())

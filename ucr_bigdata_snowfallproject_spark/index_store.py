@@ -378,3 +378,18 @@ def load_sq8_codes(
     """Load a saved SQ8 code table (latest, or ``version`` for time
     travel) — bit-identical to what :func:`save_sq8_codes` stored."""
     return snapshot_table.read_snapshot(spark, root, version)
+
+
+def append_sq8_codes(
+    codes_delta: DataFrame, root: str, n_files: int = 2
+) -> int:
+    """Incrementally extend a saved SQ8 code table with NEW vectors'
+    codes — O(batch) via the snapshot layer's zero-copy APPEND (the new
+    version's manifest re-references every existing code file; only the
+    delta's files are written). Per-vector quantization is row-local, so
+    append == full re-quantization row-for-row — the same maintenance
+    contract as ``append_bm25_delta``/``append_ivf_cells``. Ids must be
+    NEW (re-appending an id would duplicate its coarse-scan row)."""
+    return snapshot_table.append_snapshot(
+        codes_delta.coalesce(n_files), root
+    )

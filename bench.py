@@ -132,6 +132,8 @@ HEADLINE = [
     "similarity_ivf_int8_incremental",
     # exported-weights quality logit: pure column fold, scan speed
     "curation_quality_linear",
+    # quality-ordered dedup survivor: scoring fold + one key shuffle
+    "dedup_quality_survivor",
 ]
 
 

@@ -6075,6 +6075,57 @@ def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ks_drift_totalprice_quantized",
+    """
+    WITH src AS (
+      SELECT o_orderpriority,
+             0.0 + LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                        / 9375.0), 0), 63) * 9375.0 AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), a AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM src WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ), b AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM src WHERE o_orderpriority = '5-LOW' GROUP BY 1
+    ), m AS (
+      SELECT v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b USING (v)
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+             SUM(cb) OVER (ORDER BY v) AS ccb
+      FROM m
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM m
+    )
+    SELECT FLOOR(CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ks,
+           na AS n_a, nb AS n_b
+    FROM cum, tot GROUP BY na, nb
+    """,
+)
+def ks_drift_totalprice_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB mode of the KS drift test (VERDICT r06 #5):
+    aggregates.ks_statistic with quantize=(0, 600000, 64) — values snap
+    to histogram_fixed's clamped width_bucket edges first, so the
+    distinct-value window is bounded by 64 rows BY CONSTRUCTION at any
+    corpus size (binned D is the standard lower bound on exact D).
+    Bucket edges are exact multiples of 9375.0 — engine-identical
+    doubles — and the supremum stays on the integer lattice."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+    return aggregates.ks_statistic(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        o.filter(F.col("o_orderpriority") == "5-LOW"),
+        "o_totalprice",
+        quantize=(0.0, 600000.0, 64),
+    )
+
+
+@register(
     "heavy_hitters_quantity",
     """
     WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n

@@ -2807,3 +2807,97 @@ def test_sq8_append_matches_full_requantize(spark, tmp_path):
     want = sim_ops.int8_rerank_topk(e, q, k=10, refine=4)
     rk = lambda rows: sorted((r["q_id"], r["vec_id"], r["sim"]) for r in rows)
     assert rk(got.collect()) == rk(want.collect())
+
+
+def test_vacuum_refuses_composed_ivf_root_accepts_compacted(spark, tmp_path):
+    """ADVICE r07 / VERDICT r07 #3: vacuum_snapshots must detect a
+    _compose.json among kept versions and REFUSE to delete its live
+    member directories (a composed IVF root's earlier versions are live
+    view members, not superseded history), while a compacted root
+    (save_ivf_cells of the loaded view — self-contained) vacuums
+    normally."""
+    import os
+
+    import pytest
+
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+    from ucr_bigdata_snowfallproject_spark import table as tbl
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sim_ops.quantize_embeddings(
+            e.filter(F.col("vec_id") < 8), "vec_id"
+        ).select("vec_id", "codes").collect()
+    ]
+    root = str(tmp_path / "composed")
+    ix.save_ivf_cells(
+        sim_ops.ivf_int8_build(e.filter(F.col("vec_id") % 2 == 0), cents), root
+    )
+    ix.append_ivf_cells(
+        sim_ops.ivf_int8_build(e.filter(F.col("vec_id") % 2 == 1), cents), root
+    )
+    n_before = ix.load_ivf_cells(spark, root).count()
+    with pytest.raises(ValueError, match="composed"):
+        tbl.vacuum_snapshots(root, keep_last=1)
+    # the refusal left every member directory intact — the view still loads
+    assert os.path.isdir(os.path.join(root, "v=0"))
+    assert ix.load_ivf_cells(spark, root).count() == n_before
+
+    # compaction lifts the restriction: self-contained versions, no
+    # compose manifest referencing doomed dirs
+    root2 = str(tmp_path / "compacted")
+    ix.save_ivf_cells(ix.load_ivf_cells(spark, root), root2)       # v=0
+    ix.save_ivf_cells(ix.load_ivf_cells(spark, root), root2)       # v=1
+    assert tbl.vacuum_snapshots(root2, keep_last=1) == [0]
+    assert ix.load_ivf_cells(spark, root2).count() == n_before
+
+
+def test_eval_ranking_ignores_malformed_ranks(spark):
+    """ADVICE r07: ranks outside 1..k (0, negative) must be filtered out
+    BEFORE the element_at gain lookup — rank 0 throws at runtime and a
+    negative rank silently indexes the gain array from the END, corrupting
+    DCG. Malformed rows behave exactly as if absent."""
+    from ucr_bigdata_snowfallproject_spark.operators import retrieval as ret
+
+    qrels = spark.createDataFrame(
+        [("q1", "d1"), ("q1", "d2")], "query_id string, doc string"
+    )
+    clean = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d3", 2)],
+        "query_id string, doc string, rank int",
+    )
+    dirty = clean.union(
+        spark.createDataFrame(
+            [("q1", "d2", 0), ("q1", "d2", -1), ("q1", "d2", -3)],
+            "query_id string, doc string, rank int",
+        )
+    )
+    key = lambda df: sorted(
+        tuple(r) for r in ret.eval_ranking(df, qrels, "doc", k=3).collect()
+    )
+    assert key(dirty) == key(clean)
+
+
+def test_bin_index_clamps_before_int_narrowing(spark):
+    """ADVICE r07: a value > ~2^31 bin-widths out of range must clamp to
+    the edge bin — the old floor(...).cast('int') wrapped the raw index in
+    int32 BEFORE the clamp, landing extreme values in interior bins."""
+    from ucr_bigdata_snowfallproject_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("k", 1e12), ("k", -1e12), ("k", 0.5)], "k string, v double"
+    )
+    out = {
+        r["bin"]: r["n"]
+        for r in agg.histogram_fixed(df, ["k"], "v", lo=0.0, hi=1.0, n_bins=4)
+        .collect()
+    }
+    assert out == {0: 1, 1: 0, 2: 1, 3: 1}  # -1e12→bin0, 0.5→bin2, 1e12→bin3
+
+    a = spark.createDataFrame([(1e12,), (0.1,)], "v double")
+    b = spark.createDataFrame([(-1e12,), (0.1,)], "v double")
+    row = agg.ks_statistic(a, b, "v", quantize=(0.0, 1.0, 4)).collect()[0]
+    # after edge-clamping: a→{bin3, bin0}, b→{bin0, bin0}; ECDFs diverge
+    # by 1/2 at every pre-top step → D = 0.5 exactly
+    assert row.ks == 0.5

@@ -707,7 +707,10 @@ def test_ks_statistic_matches_scipy_formula(spark, xs, ys):
 _docs_strategy = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=500),   # doc id (deduped below)
-        st.sampled_from(["web", "book", "code"]),  # source
+        # None included (ADVICE r07): a NULL source is its own window
+        # partition — the bucketed forms must keep those rows, not drop
+        # them in the offset equi-join
+        st.sampled_from(["web", "book", "code", None]),
         st.integers(min_value=1, max_value=40),    # token count
     ),
     min_size=1,
@@ -787,7 +790,13 @@ def test_interleave_bucketed_matches_naive_global_window(spark, rows, n_buckets)
     pri = cur.portable_hash("doc_id", "il")
     w_src = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id").asc())
     totals = df.groupBy("source").agg(F.count(F.lit(1)).alias("__tot"))
-    ranked = df.withColumn("__i", F.row_number().over(w_src)).join(totals, "source")
+    # null-safe: the naive reference must also keep NULL-source rows
+    totals = totals.withColumnRenamed("source", "__src_t")
+    ranked = (
+        df.withColumn("__i", F.row_number().over(w_src))
+        .join(totals, F.col("source").eqNullSafe(F.col("__src_t")))
+        .drop("__src_t")
+    )
     frac = (F.col("__i") - F.lit(0.5)) / F.col("__tot")
     w_all = Window.orderBy(frac.asc(), F.col("source").asc(), F.col("doc_id").asc())
     naive = ranked.withColumn(

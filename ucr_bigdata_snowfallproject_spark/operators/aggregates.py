@@ -479,8 +479,14 @@ def histogram_fixed(
     lo + bin·width are plain IEEE-754 double ops — engine-bit-identical."""
     width = (hi - lo) / n_bins
     v = F.col(value_col)
-    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(width)).cast("int")
-    bin_col = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
+    # bin index stays LONG until after the clamp: casting floor()'s
+    # bigint to int FIRST would int32-wrap a value > ~2^31 widths out of
+    # range and land it in the wrong edge bin (ADVICE r07) — the clamp
+    # must see the true magnitude, the post-clamp value is provably small
+    raw_bin = F.floor((v - F.lit(float(lo))) / F.lit(width))
+    bin_col = F.least(
+        F.greatest(raw_bin, F.lit(0).cast("long")), F.lit(n_bins - 1).cast("long")
+    ).cast("int")
     counts = (
         df.filter(v.isNotNull())
         .groupBy(*keys, bin_col.alias("bin"))
@@ -545,8 +551,12 @@ def ks_statistic(
     if quantize is not None:
         lo, hi, n_bins = quantize
         width = (hi - lo) / n_bins
-        raw_bin = F.floor((v_in - F.lit(float(lo))) / F.lit(width)).cast("int")
-        clamped = F.least(F.greatest(raw_bin, F.lit(0)), F.lit(n_bins - 1))
+        # long until clamped — same int32-wrap hazard as histogram_fixed
+        raw_bin = F.floor((v_in - F.lit(float(lo))) / F.lit(width))
+        clamped = F.least(
+            F.greatest(raw_bin, F.lit(0).cast("long")),
+            F.lit(n_bins - 1).cast("long"),
+        )
         v_in = F.lit(float(lo)) + clamped.cast("double") * F.lit(width)
 
     a = (

@@ -159,13 +159,24 @@ def _prefilter_candidates(
     }
     from pyspark.sql.types import LongType, StructField, StructType
 
-    schema = StructType([source_field, StructField("__thr", LongType())])
+    # threshold frame keys by a RENAMED source column joined null-safely:
+    # NULL-source rows have a threshold entry too (groupBy kept the NULL
+    # group) and must not be silently dropped by a plain equi-join
+    schema = StructType(
+        [
+            StructField("__src_t", source_field.dataType),
+            StructField("__thr", LongType()),
+        ]
+    )
     while True:
         thr_df = spark.createDataFrame(list(thr.items()), schema)
         surv = (
-            work.join(F.broadcast(thr_df), source_col)
+            work.join(
+                F.broadcast(thr_df),
+                F.col(source_col).eqNullSafe(F.col("__src_t")),
+            )
             .filter(F.col("priority") < F.col("__thr"))
-            .drop("__thr")
+            .drop("__thr", "__src_t")
         )
         tight = [s for s, t in thr.items() if t < _HASH_SPACE]
         if not tight:
@@ -244,12 +255,24 @@ def token_budget_mix(
             "__off"
         ),
     )
+    # NULL-safe join on the source key (ADVICE r07): the window form
+    # keeps a NULL source as its own partition, so a plain equi-join here
+    # would silently DROP every NULL-source row from the kept set
+    off_r = F.broadcast(
+        offsets.withColumnRenamed(source_col, "__src_r").withColumnRenamed(
+            "__bkt", "__bkt_r"
+        )
+    )
     return (
         work.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
-        .join(F.broadcast(offsets), [source_col, "__bkt"])
+        .join(
+            off_r,
+            F.col(source_col).eqNullSafe(F.col("__src_r"))
+            & (F.col("__bkt") == F.col("__bkt_r")),
+        )
         .withColumn("cum_tokens", F.col("__cum_in") + F.col("__off"))
         .filter(F.col("cum_tokens") <= budget_tokens)
-        .drop("__bkt", "__cum_in", "__off")
+        .drop("__bkt", "__bkt_r", "__src_r", "__cum_in", "__off")
     )
 
 
@@ -650,9 +673,21 @@ def proportional_interleave(
         F.coalesce(F.sum("__c").over(w_off), F.lit(0).cast("long")).alias("__ioff"),
         F.sum("__c").over(w_tot).alias("__tot"),
     )
+    # same NULL-safe rule as token_budget_mix: a plain equi-join would
+    # silently drop NULL-source rows the window form interleaves
+    off_r = F.broadcast(
+        offsets.withColumnRenamed(source_col, "__src_r").withColumnRenamed(
+            "__pbkt", "__pbkt_r"
+        )
+    )
     ranked = (
         work.withColumn("__irn", F.row_number().over(w_in).cast("long"))
-        .join(F.broadcast(offsets), [source_col, "__pbkt"])
+        .join(
+            off_r,
+            F.col(source_col).eqNullSafe(F.col("__src_r"))
+            & (F.col("__pbkt") == F.col("__pbkt_r")),
+        )
+        .drop("__src_r", "__pbkt_r")
         .withColumn("__i", F.col("__ioff") + F.col("__irn"))
     )
     frac = (F.col("__i") - F.lit(0.5)) / F.col("__tot")

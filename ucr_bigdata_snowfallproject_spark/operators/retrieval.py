@@ -323,7 +323,10 @@ def eval_ranking(
     division + rounding at the end — the rrf_fuse exactness contract,
     immune to the float-sum-order caveat flagged for bm25_scores.
     """
-    r = run.filter(F.col(rank_col) <= k).select(
+    # 1 ≤ rank ≤ k, not just ≤ k: element_at below throws on rank 0 and
+    # silently indexes from the END of the gain array for negative ranks
+    # (ADVICE r07) — the filter must prove __r ∈ 1..k, the array domain
+    r = run.filter((F.col(rank_col) >= 1) & (F.col(rank_col) <= k)).select(
         F.col(query_id_col).alias("__q"),
         F.col(id_col).alias("__d"),
         F.col(rank_col).alias("__r"),

@@ -703,6 +703,27 @@ def vacuum_snapshots(root: str, keep_last: int = 2) -> list[int]:
     keep = sorted(set(versions[-keep_last:]) | ({latest} if latest is not None else set()))
     removed = [v for v in versions if v not in keep]
     removed_set = set(removed)
+    # Compose-root guard (ADVICE r07): index_store.append_ivf_cells builds
+    # views whose _compose.json re-references EARLIER version dirs as live
+    # data — they are members of the latest view, not superseded history.
+    # Deleting one silently truncates the index, so refuse instead of
+    # trusting a docstring. A compacted root (save_ivf_cells of the loaded
+    # view — self-contained versions, no compose manifest referencing
+    # doomed dirs) vacuums normally.
+    for kv in keep:
+        cp = os.path.join(root, f"v={kv}", "_compose.json")
+        if not os.path.exists(cp):
+            continue
+        with open(cp) as fh:
+            members = set(json.load(fh).get("includes", []))
+        doomed = sorted(members & removed_set)
+        if doomed:
+            raise ValueError(
+                f"refusing to vacuum composed root {root}: kept version "
+                f"v={kv} is a composed view whose live members include "
+                f"{['v=%d' % d for d in doomed]} — compact first via "
+                "save_ivf_cells(load_ivf_cells(...), new_root)"
+            )
     # manifest-mode GC: rescue still-referenced files out of doomed dirs
     moves: dict[str, str] = {}
     for kv in keep:

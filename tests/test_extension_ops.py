@@ -423,14 +423,45 @@ def test_simhash_udf_matches_expr(spark):
 
 def test_minhash_signature_forms_agree(spark):
     """The Arrow per-row signature fold is bit-identical to the
-    explode+min-agg formulation (same crc32 token hashes, same rolling
-    n-gram combine, same affine-permutation (a_i·h + b_i) mod p family)."""
+    explode+min-agg formulation (same token hashes, same rolling n-gram
+    combine, same affine-permutation (a_i·h + b_i) mod p family) — in
+    BOTH base-hash modes (crc32 fast path, md5 portable path)."""
     d = load_table(spark, SF_SMOKE, "documents").limit(200)
-    agg = {r["__id"]: list(r["__sig"])
-           for r in dedup_ops.minhash_signatures_agg(d, "doc_id", "text").collect()}
-    arrow = {r["__id"]: list(r["__sig"])
-             for r in dedup_ops.minhash_signatures_arrow(d, "doc_id", "text").collect()}
-    assert agg == arrow and len(agg) == 200
+    for mode in ("crc32", "md5"):
+        agg = {r["__id"]: list(r["__sig"])
+               for r in dedup_ops.minhash_signatures_agg(
+                   d, "doc_id", "text", hash=mode).collect()}
+        arrow = {r["__id"]: list(r["__sig"])
+                 for r in dedup_ops.minhash_signatures_arrow(
+                     d, "doc_id", "text", hash=mode).collect()}
+        assert agg == arrow and len(agg) == 200, mode
+
+
+def test_minhash_md5_mode_same_lsh_behavior(spark):
+    """The md5 portable mode is the SAME LSH algorithm under a different
+    base-hash family: exact-duplicate texts are certain candidates with
+    estimate 1.0 in both modes, and the candidate sets over the fixture
+    overlap heavily (different uniform hash families sample different
+    band collisions at the margin, but the high-similarity core is hash-
+    family-invariant)."""
+    d = load_table(spark, SF_SMOKE, "documents").limit(200)
+    dup = d.limit(5).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = d.select("doc_id", "text").unionByName(dup)
+    by_mode = {}
+    for mode in ("crc32", "md5"):
+        cand = dedup_ops.minhash_candidates(
+            docs, "doc_id", "text", hash=mode
+        ).collect()
+        pairs = {(r.id_a, r.id_b): r.jaccard_est for r in cand}
+        # every planted exact dup is a candidate at estimate exactly 1.0
+        for r in dup.select("doc_id").collect():
+            orig = r.doc_id - 1_000_000
+            assert pairs.get((orig, r.doc_id)) == 1.0, (mode, orig)
+        by_mode[mode] = {k for k, v in pairs.items() if v >= 0.8}
+    # the >= 0.8 cores agree across hash families
+    assert by_mode["crc32"] == by_mode["md5"]
 
 
 def test_minhash_max_bucket_caps_degenerate_corpus(spark):

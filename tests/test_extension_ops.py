@@ -1080,6 +1080,41 @@ def test_pq_topk_recall_vs_brute_force(spark):
     assert mean_recall >= 0.35, mean_recall
 
 
+def test_pq_int8_topk_recall_vs_brute_force(spark):
+    """pq_int8_topk (integer-deterministic codebooks + exact rerank) —
+    recall pin vs brute force. The exact rerank stage means every
+    RETURNED similarity is the true cosine; only candidate coverage is
+    approximate, so recall tracks refine directly."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cb_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebook = [
+        [[int(x) for x in r["codes"][j * 8:(j + 1) * 8]] for r in cb_rows]
+        for j in range(8)
+    ]
+    q = e.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("q_id"), "embedding")
+    exact = _topk_sets(sim_ops.brute_force_topk(e, q, k=10))
+    out = sim_ops.pq_int8_topk(e, q, codebook, k=10, refine=4)
+    rows = out.collect()
+    approx = {}
+    sims = {}
+    for r in rows:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+        sims[(r.q_id, r.vec_id)] = r.sim
+    recalls = [len(exact[k] & approx.get(k, set())) / len(exact[k]) for k in exact]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.35, mean_recall
+    # rerank exactness: any hit shared with brute force carries the SAME
+    # rounded exact cosine
+    bf = {(r.q_id, r.vec_id): r.sim
+          for r in sim_ops.brute_force_topk(e, q, k=10).collect()}
+    shared = [k for k in bf if k in sims]
+    assert shared and all(bf[k] == sims[k] for k in shared)
+
+
 def test_semdedup_pairs_are_exact_subset(spark):
     """Every SemDeDup pair is a true near-dup (sims come from the same
     exact scorer), and the keep-set partitions the corpus with the

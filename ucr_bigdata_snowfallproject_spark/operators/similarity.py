@@ -1478,3 +1478,176 @@ def ivf_int8_topk(
         n_probe,
         round_digits,
     )
+
+
+def pq_int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_codes: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "q_id",
+    k: int = 10,
+    refine: int = 4,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Integer-deterministic product quantization with exact rerank — the
+    SQ8/IVF-int8 recipe (integer coarse math, IEEE-exact final steps)
+    applied to PQ-ADC, so the last major ANN variant is fully
+    engine-reproducible (VERDICT r07 #6) instead of seeded-k-means
+    approximate-only.
+
+    ``codebook_codes`` is an EXTERNAL integer artifact — ``m`` subspaces ×
+    ``ksub`` entries × ``dim/m`` int8 components (e.g. the sub-slices of
+    :func:`quantize_embeddings` codes of a fixed vector sample, the same
+    bounded-sample discipline as ``ivf_int8_build``'s centroid codes).
+
+    Stage 1 (encode, one Arrow pass over the 4×-smaller int8 codes): each
+    corpus vector quantizes (deterministic) and every subvector takes the
+    code of its nearest codebook entry by EXACT int64 L2 distance in code
+    space (min code id on ties) — one (rows × ksub) integer GEMM per
+    subspace per batch, no shuffle.
+
+    Stage 2 (ADC coarse score, same pass): for each query,
+    ``est = Σ_j dot_int(q_codes_subj, cb[j][code_j])`` — a pure int64
+    lookup-table sum (the asymmetric-distance estimator on the integer
+    lattice); the cosine-style normalizer divides by the IEEE sqrt of the
+    query code norm² and the RECONSTRUCTED corpus code norm²
+    (``Σ_j ‖cb[j][code_j]‖²`` — both exact integers). Division + sqrt +
+    round happen JVM-side in plain IEEE double — bit-identical anywhere.
+
+    Stage 3 (exact rerank): top ``k·refine`` per query by (rounded coarse
+    sim desc, id) join back to the float embeddings for the exact cosine;
+    final top ``k`` by (rounded exact sim desc, id) — identical to
+    :func:`int8_rerank_topk` stage 2.
+
+    Scale shape: the corpus is scanned once as int8 codes, scored as
+    ``m`` small ints per row; candidates (|Q|·k·refine rows) broadcast
+    into the float corpus; no shuffle except the two bounded top-k
+    windows. Every arithmetic step is exact-int or IEEE-double ⇒ the
+    whole approximate result hash-checks against a DuckDB oracle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    CB = [np.asarray(b, dtype=np.int64) for b in codebook_codes]
+    m = len(CB)
+    ksub, dsub = CB[0].shape
+    for j, C in enumerate(CB):
+        if C.shape != (ksub, dsub):
+            raise ValueError(f"codebook subspace {j} shape {C.shape} != {(ksub, dsub)}")
+    cn2 = np.stack([(C * C).sum(axis=1) for C in CB])  # (m, ksub) int64
+
+    # bounded query collect — the queries-are-few contract every ANN
+    # operator here shares (pq_topk, ivf probes, int8 broadcast side)
+    q_rows = sorted(
+        quantize_embeddings(queries, query_id_col, vec_col)
+        .select(query_id_col, "codes")
+        .collect(),
+        key=lambda r: r[0],
+    )
+    q_ids = [r[0] for r in q_rows]
+    QC = np.asarray([[int(x) for x in r[1]] for r in q_rows], dtype=np.int64)
+    if QC.shape[1] != m * dsub:
+        raise ValueError(f"dim {QC.shape[1]} != m*dsub = {m * dsub}")
+    qn2 = (QC * QC).sum(axis=1)  # (nq,) int64
+    # LUT[qi, j, c] = dot_int(q_sub_j, cb[j][c])
+    lut = np.stack(
+        [QC[:, j * dsub : (j + 1) * dsub] @ C.T for j, C in enumerate(CB)], axis=1
+    )  # (nq, m, ksub) int64
+
+    @pandas_udf("struct<ests: array<long>, xn2: long>")
+    def adc(codes: pd.Series) -> pd.DataFrame:
+        X = np.stack(codes.to_numpy()).astype(np.int64)  # (n, dim)
+        n = len(X)
+        asg = np.empty((n, m), dtype=np.int64)
+        for j, C in enumerate(CB):
+            S = X[:, j * dsub : (j + 1) * dsub]
+            # exact int64 L2 in code space; argmin ties → first = min cid
+            d = (S * S).sum(axis=1)[:, None] - 2 * (S @ C.T) + cn2[j][None, :]
+            asg[:, j] = d.argmin(axis=1)
+        cols = np.arange(m)
+        xn2 = cn2[cols, asg].sum(axis=1)  # (n,)
+        ests = lut[:, cols, asg].sum(axis=2)  # (nq, n, m) -> (nq, n)
+        return pd.DataFrame(
+            {"ests": list(ests.T), "xn2": xn2}
+        )
+
+    # inline quantization as sibling columns (no self-join back — the
+    # ivf_int8_build rule)
+    with_codes = (
+        corpus.select(
+            F.col(id_col),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xs"),
+        )
+        .withColumn("__maxabs", F.array_max(F.transform(F.col("__xs"), F.abs)))
+        .withColumn(
+            "__codes",
+            F.when(
+                F.col("__maxabs") > 0,
+                F.transform(
+                    F.col("__xs"),
+                    lambda x: F.floor(x / F.col("__maxabs") * 127 + F.lit(0.5)).cast(
+                        "int"
+                    ),
+                ),
+            ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0))),
+        )
+    )
+    scored = (
+        with_codes.withColumn("__adc", adc(F.col("__codes")))
+        .select(
+            F.col(id_col),
+            F.col("__adc.xn2").alias("__xn2"),
+            F.posexplode(F.col("__adc.ests")).alias("__qi", "__est"),
+        )
+    )
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    qn_arr = F.array(*[F.lit(float(v)) for v in qn2])
+    qn_col = F.element_at(qn_arr, F.col("__qi") + 1)
+    csim = F.when(
+        (qn_col > 0) & (F.col("__xn2") > 0),
+        F.round(
+            F.col("__est").cast("double")
+            / (F.sqrt(qn_col) * F.sqrt(F.col("__xn2").cast("double"))),
+            round_digits,
+        ),
+    ).otherwise(F.lit(0.0))
+    coarse = scored.select(
+        F.element_at(qid_arr, F.col("__qi") + 1).alias(query_id_col),
+        F.col(id_col),
+        csim.alias("__csim"),
+    )
+    w1 = Window.partitionBy(query_id_col).orderBy(F.desc("__csim"), F.asc(id_col))
+    cand = (
+        coarse.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k * refine)
+        .select(query_id_col, id_col)
+    )
+    qf = queries.select(
+        F.col(query_id_col).alias("__qid2"),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qfn"),
+    )
+    cf = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__cfn")
+    )
+    exact = (
+        F.broadcast(cand)
+        .join(cf, id_col)
+        .join(F.broadcast(qf), F.col(query_id_col) == F.col("__qid2"))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(
+                dot(F.col("__qvec"), F.col(vec_col))
+                / (F.col("__qfn") * F.col("__cfn")),
+                round_digits,
+            ).alias("sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.asc(id_col))
+    return (
+        exact.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

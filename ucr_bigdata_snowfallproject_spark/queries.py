@@ -4432,6 +4432,116 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sim_ops.pq_topk(e, q, k=10, m=8, ksub=16)
 
+#: Integer-deterministic PQ (VERDICT r07 #6 — the SQ8/IVF-int8 recipe on
+#: the ADC stage): codebooks are int8 sub-slices of a fixed vector
+#: sample, encoding is exact int64 L2 argmin in code space, the ADC
+#: estimate is a pure integer lookup-table sum, and only the bounded
+#: candidate set takes the exact float rerank — every approximate step
+#: is engine-reproducible, so the whole result hash-checks.
+_PQ_INT8_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ), mm AS (
+      SELECT vec_id, xs,
+             list_aggregate(list_transform(xs, x -> ABS(x)), 'max') AS maxabs
+      FROM base
+    ), codes AS (
+      SELECT vec_id, xs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(
+                         xs, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS DOUBLE))
+                  ELSE list_transform(xs, x -> CAST(0 AS DOUBLE)) END AS c
+      FROM mm
+    ), sub AS (SELECT unnest(range(0, 8)) AS j
+    ), cb AS (
+      SELECT j, vec_id AS cid,
+             list_slice(c, j*8+1, j*8+8) AS cvec,
+             list_dot_product(list_slice(c, j*8+1, j*8+8),
+                              list_slice(c, j*8+1, j*8+8)) AS cn
+      FROM codes CROSS JOIN sub WHERE vec_id < 16
+    ), esub AS (
+      SELECT vec_id, j, list_slice(c, j*8+1, j*8+8) AS sl
+      FROM codes CROSS JOIN sub
+    ), assign AS (
+      SELECT vec_id, j, cid, cn, cvec FROM (
+        SELECT e.vec_id, e.j, cb.cid, cb.cn, cb.cvec,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id, e.j
+                 ORDER BY (list_dot_product(e.sl, e.sl)
+                           - 2*list_dot_product(e.sl, cb.cvec) + cb.cn) ASC,
+                          cb.cid ASC) AS rn
+        FROM esub e JOIN cb ON cb.j = e.j)
+      WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS q_id, xs AS qxs, c AS qc, list_dot_product(c, c) AS qn
+      FROM codes WHERE vec_id < 8
+    ), qsub AS (
+      SELECT q_id, qn, j, list_slice(qc, j*8+1, j*8+8) AS qs
+      FROM q CROSS JOIN sub
+    ), coarse AS (
+      SELECT qs.q_id, a.vec_id,
+             SUM(list_dot_product(qs.qs, a.cvec)) AS est,
+             SUM(a.cn) AS xn2, ANY_VALUE(qs.qn) AS qn
+      FROM assign a JOIN qsub qs ON qs.j = a.j
+      GROUP BY qs.q_id, a.vec_id
+    ), csimt AS (
+      SELECT q_id, vec_id,
+             CASE WHEN qn > 0 AND xn2 > 0
+                  THEN ROUND(est / (sqrt(qn) * sqrt(xn2)), 4) ELSE 0.0 END AS csim
+      FROM coarse
+    ), cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY csim DESC, vec_id) AS rn
+        FROM csimt)
+      WHERE rn <= 40
+    ), rerank AS (
+      SELECT cand.q_id, cand.vec_id,
+             ROUND(list_dot_product(q.qxs, b.xs) /
+                   (sqrt(list_dot_product(q.qxs, q.qxs)) *
+                    sqrt(list_dot_product(b.xs, b.xs))), 4) AS sim
+      FROM cand
+      JOIN q ON q.q_id = cand.q_id
+      JOIN base b ON b.vec_id = cand.vec_id
+    )
+    SELECT q_id, vec_id, sim FROM (
+        SELECT q_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, vec_id) AS rn
+        FROM rerank)
+    WHERE rn <= 10
+    """
+
+
+@register("similarity_pq_int8_topk", _PQ_INT8_ORACLE)
+def similarity_pq_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 integer-deterministic product quantization with exact rerank
+    (operators.similarity.pq_int8_topk — VERDICT r07 #6): codebooks are
+    the int8 sub-slices of vec_id < 16 (m=8 subspaces × ksub=16 entries,
+    the same deterministic bounded-sample artifact discipline as the
+    IVF-int8 centroid codes), corpus subvectors encode by exact int64 L2
+    argmin in code space (min code id on ties), the ADC coarse score is a
+    pure integer LUT sum normalized by IEEE sqrts of integer norms, and
+    the top k·4 candidates per query take the exact float cosine rerank.
+    The last major ANN variant (brute force → SQ8 → IVF-int8 → PQ) now
+    fully oracle-backed; the seeded-k-means pq_topk stays the
+    recall-pinned float path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    codebook = [
+        [[int(x) for x in r["codes"][j * 8 : (j + 1) * 8]] for r in cb_rows]
+        for j in range(8)
+    ]
+    q = e.filter(F.col("vec_id") < 8).select(F.col("vec_id").alias("q_id"), "embedding")
+    return sim_ops.pq_int8_topk(e, q, codebook, k=10, refine=4)
+
+
 
 @register("dedup_semdedup", None)  # seeded quantizer — rows-only
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6779,13 +6889,16 @@ _GATED_WINDOW = [
     #   text_script_stats + text_unigram_logppl (text: tfidf, jsd,
     #     chunk_documents, stats_documents stay),
     #   group_quantiles_lineitem (quantile/agg diagnostics: q1 summary,
-    #     skew_stats, twa, profile_documents stay).
+    #     skew_stats, twa, profile_documents stay),
+    #   snapshot_diff_documents (snapshot tables: incremental_agg_replay,
+    #     incremental_centroid_replay stay).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
     "dedup_minhash_candidates_md5",
     "dedup_minhash_dedup_md5",
     "dedup_incremental_minhash_md5",
+    "similarity_pq_int8_topk",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -6839,7 +6952,6 @@ _GATED_WINDOW = [
     "rate_of_change_events",
     "dedup_cdc_boilerplate",
     "profile_documents",
-    "snapshot_diff_documents",
     "text_chunk_documents",
     # =====================================================================
     # Round-6 rotation (VERDICT r05 #2/#5): 17 never-driver-gated queries

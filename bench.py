@@ -134,6 +134,12 @@ HEADLINE = [
     "curation_quality_linear",
     # quality-ordered dedup survivor: scoring fold + one key shuffle
     "dedup_quality_survivor",
+    # round-8 additions, benched from birth: portable-md5 minhash
+    # (md5-prefix token hashes + raw-slice band buckets — the
+    # fully-oracle-backed near-dup path) and integer-deterministic
+    # PQ-ADC (int8 codebook encode + integer LUT scoring + exact rerank)
+    "dedup_minhash_candidates_md5",
+    "similarity_pq_int8_topk",
 ]
 
 
@@ -239,6 +245,26 @@ def main() -> None:
         )
         detail["warm_repeat"] = repeat
         detail["warm_queries"] = warm
+        # Self-adjudicating drift check (VERDICT r07 #5): compare every
+        # warm median against the checked-in steady-state band so
+        # out-of-band queries are flagged mechanically instead of
+        # re-litigated in prose each round. Only meaningful at the band
+        # file's scale factor.
+        bands_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "bench_bands.json"
+        )
+        if os.path.exists(bands_path):
+            spec = json.load(open(bands_path))
+            if sf == spec.get("sf"):
+                bands = spec["bands"]
+                oob = {
+                    n: {"sec": warm[n], "lo": bands[n]["lo"], "hi": bands[n]["hi"]}
+                    for n in HEADLINE
+                    if n in bands
+                    and not (bands[n]["lo"] <= warm[n] <= bands[n]["hi"])
+                }
+                detail["out_of_band"] = oob
+                detail["no_band"] = [n for n in HEADLINE if n not in bands]
         detail["notes"] = (
             "value = warm-median total (steady-state execution; the cold "
             "pass is Janino-codegen/analyzer-bound at this SF — a "
@@ -265,6 +291,13 @@ def main() -> None:
         "warm_repeat": repeat if warm_runs else 0,
         "value": value,
     }
+    if "out_of_band" in detail:
+        # band verdict rides the headline line (names only — full
+        # numbers are in the stderr detail); the driver's capture then
+        # self-adjudicates drift
+        out["n_out_of_band"] = len(detail["out_of_band"])
+        if detail["out_of_band"]:
+            out["out_of_band"] = sorted(detail["out_of_band"])
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # keep the line tail-capture-safe at any suite size
         out["queries"] = {

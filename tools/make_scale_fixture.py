@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Generate an sf~1 scale fixture (10x sf0.1) for the VERDICT r07 #4
+scale measurement — documents/embeddings/lineitem only (the tables the
+five most expensive bench queries read), written OUTSIDE the read-only
+testdata tree (default /tmp/sfscale1).
+
+Replication is deterministic and CONTENT-DECORRELATED so the scaled
+corpus stresses the same plan shapes without degenerate structure:
+
+- documents: copy k shifts doc_id by k*ID_SPAN and pseudo-shuffles the
+  token order with a (doc, position, copy)-keyed md5 sort key — every
+  copied doc gets its OWN random permutation, so shingle/n-gram
+  adjacency is destroyed across docs and copies (cross-doc shingle
+  collisions ~ random trigram collisions of a bag-of-words draw, so
+  minhash bucket sizes scale ~linearly instead of quadratically), while
+  token multisets, lengths, and lang/source marginals are preserved
+  (BM25 df tables and DSIR hash features scale realistically). A
+  copy-GLOBAL sort key (first attempt) is a trap: docs sharing
+  vocabulary then share token ORDER, identical shingle runs appear
+  corpus-wide, and the candidate-pair count explodes 20,000x.
+- embeddings: copy k rotates the 64 components by k positions — norms
+  and within-copy geometry preserved, cross-copy cosines decorrelated.
+- lineitem: copy k shifts l_orderkey/l_partkey by k*spans — the
+  co-purchase graph becomes 10 disjoint isomorphic components: node and
+  edge counts scale 10x with identical degree distribution.
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from ucr_bigdata_snowfallproject_spark.io import load_table
+from ucr_bigdata_snowfallproject_spark.session import get_spark
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+spark = get_spark(app_name="make-scale-fixture")
+os.makedirs(DST, exist_ok=True)
+t0 = time.time()
+
+docs = load_table(spark, SRC, "documents")
+ID_SPAN = 10_000_000
+toks = F.split(F.col("text"), r"\s+")
+shuffled = F.array_join(
+    F.transform(
+        F.array_sort(
+            F.transform(
+                toks,
+                lambda t, i: F.concat(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            t,
+                            i.cast("string"),
+                            F.col("doc_id").cast("string"),
+                            F.col("__k").cast("string"),
+                        )
+                    ),
+                    F.lit("\x00"),
+                    t,
+                ),
+            )
+        ),
+        lambda s: F.substring(s, 34, 1_000_000),
+    ),
+    " ",
+)
+out_docs = (
+    docs.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
+    .select(
+        (F.col("doc_id") + F.col("__k") * ID_SPAN).alias("doc_id"),
+        F.when(F.col("__k") == 0, F.col("text")).otherwise(shuffled).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+        "__k",
+    )
+    .drop("__k")
+)
+out_docs.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+print(f"documents: {time.time()-t0:.1f}s", flush=True)
+
+emb = load_table(spark, SRC, "embeddings")
+V_SPAN = 10_000_000
+rot = F.when(F.col("__k") == 0, F.col("embedding"))
+for k in range(1, COPIES):
+    rot = rot.when(
+        F.col("__k") == k,
+        F.concat(
+            F.slice(F.col("embedding"), k + 1, 64 - k),
+            F.slice(F.col("embedding"), 1, k),
+        ),
+    )
+out_emb = (
+    emb.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
+    .select(
+        (F.col("vec_id") + F.col("__k") * V_SPAN).alias("vec_id"),
+        rot.alias("embedding"),
+        "__k",
+    )
+    .drop("__k")
+)
+out_emb.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+print(f"embeddings: {time.time()-t0:.1f}s", flush=True)
+
+li = load_table(spark, SRC, "lineitem").select("l_orderkey", "l_partkey")
+O_SPAN, P_SPAN = 100_000_000, 10_000_000
+out_li = (
+    li.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
+    .select(
+        (F.col("l_orderkey") + F.col("__k") * O_SPAN).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("__k") * P_SPAN).alias("l_partkey"),
+    )
+)
+out_li.repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
+print(f"lineitem: {time.time()-t0:.1f}s done -> {DST}", flush=True)
+spark.stop()

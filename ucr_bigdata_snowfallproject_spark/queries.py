@@ -1174,6 +1174,43 @@ def dedup_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select("doc_id", "lang", "source")
 
 
+@register(
+    "dedup_minhash_components_md5",
+    _minhash_md5_sql("""
+    , edges AS (
+      SELECT id_a AS a, id_b AS b FROM est WHERE jaccard_est >= 0.5
+      UNION
+      SELECT id_b AS a, id_a AS b FROM est WHERE jaccard_est >= 0.5
+    )
+    SELECT n.a AS doc_id, LEAST(n.a, MIN(r.b)) AS comp
+    FROM (SELECT DISTINCT a FROM edges) n
+    LEFT JOIN (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+      ) SELECT a, b FROM reach
+    ) r ON r.a = n.a
+    GROUP BY n.a
+    """),
+)
+def dedup_minhash_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 full near-dedup clustering in portable-hash mode: md5-mode
+    MinHash-LSH candidates → Jaccard-estimate >= 0.5 edges → connected
+    components (operators.dedup.dup_components, iterative min-label
+    propagation). The iterative Spark fixpoint is checked against a
+    DuckDB RECURSIVE-CTE transitive closure (comp = min reachable id) —
+    converting the last member of the minhash family from rows-only to
+    fully oracle-backed: an externally hash-verified ITERATIVE graph
+    algorithm, like graph_pagerank_parts before it."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_candidates(d, "doc_id", "text", hash="md5")
+    pairs = cand.filter(F.col("jaccard_est") >= 0.5)
+    return dedup_ops.dup_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp")
+    )
+
+
 @register("dedup_simhash_candidates", None)  # hash-seed-dependent — rows-only
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 SimHash near-dup candidates (64-bit fingerprint, 16-bit bands,
@@ -6891,7 +6928,10 @@ _GATED_WINDOW = [
     #   group_quantiles_lineitem (quantile/agg diagnostics: q1 summary,
     #     skew_stats, twa, profile_documents stay),
     #   snapshot_diff_documents (snapshot tables: incremental_agg_replay,
-    #     incremental_centroid_replay stay).
+    #     incremental_centroid_replay stay),
+    #   profile_documents (profiling/distribution diagnostics:
+    #     skew_stats_events_by_user, twa_events_hourly,
+    #     q1_pricing_summary stay).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -6899,6 +6939,7 @@ _GATED_WINDOW = [
     "dedup_minhash_dedup_md5",
     "dedup_incremental_minhash_md5",
     "similarity_pq_int8_topk",
+    "dedup_minhash_components_md5",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -6951,7 +6992,6 @@ _GATED_WINDOW = [
     "curation_length_band_filter",
     "rate_of_change_events",
     "dedup_cdc_boilerplate",
-    "profile_documents",
     "text_chunk_documents",
     # =====================================================================
     # Round-6 rotation (VERDICT r05 #2/#5): 17 never-driver-gated queries

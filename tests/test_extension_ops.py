@@ -1115,6 +1115,37 @@ def test_pq_int8_topk_recall_vs_brute_force(spark):
     assert shared and all(bf[k] == sims[k] for k in shared)
 
 
+def test_simhash_md5_mode_same_fingerprint_semantics(spark):
+    """The md5 simhash mode is the same ±1 bit-vote algorithm over a
+    60-bit portable token-hash space: planes 60..63 are zero, exact-dup
+    texts share every band (Hamming 0 — certain candidates), and the
+    Hamming<=8 candidate core is stable across plausible near-dup
+    structure."""
+    d = load_table(spark, SF_SMOKE, "documents").limit(200)
+    sigs = d.select(
+        "doc_id", dedup_ops.simhash("text", hash="md5").alias("sh")
+    ).collect()
+    assert sigs and all(0 <= r.sh < (1 << 60) for r in sigs)
+    dup = d.limit(5).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    docs = d.select("doc_id", "text").unionByName(dup)
+    cand = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dedup_ops.simhash_candidates(
+            docs, "doc_id", "text", band_bits=15, max_hamming=8, hash="md5"
+        ).collect()
+    }
+    for r in dup.select("doc_id").collect():
+        assert cand.get((r.doc_id - 1_000_000, r.doc_id)) == 0, r.doc_id
+    # degenerate-band guard: band_bits that don't divide the 60 live
+    # bits must refuse, not silently band zero planes
+    import pytest
+
+    with pytest.raises(ValueError, match="band_bits"):
+        dedup_ops.simhash_candidates(
+            docs, "doc_id", "text", band_bits=8, hash="md5"
+        )
+
+
 def test_semdedup_pairs_are_exact_subset(spark):
     """Every SemDeDup pair is a true near-dup (sims come from the same
     exact scorer), and the keep-set partitions the corpus with the

@@ -1220,6 +1220,48 @@ def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash_candidates_md5",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ts
+      FROM documents
+    ), th AS (
+      SELECT doc_id,
+             unnest(list_transform(ts,
+                    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT)) AS h
+      FROM toks
+    ), fp AS (
+      SELECT doc_id,
+             CASE WHEN 2*SUM((h >> 0) & 1) > COUNT(*) THEN (1::BIGINT << 0) ELSE 0 END + CASE WHEN 2*SUM((h >> 1) & 1) > COUNT(*) THEN (1::BIGINT << 1) ELSE 0 END + CASE WHEN 2*SUM((h >> 2) & 1) > COUNT(*) THEN (1::BIGINT << 2) ELSE 0 END + CASE WHEN 2*SUM((h >> 3) & 1) > COUNT(*) THEN (1::BIGINT << 3) ELSE 0 END + CASE WHEN 2*SUM((h >> 4) & 1) > COUNT(*) THEN (1::BIGINT << 4) ELSE 0 END + CASE WHEN 2*SUM((h >> 5) & 1) > COUNT(*) THEN (1::BIGINT << 5) ELSE 0 END + CASE WHEN 2*SUM((h >> 6) & 1) > COUNT(*) THEN (1::BIGINT << 6) ELSE 0 END + CASE WHEN 2*SUM((h >> 7) & 1) > COUNT(*) THEN (1::BIGINT << 7) ELSE 0 END + CASE WHEN 2*SUM((h >> 8) & 1) > COUNT(*) THEN (1::BIGINT << 8) ELSE 0 END + CASE WHEN 2*SUM((h >> 9) & 1) > COUNT(*) THEN (1::BIGINT << 9) ELSE 0 END + CASE WHEN 2*SUM((h >> 10) & 1) > COUNT(*) THEN (1::BIGINT << 10) ELSE 0 END + CASE WHEN 2*SUM((h >> 11) & 1) > COUNT(*) THEN (1::BIGINT << 11) ELSE 0 END + CASE WHEN 2*SUM((h >> 12) & 1) > COUNT(*) THEN (1::BIGINT << 12) ELSE 0 END + CASE WHEN 2*SUM((h >> 13) & 1) > COUNT(*) THEN (1::BIGINT << 13) ELSE 0 END + CASE WHEN 2*SUM((h >> 14) & 1) > COUNT(*) THEN (1::BIGINT << 14) ELSE 0 END + CASE WHEN 2*SUM((h >> 15) & 1) > COUNT(*) THEN (1::BIGINT << 15) ELSE 0 END + CASE WHEN 2*SUM((h >> 16) & 1) > COUNT(*) THEN (1::BIGINT << 16) ELSE 0 END + CASE WHEN 2*SUM((h >> 17) & 1) > COUNT(*) THEN (1::BIGINT << 17) ELSE 0 END + CASE WHEN 2*SUM((h >> 18) & 1) > COUNT(*) THEN (1::BIGINT << 18) ELSE 0 END + CASE WHEN 2*SUM((h >> 19) & 1) > COUNT(*) THEN (1::BIGINT << 19) ELSE 0 END + CASE WHEN 2*SUM((h >> 20) & 1) > COUNT(*) THEN (1::BIGINT << 20) ELSE 0 END + CASE WHEN 2*SUM((h >> 21) & 1) > COUNT(*) THEN (1::BIGINT << 21) ELSE 0 END + CASE WHEN 2*SUM((h >> 22) & 1) > COUNT(*) THEN (1::BIGINT << 22) ELSE 0 END + CASE WHEN 2*SUM((h >> 23) & 1) > COUNT(*) THEN (1::BIGINT << 23) ELSE 0 END + CASE WHEN 2*SUM((h >> 24) & 1) > COUNT(*) THEN (1::BIGINT << 24) ELSE 0 END + CASE WHEN 2*SUM((h >> 25) & 1) > COUNT(*) THEN (1::BIGINT << 25) ELSE 0 END + CASE WHEN 2*SUM((h >> 26) & 1) > COUNT(*) THEN (1::BIGINT << 26) ELSE 0 END + CASE WHEN 2*SUM((h >> 27) & 1) > COUNT(*) THEN (1::BIGINT << 27) ELSE 0 END + CASE WHEN 2*SUM((h >> 28) & 1) > COUNT(*) THEN (1::BIGINT << 28) ELSE 0 END + CASE WHEN 2*SUM((h >> 29) & 1) > COUNT(*) THEN (1::BIGINT << 29) ELSE 0 END + CASE WHEN 2*SUM((h >> 30) & 1) > COUNT(*) THEN (1::BIGINT << 30) ELSE 0 END + CASE WHEN 2*SUM((h >> 31) & 1) > COUNT(*) THEN (1::BIGINT << 31) ELSE 0 END + CASE WHEN 2*SUM((h >> 32) & 1) > COUNT(*) THEN (1::BIGINT << 32) ELSE 0 END + CASE WHEN 2*SUM((h >> 33) & 1) > COUNT(*) THEN (1::BIGINT << 33) ELSE 0 END + CASE WHEN 2*SUM((h >> 34) & 1) > COUNT(*) THEN (1::BIGINT << 34) ELSE 0 END + CASE WHEN 2*SUM((h >> 35) & 1) > COUNT(*) THEN (1::BIGINT << 35) ELSE 0 END + CASE WHEN 2*SUM((h >> 36) & 1) > COUNT(*) THEN (1::BIGINT << 36) ELSE 0 END + CASE WHEN 2*SUM((h >> 37) & 1) > COUNT(*) THEN (1::BIGINT << 37) ELSE 0 END + CASE WHEN 2*SUM((h >> 38) & 1) > COUNT(*) THEN (1::BIGINT << 38) ELSE 0 END + CASE WHEN 2*SUM((h >> 39) & 1) > COUNT(*) THEN (1::BIGINT << 39) ELSE 0 END + CASE WHEN 2*SUM((h >> 40) & 1) > COUNT(*) THEN (1::BIGINT << 40) ELSE 0 END + CASE WHEN 2*SUM((h >> 41) & 1) > COUNT(*) THEN (1::BIGINT << 41) ELSE 0 END + CASE WHEN 2*SUM((h >> 42) & 1) > COUNT(*) THEN (1::BIGINT << 42) ELSE 0 END + CASE WHEN 2*SUM((h >> 43) & 1) > COUNT(*) THEN (1::BIGINT << 43) ELSE 0 END + CASE WHEN 2*SUM((h >> 44) & 1) > COUNT(*) THEN (1::BIGINT << 44) ELSE 0 END + CASE WHEN 2*SUM((h >> 45) & 1) > COUNT(*) THEN (1::BIGINT << 45) ELSE 0 END + CASE WHEN 2*SUM((h >> 46) & 1) > COUNT(*) THEN (1::BIGINT << 46) ELSE 0 END + CASE WHEN 2*SUM((h >> 47) & 1) > COUNT(*) THEN (1::BIGINT << 47) ELSE 0 END + CASE WHEN 2*SUM((h >> 48) & 1) > COUNT(*) THEN (1::BIGINT << 48) ELSE 0 END + CASE WHEN 2*SUM((h >> 49) & 1) > COUNT(*) THEN (1::BIGINT << 49) ELSE 0 END + CASE WHEN 2*SUM((h >> 50) & 1) > COUNT(*) THEN (1::BIGINT << 50) ELSE 0 END + CASE WHEN 2*SUM((h >> 51) & 1) > COUNT(*) THEN (1::BIGINT << 51) ELSE 0 END + CASE WHEN 2*SUM((h >> 52) & 1) > COUNT(*) THEN (1::BIGINT << 52) ELSE 0 END + CASE WHEN 2*SUM((h >> 53) & 1) > COUNT(*) THEN (1::BIGINT << 53) ELSE 0 END + CASE WHEN 2*SUM((h >> 54) & 1) > COUNT(*) THEN (1::BIGINT << 54) ELSE 0 END + CASE WHEN 2*SUM((h >> 55) & 1) > COUNT(*) THEN (1::BIGINT << 55) ELSE 0 END + CASE WHEN 2*SUM((h >> 56) & 1) > COUNT(*) THEN (1::BIGINT << 56) ELSE 0 END + CASE WHEN 2*SUM((h >> 57) & 1) > COUNT(*) THEN (1::BIGINT << 57) ELSE 0 END + CASE WHEN 2*SUM((h >> 58) & 1) > COUNT(*) THEN (1::BIGINT << 58) ELSE 0 END + CASE WHEN 2*SUM((h >> 59) & 1) > COUNT(*) THEN (1::BIGINT << 59) ELSE 0 END AS sh
+      FROM th GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, sh, b AS band, (sh >> (b*15)) & 32767 AS chunk
+      FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 8
+    """,
+)
+def dedup_simhash_candidates_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 SimHash near-dup candidates in PORTABLE-HASH mode: token hashes
+    are the first 15 md5 hex digits (a 60-bit space — the same
+    portable-hash discipline as the minhash md5 mode), the fingerprint is
+    the per-bit sign of Σ±1 over tokens (the 64-plane Arrow fold yields it
+    unchanged — planes 60..63 are provably zero), bands are 4×15-bit
+    chunks of the live bits, and candidates keep Hamming(xor) <= 8. Every
+    step is integer bit arithmetic, so the SECOND near-dup fingerprint
+    family is fully replayable in DuckDB SQL (the xxhash64 fast path
+    stays default)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash_candidates(
+        d, "doc_id", "text", band_bits=15, max_hamming=8, hash="md5"
+    )
+
+
+@register(
     "similarity_brute_force_topk",
     """
     WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qvec
@@ -6931,7 +6973,9 @@ _GATED_WINDOW = [
     #     incremental_centroid_replay stay),
     #   profile_documents (profiling/distribution diagnostics:
     #     skew_stats_events_by_user, twa_events_hourly,
-    #     q1_pricing_summary stay).
+    #     q1_pricing_summary stay),
+    #   text_chunk_documents (text: tfidf, jsd, stats_documents,
+    #     rag_prep_pipeline stay).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -6940,6 +6984,7 @@ _GATED_WINDOW = [
     "dedup_incremental_minhash_md5",
     "similarity_pq_int8_topk",
     "dedup_minhash_components_md5",
+    "dedup_simhash_candidates_md5",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -6992,7 +7037,6 @@ _GATED_WINDOW = [
     "curation_length_band_filter",
     "rate_of_change_events",
     "dedup_cdc_boilerplate",
-    "text_chunk_documents",
     # =====================================================================
     # Round-6 rotation (VERDICT r05 #2/#5): 17 never-driver-gated queries
     # earn first rows — the 16 the judge named (ks_drift_totalprice,

@@ -1011,11 +1011,14 @@ def dedup_exact_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(d, ["__fp"], "doc_id").select("doc_id", "lang", "source")
 
 
-@register("dedup_minhash_candidates", None)  # hash-seed-dependent — rows-only
+@register("dedup_minhash_candidates", None)  # crc32/Murmur3 fast path — rows-only
 def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 MinHash-LSH near-dup candidate pairs (shingle→64 minhash→16-band
-    bucket self-join). Rows-only: depends on xxhash64 seeds, not
-    SQL-reproducible. Recall vs exact Jaccard is pinned in tests."""
+    bucket self-join) — the crc32+Murmur3 FAST path. Rows-only because
+    Murmur3 band hashes are engine-specific; the algorithm itself is
+    externally verified through its bit-exact portable twin
+    dedup_minhash_candidates_md5 (hash="md5"), and recall vs exact
+    Jaccard is pinned in tests."""
     d = load_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_candidates(d, "doc_id", "text", num_hashes=64, bands=16)
 
@@ -1211,10 +1214,11 @@ def dedup_minhash_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash_candidates", None)  # hash-seed-dependent — rows-only
+@register("dedup_simhash_candidates", None)  # xxhash64 fast path — rows-only
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 SimHash near-dup candidates (64-bit fingerprint, 16-bit bands,
-    Hamming ranking)."""
+    Hamming ranking) — the xxhash64 FAST path; the algorithm is
+    externally verified through dedup_simhash_candidates_md5."""
     d = load_table(spark, sf_dir, "documents")
     return dedup_ops.simhash_candidates(d, "doc_id", "text")
 
@@ -2056,7 +2060,7 @@ def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     return sim_ops.embedding_near_dup_blocked(e, dim=64, threshold=0.3)
 
 
-@register("dedup_minhash_components", None)  # hash-seeded + iterative — rows-only
+@register("dedup_minhash_components", None)  # crc32 fast path — rows-only; md5 twin is oracle-backed
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 full near-dedup pipeline: MinHash-LSH candidates → Jaccard-estimate
     threshold → connected components (iterative min-label propagation,
@@ -4480,7 +4484,7 @@ def dedup_cdc_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_incremental_minhash", None)  # hash-seeded — rows-only
+@register("dedup_incremental_minhash", None)  # crc32 fast path — rows-only; md5 twin is oracle-backed
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dedup against a stored signature index
     (operators.dedup.incremental_minhash_dedup): even-id docs are the

@@ -519,3 +519,22 @@ def test_token_budget_mix_no_partitionless_window(spark):
     df = q(spark, "curation_token_budget_mix")
     assert checks.partitionless_window_count(df) == 0
     assert checks.has_broadcast_join(df)
+
+
+def test_round8_md5_twins_no_partitionless_window(spark):
+    """Round-8 oracle-backed twins keep the repo-wide window rule: no
+    physical Window with an empty partition spec (one task holding the
+    corpus), and no cartesian product anywhere in their plans."""
+    from ucr_bigdata_snowfallproject_spark.plans import checks
+    from ucr_bigdata_snowfallproject_spark.queries import REGISTRY
+
+    for name in (
+        "dedup_minhash_candidates_md5",
+        "dedup_simhash_candidates_md5",
+        "similarity_pq_int8_topk",
+    ):
+        fn, _ = REGISTRY[name]
+        df = fn(spark, SF_SMOKE)
+        assert checks.partitionless_window_count(df) == 0, name
+        plan = checks.explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, name

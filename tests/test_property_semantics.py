@@ -763,6 +763,34 @@ def test_token_budget_mix_bucketed_matches_naive_window(
     assert got == want
 
 
+@given(rows=_docs_strategy, budget=st.integers(min_value=1, max_value=300))
+@settings(**_SETTINGS)
+def test_token_budget_mix_prefilter_keeps_null_sources(spark, rows, budget):
+    """ADVICE r07 closure, prefilter path: the hash-threshold prefilter
+    joins its per-source threshold frame null-safely too — prefilter=True
+    must return EXACTLY the prefilter=False kept set (the identity
+    guarantee), including rows whose source is NULL."""
+    from pyspark.sql import functions as F
+
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    uniq = {}
+    for i, src, nt in rows:
+        uniq.setdefault(i, (src, nt))
+    df = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in uniq.items()],
+        "doc_id long, source string, n_tokens_in int",
+    )
+    key = lambda pf: {
+        (r.doc_id, r.cum_tokens)
+        for r in cur.token_budget_mix(
+            df, "source", "doc_id", F.col("n_tokens_in"),
+            budget_tokens=budget, prefilter=pf,
+        ).collect()
+    }
+    assert key(True) == key(False)
+
+
 @given(rows=_docs_strategy, n_buckets=st.sampled_from([1, 3, 64]))
 @settings(**_SETTINGS)
 def test_interleave_bucketed_matches_naive_global_window(spark, rows, n_buckets):

@@ -140,6 +140,8 @@ HEADLINE = [
     # PQ-ADC (int8 codebook encode + integer LUT scoring + exact rerank)
     "dedup_minhash_candidates_md5",
     "similarity_pq_int8_topk",
+    # corpus kNN graph: cell-blocked self-join, the all-pairs ANN shape
+    "similarity_knn_graph_int8",
 ]
 
 

@@ -1146,6 +1146,66 @@ def test_simhash_md5_mode_same_fingerprint_semantics(spark):
         )
 
 
+def test_knn_graph_recall_and_symmetry_contract(spark):
+    """ivf_int8_knn_graph: per-vector recall vs the exact per-vector
+    top-k (brute force over the whole corpus), plus the structural
+    contract — no self edges, exactly <=k neighbors per vector, every
+    returned sim is the true rounded cosine."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cent_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), [int(x) for x in r["codes"]]) for r in cent_rows]
+    rows = sim_ops.ivf_int8_knn_graph(e, cents, k=10, n_probe=2).collect()
+    per_src = {}
+    for r in rows:
+        assert r.src_id != r.nbr_id
+        per_src.setdefault(r.src_id, set()).add(r.nbr_id)
+    assert all(len(v) <= 10 for v in per_src.values())
+    assert len(per_src) == e.count()
+
+    # exact per-vector top-10 for a sample of 20 vectors
+    sample = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = _topk_sets(sim_ops.brute_force_topk(e, sample, k=11))
+    recalls = []
+    for q, nbrs in exact.items():
+        nbrs = nbrs - {q}  # brute force includes self at sim 1.0
+        got = per_src.get(q, set())
+        recalls.append(len(nbrs & got) / max(len(nbrs), 1))
+    mean_recall = sum(recalls) / len(recalls)
+    # uniform-random fixture + 2/16 probed cells: recall tracks the
+    # probed fraction of the corpus plus same-cell affinity
+    assert mean_recall >= 0.2, mean_recall
+
+
+def test_knn_graph_from_persisted_cells_identical(spark, tmp_path):
+    """Rebuilding the kNN graph from a persisted inverted file
+    (save_ivf_cells -> load_ivf_cells) is bit-identical to the inline
+    build — the artifact path shares the oracle."""
+    from ucr_bigdata_snowfallproject_spark import index_store as ix
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cent_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), [int(x) for x in r["codes"]]) for r in cent_rows]
+    root = str(tmp_path / "cells")
+    ix.save_ivf_cells(sim_ops.ivf_int8_build(e, cents), root)
+    loaded = ix.load_ivf_cells(spark, root)
+    key = lambda rows: sorted((r.src_id, r.nbr_id, r.sim) for r in rows)
+    inline = key(sim_ops.ivf_int8_knn_graph(e, cents, k=5, n_probe=2).collect())
+    from_art = key(
+        sim_ops.ivf_int8_knn_graph(e, cents, k=5, n_probe=2, cells=loaded).collect()
+    )
+    assert inline == from_art
+
+
 def test_semdedup_pairs_are_exact_subset(spark):
     """Every SemDeDup pair is a true near-dup (sims come from the same
     exact scorer), and the keep-set partitions the corpus with the

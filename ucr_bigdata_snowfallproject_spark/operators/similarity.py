@@ -1651,3 +1651,87 @@ def pq_int8_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_int8_knn_graph(
+    corpus: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    round_digits: int = 4,
+    cells: DataFrame | None = None,
+) -> DataFrame:
+    """Corpus kNN-GRAPH construction — every vector's top-``k`` exact
+    cosine neighbors among the vectors in its ``n_probe`` best IVF cells.
+    The all-pairs analogue of the bounded-query ANN operators: the input
+    to SemDeDup-style clustering, graph-based curation, and
+    connected-component near-dedup over embeddings.
+
+    Unlike the query-set probe (:func:`ivf_int8_topk_indexed`, which may
+    collect the bounded probed-cell list to the driver), NOTHING here
+    touches the driver: every vector ranks the centroid codes by the SAME
+    deterministic int8 score as the build, its (vector, probe-cell) pairs
+    explode map-side (×``n_probe``), and ONE equi-join on the cell id
+    matches probers to members — the blocked self-join that replaces the
+    O(n²) cross product. Cost is Σ_cell |probers(cell)|·|cell| ≈
+    n²·n_probe/C — the standard IVF kNN-graph bound; size C ~ √n to hold
+    per-cell work flat as the corpus grows, exactly like the cell-count
+    guidance on :func:`ivf_topk`.
+
+    Determinism: int8 cell assignment and probe ranking are integer
+    dots + one IEEE division (min-cid ties), the neighbor score is the
+    exact float cosine (rounded), and the per-vector top-k orders by
+    (sim desc, neighbor id) — every step engine-reproducible, so the
+    whole GRAPH hash-checks against a DuckDB oracle. Self-pairs are
+    excluded. ``cells=`` accepts a prebuilt/persisted inverted file
+    (``index_store.save_ivf_cells``/``load_ivf_cells``) so the graph can
+    be (re)built from the artifact without rescanning the corpus."""
+    if cells is None:
+        cells = ivf_int8_build(corpus, centroid_codes, id_col, vec_col)
+    qcodes = quantize_embeddings(corpus, id_col, vec_col).select(
+        F.col(id_col).alias("__qid"), F.col("codes").alias("__qc")
+    )
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    probes = (
+        corpus.select(
+            F.col(id_col).alias("__qid2"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+        .join(qcodes, F.col("__qid2") == F.col("__qid"))
+        .withColumn("__qd", dots_udf(F.col("__qc")))
+        .select(
+            "__qid",
+            "__qvec",
+            "__qn",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            _int8_centroid_scores(F.col("__qd"), centroid_codes)
+                        ),
+                        lambda s: s.getField("cid"),
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("__cell"),
+        )
+    )
+    sim = F.round(
+        dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cfn")),
+        round_digits,
+    )
+    scored = (
+        cells.join(probes, on="__cell")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(F.col("__qid").alias("src_id"), F.col(id_col).alias("nbr_id"), sim.alias("sim"))
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1639,6 +1639,86 @@ def similarity_ivf_int8_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFr
     return sim_ops.ivf_int8_topk_indexed(loaded, q, centroid_codes, k=10, n_probe=4)
 
 
+_KNN_GRAPH_INT8_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, xs,
+             list_aggregate(list_transform(xs, x -> ABS(x)), 'max') AS maxabs
+      FROM base
+    ), codes AS (
+      SELECT vec_id, xs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(
+                         xs, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS DOUBLE))
+                  ELSE list_transform(xs, x -> CAST(0 AS DOUBLE)) END AS c
+      FROM m
+    ), cents AS (
+      SELECT vec_id AS cid, c AS cc,
+             sqrt(list_dot_product(c, c)) AS cns
+      FROM codes WHERE vec_id < 16
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, ct.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -(list_dot_product(e.c, ct.cc) / ct.cns) ASC,
+                          ct.cid ASC) AS rn
+        FROM codes e CROSS JOIN cents ct)
+      WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS src_id, cid AS cell FROM (
+        SELECT e.vec_id, ct.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -(list_dot_product(e.c, ct.cc) / ct.cns) ASC,
+                          ct.cid ASC) AS rn
+        FROM codes e CROSS JOIN cents ct)
+      WHERE rn <= 2
+    ), scored AS (
+      SELECT p.src_id, a.vec_id AS nbr_id,
+             ROUND(list_dot_product(q.xs, b.xs) /
+                   (sqrt(list_dot_product(q.xs, q.xs)) *
+                    sqrt(list_dot_product(b.xs, b.xs))), 4) AS sim
+      FROM probes p
+      JOIN assign a ON a.cid = p.cell AND a.vec_id <> p.src_id
+      JOIN base q ON q.vec_id = p.src_id
+      JOIN base b ON b.vec_id = a.vec_id
+    )
+    SELECT src_id, nbr_id, sim FROM (
+        SELECT src_id, nbr_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY src_id
+                                  ORDER BY sim DESC, nbr_id) AS rn
+        FROM scored)
+    WHERE rn <= 10
+    """
+
+
+@register("similarity_knn_graph_int8", _KNN_GRAPH_INT8_ORACLE)
+def similarity_knn_graph_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 corpus kNN-GRAPH (operators.similarity.ivf_int8_knn_graph):
+    every vector's top-10 exact-cosine neighbors among its n_probe=2 best
+    int8-IVF cells — the all-pairs analogue of the query-set ANN
+    operators and the input shape for SemDeDup-style clustering and
+    graph-based curation. No driver materialization anywhere: probe
+    pairs explode map-side and ONE cell equi-join blocks the self-join
+    (n²·n_probe/C pair bound). Deterministic end-to-end (integer cell
+    math, exact rounded cosines, (sim desc, id) order) ⇒ the whole graph
+    hash-checks against the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect()
+    )
+    centroid_codes = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sorted(cent_rows, key=lambda r: r["vec_id"])
+    ]
+    return sim_ops.ivf_int8_knn_graph(e, centroid_codes, k=10, n_probe=2)
+
+
 @register("similarity_ivf_int8_incremental", _IVF_INT8_ORACLE)
 def similarity_ivf_int8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance of the int8 IVF artifact
@@ -6979,7 +7059,10 @@ _GATED_WINDOW = [
     #     skew_stats_events_by_user, twa_events_hourly,
     #     q1_pricing_summary stay),
     #   text_chunk_documents (text: tfidf, jsd, stats_documents,
-    #     rag_prep_pipeline stay).
+    #     rag_prep_pipeline stay),
+    #   incremental_centroid_replay (snapshot-maintenance family keeps
+    #     incremental_agg_replay; the embedding/X3 family keeps
+    #     embedding_drift_by_label plus every ANN entry).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -6989,6 +7072,7 @@ _GATED_WINDOW = [
     "similarity_pq_int8_topk",
     "dedup_minhash_components_md5",
     "dedup_simhash_candidates_md5",
+    "similarity_knn_graph_int8",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -7036,7 +7120,6 @@ _GATED_WINDOW = [
     "retrieval_eval_macro",
     "similarity_ivf_int8_indexed_topk",
     "embedding_drift_by_label",
-    "incremental_centroid_replay",
     "curation_interleave_order",
     "curation_length_band_filter",
     "rate_of_change_events",

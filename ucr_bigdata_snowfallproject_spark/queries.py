@@ -1719,6 +1719,57 @@ def similarity_knn_graph_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_int8_knn_graph(e, centroid_codes, k=10, n_probe=2)
 
 
+@register(
+    "dedup_embedding_knn_components",
+    f"""
+    WITH knn AS ({_KNN_GRAPH_INT8_ORACLE}),
+    edges AS (
+      SELECT src_id AS a, nbr_id AS b FROM knn WHERE sim >= 0.35
+      UNION
+      SELECT nbr_id AS a, src_id AS b FROM knn WHERE sim >= 0.35
+    )
+    SELECT n.a AS vec_id, LEAST(n.a, MIN(r.b)) AS comp
+    FROM (SELECT DISTINCT a FROM edges) n
+    LEFT JOIN (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+      ) SELECT a, b FROM reach
+    ) r ON r.a = n.a
+    GROUP BY n.a
+    """,
+)
+def dedup_embedding_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 embedding-graph near-dedup — the SemDeDup-style composition,
+    oracle-backed end-to-end: the int8-IVF corpus kNN graph
+    (similarity.ivf_int8_knn_graph) filtered to cosine >= 0.35 becomes
+    the dup-edge set, and dup_components' iterative min-label fixpoint
+    labels the clusters; the oracle replays the WHOLE stack — integer
+    cell assignment, blocked self-join, exact rounded cosines, and a
+    RECURSIVE-CTE transitive closure — in one SQL expression. Two
+    deterministic approximate/iterative operators composing into an
+    externally hash-verified pipeline is the round-8 thesis in one
+    query."""
+    from .operators import dedup as dedup_ops_local
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), [int(x) for x in r["codes"]]) for r in cent_rows]
+    knn = sim_ops.ivf_int8_knn_graph(e, cents, k=10, n_probe=2)
+    pairs = knn.filter(F.col("sim") >= 0.35).select(
+        F.col("src_id").alias("id_a"), F.col("nbr_id").alias("id_b")
+    )
+    return dedup_ops_local.dup_components(pairs).select(
+        F.col("id").alias("vec_id"), F.col("comp")
+    )
+
+
 @register("similarity_ivf_int8_incremental", _IVF_INT8_ORACLE)
 def similarity_ivf_int8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance of the int8 IVF artifact
@@ -7062,7 +7113,9 @@ _GATED_WINDOW = [
     #     rag_prep_pipeline stay),
     #   incremental_centroid_replay (snapshot-maintenance family keeps
     #     incremental_agg_replay; the embedding/X3 family keeps
-    #     embedding_drift_by_label plus every ANN entry).
+    #     embedding_drift_by_label plus every ANN entry),
+    #   rate_of_change_events (windows family keeps twa_events_hourly;
+    #     lag/derivative semantics stay in the local mirror).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -7073,6 +7126,7 @@ _GATED_WINDOW = [
     "dedup_minhash_components_md5",
     "dedup_simhash_candidates_md5",
     "similarity_knn_graph_int8",
+    "dedup_embedding_knn_components",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -7122,7 +7176,6 @@ _GATED_WINDOW = [
     "embedding_drift_by_label",
     "curation_interleave_order",
     "curation_length_band_filter",
-    "rate_of_change_events",
     "dedup_cdc_boilerplate",
     # =====================================================================
     # Round-6 rotation (VERDICT r05 #2/#5): 17 never-driver-gated queries

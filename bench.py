@@ -142,6 +142,8 @@ HEADLINE = [
     "similarity_pq_int8_topk",
     # corpus kNN graph: cell-blocked self-join, the all-pairs ANN shape
     "similarity_knn_graph_int8",
+    # record linkage: vocabulary-sized q-gram-blocked levenshtein join
+    "fuzzy_join_part_names",
 ]
 
 

@@ -763,6 +763,49 @@ def test_token_budget_mix_bucketed_matches_naive_window(
     assert got == want
 
 
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("abc ")), min_size=0, max_size=12),
+        min_size=1,
+        max_size=25,
+    ),
+    max_dist=st.sampled_from([1, 2, 3]),
+)
+@settings(**_SETTINGS)
+def test_fuzzy_self_join_blocking_is_lossless(spark, names, max_dist):
+    """fuzzy_self_join's q-gram + short-block candidate generation loses
+    NOTHING: blocked output == the naive all-distinct-pairs levenshtein
+    filter, on adversarially short strings over a tiny alphabet (the
+    regime where the q-gram guarantee alone would fail and the §short
+    routing must catch the pair)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import fuzzy_self_join
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = sorted(
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_join(df, "name", max_dist=max_dist, q=2).collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    want = sorted(
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) <= max_dist
+    )
+    assert got == want
+
+
 @given(rows=_docs_strategy, budget=st.integers(min_value=1, max_value=300))
 @settings(**_SETTINGS)
 def test_token_budget_mix_prefilter_keeps_null_sources(spark, rows, budget):

@@ -931,3 +931,73 @@ def term_distribution_jsd(
         F.first("__tb").alias("n_terms_b"),
         F.count(F.lit(1)).alias("vocab"),
     )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    key_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: all DISTINCT value pairs of
+    ``key_col`` within Levenshtein distance ``max_dist`` — (key_a, key_b,
+    dist) with key_a < key_b — WITHOUT the O(n²) cross join.
+
+    Blocking is LOSSLESS (the output provably equals the naive all-pairs
+    filter, which is exactly what the DuckDB oracle computes):
+
+    - a string has ``len−q+1`` positional q-grams and one edit destroys
+      at most ``q`` of them, so two strings within ``max_dist`` edits and
+      length ≥ ``q·(max_dist+1)`` share at least one q-gram — those block
+      on their DISTINCT q-grams (the ED-Join/Pass-Join count-filter
+      bound);
+    - any pair with a SHORTER member has both lengths
+      < ``q·(max_dist+1)+max_dist`` (the length band transfers the
+      bound), so every string under that length additionally lands in
+      one shared ``§short`` block. Distinct strings that short are
+      alphabet-bounded, so the block is small by construction.
+
+    Verification: candidates dedupe, pass the ``|len_a−len_b| ≤
+    max_dist`` band (free, before the DP), and only then pay
+    ``levenshtein`` — the classic filter-verification shape. Scale:
+    work is Σ_block |block|² over q-gram blocks of the DISTINCT value
+    set (vocabulary-sized, not row-sized — dedupe first is the point);
+    a hot stop-gram inflates one block, the same skew knob territory as
+    ``minhash_candidates.max_bucket`` (apply a cap only when the caller
+    can tolerate recall loss — the default stays exact)."""
+    short_bound = q * (max_dist + 1) + max_dist
+    keys = df.select(F.col(key_col).cast("string").alias("__k")).filter(
+        F.col("__k").isNotNull()
+    ).distinct()
+    grams = keys.select(
+        "__k",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, greatest(length(__k) - {q - 1}, 1)),"
+                    f" i -> substring(__k, i, {q}))"
+                )
+            )
+        ).alias("__block"),
+    )
+    short = keys.filter(F.length("__k") < short_bound).select(
+        "__k", F.lit("§short").alias("__block")
+    )
+    blocks = grams.unionByName(short)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__k") < F.col("b.__k")),
+        )
+        .select(F.col("a.__k").alias("key_a"), F.col("b.__k").alias("key_b"))
+        .dropDuplicates(["key_a", "key_b"])
+    )
+    return (
+        cand.filter(
+            F.abs(F.length("key_a") - F.length("key_b")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("key_a", "key_b"))
+        .filter(F.col("dist") <= max_dist)
+    )

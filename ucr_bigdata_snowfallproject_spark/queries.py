@@ -1214,6 +1214,29 @@ def dedup_minhash_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_join_part_names",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS k FROM part WHERE p_name IS NOT NULL)
+    SELECT a.k AS key_a, b.k AS key_b, levenshtein(a.k, b.k) AS dist
+    FROM names a JOIN names b ON a.k < b.k
+    WHERE levenshtein(a.k, b.k) <= 2
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy self-join (operators.text.fuzzy_self_join):
+    all distinct part-name pairs within Levenshtein distance 2, found by
+    LOSSLESS q-gram blocking (one edit destroys <= q positional q-grams,
+    so close long strings must share a gram; short strings route to one
+    alphabet-bounded block) + length-band prefilter + levenshtein
+    verification — never an O(n²) cross join. The oracle IS the naive
+    all-pairs filter, so the driver externally proves the blocking loses
+    nothing. New operator family: record linkage / approximate string
+    matching."""
+    p = load_table(spark, sf_dir, "part")
+    return text_ops.fuzzy_self_join(p, "p_name", max_dist=2, q=2)
+
+
 @register("dedup_simhash_candidates", None)  # xxhash64 fast path — rows-only
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 SimHash near-dup candidates (64-bit fingerprint, 16-bit bands,
@@ -7115,7 +7138,10 @@ _GATED_WINDOW = [
     #     incremental_agg_replay; the embedding/X3 family keeps
     #     embedding_drift_by_label plus every ANN entry),
     #   rate_of_change_events (windows family keeps twa_events_hourly;
-    #     lag/derivative semantics stay in the local mirror).
+    #     lag/derivative semantics stay in the local mirror),
+    #   embedding_drift_by_label (drift family keeps
+    #     ks_drift_totalprice_quantized + text_jsd_en_vs_rest; the
+    #     embedding family keeps every ANN entry + the kNN graph).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -7127,6 +7153,7 @@ _GATED_WINDOW = [
     "dedup_simhash_candidates_md5",
     "similarity_knn_graph_int8",
     "dedup_embedding_knn_components",
+    "fuzzy_join_part_names",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -7173,7 +7200,6 @@ _GATED_WINDOW = [
     "text_tfidf_top_terms",
     "retrieval_eval_macro",
     "similarity_ivf_int8_indexed_topk",
-    "embedding_drift_by_label",
     "curation_interleave_order",
     "curation_length_band_filter",
     "dedup_cdc_boilerplate",

@@ -1206,6 +1206,41 @@ def test_knn_graph_from_persisted_cells_identical(spark, tmp_path):
     assert inline == from_art
 
 
+def test_knn_graph_all_cells_equals_brute_force(spark):
+    """Exactness pin: probing EVERY cell (n_probe = n_centroids) makes
+    the kNN graph identical to the exact per-vector cosine top-k — the
+    approximation comes only from cell pruning, never from scoring."""
+    e = load_table(spark, SF_SMOKE, "embeddings").filter(F.col("vec_id") < 120)
+    cent_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), [int(x) for x in r["codes"]]) for r in cent_rows]
+    got = sorted(
+        (r.src_id, r.nbr_id, r.sim)
+        for r in sim_ops.ivf_int8_knn_graph(e, cents, k=5, n_probe=16).collect()
+    )
+    q = e.select(F.col("vec_id").alias("q_id"), "embedding")
+    bf = sim_ops.brute_force_topk(e, q, k=6)  # k+1: includes self at 1.0
+    want = sorted(
+        (r.q_id, r.vec_id, r.sim)
+        for r in bf.collect()
+        if r.q_id != r.vec_id
+    )
+    # brute force kept 6 per query incl. self; after dropping self some
+    # queries have 6 non-self rows (self wasn't top-6) — trim to top-5
+    per = {}
+    for s_, n_, v_ in want:
+        per.setdefault(s_, []).append((v_, n_))
+    trimmed = sorted(
+        (s_, n_, v_)
+        for s_, rows in per.items()
+        for v_, n_ in sorted(rows, key=lambda x: (-x[0], x[1]))[:5]
+    )
+    assert got == trimmed
+
+
 def test_semdedup_pairs_are_exact_subset(spark):
     """Every SemDeDup pair is a true near-dup (sims come from the same
     exact scorer), and the keep-set partitions the corpus with the

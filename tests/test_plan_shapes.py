@@ -533,6 +533,7 @@ def test_round8_md5_twins_no_partitionless_window(spark):
         "dedup_simhash_candidates_md5",
         "similarity_pq_int8_topk",
         "similarity_knn_graph_int8",
+        "fuzzy_join_part_names",
     ):
         fn, _ = REGISTRY[name]
         df = fn(spark, SF_SMOKE)

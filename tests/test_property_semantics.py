@@ -806,6 +806,48 @@ def test_fuzzy_self_join_blocking_is_lossless(spark, names, max_dist):
     assert got == want
 
 
+@given(
+    lefts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab ")), min_size=0, max_size=10),
+        min_size=1, max_size=15,
+    ),
+    rights=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab ")), min_size=0, max_size=10),
+        min_size=1, max_size=15,
+    ),
+    max_dist=st.sampled_from([1, 2]),
+)
+@settings(**_SETTINGS)
+def test_fuzzy_join_two_sided_lossless(spark, lefts, rights, max_dist):
+    """Two-sided fuzzy_join == the naive distinct cross filter, on the
+    same adversarially short tiny-alphabet strings."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import fuzzy_join
+
+    ldf = spark.createDataFrame([(n,) for n in lefts], "ln string")
+    rdf = spark.createDataFrame([(n,) for n in rights], "rn string")
+    got = sorted(
+        (r.key_left, r.key_right, r.dist)
+        for r in fuzzy_join(ldf, rdf, "ln", "rn", max_dist=max_dist, q=2).collect()
+    )
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = sorted(
+        (a, b, lev(a, b))
+        for a in set(lefts) for b in set(rights)
+        if lev(a, b) <= max_dist
+    )
+    assert got == want
+
+
 @given(rows=_docs_strategy, budget=st.integers(min_value=1, max_value=300))
 @settings(**_SETTINGS)
 def test_token_budget_mix_prefilter_keeps_null_sources(spark, rows, budget):

@@ -1001,3 +1001,57 @@ def fuzzy_self_join(
         .withColumn("dist", F.levenshtein("key_a", "key_b"))
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Two-sided record linkage: all (left value, right value) DISTINCT
+    pairs within Levenshtein ``max_dist`` — (key_left, key_right, dist) —
+    with the same LOSSLESS blocking as :func:`fuzzy_self_join` (shared
+    q-gram blocks for long strings, one alphabet-bounded ``§short``
+    block for the rest; length band before the DP verify). Use it to
+    reconcile a column against a reference list (canonical vendor names,
+    known titles) without the cross join; dedupe-within-one-table is the
+    self-join variant."""
+
+    def blocks_of(df: DataFrame, col: str) -> DataFrame:
+        short_bound = q * (max_dist + 1) + max_dist
+        keys = df.select(F.col(col).cast("string").alias("__k")).filter(
+            F.col("__k").isNotNull()
+        ).distinct()
+        grams = keys.select(
+            "__k",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, greatest(length(__k) - {q - 1}, 1)),"
+                        f" i -> substring(__k, i, {q}))"
+                    )
+                )
+            ).alias("__block"),
+        )
+        short = keys.filter(F.length("__k") < short_bound).select(
+            "__k", F.lit("§short").alias("__block")
+        )
+        return grams.unionByName(short)
+
+    lb = blocks_of(left, left_col).withColumnRenamed("__k", "key_left")
+    rb = blocks_of(right, right_col).withColumnRenamed("__k", "key_right")
+    cand = (
+        lb.join(rb, "__block")
+        .select("key_left", "key_right")
+        .dropDuplicates(["key_left", "key_right"])
+    )
+    return (
+        cand.filter(
+            F.abs(F.length("key_left") - F.length("key_right")) <= max_dist
+        )
+        .withColumn("dist", F.levenshtein("key_left", "key_right"))
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -1676,9 +1676,14 @@ def ivf_int8_knn_graph(
     explode map-side (×``n_probe``), and ONE equi-join on the cell id
     matches probers to members — the blocked self-join that replaces the
     O(n²) cross product. Cost is Σ_cell |probers(cell)|·|cell| ≈
-    n²·n_probe/C — the standard IVF kNN-graph bound; size C ~ √n to hold
-    per-cell work flat as the corpus grows, exactly like the cell-count
-    guidance on :func:`ivf_topk`.
+    n²·n_probe/C — the standard IVF kNN-graph bound. Scale rule, MEASURED
+    (SCALE.md round-8 table): grow C ~ √n and hold ``n_probe`` FIXED —
+    the probed fraction then shrinks as 1/√n and pair work follows the
+    n^1.5 law (10× rows measured 1.65× wall). Holding C fixed is the
+    quadratic trap (10× rows → ~5× wall, worsening); holding the probed
+    FRACTION constant by raising n_probe with C keeps the n² pair count
+    and gains nothing. Recall per probed cell improves as cells shrink,
+    which is what lets n_probe stay fixed.
 
     Determinism: int8 cell assignment and probe ranking are integer
     dots + one IEEE division (min-cid ties), the neighbor score is the

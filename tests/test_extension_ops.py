@@ -1241,6 +1241,32 @@ def test_knn_graph_all_cells_equals_brute_force(spark):
     assert got == trimmed
 
 
+def test_knn_graph_delta_equals_full_rebuild(spark):
+    """ivf_int8_knn_graph_delta: graph-over-(old) + delta update ==
+    graph-over-(old ∪ delta) bit-for-bit — the merge property
+    top-k(A∪B) = top-k(top-k(A)∪B) plus probe-set invariance under the
+    fixed centroid codes."""
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cent_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), [int(x) for x in r["codes"]]) for r in cent_rows]
+    old = e.filter(F.col("vec_id") % 4 != 0)
+    delta = e.filter(F.col("vec_id") % 4 == 0)
+    old_cells = sim_ops.ivf_int8_build(old, cents)
+    old_graph = sim_ops.ivf_int8_knn_graph(
+        old, cents, k=7, n_probe=3, cells=old_cells
+    )
+    inc = sim_ops.ivf_int8_knn_graph_delta(
+        old_graph, old_cells, delta, cents, k=7, n_probe=3
+    )
+    full = sim_ops.ivf_int8_knn_graph(e, cents, k=7, n_probe=3)
+    key = lambda df: sorted((r.src_id, r.nbr_id, r.sim) for r in df.collect())
+    assert key(inc) == key(full)
+
+
 def test_semdedup_pairs_are_exact_subset(spark):
     """Every SemDeDup pair is a true near-dup (sims come from the same
     exact scorer), and the keep-set partitions the corpus with the

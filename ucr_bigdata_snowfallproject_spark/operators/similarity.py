@@ -1740,3 +1740,102 @@ def ivf_int8_knn_graph(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ivf_int8_knn_graph_delta(
+    old_graph: DataFrame,
+    old_cells: DataFrame,
+    delta: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Incremental kNN-graph maintenance — O(touched) instead of a full
+    rebuild: given the exact graph over the indexed corpus
+    (:func:`ivf_int8_knn_graph` output), its inverted file, and a batch
+    of NEW vectors, return the exact graph over the UNION corpus.
+
+    Why it is EXACT (the merge property): a source's rebuilt neighbor
+    list is the top-k of (old candidates ∪ delta candidates) under the
+    total order (sim desc, id) — and top-k(A ∪ B) = top-k(top-k(A) ∪ B),
+    so the stored top-k rows plus the source's delta-candidate edges
+    re-ranked per source reproduce the rebuild row-for-row. Probe sets
+    never change (cell ranking depends only on the fixed centroid
+    codes), so no stale-candidate hazard exists. Hence incremental ==
+    full rebuild bit-for-bit and BOTH share one full-corpus SQL oracle —
+    the BM25/IVF append==rebuild contract extended to a derived GRAPH
+    artifact.
+
+    Work: the delta assigns in one scan (O(batch)); new sources probe
+    (old ∪ delta) cells; old sources gain candidate edges ONLY against
+    delta members landing in their probed cells —
+    O(n_old·|delta|·n_probe/C) pair work, vs the rebuild's
+    n²·n_probe/C. Contract: delta ids must be NEW (the
+    ``append_bm25_delta`` rule). Pair with
+    ``index_store.append_ivf_cells`` to maintain the inverted file
+    itself zero-copy."""
+    delta_cells = ivf_int8_build(delta, centroid_codes, id_col, vec_col)
+    all_cells = old_cells.unionByName(delta_cells)
+
+    # new sources: the standard probe, against the UNION inverted file
+    new_edges = ivf_int8_knn_graph(
+        delta, centroid_codes, id_col, vec_col, k, n_probe, round_digits,
+        cells=all_cells,
+    )
+
+    # old sources: candidate edges only vs delta members in their probed
+    # cells (probe ranking recomputed from the fixed centroid codes —
+    # identical to the build-time ranking by determinism)
+    qcodes = quantize_embeddings(old_cells, id_col, vec_col).select(
+        F.col(id_col).alias("__qid"), F.col("codes").alias("__qc")
+    )
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    probes = (
+        old_cells.select(
+            F.col(id_col).alias("__qid2"),
+            F.col(vec_col).alias("__qvec"),
+            F.col("__cfn").alias("__qn"),
+        )
+        .join(qcodes, F.col("__qid2") == F.col("__qid"))
+        .withColumn("__qd", dots_udf(F.col("__qc")))
+        .select(
+            "__qid",
+            "__qvec",
+            "__qn",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            _int8_centroid_scores(F.col("__qd"), centroid_codes)
+                        ),
+                        lambda s: s.getField("cid"),
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("__cell"),
+        )
+    )
+    sim = F.round(
+        dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cfn")),
+        round_digits,
+    )
+    old_vs_delta = (
+        delta_cells.join(probes, on="__cell")
+        .filter(F.col(id_col) != F.col("__qid"))
+        .select(
+            F.col("__qid").alias("src_id"), F.col(id_col).alias("nbr_id"),
+            sim.alias("sim"),
+        )
+    )
+    merged = old_graph.select("src_id", "nbr_id", "sim").unionByName(old_vs_delta)
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
+    updated_old = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+    return updated_old.unionByName(new_edges.select("src_id", "nbr_id", "sim"))

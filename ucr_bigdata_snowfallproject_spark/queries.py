@@ -1793,6 +1793,39 @@ def dedup_embedding_knn_components(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register("similarity_knn_graph_incremental", _KNN_GRAPH_INT8_ORACLE)
+def similarity_knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental kNN-graph maintenance
+    (operators.similarity.ivf_int8_knn_graph_delta): the indexed corpus
+    (vec_id % 5 != 0) carries an exact graph + inverted file; the
+    arriving batch (vec_id % 5 == 0) assigns in one scan, new sources
+    probe the union file, and OLD sources gain candidate edges only
+    against delta members landing in their probed cells —
+    O(n_old·|delta|·n_probe/C) pair work instead of the rebuild's
+    n²·n_probe/C. Because probe sets depend only on the fixed centroid
+    codes and top-k(A∪B) = top-k(top-k(A)∪B) under the (sim desc, id)
+    total order, incremental == full rebuild bit-for-bit — so this entry
+    shares the full-corpus graph oracle VERBATIM: the append==rebuild
+    contract (BM25, SQ8, IVF) extended to a derived graph artifact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent_rows = sorted(
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = [(int(r["vec_id"]), [int(x) for x in r["codes"]]) for r in cent_rows]
+    old = e.filter(F.col("vec_id") % 5 != 0)
+    delta = e.filter(F.col("vec_id") % 5 == 0)
+    old_cells = sim_ops.ivf_int8_build(old, cents)
+    old_graph = sim_ops.ivf_int8_knn_graph(
+        old, cents, k=10, n_probe=2, cells=old_cells
+    )
+    return sim_ops.ivf_int8_knn_graph_delta(
+        old_graph, old_cells, delta, cents, k=10, n_probe=2
+    )
+
+
 @register("similarity_ivf_int8_incremental", _IVF_INT8_ORACLE)
 def similarity_ivf_int8_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL maintenance of the int8 IVF artifact
@@ -7141,7 +7174,9 @@ _GATED_WINDOW = [
     #     lag/derivative semantics stay in the local mirror),
     #   embedding_drift_by_label (drift family keeps
     #     ks_drift_totalprice_quantized + text_jsd_en_vs_rest; the
-    #     embedding family keeps every ANN entry + the kNN graph).
+    #     embedding family keeps every ANN entry + the kNN graph),
+    #   retrieval_eval_macro (retrieval family keeps retrieval_eval_metrics,
+    #     retrieval_bm25_topk, retrieval_bm25_incremental).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -7154,6 +7189,7 @@ _GATED_WINDOW = [
     "similarity_knn_graph_int8",
     "dedup_embedding_knn_components",
     "fuzzy_join_part_names",
+    "similarity_knn_graph_incremental",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -7198,7 +7234,6 @@ _GATED_WINDOW = [
     # =====================================================================
     "graph_pagerank_parts",
     "text_tfidf_top_terms",
-    "retrieval_eval_macro",
     "similarity_ivf_int8_indexed_topk",
     "curation_interleave_order",
     "curation_length_band_filter",

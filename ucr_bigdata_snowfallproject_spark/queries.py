@@ -1237,6 +1237,31 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fuzzy_self_join(p, "p_name", max_dist=2, q=2)
 
 
+@register(
+    "fuzzy_join_reconcile_names",
+    """
+    WITH l AS (SELECT DISTINCT p_name AS k FROM part WHERE p_name IS NOT NULL),
+         r AS (SELECT DISTINCT substr(p_name, 1, len(p_name) - 1) AS k
+               FROM part WHERE p_name IS NOT NULL)
+    SELECT l.k AS key_left, r.k AS key_right, levenshtein(l.k, r.k) AS dist
+    FROM l JOIN r ON levenshtein(l.k, r.k) <= 1
+    """,
+)
+def fuzzy_join_reconcile_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided record linkage (operators.text.fuzzy_join): reconcile
+    part names against a reference list (here a deterministically
+    truncated twin — the last character dropped, the canonical
+    dirty-vs-clean-catalog shape) at Levenshtein <= 1, through the same
+    lossless q-gram + short-block machinery as the self-join. Oracle =
+    the naive distinct cross filter, so the driver externally proves the
+    two-sided blocking loses nothing either."""
+    prt = load_table(spark, sf_dir, "part")
+    right = prt.select(
+        F.expr("substring(p_name, 1, length(p_name) - 1)").alias("ref_name")
+    )
+    return text_ops.fuzzy_join(prt, right, "p_name", "ref_name", max_dist=1, q=2)
+
+
 @register("dedup_simhash_candidates", None)  # xxhash64 fast path — rows-only
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 SimHash near-dup candidates (64-bit fingerprint, 16-bit bands,
@@ -7176,7 +7201,9 @@ _GATED_WINDOW = [
     #     ks_drift_totalprice_quantized + text_jsd_en_vs_rest; the
     #     embedding family keeps every ANN entry + the kNN graph),
     #   retrieval_eval_macro (retrieval family keeps retrieval_eval_metrics,
-    #     retrieval_bm25_topk, retrieval_bm25_incremental).
+    #     retrieval_bm25_topk, retrieval_bm25_incremental),
+    #   quality_gate_orders (quality gating: curation_quality_linear +
+    #     dedup_quality_survivor stay).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -7190,6 +7217,7 @@ _GATED_WINDOW = [
     "dedup_embedding_knn_components",
     "fuzzy_join_part_names",
     "similarity_knn_graph_incremental",
+    "fuzzy_join_reconcile_names",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -7274,7 +7302,6 @@ _GATED_WINDOW = [
     # =====================================================================
     "text_jsd_en_vs_rest",
     "incremental_agg_replay",
-    "quality_gate_orders",
     "rag_prep_pipeline",
     # --- round-6b: the two operators BUILT this round earn driver rows
     # immediately (incremental BM25 maintenance, RRF hybrid fusion).

@@ -1262,6 +1262,69 @@ def fuzzy_join_reconcile_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.fuzzy_join(prt, right, "p_name", "ref_name", max_dist=1, q=2)
 
 
+@register(
+    "curation_corpus_mix_pipeline",
+    _minhash_md5_sql("""
+    , survivors AS (
+      SELECT d.* FROM documents d
+      WHERE doc_id NOT IN (
+        SELECT DISTINCT id_b FROM est WHERE jaccard_est >= 0.8)
+    ), t AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tokens,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'), 1, 8))::BIGINT
+               AS priority
+      FROM survivors
+    ), c AS (
+      SELECT *, SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY priority, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM t
+    ), kept AS (
+      SELECT doc_id, source, n_tokens FROM c WHERE cum_tokens <= 800
+    ), ranked AS (
+      SELECT doc_id, source, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#il'),
+                                        1, 8))::BIGINT, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS tot
+      FROM kept
+    )
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY (i - 0.5) / tot, source, doc_id) AS INT)
+             AS interleave_rank
+    FROM ranked
+    """),
+)
+def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation pipeline as ONE lazy plan, fully
+    oracle-backed: portable-md5 MinHash near-dedup (survivors at
+    jaccard_est >= 0.8) → per-source token-budget mixing (bucketed
+    two-pass prefix sum, budget 800) → proportional source interleaving
+    (the global training order). Every stage already carries its own
+    bit-exact oracle; this entry proves the COMPOSITION — signatures,
+    banding, candidate pairs, survivor rule, budget prefix, interleave
+    rank — hash-matches end to end, i.e. a user can run their whole
+    dedup→mix→order curation flow on this engine and externally verify
+    the final training order row for row."""
+    d = load_table(spark, sf_dir, "documents")
+    surv = dedup_ops.minhash_dedup(d, "doc_id", "text", threshold=0.8, hash="md5")
+    kept = curation_ops.token_budget_mix(
+        surv, "source", "doc_id", text_ops.token_count("text"), budget_tokens=800
+    )
+    ranked = curation_ops.proportional_interleave(
+        kept.select("doc_id", "source", "n_tokens"), "source", "doc_id"
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "interleave_rank",
+    )
+
+
 @register("dedup_simhash_candidates", None)  # xxhash64 fast path — rows-only
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 SimHash near-dup candidates (64-bit fingerprint, 16-bit bands,
@@ -7203,7 +7266,11 @@ _GATED_WINDOW = [
     #   retrieval_eval_macro (retrieval family keeps retrieval_eval_metrics,
     #     retrieval_bm25_topk, retrieval_bm25_incremental),
     #   quality_gate_orders (quality gating: curation_quality_linear +
-    #     dedup_quality_survivor stay).
+    #     dedup_quality_survivor stay),
+    #   curation_interleave_order (its interleave stage is gated inside
+    #     the incoming curation_corpus_mix_pipeline, which composes
+    #     dedup→budget→interleave under one oracle; token_budget_mix
+    #     stays gated standalone too).
     # =====================================================================
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
@@ -7218,6 +7285,7 @@ _GATED_WINDOW = [
     "fuzzy_join_part_names",
     "similarity_knn_graph_incremental",
     "fuzzy_join_reconcile_names",
+    "curation_corpus_mix_pipeline",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that
@@ -7263,7 +7331,6 @@ _GATED_WINDOW = [
     "graph_pagerank_parts",
     "text_tfidf_top_terms",
     "similarity_ivf_int8_indexed_topk",
-    "curation_interleave_order",
     "curation_length_band_filter",
     "dedup_cdc_boilerplate",
     # =====================================================================

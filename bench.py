@@ -144,6 +144,8 @@ HEADLINE = [
     "similarity_knn_graph_int8",
     # record linkage: vocabulary-sized q-gram-blocked levenshtein join
     "fuzzy_join_part_names",
+    # the end-to-end curation flow (md5 near-dedup -> budget -> interleave)
+    "curation_corpus_mix_pipeline",
 ]
 
 

@@ -534,6 +534,7 @@ def test_round8_md5_twins_no_partitionless_window(spark):
         "similarity_pq_int8_topk",
         "similarity_knn_graph_int8",
         "fuzzy_join_part_names",
+        "curation_corpus_mix_pipeline",
     ):
         fn, _ = REGISTRY[name]
         df = fn(spark, SF_SMOKE)

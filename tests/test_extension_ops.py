@@ -504,6 +504,50 @@ def test_minhash_pair_strategies_identical(spark):
     assert agg_d == join_d and len(agg_d) == 299
 
 
+def test_fuzzy_self_join_max_block_bounds_stop_gram_block(spark):
+    """VERDICT r08 #1, the degenerate stop-gram fixture: 600 SKU-like
+    strings all sharing the q-gram 'an' (and each other's length). The
+    hot blocks uncapped would expand C(600,2) = 179,700 candidate pairs
+    before the levenshtein verify; max_block degrades them to star pairs,
+    so the candidate set stays O(n·blocks) and every survivor is still a
+    true ≤max_dist match (checked against a Python DP on the output)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import (
+        _fuzzy_blocks,
+        _fuzzy_candidates,
+        fuzzy_self_join,
+    )
+
+    skus = spark.createDataFrame(
+        [(f"an{i:04d}",) for i in range(600)], "sku string"
+    )
+    blocks = _fuzzy_blocks(skus, "sku", max_dist=1, q=2)
+    n_capped = _fuzzy_candidates(
+        blocks, blocks, "key_a", "key_b", True, 100, False
+    ).count()
+    # the star degrade keeps candidate work linear-ish: a handful of star
+    # fans (one per hot block) plus the small blocks' exact pairs — far
+    # under the 179,700 the uncapped 'an' block alone would expand
+    assert 0 < n_capped < 20_000, n_capped
+
+    out = fuzzy_self_join(
+        skus, "sku", max_dist=1, q=2, max_block=100
+    ).collect()
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    assert out  # star pairs vs each hot block's min DO yield real matches
+    for r in out:
+        assert r.key_a < r.key_b and lev(r.key_a, r.key_b) == r.dist <= 1
+
+
 def test_embedding_near_dup_blocked_matches_exact(spark):
     """The LSH-blocked near-dup path reproduces the exact all-pairs form
     EXACTLY on the fixture (seeded hyperplanes ⇒ deterministic recall),

@@ -848,6 +848,103 @@ def test_fuzzy_join_two_sided_lossless(spark, lefts, rights, max_dist):
     assert got == want
 
 
+@given(
+    names=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab ")), min_size=0, max_size=10),
+        min_size=1,
+        max_size=20,
+    ),
+    max_dist=st.sampled_from([1, 2]),
+    max_block=st.sampled_from([1, 4, 10_000]),
+)
+@settings(**_SETTINGS)
+def test_fuzzy_self_join_max_block_subset_of_naive(
+    spark, names, max_dist, max_block
+):
+    """VERDICT r08 #1: the max_block degrade knob. Cap-on output is a
+    SUBSET of the naive all-pairs filter (star pairs are real pairs, so
+    every survivor is a true ≤max_dist match), every kept pair carries
+    the correct distance, and a cap no block reaches (10k on ≤20 strings)
+    reproduces the exact cap-off output."""
+    import itertools
+
+    from ucr_bigdata_snowfallproject_spark.operators.text import fuzzy_self_join
+
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        (r.key_a, r.key_b, r.dist)
+        for r in fuzzy_self_join(
+            df, "name", max_dist=max_dist, q=2, max_block=max_block
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    want = {
+        (a, b, lev(a, b))
+        for a, b in itertools.combinations(uniq, 2)
+        if lev(a, b) <= max_dist
+    }
+    assert got <= want
+    if max_block == 10_000:
+        assert got == want
+
+
+@given(
+    lefts=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab ")), min_size=0, max_size=8),
+        min_size=1, max_size=12,
+    ),
+    rights=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab ")), min_size=0, max_size=8),
+        min_size=1, max_size=12,
+    ),
+    max_block=st.sampled_from([1, 6, 10_000]),
+)
+@settings(**_SETTINGS)
+def test_fuzzy_join_max_block_subset_of_naive(spark, lefts, rights, max_block):
+    """Two-sided max_block: capped output ⊆ naive cross filter; a
+    non-binding cap reproduces the exact output."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import fuzzy_join
+
+    ldf = spark.createDataFrame([(n,) for n in lefts], "ln string")
+    rdf = spark.createDataFrame([(n,) for n in rights], "rn string")
+    got = {
+        (r.key_left, r.key_right, r.dist)
+        for r in fuzzy_join(
+            ldf, rdf, "ln", "rn", max_dist=1, q=2, max_block=max_block
+        ).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b, lev(a, b))
+        for a in set(lefts) for b in set(rights)
+        if lev(a, b) <= 1
+    }
+    assert got <= want
+    if max_block == 10_000:
+        assert got == want
+
+
 @given(rows=_docs_strategy, budget=st.integers(min_value=1, max_value=300))
 @settings(**_SETTINGS)
 def test_token_budget_mix_prefilter_keeps_null_sources(spark, rows, budget):

@@ -933,18 +933,14 @@ def term_distribution_jsd(
     )
 
 
-def fuzzy_self_join(
-    df: DataFrame,
-    key_col: str,
-    max_dist: int = 2,
-    q: int = 2,
+def _fuzzy_blocks(
+    df: DataFrame, col: str, max_dist: int, q: int
 ) -> DataFrame:
-    """Entity-resolution fuzzy self-join: all DISTINCT value pairs of
-    ``key_col`` within Levenshtein distance ``max_dist`` — (key_a, key_b,
-    dist) with key_a < key_b — WITHOUT the O(n²) cross join.
+    """Shared blocking kernel for the fuzzy-join family: (``__k``,
+    ``__block``) rows over the DISTINCT non-null values of ``col``.
 
-    Blocking is LOSSLESS (the output provably equals the naive all-pairs
-    filter, which is exactly what the DuckDB oracle computes):
+    Lossless by construction (two strings within ``max_dist`` edits are
+    guaranteed ≥1 shared block):
 
     - a string has ``len−q+1`` positional q-grams and one edit destroys
       at most ``q`` of them, so two strings within ``max_dist`` edits and
@@ -953,20 +949,16 @@ def fuzzy_self_join(
       bound);
     - any pair with a SHORTER member has both lengths
       < ``q·(max_dist+1)+max_dist`` (the length band transfers the
-      bound), so every string under that length additionally lands in
-      one shared ``§short`` block. Distinct strings that short are
-      alphabet-bounded, so the block is small by construction.
-
-    Verification: candidates dedupe, pass the ``|len_a−len_b| ≤
-    max_dist`` band (free, before the DP), and only then pay
-    ``levenshtein`` — the classic filter-verification shape. Scale:
-    work is Σ_block |block|² over q-gram blocks of the DISTINCT value
-    set (vocabulary-sized, not row-sized — dedupe first is the point);
-    a hot stop-gram inflates one block, the same skew knob territory as
-    ``minhash_candidates.max_bucket`` (apply a cap only when the caller
-    can tolerate recall loss — the default stays exact)."""
+      bound). Short strings block BY LENGTH, not into one shared bucket:
+      a string of length L emits tags ``§s{t}`` for t ∈ [L, L+max_dist],
+      so a qualifying pair (len_a ≤ len_b ≤ len_a+max_dist) always shares
+      the tag of the LONGER length — still lossless, but one block now
+      holds only strings from a ``max_dist+1``-wide length window instead
+      of every short value in the corpus (real short-string columns —
+      codes, SKUs, usernames — can hold millions of distinct values; one
+      shared block would be quadratic in all of them)."""
     short_bound = q * (max_dist + 1) + max_dist
-    keys = df.select(F.col(key_col).cast("string").alias("__k")).filter(
+    keys = df.select(F.col(col).cast("string").alias("__k")).filter(
         F.col("__k").isNotNull()
     ).distinct()
     grams = keys.select(
@@ -981,18 +973,186 @@ def fuzzy_self_join(
         ).alias("__block"),
     )
     short = keys.filter(F.length("__k") < short_bound).select(
-        "__k", F.lit("§short").alias("__block")
+        "__k",
+        F.explode(
+            F.expr(
+                "transform(sequence(length(__k), "
+                f"length(__k) + {max_dist}), t -> concat('§s', t))"
+            )
+        ).alias("__block"),
     )
-    blocks = grams.unionByName(short)
-    a, b = blocks.alias("a"), blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.__block") == F.col("b.__block"))
-            & (F.col("a.__k") < F.col("b.__k")),
+    return grams.unionByName(short)
+
+
+def _fuzzy_candidates(
+    left_blocks: DataFrame,
+    right_blocks: DataFrame,
+    left_out: str,
+    right_out: str,
+    self_mode: bool,
+    max_block: int | None,
+    log_truncated: bool,
+) -> DataFrame:
+    """Candidate pairs from two block tables (the verify step — length
+    band + levenshtein — is the caller's).
+
+    ``max_block`` is the hot-block degrade knob, same territory as
+    ``minhash_candidates.max_bucket`` (dedup.py): with the default
+    ``None`` every block expands all its pairs and the output provably
+    equals the naive all-pairs filter (the gated DuckDB oracles pin
+    exactly that). With a cap, a block whose pair workload exceeds
+    ``max_block`` (members for the self-join, left·right product for the
+    two-sided join) degrades to a STAR join against the block's min key
+    — every member still pairs with the representative, so O(k) pairs
+    instead of O(k²), at the price of recall (output ⊆ naive; pinned in
+    tests). One stop-gram over a 10⁸-distinct vocabulary is otherwise a
+    single quadratic block no partitioning can save.
+    ``log_truncated=True`` runs one extra small count job and logs how
+    many blocks were degraded."""
+    if max_block is not None:
+        sizes = (
+            left_blocks.groupBy("__block")
+            .agg(
+                F.count(F.lit(1)).alias("__nl"),
+                F.min("__k").alias("__repl"),
+            )
         )
-        .select(F.col("a.__k").alias("key_a"), F.col("b.__k").alias("key_b"))
-        .dropDuplicates(["key_a", "key_b"])
+        if self_mode:
+            sizes = sizes.select(
+                "__block",
+                (F.col("__nl") * F.col("__nl")).alias("__work"),
+                F.col("__repl").alias("__rep"),
+            )
+        else:
+            right_sizes = (
+                right_blocks.groupBy("__block")
+                .agg(
+                    F.count(F.lit(1)).alias("__nr"),
+                    F.min("__k").alias("__repr"),
+                )
+            )
+            sizes = sizes.join(right_sizes, "__block").select(
+                "__block",
+                (F.col("__nl") * F.col("__nr")).alias("__work"),
+                "__repl",
+                "__repr",
+            )
+        if log_truncated:
+            n_trunc = sizes.filter(F.col("__work") > max_block).count()
+            if n_trunc:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "fuzzy join: %d blocks exceed max_block=%d — "
+                    "degraded to star pairs against the block min",
+                    n_trunc, max_block,
+                )
+        hot = F.col("__work") > max_block
+        lb = left_blocks.join(sizes, "__block")
+        if self_mode:
+            a = lb.alias("a")
+            b = left_blocks.alias("b")
+            small = (
+                a.filter(~hot)
+                .join(
+                    b,
+                    (F.col("a.__block") == F.col("b.__block"))
+                    & (F.col("a.__k") < F.col("b.__k")),
+                )
+                .select(
+                    F.col("a.__k").alias(left_out),
+                    F.col("b.__k").alias(right_out),
+                )
+            )
+            # Star degrade: each member of a hot block pairs with the
+            # block min only (rep < k always, so ordering is free).
+            big = (
+                lb.filter(hot)
+                .filter(F.col("__k") != F.col("__rep"))
+                .select(
+                    F.col("__rep").alias(left_out),
+                    F.col("__k").alias(right_out),
+                )
+            )
+        else:
+            rb = right_blocks.withColumnRenamed("__k", "__kr")
+            small = (
+                lb.filter(~hot)
+                .join(rb, "__block")
+                .select(
+                    F.col("__k").alias(left_out),
+                    F.col("__kr").alias(right_out),
+                )
+            )
+            # Star degrade, two-sided: every left member pairs with the
+            # min right key and every right member with the min left key
+            # — both are genuine (left, right) candidates, O(nl+nr).
+            hot_sizes = sizes.filter(hot)
+            big = (
+                lb.filter(hot)
+                .select(
+                    F.col("__k").alias(left_out),
+                    F.col("__repr").alias(right_out),
+                )
+                .unionByName(
+                    rb.join(hot_sizes, "__block").select(
+                        F.col("__repl").alias(left_out),
+                        F.col("__kr").alias(right_out),
+                    )
+                )
+            )
+        cand = small.unionByName(big)
+    else:
+        if self_mode:
+            a, b = left_blocks.alias("a"), left_blocks.alias("b")
+            cand = a.join(
+                b,
+                (F.col("a.__block") == F.col("b.__block"))
+                & (F.col("a.__k") < F.col("b.__k")),
+            ).select(
+                F.col("a.__k").alias(left_out),
+                F.col("b.__k").alias(right_out),
+            )
+        else:
+            cand = (
+                left_blocks.withColumnRenamed("__k", left_out)
+                .join(
+                    right_blocks.withColumnRenamed("__k", right_out),
+                    "__block",
+                )
+                .select(left_out, right_out)
+            )
+    return cand.dropDuplicates([left_out, right_out])
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    key_col: str,
+    max_dist: int = 2,
+    q: int = 2,
+    max_block: int | None = None,
+    log_truncated: bool = False,
+) -> DataFrame:
+    """Entity-resolution fuzzy self-join: all DISTINCT value pairs of
+    ``key_col`` within Levenshtein distance ``max_dist`` — (key_a, key_b,
+    dist) with key_a < key_b — WITHOUT the O(n²) cross join.
+
+    Blocking is LOSSLESS at the default ``max_block=None`` (the output
+    provably equals the naive all-pairs filter, which is exactly what the
+    DuckDB oracle computes) — see :func:`_fuzzy_blocks` for the q-gram +
+    length-banded-short proof. ``max_block`` caps a hot block's pair
+    workload (|block|² for the self-join): oversized blocks degrade to a
+    star join against the block's min key (output ⊆ naive, clusters stay
+    connected through the representative) — the skew knob a 100 TB corpus
+    with one stop-gram needs; ``log_truncated=True`` logs how many blocks
+    degraded. Verification: candidates dedupe, pass the ``|len_a−len_b| ≤
+    max_dist`` band (free, before the DP), and only then pay
+    ``levenshtein`` — the classic filter-verification shape. Scale: work
+    is Σ_block |block|² over q-gram blocks of the DISTINCT value set
+    (vocabulary-sized, not row-sized — dedupe first is the point)."""
+    blocks = _fuzzy_blocks(df, key_col, max_dist, q)
+    cand = _fuzzy_candidates(
+        blocks, blocks, "key_a", "key_b", True, max_block, log_truncated
     )
     return (
         cand.filter(
@@ -1010,43 +1170,25 @@ def fuzzy_join(
     right_col: str,
     max_dist: int = 2,
     q: int = 2,
+    max_block: int | None = None,
+    log_truncated: bool = False,
 ) -> DataFrame:
     """Two-sided record linkage: all (left value, right value) DISTINCT
     pairs within Levenshtein ``max_dist`` — (key_left, key_right, dist) —
     with the same LOSSLESS blocking as :func:`fuzzy_self_join` (shared
-    q-gram blocks for long strings, one alphabet-bounded ``§short``
-    block for the rest; length band before the DP verify). Use it to
-    reconcile a column against a reference list (canonical vendor names,
-    known titles) without the cross join; dedupe-within-one-table is the
+    q-gram blocks for long strings, length-banded blocks for short ones;
+    length band before the DP verify — see :func:`_fuzzy_blocks`).
+    ``max_block`` caps a hot block's pair workload (|left block| ×
+    |right block| here): oversized blocks degrade to star pairs against
+    each side's min key (output ⊆ naive; the default ``None`` stays
+    exact, which is what the gated oracle pins). Use it to reconcile a
+    column against a reference list (canonical vendor names, known
+    titles) without the cross join; dedupe-within-one-table is the
     self-join variant."""
-
-    def blocks_of(df: DataFrame, col: str) -> DataFrame:
-        short_bound = q * (max_dist + 1) + max_dist
-        keys = df.select(F.col(col).cast("string").alias("__k")).filter(
-            F.col("__k").isNotNull()
-        ).distinct()
-        grams = keys.select(
-            "__k",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, greatest(length(__k) - {q - 1}, 1)),"
-                        f" i -> substring(__k, i, {q}))"
-                    )
-                )
-            ).alias("__block"),
-        )
-        short = keys.filter(F.length("__k") < short_bound).select(
-            "__k", F.lit("§short").alias("__block")
-        )
-        return grams.unionByName(short)
-
-    lb = blocks_of(left, left_col).withColumnRenamed("__k", "key_left")
-    rb = blocks_of(right, right_col).withColumnRenamed("__k", "key_right")
-    cand = (
-        lb.join(rb, "__block")
-        .select("key_left", "key_right")
-        .dropDuplicates(["key_left", "key_right"])
+    lb = _fuzzy_blocks(left, left_col, max_dist, q)
+    rb = _fuzzy_blocks(right, right_col, max_dist, q)
+    cand = _fuzzy_candidates(
+        lb, rb, "key_left", "key_right", False, max_block, log_truncated
     )
     return (
         cand.filter(

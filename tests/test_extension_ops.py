@@ -835,8 +835,20 @@ def test_stdlib_image_decode_known_sizes():
         assert multimodal._decode_image_stdlib(multimodal.png_bytes(w, h)) == (w, h)
         assert multimodal._decode_image_stdlib(multimodal.gif_bytes(w, h)) == (w, h)
         assert multimodal._decode_image_stdlib(multimodal.bmp_bytes(w, h)) == (w, h)
+        # JPEG: the marker walk must reach SOF0 (baseline) AND SOF2
+        # (progressive), skipping APP0/DQT/DHT segments by length
+        assert multimodal._decode_image_stdlib(multimodal.jpeg_bytes(w, h)) == (w, h)
+        assert multimodal._decode_image_stdlib(
+            multimodal.jpeg_bytes(w, h, progressive=True)
+        ) == (w, h)
     with pytest.raises(ValueError):
         multimodal._decode_image_stdlib(b"\x00" * 64)
+    # JPEG malformed streams refuse instead of guessing: SOI with no SOF,
+    # and a desynced marker stream
+    with pytest.raises(ValueError, match="JPEG"):
+        multimodal._decode_image_stdlib(b"\xff\xd8\xff\xd9" + b"\x00" * 24)
+    with pytest.raises(ValueError, match="JPEG"):
+        multimodal._decode_image_stdlib(b"\xff\xd8\x00\x00" + b"\x00" * 24)
     # top-down BMP (negative height) decodes to positive dimensions
     import struct
 
@@ -1188,6 +1200,16 @@ def test_simhash_md5_mode_same_fingerprint_semantics(spark):
         dedup_ops.simhash_candidates(
             docs, "doc_id", "text", band_bits=8, hash="md5"
         )
+    # ADVICE r08: the default band_bits adapts per mode (15 for md5's
+    # 60 live bits), so hash='md5' works without a second override and
+    # matches the explicit band_bits=15 output exactly
+    default_md5 = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup_ops.simhash_candidates(
+            docs, "doc_id", "text", hash="md5"
+        ).collect()
+    }
+    assert default_md5 == {(a, b, h) for (a, b), h in cand.items()}
 
 
 def test_knn_graph_recall_and_symmetry_contract(spark):
@@ -1505,6 +1527,31 @@ def test_incremental_minhash_banded_index_identity(spark):
         ).select("doc_id").collect()
     }
     assert live == stored and live
+    # ADVICE r08: a banded index carries its hash mode in the __bucket
+    # type — probing the crc32-built index under hash='md5' (string
+    # buckets vs int) would match nothing and silently pass every
+    # near-dup through; it must refuse instead. Both directions.
+    import pytest
+
+    with pytest.raises(ValueError, match="hash mode"):
+        dedup_ops.incremental_minhash_dedup(
+            new, None, "doc_id", "text", seen_banded=idx, hash="md5"
+        )
+    idx_md5 = dedup_ops.band_signatures(seen_sigs, "s", hash="md5")
+    with pytest.raises(ValueError, match="hash mode"):
+        dedup_ops.incremental_minhash_dedup(
+            new, None, "doc_id", "text", seen_banded=idx_md5, hash="crc32"
+        )
+
+
+def test_pq_int8_topk_empty_codebook_refused(spark):
+    """ADVICE r08: an empty codebook_codes list raises the descriptive
+    ValueError, not a bare IndexError from CB[0].shape."""
+    import pytest
+
+    e = load_table(spark, SF_SMOKE, "embeddings").limit(8)
+    with pytest.raises(ValueError, match="codebook_codes is empty"):
+        sim_ops.pq_int8_topk(e, e.limit(1), [], k=3)
 
 
 def test_bpe_merge_learning_matches_reference(spark):

@@ -486,6 +486,15 @@ def test_pagerank_matches_integer_reference(spark, edges, n_iter):
     assert got == r
     # mass conservation: floors only ever LEAK mass, never create it
     assert sum(r.values()) <= SCALE
+    # persist_edges is pure materialization (VERDICT r08 #4): turning the
+    # default OFF is bit-identical
+    unpersisted = {
+        rr.node: rr.rank_fix
+        for rr in graph.pagerank(
+            df, "s", "d", n_iter=n_iter, persist_edges=False
+        ).collect()
+    }
+    assert unpersisted == r
 
 
 @given(
@@ -1014,3 +1023,52 @@ def test_interleave_bucketed_matches_naive_global_window(spark, rows, n_buckets)
     )
     want = {(r.doc_id, r.interleave_rank) for r in naive.collect()}
     assert got == want
+
+
+def test_interleave_oracle_null_source_tie_needs_nulls_first(spark):
+    """ADVICE r08: with a NULL source tying another source on frac
+    (equal counts ⇒ identical (i-1/2)/tot at every position), Spark's
+    asc orderBy puts NULL first while DuckDB's default ORDER BY puts it
+    last — the oracle must say NULLS FIRST explicitly or the ranks
+    diverge. Pins the Spark output against the NULLS FIRST oracle form
+    (and that the default DuckDB form WOULD diverge, proving the tie is
+    actually exercised)."""
+    import duckdb
+
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    docs = [(i, None if i % 2 == 0 else "web") for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+    got = sorted(
+        (r.doc_id, r.interleave_rank)
+        for r in cur.proportional_interleave(df, "source", "doc_id").collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW kept AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {'NULL' if s is None else repr(s)})" for i, s in docs
+        )
+        + ") AS t(doc_id, source)"
+    )
+    oracle_tmpl = """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#il'),
+                                        1, 8))::BIGINT, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS tot
+      FROM kept
+    )
+    SELECT doc_id, CAST(ROW_NUMBER() OVER (
+             ORDER BY (i - 0.5) / tot, source {nulls}, doc_id) AS INT)
+             AS interleave_rank
+    FROM ranked
+    """
+    fixed = sorted(
+        map(tuple, con.sql(oracle_tmpl.format(nulls="NULLS FIRST")).fetchall())
+    )
+    default = sorted(map(tuple, con.sql(oracle_tmpl.format(nulls="")).fetchall()))
+    assert got == fixed
+    assert got != default  # the tie is real: default DuckDB order diverges

@@ -1530,6 +1530,8 @@ def pq_int8_topk(
     from pyspark.sql.functions import pandas_udf
 
     CB = [np.asarray(b, dtype=np.int64) for b in codebook_codes]
+    if not CB:
+        raise ValueError("codebook_codes is empty — need >=1 subspace")
     m = len(CB)
     ksub, dsub = CB[0].shape
     for j, C in enumerate(CB):

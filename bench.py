@@ -251,26 +251,24 @@ def main() -> None:
         )
         detail["warm_repeat"] = repeat
         detail["warm_queries"] = warm
-        # Self-adjudicating drift check (VERDICT r07 #5): compare every
-        # warm median against the checked-in steady-state band so
-        # out-of-band queries are flagged mechanically instead of
-        # re-litigated in prose each round. Only meaningful at the band
-        # file's scale factor.
+        # Self-adjudicating drift check (VERDICT r07 #5, host-normalized
+        # since r9 — VERDICT r08 #2): measure this run's uniform host
+        # drift via the pinned calibration queries, divide it out, and
+        # compare every normalized warm median against the tightened
+        # steady-state band (tools/bench_bands.py — pure Python, unit
+        # tested). Only meaningful at the band file's scale factor.
         bands_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_bands.json"
         )
         if os.path.exists(bands_path):
             spec = json.load(open(bands_path))
             if sf == spec.get("sf"):
-                bands = spec["bands"]
-                oob = {
-                    n: {"sec": warm[n], "lo": bands[n]["lo"], "hi": bands[n]["hi"]}
-                    for n in HEADLINE
-                    if n in bands
-                    and not (bands[n]["lo"] <= warm[n] <= bands[n]["hi"])
-                }
-                detail["out_of_band"] = oob
-                detail["no_band"] = [n for n in HEADLINE if n not in bands]
+                from tools.bench_bands import verdict as band_verdict
+
+                v = band_verdict(warm, spec, HEADLINE)
+                detail["host_ratio"] = v["host_ratio"]
+                detail["out_of_band"] = v["out_of_band"]
+                detail["no_band"] = v["no_band"]
         detail["notes"] = (
             "value = warm-median total (steady-state execution; the cold "
             "pass is Janino-codegen/analyzer-bound at this SF — a "
@@ -300,7 +298,9 @@ def main() -> None:
     if "out_of_band" in detail:
         # band verdict rides the headline line (names only — full
         # numbers are in the stderr detail); the driver's capture then
-        # self-adjudicates drift
+        # self-adjudicates drift. host_ratio is the run's measured
+        # uniform drift (1.0 = band-center box state).
+        out["host_ratio"] = detail["host_ratio"]
         out["n_out_of_band"] = len(detail["out_of_band"])
         if detail["out_of_band"]:
             out["out_of_band"] = sorted(detail["out_of_band"])

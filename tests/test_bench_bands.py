@@ -1,0 +1,104 @@
+"""Host-normalized bench-band logic (tools/bench_bands.py) — pure
+Python, no Spark (VERDICT r08 #2). The decisive scenario: a 2× slowdown
+on ONE query must trip out_of_band even when the whole suite is riding a
+simulated 1.3× uniform host drift — exactly the case the r8 width-floor
+rule absorbed silently."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from tools.bench_bands import band_limits, center, host_ratio, verdict
+
+SPEC = {
+    "sf": 0.1,
+    "calibration": ["cal_a", "cal_b", "cal_c"],
+    "bands": {
+        "cal_a": {"obs": [0.48, 0.50, 0.52]},
+        "cal_b": {"obs": [0.26, 0.28, 0.30]},
+        "cal_c": {"obs": [0.70, 0.74, 0.78]},
+        "narrow": {"obs": [1.9, 2.0, 2.1]},
+        "tiny": {"obs": [0.10, 0.11, 0.12]},
+    },
+}
+HEADLINE = ["cal_a", "cal_b", "cal_c", "narrow", "tiny", "brand_new"]
+
+
+def _warm(drift: float, overrides: dict | None = None) -> dict:
+    w = {n: center(b) * drift for n, b in SPEC["bands"].items()}
+    w.update(overrides or {})
+    return w
+
+
+def test_uniform_drift_passes_and_is_measured():
+    """A 1.3× uniform swing (the measured r8 host behavior) normalizes
+    away: host_ratio ≈ 1.3, zero out_of_band, new query listed no_band."""
+    v = verdict(_warm(1.3), SPEC, HEADLINE)
+    assert abs(v["host_ratio"] - 1.3) < 1e-9
+    assert v["out_of_band"] == {}
+    assert v["no_band"] == ["brand_new"]
+
+
+def test_2x_regression_trips_inside_uniform_drift():
+    """THE r8 gap: narrow-spread query 2× slower while the box drifts
+    1.3× uniformly — raw seconds (2.0·2.6=5.2s) would have passed the old
+    [0.8, 5.2] width-floor band; normalized (5.2/1.3 = 4.0 > hi=3.6) it
+    trips, and the report carries raw + normalized + band for diagnosis."""
+    v = verdict(_warm(1.3, {"narrow": center(SPEC["bands"]["narrow"]) * 2 * 1.3}),
+                SPEC, HEADLINE)
+    assert list(v["out_of_band"]) == ["narrow"]
+    f = v["out_of_band"]["narrow"]
+    assert f["sec"] == 5.2 and abs(f["norm_sec"] - 4.0) < 1e-6
+    assert f["hi"] == 3.6  # 1.8 * center
+
+
+def test_calibration_regression_flags_itself_not_others():
+    """One calibration query regressing 3× shifts the MEDIAN ratio only
+    slightly (the other two hold it near 1.0), so the regressed query
+    flags itself and healthy queries stay green."""
+    v = verdict(_warm(1.0, {"cal_a": center(SPEC["bands"]["cal_a"]) * 3}),
+                SPEC, HEADLINE)
+    assert list(v["out_of_band"]) == ["cal_a"]
+
+
+def test_ratio_clamp_blocks_suitewide_normalization():
+    """A suite-wide 4× regression must NOT normalize itself away: the
+    ratio clamps at 1.8 (above the worst observed genuine drift) and
+    everything (tiny's absolute slack aside) flags, with the pegged
+    ratio itself signalling the run is unusable-or-regressed."""
+    v = verdict(_warm(4.0), SPEC, HEADLINE)
+    assert v["host_ratio"] == 1.8
+    assert set(v["out_of_band"]) >= {"cal_a", "cal_b", "cal_c", "narrow"}
+
+
+def test_absolute_slack_covers_subsecond_noise():
+    """Sub-second queries get additive slack: tiny (center 0.11s) at
+    0.3s raw under ratio 1.0 is within hi = max(1.8·0.11, 0.11+0.25) =
+    0.36 — additive noise on short timings doesn't flag."""
+    v = verdict(_warm(1.0, {"tiny": 0.3}), SPEC, HEADLINE)
+    assert "tiny" not in v["out_of_band"]
+    lo, hi = band_limits(SPEC["bands"]["tiny"])
+    assert hi == 0.36 and lo == 0.0  # 0.35*0.11 - 0.05 floors at 0
+
+
+def test_missing_calibration_defaults_to_unit_ratio():
+    assert host_ratio({"narrow": 2.0}, SPEC) == 1.0
+    assert host_ratio({}, {"bands": {}}) == 1.0
+
+
+def test_checked_in_spec_is_coherent():
+    """The real bench_bands.json: calibration queries exist with bands,
+    every band's stored lo/hi equals the rule output (regenerated
+    whenever obs change), and a self-reading at obs centers is green."""
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_bands.json")
+    spec = json.load(open(path))
+    assert len(spec["calibration"]) >= 3
+    for q in spec["calibration"]:
+        assert q in spec["bands"], q
+    for name, band in spec["bands"].items():
+        lo, hi = band_limits(band)
+        assert (band["lo"], band["hi"]) == (round(lo, 3), round(hi, 3)), name
+    warm = {n: center(b) for n, b in spec["bands"].items()}
+    v = verdict(warm, spec, sorted(spec["bands"]))
+    assert v["host_ratio"] == 1.0 and v["out_of_band"] == {}

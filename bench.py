@@ -146,6 +146,9 @@ HEADLINE = [
     "fuzzy_join_part_names",
     # the end-to-end curation flow (md5 near-dedup -> budget -> interleave)
     "curation_corpus_mix_pipeline",
+    # round-9 addition, benched from birth: exact substring-span dedup
+    # (anchor-shingle explode + fingerprint self-join + diagonal runs)
+    "dedup_substring_spans",
 ]
 
 

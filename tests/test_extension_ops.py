@@ -504,6 +504,106 @@ def test_minhash_pair_strategies_identical(spark):
     assert agg_d == join_d and len(agg_d) == 299
 
 
+def _naive_substring_spans(docs: dict, W: int):
+    """Reference: maximal runs of >=W consecutive equal tokens per doc
+    pair per alignment diagonal — exactly the operator's contract."""
+    spans = set()
+    ids = sorted(docs)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = docs[ids[ai]], docs[ids[bi]]
+            for d in range(-(len(b) - 1), len(a)):
+                i = max(0, d)
+                j = i - d
+                run = 0
+                while i <= len(a) and j <= len(b):
+                    if i < len(a) and j < len(b) and a[i] == b[j]:
+                        run += 1
+                    else:
+                        if run >= W:
+                            spans.add(
+                                (ids[ai], ids[bi], i - run + 1, j - run + 1, run)
+                            )
+                        run = 0
+                    i += 1
+                    j += 1
+    return spans
+
+
+def test_substring_spans_planted_quote_and_naive_reference(spark):
+    """VERDICT r08 #5: exact substring-level dedup. A verbatim 20-token
+    quote planted at different offsets in two otherwise-distinct docs is
+    reported with its exact start positions and length; a seeded
+    small-vocabulary corpus (dense with shared runs, including internal
+    repetition) matches the naive maximal-run reference exactly; and a
+    shared run one token SHORTER than min_tokens reports nothing."""
+    import random
+
+    quote = [f"q{i}" for i in range(20)]
+    docs = {
+        1: [f"a{i}" for i in range(7)] + quote + ["tail1"],
+        2: [f"b{i}" for i in range(30)],
+        5: quote + [f"c{i}" for i in range(12)],
+    }
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in dedup_ops.substring_spans(df, "doc_id", "text", min_tokens=12).collect()
+    }
+    assert got == {(1, 5, 8, 1, 20)}  # 1-based positions, exact length
+
+    # just-below-threshold: an 11-token shared run at min_tokens=12 is silent
+    short = {1: ["x"] * 5 + quote[:11], 2: quote[:11] + ["y"] * 5}
+    sdf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in short.items()], "doc_id long, text string"
+    )
+    assert dedup_ops.substring_spans(sdf, "doc_id", "text", min_tokens=12).count() == 0
+
+    # seeded dense corpus vs the naive reference (tiny vocab => shared
+    # runs everywhere, multiple diagonals, internal repetition)
+    rng = random.Random(7)
+    dense = {
+        i: [rng.choice(("u", "v", "w")) for _ in range(28)] for i in range(6)
+    }
+    ddf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in dense.items()], "doc_id long, text string"
+    )
+    W = 5
+    got_d = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in dedup_ops.substring_spans(ddf, "doc_id", "text", min_tokens=W).collect()
+    }
+    assert got_d == _naive_substring_spans(dense, W) and got_d
+
+
+def test_substring_spans_max_anchor_docs_drops_boilerplate(spark):
+    """max_anchor_docs: a boilerplate span shared by MANY docs (the k²
+    join hazard) is dropped when its anchors exceed the doc cap, while a
+    two-doc span survives — output is a subset of exact, pinned."""
+    boiler = [f"n{i}" for i in range(12)]
+    pair_span = [f"p{i}" for i in range(12)]
+    docs = {i: [f"u{i}_{j}" for j in range(3)] + boiler for i in range(8)}
+    docs[100] = pair_span + ["z1"]
+    docs[101] = ["z2", "z3"] + pair_span
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.substring_spans(df, "doc_id", "text", min_tokens=12).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_ops.substring_spans(
+            df, "doc_id", "text", min_tokens=12, max_anchor_docs=4
+        ).collect()
+    }
+    assert capped == {(100, 101)}  # boilerplate clique gone, true pair kept
+    assert capped < exact and len(exact) == 1 + 8 * 7 // 2
+
+
 def test_fuzzy_self_join_max_block_bounds_stop_gram_block(spark):
     """VERDICT r08 #1, the degenerate stop-gram fixture: 600 SKU-like
     strings all sharing the q-gram 'an' (and each other's length). The

@@ -108,6 +108,52 @@ out_emb = (
 out_emb.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
 print(f"embeddings: {time.time()-t0:.1f}s", flush=True)
 
+# part (round 9, VERDICT r08 #3 — the fuzzy-join scale point): copy k
+# shifts p_partkey and, for k>0, permutes the words of p_name with a
+# (name, word, position, copy)-keyed md5 sort — the color-word
+# VOCABULARY and name length distribution are preserved (q-gram block
+# membership scales realistically with the 10x distinct-name growth)
+# while exact name collisions across copies are avoided.
+part = load_table(spark, SRC, "part")
+PK_SPAN = 10_000_000
+words = F.split(F.col("p_name"), " ")
+permuted = F.array_join(
+    F.transform(
+        F.array_sort(
+            F.transform(
+                words,
+                lambda t, i: F.concat(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.col("p_name"),
+                            t,
+                            i.cast("string"),
+                            F.col("__k").cast("string"),
+                        )
+                    ),
+                    F.lit("\x00"),
+                    t,
+                ),
+            )
+        ),
+        lambda s: F.substring(s, 34, 1_000_000),
+    ),
+    " ",
+)
+out_part = (
+    part.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
+    .select(
+        (F.col("p_partkey") + F.col("__k") * PK_SPAN).alias("p_partkey"),
+        F.when(F.col("__k") == 0, F.col("p_name")).otherwise(permuted).alias(
+            "p_name"
+        ),
+        *[c for c in part.columns if c not in ("p_partkey", "p_name")],
+    )
+)
+out_part.repartition(32).write.mode("overwrite").parquet(f"{DST}/part.parquet")
+print(f"part: {time.time()-t0:.1f}s", flush=True)
+
 li = load_table(spark, SRC, "lineitem").select("l_orderkey", "l_partkey")
 O_SPAN, P_SPAN = 100_000_000, 10_000_000
 out_li = (

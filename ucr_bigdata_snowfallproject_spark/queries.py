@@ -1215,6 +1215,49 @@ def dedup_minhash_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ), s AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 11), ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(arr) - 11, 0))) g(i)
+      WHERE len(arr) >= 12
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM s a JOIN s b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pos_a) AS BIGINT) AS start_a,
+           CAST(MIN(pos_b) AS BIGINT) AS start_b,
+           CAST(MAX(pos_a) - MIN(pos_a) + 12 AS BIGINT) AS span_tokens
+    FROM r GROUP BY doc_a, doc_b, diag, grp
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact substring-level dedup (VERDICT r08 #5 — the Lee et al.
+    2022 granularity): every maximal verbatim token span >= 12 tokens
+    shared across two documents, found by md5 anchor shingles merged
+    along alignment diagonals (operators.dedup.substring_spans). The
+    oracle replays the identical anchor→diagonal→gaps-and-islands
+    pipeline in DuckDB, so maximal-span starts and lengths are
+    externally hash-verified — document-level dedup (exact fingerprint,
+    MinHash) cannot see these: a quote pasted between otherwise-distinct
+    pages only surfaces at this granularity. min_tokens=12 matches the
+    fixture's ~54-token documents; production default is 50."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.substring_spans(d, "doc_id", "text", min_tokens=12)
+
+
+@register(
     "fuzzy_join_part_names",
     """
     WITH names AS (SELECT DISTINCT p_name AS k FROM part WHERE p_name IS NOT NULL)
@@ -1227,8 +1270,8 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution fuzzy self-join (operators.text.fuzzy_self_join):
     all distinct part-name pairs within Levenshtein distance 2, found by
     LOSSLESS q-gram blocking (one edit destroys <= q positional q-grams,
-    so close long strings must share a gram; short strings route to one
-    alphabet-bounded block) + length-band prefilter + levenshtein
+    so close long strings must share a gram; short strings block by
+    length band) + length-band prefilter + levenshtein
     verification — never an O(n²) cross join. The oracle IS the naive
     all-pairs filter, so the driver externally proves the blocking loses
     nothing. New operator family: record linkage / approximate string
@@ -7275,10 +7318,20 @@ _GATED_WINDOW = [
     #     dedup→budget→interleave under one oracle; token_budget_mix
     #     stays gated standalone too).
     # =====================================================================
+    # =====================================================================
+    # Round-9 rotation (VERDICT r08 "Next round" #5/#6): gate the
+    # round-9-BUILT dedup_substring_spans (exact Lee-et-al substring-level
+    # dedup — anchor shingles merged along alignment diagonals, full
+    # DuckDB oracle) immediately per the build-this-round rule.
+    # Rotated OUT: dedup_minhash_dedup_md5 (r08 driver-green; the md5
+    # minhash family keeps candidates_md5 + incremental_md5 +
+    # components_md5 gated, and the dedup stage itself is composed —
+    # and externally hash-verified — inside curation_corpus_mix_pipeline).
+    # =====================================================================
+    "dedup_substring_spans",
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
     "dedup_minhash_candidates_md5",
-    "dedup_minhash_dedup_md5",
     "dedup_incremental_minhash_md5",
     "similarity_pq_int8_topk",
     "dedup_minhash_components_md5",

@@ -146,9 +146,11 @@ HEADLINE = [
     "fuzzy_join_part_names",
     # the end-to-end curation flow (md5 near-dedup -> budget -> interleave)
     "curation_corpus_mix_pipeline",
-    # round-9 addition, benched from birth: exact substring-span dedup
+    # round-9 additions, benched from birth: exact substring-span dedup
     # (anchor-shingle explode + fingerprint self-join + diagonal runs)
+    # and its per-doc coverage fold (interval merge over the span table)
     "dedup_substring_spans",
+    "dedup_span_coverage",
 ]
 
 

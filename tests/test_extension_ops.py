@@ -578,6 +578,37 @@ def test_substring_spans_planted_quote_and_naive_reference(spark):
     assert got_d == _naive_substring_spans(dense, W) and got_d
 
 
+def test_span_coverage_matches_naive_interval_merge(spark):
+    """dedup.span_coverage == naive spans + Python interval-union per
+    doc, on the seeded dense corpus (overlapping and contained spans
+    everywhere — the merge must never double-count a token) plus a
+    zero-coverage doc that must still appear with dup_tokens=0."""
+    import random
+
+    rng = random.Random(11)
+    docs = {i: [rng.choice(("u", "v", "w")) for _ in range(30)] for i in range(5)}
+    docs[99] = [f"unique{j}" for j in range(30)]  # shares nothing
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    W = 5
+    got = {
+        (r.doc_id, r.n_tokens, r.dup_tokens, r.dup_frac)
+        for r in dedup_ops.span_coverage(df, "doc_id", "text", min_tokens=W).collect()
+    }
+    # naive: spans -> per-doc 1-based token interval union
+    ivals: dict = {k: set() for k in docs}
+    for a, b, sa, sb, ln in _naive_substring_spans(docs, W):
+        ivals[a].update(range(sa, sa + ln))
+        ivals[b].update(range(sb, sb + ln))
+    want = {
+        (k, len(v), len(ivals[k]), round(len(ivals[k]) / len(v), 4))
+        for k, v in docs.items()
+    }
+    assert got == want
+    assert (99, 30, 0, 0.0) in got  # zero-coverage doc present
+
+
 def test_substring_spans_max_anchor_docs_drops_boilerplate(spark):
     """max_anchor_docs: a boilerplate span shared by MANY docs (the k²
     join hazard) is dropped when its anchors exceed the doc cap, while a

@@ -1,0 +1,187 @@
+"""Dedup verify paths + embedding near-dup + IVF + multimodal (X2/X3/X5) — query registrations.
+
+Split from the flat ``queries.py`` in round 9 (VERDICT r08 #8): this
+module exists for its ``@register`` side effects and is imported in a
+fixed order by ``queries/__init__.py``; the registry order itself is
+normalized afterwards by ``_reorder_registry`` (gated window first), so
+module order never changes the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..io import load_table  # noqa: F401
+from ..operators import aggregates, relational, windows  # noqa: F401
+from ..operators import curation as curation_ops  # noqa: F401
+from ..operators import dedup as dedup_ops  # noqa: F401
+from ..operators import similarity as sim_ops  # noqa: F401
+from ..operators import text as text_ops  # noqa: F401
+
+from ._shared import REGISTRY, _scratch_dir, register  # noqa: F401
+
+# =========================================================================
+# Dedup verify paths + embedding near-dup + IVF + multimodal (X2/X3/X5)
+# =========================================================================
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                          generate_series(1, greatest(len(toks) - 2, 1)),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+               FROM (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                     FROM documents WHERE doc_id < 500))
+    SELECT id_a, id_b, jaccard FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE /
+                     LEN(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.1
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 exact trigram-Jaccard scoring — the verify step of the near-dedup
+    pipeline, run here over all pairs of the (bounded) fixture as the
+    semantics oracle. At scale the SAME scorer runs only on MinHash-LSH
+    candidate pairs (operators.dedup.ngram_jaccard over minhash_candidates
+    output) — never all pairs."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = dedup_ops.ngram_jaccard_all_pairs(d, "doc_id", "text", n=3)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.1)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (SQRT(list_dot_product(a.v, a.v)) *
+                      SQRT(list_dot_product(b.v, b.v))), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE sim >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding-cosine near-dup pairs on a bounded candidate set
+    (operators.similarity.embedding_near_dup). The oracle-able exact scorer;
+    the scale path blocks with LSH buckets first."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return sim_ops.embedding_near_dup(e, threshold=0.3, round_digits=4)
+
+
+@register(
+    "dedup_embedding_cosine_blocked",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 300)
+    SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_dot_product(a.v, b.v) /
+                     (SQRT(list_dot_product(a.v, a.v)) *
+                      SQRT(list_dot_product(b.v, b.v))), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+    WHERE sim >= 0.3
+    """,
+)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 embedding near-dup, the 100 TB path: random-hyperplane LSH bucket
+    SELF-join generates candidates (narrow (id, table, bucket) shuffle —
+    never an all-pairs cross join), then the exact cosine scorer runs only
+    inside buckets (operators.similarity.embedding_near_dup_blocked). The
+    oracle is the exact all-pairs form: seeded hyperplanes reproduce it
+    EXACTLY at fixture scale (recall margin pinned in
+    tests/test_extension_ops.py; plan asserted cross-join-free)."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return sim_ops.embedding_near_dup_blocked(e, dim=64, threshold=0.3)
+
+
+@register("dedup_minhash_components", None)  # crc32 fast path — rows-only; md5 twin is oracle-backed
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 full near-dedup pipeline: MinHash-LSH candidates → Jaccard-estimate
+    threshold → connected components (iterative min-label propagation,
+    operators.dedup.dup_components). Output: (doc_id, comp) dup-cluster
+    labels. Rows-only (seed-dependent candidates; iterative, not
+    SQL-expressible — SURVEY §7.4)."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_candidates(d, "doc_id", "text")
+    pairs = cand.filter(F.col("jaccard_est") >= 0.5)
+    return dedup_ops.dup_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp")
+    )
+
+
+@register("similarity_ivf_topk", None)  # approximate — recall pinned in tests
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 IVF approximate nearest neighbors: seeded k-means coarse quantizer,
+    corpus bucketed by nearest centroid, queries probe 4/16 cells
+    (operators.similarity.ivf_topk). Rows-only; recall vs brute force is
+    pinned in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return sim_ops.ivf_topk(e, q, k=10)
+
+
+@register("multimodal_extract_features", None)  # binary fixture — rows-only
+def multimodal_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 multimodal plumbing: binary payload column + typed metadata →
+    Arrow-batched mapInPandas feature extraction. Image payloads are VALID
+    PNG/GIF/BMP and decode to their REAL dimensions via the stdlib header
+    parser (operators.multimodal._decode_image_stdlib); audio/video rows
+    pass through the image path's deterministic stub here and get their
+    REAL metadata from the dedicated audio/video queries. Deterministic
+    synthetic media (seed=42)."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    return multimodal.extract_features(media)
+
+
+@register("multimodal_audio_features", None)  # binary fixture — rows-only
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio path: WAV payloads → REAL (sample_rate, channels, frames,
+    duration) via the stdlib ``wave`` parser inside the same mapInPandas
+    contract as image features (operators.multimodal.audio_features).
+    Undecodable payloads drop, mirroring a crawl's corrupt-file fraction."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    return multimodal.audio_features(media)
+
+
+@register("multimodal_video_features", None)  # binary fixture — rows-only
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 video path: ISO-BMFF (MP4) payloads → REAL (timescale, duration,
+    track count) via the stdlib box walker
+    (operators.multimodal.decode_video_stdlib) inside the same mapInPandas
+    contract; undecodable payloads drop. Closes the last stubbed modality —
+    all three (image/audio/video) now decode real metadata dependency-free."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    return multimodal.video_features(media)
+
+
+@register("multimodal_frame_sample", None)  # binary fixture — rows-only
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 1→N frame sampling over video payloads via mapInPandas (bounded
+    output batches), aggregated to frames-per-media."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    frames = multimodal.frame_sample(media)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max("offset").alias("last_offset"),
+    )
+
+

@@ -1,0 +1,1630 @@
+"""Training-pipeline operators II: geo joins, snapshot tables, drift/eval, quality gating, capstones — query registrations.
+
+Split from the flat ``queries.py`` in round 9 (VERDICT r08 #8): this
+module exists for its ``@register`` side effects and is imported in a
+fixed order by ``queries/__init__.py``; the registry order itself is
+normalized afterwards by ``_reorder_registry`` (gated window first), so
+module order never changes the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..io import load_table  # noqa: F401
+from ..operators import aggregates, relational, windows  # noqa: F401
+from ..operators import curation as curation_ops  # noqa: F401
+from ..operators import dedup as dedup_ops  # noqa: F401
+from ..operators import similarity as sim_ops  # noqa: F401
+from ..operators import text as text_ops  # noqa: F401
+
+from ._shared import REGISTRY, _scratch_dir, register  # noqa: F401
+
+
+@register(
+    "geo_nearest_supplier_for_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#clat'), 1, 8))::BIGINT
+              % 120000) / 1000.0 - 60.0 AS lat,
+             (('0x' || substr(md5(CAST(c_custkey AS VARCHAR) || '#clon'), 1, 8))::BIGINT
+              % 360000) / 1000.0 - 180.0 AS lon
+      FROM customer
+    ), s AS (
+      SELECT s_suppkey,
+             (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '#slat'), 1, 8))::BIGINT
+              % 120000) / 1000.0 - 60.0 AS lat,
+             (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || '#slon'), 1, 8))::BIGINT
+              % 360000) / 1000.0 - 180.0 AS lon
+      FROM supplier
+    ), terms AS (
+      SELECT c_custkey, s_suppkey,
+             sin(radians(s.lat - c.lat) / 2) AS sdlat,
+             sin(radians(s.lon - c.lon) / 2) AS sdlon,
+             cos(radians(c.lat)) * cos(radians(s.lat)) AS cc
+      FROM c, s
+    ), pairs AS (
+      SELECT c_custkey, s_suppkey,
+             2.0 * 6371.0088
+               * asin(sqrt(sdlat * sdlat + cc * sdlon * sdlon)) AS d
+      FROM terms
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, d,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY ROUND(d, 3), s_suppkey) AS nn_rank
+      FROM pairs WHERE d <= 2500.0
+    )
+    SELECT c_custkey, s_suppkey, ROUND(d, 3) AS dist_km,
+           CAST(nn_rank AS INT) AS nn_rank
+    FROM ranked WHERE nn_rank <= 1
+    """,
+)
+def geo_nearest_supplier_for_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked bounded-radius nearest-neighbor geo join
+    (operators.geo.geo_nearest_join): nearest supplier within 2500 km of
+    each customer, over deterministic pseudo-coordinates derived from the
+    keys by portable md5 (the fixtures carry no lat/lon; any engine
+    reproduces the same points — the reference's station map,
+    map_tutorial.html:44-71, is the real-world shape). The oracle is the
+    NAIVE cross-join form, so the hash gate proves the cell ring covers
+    the radius exactly. Spark side: right side replicated to a bounded
+    cell ring, one equi-join shuffle, per-customer top-1 window — no
+    cross join at any scale."""
+    from ..operators import geo as geo_ops
+
+    def coords(frame: DataFrame, key: str, tag: str) -> DataFrame:
+        # per-table seed tag: otherwise customer k and supplier k would
+        # hash to identical coordinates (distance-0 degenerate pairs)
+        h = lambda seed: curation_ops.portable_hash(F.col(key), seed)  # noqa: E731
+        return frame.select(
+            F.col(key),
+            ((h(tag + "lat") % 120000) / F.lit(1000.0) - F.lit(60.0)).alias("lat"),
+            ((h(tag + "lon") % 360000) / F.lit(1000.0) - F.lit(180.0)).alias("lon"),
+        )
+
+    c = coords(load_table(spark, sf_dir, "customer"), "c_custkey", "c")
+    s = coords(load_table(spark, sf_dir, "supplier"), "s_suppkey", "s")
+    return geo_ops.geo_nearest_join(
+        c, s, "c_custkey", "s_suppkey", radius_km=2500.0, k=1, max_abs_lat=60.0
+    ).withColumnRenamed("rank", "nn_rank")
+
+
+@register(
+    "curation_dsir_scores",
+    """
+    WITH ctoks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), rawf AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(term || '#dsir'), 1, 8))::BIGINT % 4096 AS b
+      FROM (
+        SELECT doc_id, unnest(t) AS term FROM ctoks
+        UNION ALL
+        SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+        FROM ctoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      )
+    ), tgtf AS (
+      SELECT ('0x' || substr(md5(term || '#dsir'), 1, 8))::BIGINT % 4096 AS b
+      FROM (
+        SELECT unnest(t) AS term FROM ctoks WHERE lang = 'en'
+        UNION ALL
+        SELECT t[i] || ' ' || t[i + 1] AS term
+        FROM ctoks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+        WHERE lang = 'en'
+      )
+    ), rc AS (SELECT b, COUNT(*) AS cr FROM rawf GROUP BY b),
+       tc AS (SELECT b, COUNT(*) AS ct FROM tgtf GROUP BY b),
+       tr AS (SELECT SUM(cr) AS tr FROM rc),
+       tt AS (SELECT SUM(ct) AS tt FROM tc),
+       lam AS (
+      SELECT rc.b,
+             CAST(FLOOR((LN((COALESCE(ct, 0) + 1.0) / (tt + 4096.0))
+                         - LN((cr + 1.0) / (tr + 4096.0)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lam
+      FROM rc LEFT JOIN tc ON rc.b = tc.b, tr, tt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND((CAST(SUM(lam) AS DOUBLE) / 1000000.0) / COUNT(*), 6)
+             AS dsir_score
+    FROM rawf JOIN lam USING (b)
+    GROUP BY doc_id
+    """,
+)
+def curation_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores (operators.curation.dsir_scores): every
+    document scored by the mean hashed-n-gram log ratio between the
+    English-subset target distribution and the raw corpus — the standard
+    importance-resampling signal for steering a crawl toward a domain.
+    λ rides a parameter-bounded (4096-row) broadcast table; the per-doc
+    reduction is an exact fixed-point integer sum, so the oracle
+    reproduces it bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.dsir_scores(
+        d, d.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+
+
+@register(
+    "ols_trend_orders_by_priority",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority,
+             date_diff('day', TIMESTAMP '1992-01-01 00:00:00', o_orderdate) AS x,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS y
+      FROM orders
+    ), sums AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE)     AS sx,
+             CAST(SUM(y) AS DOUBLE)     AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM pts GROUP BY o_orderpriority
+    ), derived AS (
+      SELECT o_orderpriority, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(n AS DOUBLE) * sxy - sx * sy AS cn,
+             CAST(n AS DOUBLE) * sxx - sx * sx AS vx,
+             CAST(n AS DOUBLE) * syy - sy * sy AS vy,
+             sx, sy
+      FROM sums
+    )
+    SELECT o_orderpriority, n,
+           ROUND(CASE WHEN vx <> 0 THEN cn / vx END, 6)                   AS slope,
+           ROUND(CASE WHEN vx <> 0 THEN (sy - (cn / vx) * sx) / nd END, 6) AS intercept,
+           ROUND(CASE WHEN vx <> 0 AND vy <> 0
+                      THEN (cn * cn) / (vx * vy) END, 6)                  AS r2
+    FROM derived
+    """,
+)
+def ols_trend_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form linear trend (aggregates.group_ols): slope /
+    intercept / r² of daily order value (whole dollars) against the day
+    ordinal since 1992-01-01, one row per order priority — the scan-speed
+    "is this segment growing" analytic, no MLlib, no second pass.
+
+    Determinism: x (day ordinal) and y (rounded dollars) are integers, so
+    the five sufficient-statistic sums are exact and
+    partition-order-independent; both engines then run the identical
+    closed-form float expression per group (exact-integer-sums rule, as
+    rolling_anomalies). One partial-aggregable shuffle on the 5-value
+    priority key — scan-bound at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    x = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    y = F.round(F.col("o_totalprice")).cast("long")
+    return aggregates.group_ols(o, ["o_orderpriority"], x, y)
+
+
+@register(
+    "ewma_events_value",
+    """
+    WITH pts AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c0
+      FROM events
+    ), lagged AS (
+      SELECT user_id, event_id, c0,
+             lag(c0, 1) OVER w AS c1, lag(c0, 2) OVER w AS c2,
+             lag(c0, 3) OVER w AS c3, lag(c0, 4) OVER w AS c4,
+             lag(c0, 5) OVER w AS c5, lag(c0, 6) OVER w AS c6,
+             lag(c0, 7) OVER w AS c7
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sums AS (
+      SELECT user_id, event_id,
+             COALESCE(c0 * 128, 0) + COALESCE(c1 * 64, 0)
+               + COALESCE(c2 * 32, 0) + COALESCE(c3 * 16, 0)
+               + COALESCE(c4 * 8, 0) + COALESCE(c5 * 4, 0)
+               + COALESCE(c6 * 2, 0) + COALESCE(c7, 0) AS num,
+             CASE WHEN c0 IS NOT NULL THEN 128 ELSE 0 END
+               + CASE WHEN c1 IS NOT NULL THEN 64 ELSE 0 END
+               + CASE WHEN c2 IS NOT NULL THEN 32 ELSE 0 END
+               + CASE WHEN c3 IS NOT NULL THEN 16 ELSE 0 END
+               + CASE WHEN c4 IS NOT NULL THEN 8 ELSE 0 END
+               + CASE WHEN c5 IS NOT NULL THEN 4 ELSE 0 END
+               + CASE WHEN c6 IS NOT NULL THEN 2 ELSE 0 END
+               + CASE WHEN c7 IS NOT NULL THEN 1 ELSE 0 END AS den
+      FROM lagged
+    )
+    SELECT user_id, event_id,
+           CASE WHEN den > 0
+                THEN FLOOR(num / (den * 100.0) * 1000000.0 + 0.5)
+                     / 1000000.0 END AS ewma
+    FROM sums
+    """,
+)
+def ewma_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA smoothing (operators.windows.ewma_truncated): each
+    event's value smoothed against the user's last 8 observations with
+    decay 1/2 — the standard monitoring/metric-smoothing signal, done as
+    ONE window pass (all lags share the frame; no joins, no recurrence).
+
+    Determinism: cent-quantized values × power-of-two integer weights ⇒
+    exact int64 numerator/denominator sums; the single final division +
+    floor-half-up rounding is engine-bit-identical (exact-integer-sums
+    rule, as rolling_anomalies)."""
+    from ..operators import windows as win_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = win_ops.ewma_truncated(
+        e, ["user_id"], [F.col("ts").asc(), F.col("event_id").asc()],
+        "value", horizon=8, scale=100, round_digits=6,
+    )
+    return out.select("user_id", "event_id", "ewma")
+
+
+@register(
+    "bloom_semi_join_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)
+def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi join (operators.relational.bloom_semi_join):
+    lineitems of high-value orders, with the fact side cut by a scan-side
+    8 KiB Bloom bitmap of the qualifying order keys BEFORE the join
+    shuffle. Result exactly equals the plain semi join (the oracle); the
+    Bloom stage only changes WHERE rows die — in the codegen'd scan
+    instead of after a full-fact exchange. The 100 TB selective-dim-join
+    pattern; bitmap reusable across queries (index-artifact contract)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    hot = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return relational.bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ), m AS (
+      SELECT vec_id, xs,
+             list_aggregate(list_transform(xs, x -> ABS(x)), 'max') AS maxabs
+      FROM q
+    ), c AS (
+      SELECT vec_id, maxabs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(
+                         xs, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS INT))
+                  ELSE list_transform(xs, x -> 0) END AS codes
+      FROM m
+    )
+    SELECT vec_id,
+           CAST(len(codes) AS INT) AS n_dims,
+           list_aggregate(codes, 'min') AS code_min,
+           list_aggregate(codes, 'max') AS code_max,
+           CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
+           FLOOR(maxabs / 127 * 1000000000.0 + 0.5) / 1000000000.0 AS scale_q
+    FROM c
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (operators.similarity.
+    quantize_embeddings): per-vector scale + [−127,127] codes — the 4×
+    embedding storage/shuffle-IO compression. Hashed per vector through
+    code min/max/sum + the quantized scale (the full code arrays are
+    pinned element-wise in the unit tests; aggregates keep the oracle
+    row narrow). All-IEEE-double arithmetic ⇒ engine-bit-identical."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim_ops.quantize_embeddings(emb, "vec_id")
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.array_min("codes").alias("code_min"),
+        F.array_max("codes").alias("code_max"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("code_sum"),
+        (F.floor(F.col("q_scale") * 1e9 + F.lit(0.5)) / 1e9).alias("scale_q"),
+    )
+
+
+@register(
+    "text_remove_boilerplate",
+    """
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS pos, arr[i] AS l, md5(trim(arr[i])) AS fp
+      FROM ls, UNNEST(generate_series(1, len(arr))) AS u(i)
+    ), boiler AS (
+      SELECT fp FROM lines WHERE trim(l) <> ''
+      GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 3
+    ), flagged AS (
+      SELECT doc_id, pos, l,
+             (trim(l) = '' OR fp NOT IN (SELECT fp FROM boiler)) AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+           md5(COALESCE(
+             string_agg(l, chr(10) ORDER BY pos) FILTER (keep), ''))
+             AS cleaned_md5
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (operators.text.
+    remove_boilerplate_lines): lines repeated across ≥3 distinct
+    documents (nav/footer/banner text) are dropped corpus-wide, document
+    order preserved — the C4/RefinedWeb cleaning step. Row-preserving
+    (all-boilerplate docs emit cleaned_text=''); hashed through the
+    cleaned text's md5 so the oracle pins the full reassembled string,
+    not just counts."""
+    d = load_table(spark, sf_dir, "documents")
+    out = text_ops.remove_boilerplate_lines(d, "doc_id", "text", min_doc_freq=3)
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
+    )
+
+
+@register(
+    "export_tar_shards",
+    """
+    WITH named AS (
+      SELECT CAST(doc_id AS VARCHAR) || '.txt' AS name,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT CAST(('0x' || substr(md5(name || '#tar'), 1, 8))::BIGINT % 8 AS INT)
+             AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(nb) AS BIGINT) AS n_bytes
+    FROM named GROUP BY 1
+    """,
+)
+def export_tar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar shard export (sources.tar.write_tar_shards):
+    every document becomes a ``<doc_id>.txt`` member of a deterministic
+    md5-routed shard archive; the query returns the export MANIFEST
+    (shard, n_members, n_bytes), which the oracle recomputes purely in
+    SQL from the portable-hash routing + utf-8 byte lengths — so the
+    side-effecting sink's accounting is externally hash-checked (the
+    archive bytes themselves are round-trip- and determinism-pinned in
+    test_sources_io)."""
+    from ..sources.tar import write_tar_shards
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat(F.col("doc_id").cast("string"), F.lit(".txt")).alias("name"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = _scratch_dir("targraft_")
+    m = write_tar_shards(d, out, "name", "payload", n_shards=8)
+    return m.select("shard", "n_members", "n_bytes")
+
+
+@register(
+    "text_script_stats",
+    """
+    WITH base AS (
+      SELECT doc_id, length(text) AS n,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+               AS a_n,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+               AS d_n,
+             length(text)
+               - length(regexp_replace(text, '[ \t\n\r]', '', 'g')) AS s_n,
+             length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))
+               AS k_n,
+             length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g'))
+               AS y_n
+      FROM documents
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_chars,
+           CASE WHEN n > 0 THEN FLOOR(a_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS ascii_alpha_ratio,
+           CASE WHEN n > 0 THEN FLOOR(d_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n > 0 THEN FLOOR(s_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS space_ratio,
+           CASE WHEN n > 0 THEN FLOOR(k_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS cjk_ratio,
+           CASE WHEN n > 0 THEN FLOOR(y_n / n * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS cyrillic_ratio,
+           CASE WHEN n > 0
+                THEN FLOOR((n - a_n - d_n - s_n - k_n - y_n) / n
+                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE 0.0 END AS other_ratio
+    FROM base
+    """,
+)
+def text_script_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class / script composition per document (operators.text.
+    script_stats): ASCII-letter, digit, whitespace, CJK, Cyrillic and
+    other-char fractions — the cheap script filter that routes documents
+    before language-specific curation stages. Pure strip-and-measure
+    regex column expressions (scan speed, zero shuffle); int/int ratios +
+    floor-half-up rounding keep both engines bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.script_stats(d, "doc_id", "text")
+
+
+@register(
+    "histogram_totalprice_by_priority",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority, o_totalprice AS v FROM orders
+    ), counts AS (
+      SELECT o_orderpriority,
+             LEAST(GREATEST(CAST(FLOOR((v - 0.0) / 50000.0) AS INT), 0), 11)
+               AS bin,
+             COUNT(*) AS n
+      FROM pts WHERE v IS NOT NULL GROUP BY 1, 2
+    ), scaffold AS (
+      SELECT DISTINCT o_orderpriority, i AS bin
+      FROM pts, UNNEST(generate_series(0, 11)) AS u(i)
+    )
+    SELECT o_orderpriority, CAST(bin AS INT) AS bin,
+           0.0 + bin * 50000.0 AS lo_edge,
+           0.0 + (bin + 1) * 50000.0 AS hi_edge,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n
+    FROM scaffold LEFT JOIN counts USING (o_orderpriority, bin)
+    """,
+)
+def histogram_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group fixed-width histogram (aggregates.histogram_fixed):
+    order totals binned into 12×50k buckets per priority, empty bins
+    emitted, out-of-range clamped to the edge bins — the deterministic
+    distribution profile (Spark's histogram_numeric picks data-dependent
+    centers; fixed edges are reproducible and drift-comparable). One
+    partial-aggregable (priority, bin) groupBy."""
+    o = load_table(spark, sf_dir, "orders")
+    return aggregates.histogram_fixed(
+        o, ["o_orderpriority"], "o_totalprice", lo=0.0, hi=600000.0, n_bins=12
+    )
+
+
+@register(
+    "text_char_entropy",
+    """
+    WITH cc AS (
+      SELECT doc_id, n, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, length(text) AS n, substr(text, i, 1) AS ch
+        FROM documents, UNNEST(generate_series(1, length(text))) AS u(i)
+      )
+      GROUP BY doc_id, n, ch
+    ), terms AS (
+      SELECT doc_id,
+             CAST(FLOOR((c / CAST(n AS DOUBLE))
+                        * log2(c / CAST(n AS DOUBLE))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS tf
+      FROM cc
+    ), agg AS (
+      SELECT doc_id, SUM(tf) AS s FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+           FLOOR(CAST(COALESCE(-s, 0) AS DOUBLE) / 1000000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS char_entropy
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document
+    (operators.text.char_entropy) — the gibberish/base64-blob filter.
+    The Spark side run-length-encodes the sorted char array INSIDE the
+    row (zero shuffle); the oracle counts chars the naive unnest way —
+    both quantize each (c/n)·log2(c/n) term to a 10^12 fixed-point grid
+    so the order-free integer sums land bit-identically."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.char_entropy(d, "doc_id", "text")
+
+
+@register(
+    "curation_weighted_sample",
+    """
+    WITH pr AS (
+      SELECT source, doc_id, n_chars,
+             ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 8))
+                   ::BIGINT + 1) / 4294967296.0) / n_chars AS key
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, CAST(rnk AS INT) AS sample_rank
+    FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY key DESC, doc_id) AS rnk
+      FROM pr
+    )
+    WHERE rnk <= 5
+    """,
+)
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (curation.
+    weighted_sample_per_group): 5 documents per source drawn ∝ n_chars
+    via Efraimidis-Spirakis priorities over engine-portable md5 uniforms
+    — reproducible weight-proportional sampling with no RNG state. The
+    oracle re-derives the exact ln(u)/w ranking in SQL (u is an
+    integer/2^32, exact in float64)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return curation_ops.weighted_sample_per_group(
+        d, ["source"], "doc_id", "n_chars", k=5, seed="ws"
+    ).select("source", "doc_id", "n_chars", "sample_rank")
+
+
+@register(
+    "graph_triangles_parts",
+    """
+    WITH lp AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+      WHERE x.l_partkey < y.l_partkey
+    ), tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), nodes AS (
+      SELECT u AS node FROM tri
+      UNION ALL SELECT v FROM tri
+      UNION ALL SELECT w FROM tri
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    ORDER BY n_triangles DESC, node LIMIT 50
+    """,
+)
+def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts (operators.graph.triangle_counts) over
+    the part-part co-purchase graph (parts sharing an order), top-50 —
+    the local-clustering / link-farm-density signal. Spark runs the
+    degree-ORIENTED algorithm (each triangle closes exactly once, wedge
+    fan-out bounded by Σoutdeg² ~ O(m^1.5) worst case instead of the
+    naive Σdeg² hub blow-up); the oracle counts the same triangles by a
+    plain a<b<c triple join — identical multiset by construction."""
+    from ..operators import graph as graph_ops
+
+    lp = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("p")
+    ).distinct()
+    x = lp.select("l_orderkey", F.col("p").alias("p1"))
+    y = lp.select("l_orderkey", F.col("p").alias("p2"))
+    edges = (
+        x.join(y, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    out = graph_ops.triangle_counts(edges, "p1", "p2")
+    return relational.top_k(out, [F.desc("n_triangles"), F.asc("node")], 50)
+
+
+@register(
+    "graph_copurchase_edges",
+    """
+    WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+    sz AS (SELECT g, COUNT(*) AS n FROM gi GROUP BY g),
+    ok AS (SELECT g FROM sz WHERE n BETWEEN 2 AND 50),
+    pairs AS (
+      SELECT a.i AS item_a, b.i AS item_b
+      FROM gi a JOIN gi b USING (g) JOIN ok USING (g)
+      WHERE a.i < b.i
+    )
+    SELECT item_a, item_b, CAST(COUNT(*) AS BIGINT) AS weight
+    FROM pairs GROUP BY item_a, item_b HAVING COUNT(*) >= 2
+    """,
+)
+def graph_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite co-purchase projection (operators.graph.
+    bipartite_project): order→part baskets projected onto weighted
+    part–part edges (weight = #orders containing both, baskets > 50
+    items excluded — the quadratic-hub guard), keeping edges seen ≥2
+    times. THE graph-construction step the pagerank/triangle queries
+    consume; one groupBy shuffle + in-row array pair expansion, no
+    self-join. The oracle is the naive distinct self-join form —
+    identical multiset by construction."""
+    from ..operators import graph as graph_ops
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return graph_ops.bipartite_project(
+        li, "l_orderkey", "l_partkey", max_group=50, min_weight=2
+    )
+
+
+@register(
+    "twa_events_hourly",
+    """
+    WITH seg AS (
+      SELECT user_id,
+             epoch_us(ts) AS t0,
+             lead(epoch_us(ts)) OVER w AS t1,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), live AS (
+      SELECT * FROM seg WHERE t1 IS NOT NULL AND t1 > t0
+    ), per_bucket AS (
+      SELECT user_id, v, b,
+             LEAST(t1, (b + 1) * 3600000000) - GREATEST(t0, b * 3600000000)
+               AS dur
+      FROM live,
+           UNNEST(generate_series(CAST(FLOOR(t0 / 3600000000) AS BIGINT),
+                                  CAST(FLOOR((t1 - 1) / 3600000000) AS BIGINT)))
+             AS u(b)
+    ), agged AS (
+      SELECT user_id, b,
+             SUM(CAST(v AS HUGEINT) * dur) AS num, SUM(dur) AS den
+      FROM per_bucket GROUP BY user_id, b
+    )
+    SELECT user_id,
+           make_timestamp(b * 3600000000) AS bucket_start,
+           CAST(den AS BIGINT) AS covered_us,
+           FLOOR(num / (CAST(den AS DOUBLE) * 100) * 1000000.0 + 0.5)
+             / 1000000.0 AS twa
+    FROM agged WHERE den > 0
+    """,
+)
+def twa_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted hourly average of event values per user
+    (operators.resample.time_weighted_avg) — last-observation-carried-
+    forward TWA, the irregular-telemetry primitive plain AVG gets wrong.
+    Integer-microsecond segment/bucket overlap arithmetic end-to-end;
+    one lead() window + bucket explode + (user, bucket) groupBy."""
+    from ..operators import resample as resample_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return resample_ops.time_weighted_avg(
+        e, ["user_id"], "ts", "value", order_tiebreakers=["event_id"]
+    )
+
+
+@register(
+    "corpus_build_pipeline",
+    """
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS pos, arr[i] AS l, md5(trim(arr[i])) AS fp
+      FROM ls, UNNEST(generate_series(1, len(arr))) AS u(i)
+    ), boiler AS (
+      SELECT fp FROM lines WHERE trim(l) <> ''
+      GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 3
+    ), cleaned AS (
+      SELECT doc_id,
+             COALESCE(string_agg(l, chr(10) ORDER BY pos)
+               FILTER (trim(l) = '' OR fp NOT IN (SELECT fp FROM boiler)), '')
+               AS ctext
+      FROM lines GROUP BY doc_id
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(ctext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+               '\\+?[0-9]([()\\-.]? ?[()\\-.]?[0-9]){7,}', '<PHONE>', 'g')
+               AS rtext
+      FROM cleaned
+    ), kept AS (
+      SELECT doc_id, rtext,
+             CAST(len(regexp_split_to_array(lower(trim(rtext)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             md5(regexp_replace(lower(trim(rtext)), '\\s+', ' ', 'g')) AS fp
+      FROM red
+      WHERE length(rtext) >= 100
+        AND len(regexp_split_to_array(lower(trim(rtext)), '\\s+')) >= 20
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM kept) WHERE rn = 1
+    )
+    SELECT doc_id, n_tokens, fp,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, n_tokens, fp,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+                   ::BIGINT % 10000 AS bucket
+          FROM deduped)
+    """,
+)
+def corpus_build_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus build — the full pretraining-data flow as ONE
+    composed plan: line-level boilerplate removal → PII redaction →
+    quality floor (≥100 chars, ≥20 tokens post-redaction) → exact dedup
+    on the normalized fingerprint (min-doc_id survivor) → deterministic
+    hash split. Emits one row per SURVIVING document (doc_id, n_tokens,
+    fingerprint, split) — the whole pipeline is externally hash-checked
+    stage-for-stage by the oracle, not just its counts.
+
+    Composition shape: boilerplate's two line-table shuffles, then
+    everything through the dedup window is scan-local column work on the
+    cleaned text; one fingerprint-keyed shuffle for the dedup; the split
+    is a pure hash expression. Each stage is the registry's own gated
+    operator — this query pins that they COMPOSE."""
+    d = load_table(spark, sf_dir, "documents")
+    clean = text_ops.remove_boilerplate_lines(d, "doc_id", "text", min_doc_freq=3)
+    red = clean.select(
+        "doc_id", text_ops.redact_pii(F.col("cleaned_text")).alias("rtext")
+    )
+    kept = red.filter(
+        (F.length("rtext") >= 100) & (text_ops.token_count(F.col("rtext")) >= 20)
+    ).select(
+        "doc_id",
+        text_ops.token_count(F.col("rtext")).cast("long").alias("n_tokens"),
+        text_ops.fingerprint(F.col("rtext")).alias("fp"),
+    )
+    deduped = dedup_ops.exact_dedup(kept, ["fp"], "doc_id")
+    return curation_ops.hash_split(deduped, "doc_id").select(
+        "doc_id", "n_tokens", "fp", "split"
+    )
+
+
+@register(
+    "text_bigram_logppl",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE t[i] <> '' AND t[i + 1] <> ''
+    ), counts AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY w1, w2
+    ), lefts AS (
+      SELECT w1, SUM(c) AS c1 FROM counts GROUP BY w1
+    ), v AS (
+      SELECT COUNT(DISTINCT w2) AS v FROM counts
+    ), terms AS (
+      SELECT doc_id,
+             CAST(FLOOR(-ln((c + 1.0) / (c1 + 1.0 * v))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS tf
+      FROM bg JOIN counts USING (w1, w2) JOIN lefts USING (w1), v
+    )
+    SELECT doc_id,
+           FLOOR(CAST(SUM(tf) AS DOUBLE) / COUNT(*) / 1000000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS bigram_logppl,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM terms GROUP BY doc_id
+    """,
+)
+def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram log-perplexity against the corpus-trained
+    add-1 bigram LM (operators.text.bigram_logppl) — the contextual
+    fluency signal completing unigram_logppl's pair. Each −ln p(w2|w1)
+    term quantizes to a 10^12 fixed-point grid before the order-free
+    per-doc integer sum, so the oracle lands bit-identically (documents
+    with <2 non-empty tokens have no bigrams and emit no row — matching
+    semantics both sides)."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.bigram_logppl(d, "doc_id", "text")
+
+
+@register("multimodal_audio_chunks", None)  # binary fixture — rows-only
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio chunking (operators.multimodal.audio_chunk_manifest):
+    Whisper-style fixed windows with overlap over WAV payloads, emitted
+    as a metadata-only manifest (exact PCM byte ranges per chunk) — the
+    chunk planning pass never moves audio bytes; slicing happens
+    scan-side against the payload column."""
+    from ..operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=96)
+    return multimodal.audio_chunk_manifest(media, chunk_ms=5, overlap_ms=1)
+
+
+@register(
+    "nullsafe_join_event_props",
+    """
+    WITH e AS (
+      SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    ), g AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_events FROM e GROUP BY k
+    )
+    SELECT e.event_id, e.k, g.n_events
+    FROM e JOIN g ON e.k IS NOT DISTINCT FROM g.k
+    """,
+)
+def nullsafe_join_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): events
+    keyed by a NULLABLE JSON field join their per-key counts back, with
+    the NULL group matching itself (a plain equi-join silently drops
+    every NULL-keyed row — the classic bug this surface exists to fix).
+    Same shuffle shape as any equi-join; the null bucket is a single hot
+    key by construction, the caller's salting concern."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    g = e.groupBy("k").agg(F.count(F.lit(1)).alias("n_events"))
+    return e.join(
+        g.withColumnRenamed("k", "gk"), e["k"].eqNullSafe(F.col("gk"))
+    ).select("event_id", "k", "n_events")
+
+
+@register(
+    "text_dedupe_doc_lines",
+    """
+    WITH ls AS (
+      SELECT doc_id, string_split(text, chr(10)) AS arr FROM documents
+    ), lines AS (
+      SELECT doc_id, i AS pos, arr[i] AS l, trim(arr[i]) AS lt
+      FROM ls, UNNEST(generate_series(1, len(arr))) AS u(i)
+    ), flagged AS (
+      SELECT doc_id, pos, l,
+             (lt = '' OR ROW_NUMBER() OVER (
+                PARTITION BY doc_id, lt ORDER BY pos) = 1) AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (keep) AS BIGINT) AS n_kept,
+           md5(COALESCE(
+             string_agg(l, chr(10) ORDER BY pos) FILTER (keep), ''))
+             AS cleaned_md5
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_dedupe_doc_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document duplicate-line removal (operators.text.
+    dedupe_doc_lines) — the Dolma-style "dedupe paragraphs" cleanup:
+    repeated non-blank lines keep only their first occurrence WITHIN each
+    document; blanks survive. Zero-shuffle in-row transform (bound
+    line/trim arrays + first-occurrence filter); the oracle replays it
+    the relational way (row_number over (doc, trimmed-line)) and pins the
+    reassembled text's md5."""
+    d = load_table(spark, sf_dir, "documents")
+    out = text_ops.dedupe_doc_lines(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
+    )
+
+
+@register(
+    "dedup_ngram_containment",
+    r"""
+    WITH d AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                          generate_series(1, greatest(len(toks) - 2, 1)),
+                          i -> array_to_string(toks[i:i+2], ' '))) AS sh
+               FROM (SELECT doc_id,
+                            regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                     FROM documents WHERE doc_id < 500))
+    SELECT id_a, id_b, c_a_in_b, c_b_in_a FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE / LEN(a.sh), 4)
+                 AS c_a_in_b,
+               ROUND(LEN(list_intersect(a.sh, b.sh))::DOUBLE / LEN(b.sh), 4)
+                 AS c_b_in_a
+        FROM d a JOIN d b ON a.doc_id < b.doc_id)
+    WHERE GREATEST(c_a_in_b, c_b_in_a) >= 0.1
+    """,
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (operators.dedup.
+    ngram_containment_all_pairs): |A∩B|/|A| per direction — the quote /
+    short-in-long duplication signal symmetric Jaccard misses. Same
+    inverted-index Σdf² shape as the Jaccard twin; the oracle is the
+    naive pairwise set form."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    out = dedup_ops.ngram_containment_all_pairs(
+        d, "doc_id", "text", n=3, min_containment=0.0
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        F.round("containment_a_in_b", 4).alias("c_a_in_b"),
+        F.round("containment_b_in_a", 4).alias("c_b_in_a"),
+    ).filter(F.greatest("c_a_in_b", "c_b_in_a") >= 0.1)
+
+
+@register(
+    "curation_interleave_order",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#il'),
+                                        1, 8))::BIGINT, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY (i - 0.5) / tot, source, doc_id) AS INT)
+             AS interleave_rank
+    FROM ranked
+    """,
+)
+def curation_interleave_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional source interleaving (curation.proportional_interleave):
+    a deterministic global training order where every source appears
+    evenly throughout rather than concatenated — the curriculum-smoothing
+    step after the mixing stages pick what to train on. Interleave key =
+    (i−½)/total per source (exact small-integer ratio → engine-identical
+    doubles), md5-shuffled within source. Both ranks are two-pass
+    distributed prefix counts (round 7) — no partition-less Window, no
+    whole-source task, bit-identical to the naive global row_number
+    (this oracle IS the naive form)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return curation_ops.proportional_interleave(d, "source", "doc_id").select(
+        "doc_id", "source", "interleave_rank"
+    )
+
+
+@register(
+    "rate_of_change_events",
+    """
+    WITH pts AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS t,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+             lag(epoch_us(ts)) OVER w AS pt,
+             lag(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER w AS pc
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN pt IS NOT NULL AND t > pt
+                THEN FLOOR(CAST(c - pc AS DOUBLE) / 100
+                           / (CAST(t - pt AS DOUBLE) / 1000000.0)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS rate_per_sec
+    FROM pts
+    """,
+)
+def rate_of_change_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user discrete derivative of event values (operators.windows.
+    rate_of_change): Δvalue/Δt in units per second — the telemetry
+    slope/velocity signal. Exact cent/microsecond integer deltas, one
+    float division + floor-half-up rounding (bit-identical oracle); one
+    lag window pass, zero joins."""
+    from ..operators import windows as win_ops
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    out = win_ops.rate_of_change(
+        e, ["user_id"], "ts", "value", order_tiebreakers=["event_id"]
+    )
+    return out.select("user_id", "event_id", "rate_per_sec")
+
+
+@register(
+    "text_jsd_en_vs_rest",
+    r"""
+    WITH ca AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS ca FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE lang = 'en') WHERE term <> '' GROUP BY term
+    ), cb AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE lang <> 'en') WHERE term <> '' GROUP BY term
+    ), j AS (
+      SELECT term, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM ca FULL OUTER JOIN cb USING (term)
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS ta, CAST(SUM(cb) AS BIGINT) AS tb
+      FROM j
+    ), terms AS (
+      SELECT CAST(FLOOR(
+        ((CASE WHEN ca > 0
+               THEN (ca / CAST(ta AS DOUBLE))
+                    * log2((ca / CAST(ta AS DOUBLE))
+                           / (((ca / CAST(ta AS DOUBLE))
+                               + (cb / CAST(tb AS DOUBLE))) / 2))
+               ELSE 0.0 END
+          + CASE WHEN cb > 0
+                 THEN (cb / CAST(tb AS DOUBLE))
+                      * log2((cb / CAST(tb AS DOUBLE))
+                             / (((ca / CAST(ta AS DOUBLE))
+                                 + (cb / CAST(tb AS DOUBLE))) / 2))
+                 ELSE 0.0 END) / 2) * 1000000000000.0 + 0.5) AS BIGINT) AS tf
+      FROM j, tot
+    )
+    SELECT FLOOR(CAST(SUM(tf) AS DOUBLE) / 1000000000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS jsd_bits,
+           (SELECT ta FROM tot) AS n_terms_a,
+           (SELECT tb FROM tot) AS n_terms_b,
+           CAST(COUNT(*) AS BIGINT) AS vocab
+    FROM terms
+    """,
+)
+def text_jsd_en_vs_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and non-English
+    slices' unigram distributions (operators.text.term_distribution_jsd)
+    — the text drift monitor pairing psi_drift's numeric binning;
+    symmetric and finite under vocabulary disappearance. Per-term bits
+    quantize to a 10^12 fixed-point grid before the order-free integer
+    sum (char_entropy rule) — bit-identical oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.term_distribution_jsd(
+        d.filter(F.col("lang") == "en"), d.filter(F.col("lang") != "en"), "text"
+    )
+
+
+@register(
+    "ks_drift_totalprice",
+    """
+    WITH a AS (
+      SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+        AND o_totalprice IS NOT NULL GROUP BY 1
+    ), b AS (
+      SELECT o_totalprice AS v, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM orders WHERE o_orderpriority = '5-LOW'
+        AND o_totalprice IS NOT NULL GROUP BY 1
+    ), m AS (
+      SELECT v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b USING (v)
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+             SUM(cb) OVER (ORDER BY v) AS ccb
+      FROM m
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM m
+    )
+    SELECT FLOOR(CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ks,
+           na AS n_a, nb AS n_b
+    FROM cum, tot GROUP BY na, nb
+    """,
+)
+def ks_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test (aggregates.ks_statistic):
+    order-value distributions of the URGENT vs LOW priority segments —
+    the binning-free member of the drift trio (PSI bins numerics, JSD
+    covers text). The supremum is found on the integer
+    |cum_a·n_b − cum_b·n_a| lattice; one final division — bit-identical
+    oracle."""
+    o = load_table(spark, sf_dir, "orders")
+    return aggregates.ks_statistic(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        o.filter(F.col("o_orderpriority") == "5-LOW"),
+        "o_totalprice",
+    )
+
+
+@register(
+    "ks_drift_totalprice_quantized",
+    """
+    WITH src AS (
+      SELECT o_orderpriority,
+             0.0 + LEAST(GREATEST(FLOOR((CAST(o_totalprice AS DOUBLE) - 0.0)
+                                        / 9375.0), 0), 63) * 9375.0 AS v
+      FROM orders WHERE o_totalprice IS NOT NULL
+    ), a AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS ca
+      FROM src WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ), b AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS cb
+      FROM src WHERE o_orderpriority = '5-LOW' GROUP BY 1
+    ), m AS (
+      SELECT v, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM a FULL OUTER JOIN b USING (v)
+    ), cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cca,
+             SUM(cb) OVER (ORDER BY v) AS ccb
+      FROM m
+    ), tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM m
+    )
+    SELECT FLOOR(CAST(MAX(ABS(cca * nb - ccb * na)) AS DOUBLE)
+                 / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+                 * 1000000.0 + 0.5) / 1000000.0 AS ks,
+           na AS n_a, nb AS n_b
+    FROM cum, tot GROUP BY na, nb
+    """,
+)
+def ks_drift_totalprice_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB mode of the KS drift test (VERDICT r06 #5):
+    aggregates.ks_statistic with quantize=(0, 600000, 64) — values snap
+    to histogram_fixed's clamped width_bucket edges first, so the
+    distinct-value window is bounded by 64 rows BY CONSTRUCTION at any
+    corpus size (binned D is the standard lower bound on exact D).
+    Bucket edges are exact multiples of 9375.0 — engine-identical
+    doubles — and the supremum stays on the integer lattice."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("double")
+    )
+    return aggregates.ks_statistic(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        o.filter(F.col("o_orderpriority") == "5-LOW"),
+        "o_totalprice",
+        quantize=(0.0, 600000.0, 64),
+    )
+
+
+@register(
+    "heavy_hitters_quantity",
+    """
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n
+               FROM lineitem WHERE l_quantity IS NOT NULL)
+    SELECT l_quantity AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) / CAST(n AS DOUBLE), 6) AS share
+    FROM lineitem, t
+    WHERE l_quantity IS NOT NULL
+    GROUP BY l_quantity, n
+    HAVING COUNT(*) > CAST(0.02 AS DOUBLE) * n
+    """,
+)
+def heavy_hitters_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (aggregates.heavy_hitters) over lineitem
+    quantities at 2% support — two-phase Misra-Gries: per-partition O(k)
+    candidate summaries (the only Python stage, Arrow value_counts per
+    batch), then ONE exact count restricted to the broadcast candidate
+    set. The oracle is the full GROUP BY/HAVING the operator replaces —
+    at 100 TB the operator shuffles only candidates, never the 10⁹⁺
+    distinct-value set."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return aggregates.heavy_hitters(l, "l_quantity", min_share=0.02)
+
+
+@register(
+    "skew_stats_events_by_user",
+    """
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+               FROM events GROUP BY user_id)
+    SELECT CAST(COUNT(*) AS BIGINT)  AS n_keys,
+           CAST(SUM(c) AS BIGINT)    AS n_rows,
+           CAST(MAX(c) AS BIGINT)    AS max_count,
+           ROUND(quantile_cont(c, 0.5),  4) AS p50_count,
+           ROUND(quantile_cont(c, 0.9),  4) AS p90_count,
+           ROUND(quantile_cont(c, 0.99), 4) AS p99_count,
+           ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+           ROUND(sqrt(CAST(COUNT(*) * SUM(c * c) - SUM(c) * SUM(c) AS DOUBLE))
+                 / CAST(SUM(c) AS DOUBLE), 6) AS cv_count
+    FROM c
+    """,
+)
+def skew_stats_events_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (aggregates.key_skew_stats) on the
+    events stream's user_id — the pre-flight check for every user-keyed
+    join/sessionization in the engine (the answer decides plain join vs
+    operators.skew.salted_join). Count percentiles via exact interpolated
+    percentile (↔ quantile_cont); the CV comes from integer moments so
+    the float path is one sqrt + one division — bit-identical oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return aggregates.key_skew_stats(e, ["user_id"])
+
+
+@register(
+    "join_size_estimate_events",
+    """
+    WITH a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS ca
+               FROM events GROUP BY user_id),
+    p AS (SELECT CAST(a1.ca AS DECIMAL(19,0)) * a2.ca AS pp
+          FROM a a1 JOIN a a2 ON a1.user_id = a2.user_id),
+    t AS (SELECT COALESCE(SUM(pp), 0) AS topsum
+          FROM (SELECT pp FROM p ORDER BY pp DESC LIMIT 5)),
+    r AS (SELECT COALESCE(SUM(pp), 0) AS jr,
+                 CAST(COUNT(*) AS BIGINT) AS nk,
+                 COALESCE(MAX(pp), 0) AS mx FROM p),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+    SELECT CAST(r.jr AS BIGINT) AS join_rows,
+           r.nk AS n_join_keys,
+           CAST(r.mx AS BIGINT) AS max_key_rows,
+           CASE WHEN r.jr > 0
+                THEN ROUND(CAST(t.topsum AS DOUBLE) / CAST(r.jr AS DOUBLE), 6)
+                ELSE 0.0 END AS top_share,
+           ROUND(CAST(r.jr AS DOUBLE) / CAST(GREATEST(s.n, 1) AS DOUBLE), 6)
+               AS amplification
+    FROM r, t, s
+    """,
+)
+def join_size_estimate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join cardinality (aggregates.join_size_estimate) for the
+    events×events self-join on user_id — the fan-out blow-up alarm
+    (Σ c(k)², here ≫ |events|): exact decimal(38,0) count-product sum
+    over count-collapsed key profiles, never the join itself. Pairs with
+    skew_stats_events_by_user: that asks "is one side skewed", this asks
+    "does the PAIR multiply". Integer arithmetic end-to-end ⇒
+    bit-identical oracle (counters surfaced as BIGINT here — the
+    operator's decimal(38,0) internals are for the 100 TB range; at
+    fixture scale they round-trip exactly)."""
+    e = load_table(spark, sf_dir, "events")
+    est = aggregates.join_size_estimate(e, e, ["user_id"])
+    return est.select(
+        F.col("join_rows").cast("long").alias("join_rows"),
+        "n_join_keys",
+        F.col("max_key_rows").cast("long").alias("max_key_rows"),
+        "top_share",
+        "amplification",
+    )
+
+
+#: Fixed BM25 query set for the retrieval query below — literal strings so
+#: the oracle can mirror them as VALUES; terms drawn from the fixture's
+#: synthetic vocabulary so every query matches documents.
+_BM25_QUERIES = [
+    (0, "spark window agg"),
+    (1, "customer order join"),
+    (2, "fast table scan"),
+    (3, "stream batch merge"),
+]
+
+
+@register(
+    "retrieval_bm25_topk",
+    """
+    WITH q(query_id, query) AS (VALUES
+        (CAST(0 AS BIGINT), 'spark window agg'),
+        (CAST(1 AS BIGINT), 'customer order join'),
+        (CAST(2 AS BIGINT), 'fast table scan'),
+        (CAST(3 AS BIGINT), 'stream batch merge')),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                 FROM documents)
+           WHERE term <> '' GROUP BY doc_id, term),
+    lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM lens),
+    qt AS (SELECT DISTINCT query_id, term FROM
+             (SELECT query_id,
+                     unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
+              FROM q)
+           WHERE term <> ''),
+    scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             floor(CAST(SUM(CAST(floor((
+                 ln(1.0 + (CAST(scal.n - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                 * CAST(tf.tf AS DOUBLE) * 2.2
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE) / avgdl))
+             ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 * 1e4 + 0.5) / 1e4 AS score
+      FROM qt
+      JOIN dfreq USING (term)
+      JOIN tf USING (term)
+      JOIN lens ON tf.doc_id = lens.doc_id, scal
+      GROUP BY qt.query_id, tf.doc_id)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, score
+    FROM (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def retrieval_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (operators.retrieval.bm25_topk): top-5
+    documents per query, Lucene-style non-negative idf, k1=1.2 b=0.75 —
+    the retrieval half of a RAG stack next to the embedding ANN family.
+    One corpus explode→(doc,term) groupBy builds tf/dl/df (persisted TF
+    frame, scanned once); the bounded query set broadcasts, pruning the
+    vocabulary-sized df table to query terms before the posting join —
+    the corpus side is never reshuffled beyond its own groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    from ..operators import retrieval as retrieval_ops
+
+    return retrieval_ops.bm25_topk(q, d, "doc_id", "text", k=5, round_digits=4)
+
+
+@register(
+    "retrieval_bm25_prebuilt",
+    # IDENTICAL oracle to retrieval_bm25_topk ON PURPOSE: the contract
+    # under test is that a persisted-index probe returns exactly what the
+    # inline corpus build returns — train once, query many, same answers.
+    REGISTRY["retrieval_bm25_topk"][1],
+)
+def retrieval_bm25_prebuilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-artifact LIFECYCLE end-to-end (VERDICT r05 #5): build the
+    BM25 corpus stats once, persist them through the snapshot-versioned
+    index store (index_store.save_bm25_stats → tf/ lens/ dfreq/ sibling
+    tables, tf term-clustered), read them BACK, and score the fixed query
+    set against the prebuilt artifact (bm25_topk(corpus_stats=...)).
+
+    The oracle is the same SQL as retrieval_bm25_topk, so the driver's
+    hash check pins prebuilt-probe ≡ inline-build ≡ ANSI SQL — the
+    train-once/query-many production contract, externally verified. At
+    100 TB this is THE retrieval shape: the corpus explode runs in one
+    indexing job; query jobs only read the (pruned, term-clustered)
+    posting tables and never touch corpus text."""
+    from .. import index_store
+    from ..operators import retrieval as retrieval_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    root = _scratch_dir("snowfall-bm25-index-") + "/bm25"
+    # persist_tf=False: the three frames are written immediately below —
+    # the snapshot files ARE the materialization, no session-cache state.
+    tf, lens, dfreq = retrieval_ops.bm25_corpus_stats(
+        d, "doc_id", "text", persist_tf=False
+    )
+    index_store.save_bm25_stats(tf, lens, dfreq, root)
+    stats = index_store.load_bm25_stats(spark, root)
+    return retrieval_ops.bm25_topk(
+        q, d, "doc_id", "text", k=5, round_digits=4, corpus_stats=stats
+    )
+
+
+@register(
+    "retrieval_bm25_incremental",
+    # Full-corpus oracle ON PURPOSE: the contract is incremental index
+    # maintenance == full rebuild, bit-for-bit.
+    REGISTRY["retrieval_bm25_topk"][1],
+)
+def retrieval_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-MAINTAINED BM25 index (index_store.append_bm25_delta):
+    build the index on doc_id < 400, ingest the rest as a delta batch —
+    tf/lens grow by zero-copy manifest APPEND (existing posting files are
+    re-referenced, only delta files are written), dfreq merges additively
+    per term-bucket (only touched buckets rewrite) — then score the fixed
+    query set against the merged index.
+
+    The oracle is the FULL-corpus BM25 SQL, so the driver hash check pins
+    incremental == rebuild exactly (df counts are associative; N/avgdl
+    derive from lens at query time). At 100 TB this is the growing-corpus
+    shape: per-ingest cost O(batch), the corpus is never re-indexed."""
+    from .. import index_store
+    from ..operators import retrieval as retrieval_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    root = _scratch_dir("snowfall-bm25-incr-") + "/bm25"
+    base = d.filter(F.col("doc_id") < 400)
+    delta = d.filter(F.col("doc_id") >= 400)
+    tf, lens, dfreq = retrieval_ops.bm25_corpus_stats(
+        base, "doc_id", "text", persist_tf=False
+    )
+    index_store.save_bm25_stats(tf, lens, dfreq, root)
+    index_store.append_bm25_delta(
+        spark, root, delta, "doc_id", "text", commit_note="batch-1"
+    )
+    stats = index_store.load_bm25_stats(spark, root)
+    return retrieval_ops.bm25_topk(
+        q, d, "doc_id", "text", k=5, round_digits=4, corpus_stats=stats
+    )
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    """
+    WITH q(query_id, query) AS (VALUES
+        (CAST(0 AS BIGINT), 'spark window agg'),
+        (CAST(1 AS BIGINT), 'customer order join'),
+        (CAST(2 AS BIGINT), 'fast table scan'),
+        (CAST(3 AS BIGINT), 'stream batch merge')),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+                 FROM documents)
+           WHERE term <> '' GROUP BY doc_id, term),
+    lens AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    scal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl FROM lens),
+    qt AS (SELECT DISTINCT query_id, term FROM
+             (SELECT query_id,
+                     unnest(regexp_split_to_array(lower(trim(query)), '\\s+')) AS term
+              FROM q)
+           WHERE term <> ''),
+    bm_scored AS (
+      SELECT qt.query_id, tf.doc_id,
+             floor(CAST(SUM(CAST(floor((
+                 ln(1.0 + (CAST(scal.n - dfreq.df AS DOUBLE) + 0.5)
+                        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+                 * CAST(tf.tf AS DOUBLE) * 2.2
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25 + 0.75 * CAST(lens.dl AS DOUBLE) / avgdl))
+             ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 1e12 * 1e4 + 0.5) / 1e4 AS score
+      FROM qt
+      JOIN dfreq USING (term)
+      JOIN tf USING (term)
+      JOIN lens ON tf.doc_id = lens.doc_id, scal
+      GROUP BY qt.query_id, tf.doc_id),
+    bmk AS (SELECT query_id, doc_id, rnk FROM
+              (SELECT query_id, doc_id,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rnk
+               FROM bm_scored)
+            WHERE rnk <= 10),
+    qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 4),
+    ann_scored AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             ROUND(list_dot_product(qv.qvec, e.embedding::DOUBLE[]) /
+                   (sqrt(list_dot_product(qv.qvec, qv.qvec)) *
+                    sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]))), 4) AS sim
+      FROM qv CROSS JOIN embeddings e),
+    annk AS (SELECT query_id, doc_id, rnk FROM
+               (SELECT query_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, doc_id) AS rnk
+                FROM ann_scored)
+             WHERE rnk <= 10),
+    contrib AS (SELECT query_id, doc_id, rnk FROM bmk
+                UNION ALL SELECT query_id, doc_id, rnk FROM annk),
+    fused AS (
+      SELECT query_id, doc_id,
+             floor(CAST(SUM(CAST(floor(1e12 / (60 + rnk) + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS rrf_score
+      FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, CAST(rnk AS INTEGER) AS rank, doc_id, rrf_score
+    FROM (SELECT query_id, doc_id, rrf_score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY rrf_score DESC, doc_id) AS rnk
+          FROM fused)
+    WHERE rnk <= 10
+    """,
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval — reciprocal-rank fusion (retrieval.rrf_fuse) of
+    the BM25 lexical top-10 and the exact-cosine semantic top-10 over the
+    same document ids (fixture contract: embeddings.vec_id is the doc id
+    domain). rrf(q,d) = Σ 1/(60+rank) on a 10¹² fixed-point grid —
+    order-free integer sums, full SQL oracle.
+
+    Scale shape: both input rankings are top-k-per-query frames (bounded
+    by #queries·k); the fusion union + (query, doc) groupBy never touches
+    the corpus — the expensive sides (posting probe, ANN probe) each keep
+    their own 100 TB story and the fusion is free by comparison."""
+    from ..operators import retrieval as retrieval_ops
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(_BM25_QUERIES, "query_id long, query string")
+    bm = retrieval_ops.bm25_topk(q, d, "doc_id", "text", k=10, round_digits=4)
+    qv = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    ann = sim_ops.brute_force_topk(e, qv, k=10, round_digits=4)
+    w_ann = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    ann_ranked = ann.select(
+        F.col("q_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_ann).alias("rank"),
+    )
+    return retrieval_ops.rrf_fuse(
+        [bm.select("query_id", "doc_id", "rank"), ann_ranked],
+        id_col="doc_id",
+        k=10,
+    )
+
+
+#: The shipped quality-filter weight artifact (the fastText-filter
+#: production split: train_quality_classifier runs offline/rows-only,
+#: export_linear_scorer emits THIS shape, deploys apply it as config).
+#: Fixed literals here so the apply path is externally hash-checkable.
+_QUALITY_WEIGHTS = {
+    "f_len": 0.0004,
+    "f_n_tokens": 0.002,
+    "f_mean_token_len": 0.25,
+    "f_stopword_ratio": 3.0,
+    "f_punct_density": -2.0,
+    "f_digit_density": -4.0,
+    "f_upper_density": -1.5,
+    "f_space_density": 0.8,
+    "__intercept": -1.2,
+}
+
+
+#: Shared oracle CTE: (doc_id, quality_logit) under _QUALITY_WEIGHTS —
+#: used by the scorer query and the quality-survivor dedup.
+_QUALITY_LOGIT_CTE = r"""
+    d AS (SELECT doc_id, COALESCE(text, '') AS c FROM documents),
+    f AS (
+      SELECT doc_id,
+        CAST(length(c) AS DOUBLE) AS f_len,
+        CAST(len(regexp_split_to_array(lower(trim(c)), '\s+')) AS DOUBLE)
+          AS f_n_tokens,
+        length(regexp_replace(c, '\s+', '', 'g'))
+          / GREATEST(len(regexp_split_to_array(lower(trim(c)), '\s+')), 1)
+          AS f_mean_token_len,
+        len(list_filter(regexp_split_to_array(lower(trim(c)), '\s+'),
+            t -> t IN ('the','a','of','and','to','in','is','it')))
+          / len(regexp_split_to_array(lower(trim(c)), '\s+'))
+          AS f_stopword_ratio,
+        length(regexp_replace(c, '[^.,;:!?]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_punct_density,
+        length(regexp_replace(c, '[^0-9]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_digit_density,
+        length(regexp_replace(c, '[^A-Z]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_upper_density,
+        length(regexp_replace(c, '[^ ]', '', 'g')) / GREATEST(length(c), 1)
+          AS f_space_density
+      FROM d),
+    ql AS (
+      SELECT doc_id,
+             ROUND(-1.2 + 0.0004 * f_len + 0.002 * f_n_tokens
+                   + 0.25 * f_mean_token_len + 3.0 * f_stopword_ratio
+                   + -2.0 * f_punct_density + -4.0 * f_digit_density
+                   + -1.5 * f_upper_density + 0.8 * f_space_density, 6)
+               AS quality_logit
+      FROM f)
+"""
+
+
+@register(
+    "curation_quality_linear",
+    f"WITH {_QUALITY_LOGIT_CTE} SELECT doc_id, quality_logit FROM ql",
+)
+def curation_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring, the APPLY half (ml.quality.
+    score_quality_linear): the exported fastText-style weight artifact
+    (_QUALITY_WEIGHTS — what export_linear_scorer emits from the MLlib
+    training job) drives a pure-column raw-feature logit at scan speed —
+    zero MLlib, zero UDFs, zero shuffle. Every feature is a ratio of
+    exact integers and the multiply-add fold order is fixed, so the
+    rounded logit is engine-bit-identical (the sigmoid is deliberately
+    omitted: exp() is libm-dependent, and keep/drop thresholds are
+    monotone in the logit). Training stays the rows-only MLlib path; the
+    production filter decision is THIS externally-hash-checked scan."""
+    from ..ml.quality import score_quality_linear
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality_linear(d, "text", _QUALITY_WEIGHTS).select(
+        "doc_id", "quality_logit"
+    )
+
+
+@register(
+    "dedup_quality_survivor",
+    f"""
+    WITH {_QUALITY_LOGIT_CTE},
+    fp AS (
+      SELECT doc_id, lang, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents)
+    SELECT doc_id, lang, source, quality_logit FROM (
+        SELECT fp.doc_id, fp.lang, fp.source, ql.quality_logit,
+               ROW_NUMBER() OVER (
+                 PARTITION BY fp.f
+                 ORDER BY ql.quality_logit DESC, fp.doc_id) AS rn
+        FROM fp JOIN ql USING (doc_id))
+    WHERE rn = 1
+    """,
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup (dedup.keep_best): per normalized-text
+    fingerprint keep the BEST copy by the exported quality logit
+    (doc_id tiebreak) — the keep-the-best-copy survivor policy a
+    production dedup adopts the moment a quality signal exists
+    (exact_dedup's min-id rule is its [id asc] special case). Composes
+    two round-7 pieces — the columnar quality scorer feeds the survivor
+    order — in ONE plan: scan-speed scoring, one dedup-key shuffle,
+    row_number streaming per group. The ROUNDED logit is the order key
+    on both engines, so the survivor set is engine-bit-identical."""
+    from ..ml.quality import score_quality_linear
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    scored = score_quality_linear(d, "text", _QUALITY_WEIGHTS).withColumn(
+        "__fp", text_ops.fingerprint("text")
+    )
+    out = dedup_ops.keep_best(
+        scored,
+        ["__fp"],
+        [F.col("quality_logit").desc(), F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "lang", "source", "quality_logit")
+
+
+# =========================================================================

@@ -147,10 +147,12 @@ HEADLINE = [
     # the end-to-end curation flow (md5 near-dedup -> budget -> interleave)
     "curation_corpus_mix_pipeline",
     # round-9 additions, benched from birth: exact substring-span dedup
-    # (anchor-shingle explode + fingerprint self-join + diagonal runs)
-    # and its per-doc coverage fold (interval merge over the span table)
+    # (anchor-shingle explode + fingerprint self-join + diagonal runs),
+    # its per-doc coverage fold (interval merge over the span table),
+    # and the incremental batch-vs-anchor-index probe
     "dedup_substring_spans",
     "dedup_span_coverage",
+    "dedup_substring_spans_incremental",
 ]
 
 

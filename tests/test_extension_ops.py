@@ -578,6 +578,42 @@ def test_substring_spans_planted_quote_and_naive_reference(spark):
     assert got_d == _naive_substring_spans(dense, W) and got_d
 
 
+def test_substring_spans_incremental_equals_filtered_rebuild(spark):
+    """The span table's append==rebuild contract: probing a persisted
+    anchor index with an arriving batch returns EXACTLY the full-corpus
+    span table restricted to pairs touching the batch (new-vs-corpus +
+    new-vs-new) — corpus text never re-read. Dense seeded corpus so
+    batch-vs-batch duplicates from the two-sided probe are exercised,
+    plus the hot-anchor cap parity."""
+    import random
+
+    rng = random.Random(3)
+    docs = {i: [rng.choice(("u", "v", "w")) for _ in range(26)] for i in range(8)}
+    full = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    batch_ids = {1, 4, 7}
+    seen = full.filter(~F.col("doc_id").isin(*batch_ids))
+    new = full.filter(F.col("doc_id").isin(*batch_ids))
+    W = 5
+    for cap in (None, 4):
+        idx = dedup_ops.substring_anchor_index(seen, "doc_id", "text", W)
+        got = {
+            tuple(r)
+            for r in dedup_ops.substring_spans_incremental(
+                new, idx, "doc_id", "text", W, max_anchor_docs=cap
+            ).collect()
+        }
+        want = {
+            tuple(r)
+            for r in dedup_ops.substring_spans(
+                full, "doc_id", "text", W, max_anchor_docs=cap
+            ).collect()
+            if r.doc_a in batch_ids or r.doc_b in batch_ids
+        }
+        assert got == want and got, cap
+
+
 def test_span_coverage_matches_naive_interval_merge(spark):
     """dedup.span_coverage == naive spans + Python interval-union per
     doc, on the seeded dense corpus (overlapping and contained spans

@@ -110,10 +110,15 @@ _GATED_WINDOW = [
     # family keeps fuzzy_join_part_names gated) for the round-9-BUILT
     # dedup_span_coverage (per-doc duplicated-token fraction — the
     # substring-span table folded into the curation decision signal,
-    # interval-merge oracle).
+    # interval-merge oracle), and similarity_knn_graph_incremental (r08
+    # driver-green; it shares its oracle VERBATIM with the still-gated
+    # similarity_knn_graph_int8) for the round-9-BUILT
+    # dedup_substring_spans_incremental (anchor-index probe,
+    # incremental == rebuild-filtered under the shared span oracle).
     # =====================================================================
     "dedup_substring_spans",
     "dedup_span_coverage",
+    "dedup_substring_spans_incremental",
     "ks_drift_totalprice_quantized",
     "similarity_int8_rerank_topk",
     "dedup_minhash_candidates_md5",
@@ -124,7 +129,6 @@ _GATED_WINDOW = [
     "similarity_knn_graph_int8",
     "dedup_embedding_knn_components",
     "fuzzy_join_part_names",
-    "similarity_knn_graph_incremental",
     "curation_corpus_mix_pipeline",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the

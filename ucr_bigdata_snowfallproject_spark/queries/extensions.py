@@ -632,6 +632,33 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans_incremental",
+    _SPAN_CTE + """
+    SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans
+    WHERE doc_a % 5 = 0 OR doc_b % 5 = 0
+    """,
+)
+def dedup_substring_spans_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X2 incremental substring-span detection
+    (operators.dedup.substring_spans_incremental): the indexed corpus
+    (doc_id % 5 != 0) persists only its anchor table
+    (substring_anchor_index — corpus text never re-read); the arriving
+    batch (doc_id % 5 == 0) computes its anchors in one scan and probes
+    the index, reporting every >=12-token verbatim span between a batch
+    doc and anything (corpus or batch sibling). incremental ==
+    full-rebuild-filtered row for row, so the oracle is the SHARED span
+    CTE restricted to pairs touching the batch — the append==rebuild
+    contract (minhash/BM25/IVF/kNN-graph) extended to the span table."""
+    d = load_table(spark, sf_dir, "documents")
+    seen = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    idx = dedup_ops.substring_anchor_index(seen, "doc_id", "text", 12)
+    return dedup_ops.substring_spans_incremental(new, idx, "doc_id", "text", 12)
+
+
+@register(
     "fuzzy_join_part_names",
     """
     WITH names AS (SELECT DISTINCT p_name AS k FROM part WHERE p_name IS NOT NULL)

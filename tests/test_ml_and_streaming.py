@@ -404,6 +404,61 @@ def test_stream_near_dup_flags_match_batch_probe(spark, tmp_path_factory):
     assert any(d_ >= 900000 for d_, _ in got)  # the clone was flagged
 
 
+def test_stream_span_flags_match_batch_anchor_probe(spark, tmp_path_factory):
+    """The streaming span-flag probe emits exactly the anchor matches the
+    batch incremental operator's probe join finds (pre-merge — maximal
+    extents are batch-side by design), including a planted doc that
+    pastes a 15-token verbatim quote from an indexed doc."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import (
+        substring_anchor_index,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_span_flags,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    W = 12
+    d = load_table(spark, SF_SMOKE, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    idx = substring_anchor_index(seen, "doc_id", "text", W)
+    # quote = first 15 tokens of an indexed doc, pasted into a new doc
+    src = seen.limit(1).collect()[0]
+    quote = " ".join(src.text.lower().strip().split()[:15])
+    clone = spark.createDataFrame(
+        [(src.doc_id + 900000, "prefix words here " + quote, "en", "x", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(clone)
+    stream_dir = str(tmp_path_factory.mktemp("span-stream"))
+    new.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+    flags = run_to_memory_sink(
+        stream_span_flags(stream, idx, min_tokens=W), "span_flags"
+    ).toPandas()
+    got = {
+        (r.doc_id, r.matched_id, r.pos_new, r.pos_seen)
+        for r in flags.itertuples(index=False)
+    }
+    want = {
+        (r["__id"], r.matched_id, r["__pos"], r.pos_seen)
+        for r in substring_anchor_index(new, "doc_id", "text", W)
+        .join(
+            idx.select(
+                F.col("__id").alias("matched_id"),
+                F.col("__pos").alias("pos_seen"),
+                "__fp",
+            ),
+            "__fp",
+        )
+        .filter(F.col("__id") != F.col("matched_id"))
+        .collect()
+    }
+    assert got == want
+    assert any(a >= 900000 and b == src.doc_id for a, b, *_ in got)
+
+
 def test_stream_merge_into_snapshot_matches_batch(spark, tmp_path_factory):
     """Streaming CDC apply: micro-batch MERGEs into the snapshot table
     converge to exactly the batch upsert result — last-writer-wins per

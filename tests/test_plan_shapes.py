@@ -535,9 +535,35 @@ def test_round8_md5_twins_no_partitionless_window(spark):
         "similarity_knn_graph_int8",
         "fuzzy_join_part_names",
         "curation_corpus_mix_pipeline",
+        "dedup_substring_spans",
+        "dedup_span_coverage",
+        "dedup_substring_spans_incremental",
     ):
         fn, _ = REGISTRY[name]
         df = fn(spark, SF_SMOKE)
         assert checks.partitionless_window_count(df) == 0, name
         plan = checks.explain_str(df, "simple")
         assert "CartesianProduct" not in plan, name
+
+
+def test_headline_queries_not_hollow_under_count(spark):
+    """Round-9 count-plan audit, made permanent: bench.py times
+    ``df.count()``, and Catalyst legally ELIMINATES a tail join whose
+    right side is unique-keyed and unreferenced — three headline queries
+    (span coverage, boilerplate removal, fixed histogram) were silently
+    benching scaffold-only plans. Guard: any headline query whose full
+    optimized plan contains a Join must keep a Join under the count
+    projection (queries fix this with a trailing filter on a computed
+    column Catalyst can't prove, e.g. ``count_col >= 0``)."""
+    import bench
+    from ucr_bigdata_snowfallproject_spark.queries import REGISTRY
+
+    hollow = []
+    for name in bench.HEADLINE:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, SF_SMOKE)
+        full = df._jdf.queryExecution().optimizedPlan().toString()
+        cnt = df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
+        if "Join" in full and "Join" not in cnt:
+            hollow.append(name)
+    assert not hollow, f"hollow under count(): {hollow}"

@@ -626,9 +626,18 @@ def dedup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     action step). Overlapping/contained spans collapse through the
     running-max gaps-and-islands merge before counting, so a token never
     double-counts; everything is integer arithmetic on a deterministic
-    (start, end) order, replayed verbatim by the DuckDB oracle."""
+    (start, end) order, replayed verbatim by the DuckDB oracle.
+
+    The trailing filter is semantically a no-op (dup_tokens is always
+    >= 0) but Catalyst cannot prove it, which keeps the bench's
+    ``count()`` action honest: without it the optimizer ELIMINATES the
+    whole span subplan under count (left join with a unique-keyed right
+    side and no referenced columns folds to a bare parquet row count —
+    measured 0.57s "warm" for a plan that never ran its join)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup_ops.span_coverage(d, "doc_id", "text", min_tokens=12)
+    return dedup_ops.span_coverage(d, "doc_id", "text", min_tokens=12).filter(
+        F.col("dup_tokens") >= 0
+    )
 
 
 @register(

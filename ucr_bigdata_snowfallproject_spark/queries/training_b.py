@@ -373,9 +373,13 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just counts."""
     d = load_table(spark, sf_dir, "documents")
     out = text_ops.remove_boilerplate_lines(d, "doc_id", "text", min_doc_freq=3)
+    # trailing no-op filter Catalyst can't prove (n_kept is a count):
+    # without it the bench's count() action eliminates the frequency
+    # join + reassembly entirely (distinct doc_id over the line table)
+    # and times a hollow plan — round-9 count-plan audit
     return out.select(
         "doc_id", "n_lines", "n_kept", F.md5("cleaned_text").alias("cleaned_md5")
-    )
+    ).filter(F.col("n_kept") >= 0)
 
 
 @register(
@@ -489,9 +493,13 @@ def histogram_totalprice_by_priority(spark: SparkSession, sf_dir: str) -> DataFr
     centers; fixed edges are reproducible and drift-comparable). One
     partial-aggregable (priority, bin) groupBy."""
     o = load_table(spark, sf_dir, "orders")
+    # trailing no-op filter (n is a count, always >= 0) so the bench's
+    # count() can't fold the query to scaffold-only — without it the
+    # bin-count aggregate + scaffold join are eliminated under count
+    # (round-9 count-plan audit)
     return aggregates.histogram_fixed(
         o, ["o_orderpriority"], "o_totalprice", lo=0.0, hi=600000.0, n_bins=12
-    )
+    ).filter(F.col("n") >= 0)
 
 
 @register(

@@ -28,7 +28,11 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..operators.dedup import band_signatures, minhash_signatures_arrow
+from ..operators.dedup import (
+    band_signatures,
+    minhash_signatures_arrow,
+    substring_anchor_index,
+)
 
 #: file-source schema for the documents stream (mirrors the fixture table)
 DOCUMENT_STREAM_SCHEMA = StructType(
@@ -94,6 +98,47 @@ def stream_near_dup_flags(
             F.col("__id_n").alias("doc_id"),
             F.col("__id_s").alias("matched_id"),
             "jaccard_est",
+        )
+    )
+
+
+def stream_span_flags(
+    doc_stream: DataFrame,
+    seen_anchors: DataFrame,
+    min_tokens: int = 50,
+) -> DataFrame:
+    """Flag streaming documents sharing a ≥``min_tokens``-token VERBATIM
+    span with the indexed corpus — the streaming face of
+    ``operators.dedup.substring_spans_incremental``.
+
+    Every emitted row (doc_id, matched_id, pos_new, pos_seen) certifies a
+    full ``min_tokens``-token verbatim window shared at those 1-based
+    positions: a single anchor match IS a complete detection (the batch
+    operator's run merge only extends matches to their MAXIMAL span, and
+    a per-(pair, diagonal) window is stateful — so maximal extents stay
+    batch-side, exactly the flag/refine split the near-dup stream uses).
+    AT-LEAST-ONCE per shared window position, stateless, append-mode.
+    ``seen_anchors`` is the static
+    :func:`~..operators.dedup.substring_anchor_index` table the batch
+    pipeline maintains (same ``min_tokens`` — a width mismatch joins
+    nothing, so validate at deploy); stream-side work is O(batch tokens)
+    anchor hashing plus a fingerprint-keyed stream-static join."""
+    batch = substring_anchor_index(doc_stream, "doc_id", "text", min_tokens)
+    return (
+        batch.join(
+            seen_anchors.select(
+                F.col("__id").alias("matched_id"),
+                F.col("__pos").alias("pos_seen"),
+                "__fp",
+            ),
+            "__fp",
+        )
+        .filter(F.col("__id") != F.col("matched_id"))
+        .select(
+            F.col("__id").alias("doc_id"),
+            "matched_id",
+            F.col("__pos").alias("pos_new"),
+            "pos_seen",
         )
     )
 

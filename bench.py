@@ -153,6 +153,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
+    "curation_decontaminate_spans",
 ]
 
 

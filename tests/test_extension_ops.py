@@ -614,6 +614,100 @@ def test_substring_spans_incremental_equals_filtered_rebuild(spark):
         assert got == want and got, cap
 
 
+def test_decontaminate_spans_matches_naive(spark):
+    """Substring-level decontamination == naive cross-table maximal-run
+    reference + Python interval union, on a fixture with a planted
+    benchmark quote (partial overlap across two eval docs), a fully
+    clean doc, and dense small-vocab docs exercising overlap merging."""
+    import random
+
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    rng = random.Random(5)
+    quote = [f"q{i}" for i in range(14)]
+    train = {
+        1: [f"a{i}" for i in range(4)] + quote + ["tail"],
+        2: [f"clean{i}" for i in range(25)],
+        3: [rng.choice(("u", "v", "w")) for _ in range(24)],
+        4: [rng.choice(("u", "v", "w")) for _ in range(24)],
+    }
+    evald = {
+        100: quote[:13] + ["endx"],
+        101: [rng.choice(("u", "v", "w")) for _ in range(24)],
+    }
+    tdf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in train.items()], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in evald.items()], "doc_id long, text string"
+    )
+    W = 5
+    got = {
+        (r.doc_id, r.n_tokens, r.n_spans, r.max_span_tokens,
+         r.contaminated_tokens, r.contamination, r.contaminated)
+        for r in cur.decontaminate_spans(
+            tdf, edf, "doc_id", "text", min_tokens=W
+        ).collect()
+    }
+    # naive: maximal matching-token runs per (train, eval, diagonal)
+    spans: dict = {k: [] for k in train}
+    for tid, a in train.items():
+        for eid, b in evald.items():
+            for dgn in range(-(len(b) - 1), len(a)):
+                i, j, run = max(0, dgn), max(0, dgn) - dgn, 0
+                while i <= len(a) and j <= len(b):
+                    if i < len(a) and j < len(b) and a[i] == b[j]:
+                        run += 1
+                    else:
+                        if run >= W:
+                            spans[tid].append((i - run + 1, run))
+                        run = 0
+                    i += 1
+                    j += 1
+    want = set()
+    for tid, sp in spans.items():
+        toks = set()
+        for s, ln in sp:
+            toks.update(range(s, s + ln))
+        n = len(train[tid])
+        want.add((
+            tid, n, len(sp),  # one span row per (eval doc, diagonal, run)
+            max((ln for _, ln in sp), default=0),
+            len(toks), round(len(toks) / n, 4), len(toks) > 0,
+        ))
+    assert got == want
+    one = {r for r in got if r[0] == 1}
+    assert one == {(1, 19, 1, 13, 13, round(13 / 19, 4), True)}
+    assert (2, 25, 0, 0, 0, 0.0, False) in got  # clean doc present
+
+
+def test_anchor_index_width_mismatch_refused(spark, tmp_path):
+    """The anchor index records its window width in the __fp column
+    metadata; probing at a different min_tokens is refused instead of
+    silently matching nothing — INCLUDING after a parquet round-trip
+    (Spark persists column metadata in the parquet schema)."""
+    import pytest
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(20)
+    idx = dedup_ops.substring_anchor_index(d, "doc_id", "text", 12)
+    path = str(tmp_path / "anchors")
+    idx.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    assert (loaded.schema["__fp"].metadata or {}).get("min_tokens") == 12
+    with pytest.raises(ValueError, match="min_tokens=12"):
+        dedup_ops.substring_spans_incremental(d, loaded, "doc_id", "text", 20)
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        stream_span_flags,
+    )
+
+    with pytest.raises(ValueError, match="min_tokens=12"):
+        stream_span_flags(d, loaded, min_tokens=20)
+    # matching width still works (smoke, not a correctness claim)
+    assert dedup_ops.substring_spans_incremental(
+        d.limit(5), loaded, "doc_id", "text", 12
+    ).count() >= 0
+
+
 def test_span_coverage_matches_naive_interval_merge(spark):
     """dedup.span_coverage == naive spans + Python interval-union per
     doc, on the seeded dense corpus (overlapping and contained spans

@@ -70,6 +70,93 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def decontaminate_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 13,
+    threshold_tokens: int = 0,
+) -> DataFrame:
+    """Substring-level benchmark decontamination — the exact-span
+    strengthening of :func:`decontaminate`: for each training document,
+    the MAXIMAL verbatim token spans (≥ ``min_tokens``) it shares with
+    the eval corpus, reduced to the per-doc signal set a pipeline acts
+    on. Where the shingle-fraction form answers "how much n-gram
+    vocabulary overlaps", this answers "which exact passages leaked, how
+    long, and how much of the document they cover" — the
+    excise-don't-drop decision needs the positions (Lee et al. 2022);
+    the default 13-token width is the GPT-3/PaLM decontamination
+    convention.
+
+    Returns one row per TRAINING doc (zero-contamination docs included):
+    (id, n_tokens, n_spans, max_span_tokens, contaminated_tokens,
+    contamination, contaminated) — ``contaminated_tokens`` is the
+    double-counting-proof interval union of the train-side spans
+    (``dedup.union_interval_lengths``), ``contaminated`` is
+    ``contaminated_tokens > threshold_tokens``.
+
+    Scale shape: both sides reduce to narrow anchor tables
+    (``dedup.substring_anchor_index`` — the eval side is benchmark-sized
+    and its anchors broadcast); the only join keys on the fingerprint;
+    run merge + interval union are span-table-sized. All integer
+    arithmetic ⇒ full SQL oracle."""
+    from .dedup import (
+        _merge_anchor_runs,
+        substring_anchor_index,
+        union_interval_lengths,
+    )
+
+    train = substring_anchor_index(df, id_col, text_col, min_tokens)
+    ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens)
+    matches = train.alias("t").join(
+        F.broadcast(ev.alias("e")),
+        F.col("t.__fp") == F.col("e.__fp"),
+    ).select(
+        F.col("t.__id").alias("doc_a"),
+        F.col("e.__id").alias("doc_b"),
+        F.col("t.__pos").alias("pos_a"),
+        F.col("e.__pos").alias("pos_b"),
+    )
+    spans = _merge_anchor_runs(matches, min_tokens)
+    per_doc = spans.groupBy(F.col("doc_a").alias("__id")).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.max("span_tokens").alias("max_span_tokens"),
+    )
+    covered = union_interval_lengths(
+        spans.select(
+            F.col("doc_a").alias("__id"),
+            F.col("start_a").alias("__s"),
+            (F.col("start_a") + F.col("span_tokens") - 1).alias("__e"),
+        ).distinct()
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    return (
+        base.join(per_doc.withColumnRenamed("__id", id_col), id_col, "left")
+        .join(covered.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("max_span_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("max_span_tokens"),
+            F.coalesce("dup_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("contaminated_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("contamination"),
+            (
+                F.coalesce("dup_tokens", F.lit(0)) > threshold_tokens
+            ).alias("contaminated"),
+        )
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

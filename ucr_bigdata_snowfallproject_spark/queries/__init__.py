@@ -115,12 +115,18 @@ _GATED_WINDOW = [
     # similarity_knn_graph_int8) for the round-9-BUILT
     # dedup_substring_spans_incremental (anchor-index probe,
     # incremental == rebuild-filtered under the shared span oracle).
+    # Round 9d: similarity_int8_rerank_topk rotates out (r08
+    # driver-green; the inline twin of similarity_int8_indexed_topk,
+    # which stays gated and carries the same oracle verbatim) for the
+    # round-9-BUILT curation_decontaminate_spans (substring-level
+    # benchmark decontamination — the exact-span strengthening of
+    # curation_decontaminate, two-table span oracle).
     # =====================================================================
     "dedup_substring_spans",
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
+    "curation_decontaminate_spans",
     "ks_drift_totalprice_quantized",
-    "similarity_int8_rerank_topk",
     "dedup_minhash_candidates_md5",
     "dedup_incremental_minhash_md5",
     "similarity_pq_int8_topk",

@@ -264,6 +264,90 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_decontaminate_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ), anchors AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 11), ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(arr) - 11, 0))) g(i)
+      WHERE len(arr) >= 12
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM anchors a JOIN anchors b ON a.fp = b.fp
+      WHERE a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+    ), r AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_a, MIN(pos_a) AS s, MAX(pos_a) - MIN(pos_a) + 12 AS tok
+      FROM r GROUP BY doc_a, doc_b, diag, grp
+    ), per_doc AS (
+      SELECT doc_a, COUNT(*) AS n_spans, MAX(tok) AS max_span
+      FROM spans GROUP BY doc_a
+    ), iv AS (
+      SELECT DISTINCT doc_a, s, s + tok - 1 AS e FROM spans
+    ), isl AS (
+      SELECT doc_a, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_a ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM (
+        SELECT doc_a, s, e,
+               MAX(e) OVER (PARTITION BY doc_a ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iv)
+    ), cov AS (
+      SELECT doc_a, SUM(len) AS dup FROM (
+        SELECT doc_a, g, MAX(e) - MIN(s) + 1 AS len
+        FROM isl GROUP BY doc_a, g)
+      GROUP BY doc_a
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                AS BIGINT) AS n_tokens,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.max_span, 0) AS BIGINT) AS max_span_tokens,
+           CAST(COALESCE(c.dup, 0) AS BIGINT) AS contaminated_tokens,
+           ROUND(COALESCE(c.dup, 0)::DOUBLE /
+                 len(regexp_split_to_array(lower(trim(d.text)), '\\s+')), 4)
+             AS contamination,
+           COALESCE(c.dup, 0) > 0 AS contaminated
+    FROM documents d
+    LEFT JOIN per_doc p ON p.doc_a = d.doc_id
+    LEFT JOIN cov c ON c.doc_a = d.doc_id
+    WHERE d.doc_id % 7 != 0
+    """,
+)
+def curation_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level benchmark decontamination
+    (operators.curation.decontaminate_spans): every maximal >=12-token
+    VERBATIM span each training doc (doc_id % 7 != 0) shares with the
+    eval corpus (doc_id % 7 == 0), folded to the per-doc excise/drop
+    signal — span count, longest span, interval-union token coverage,
+    contamination fraction, and the boolean gate. The exact-span
+    strengthening of curation_decontaminate's shingle fraction: it
+    carries positions and extents, which the excise-don't-drop decision
+    needs. min_tokens=12 matches the fixture; production default is the
+    GPT-3/PaLM 13. The tail filter is a Catalyst-unprovable no-op that
+    keeps the bench's count() from eliminating the two unique-keyed
+    left joins (the round-9 hollow-plan audit rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.decontaminate_spans(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        min_tokens=12,
+    ).filter(F.col("n_spans") >= 0)
+
+
+@register(
     "curation_token_budget_mix",
     """
     WITH t AS (

@@ -29,6 +29,7 @@ from pyspark.sql.types import (
 )
 
 from ..operators.dedup import (
+    _check_anchor_width,
     band_signatures,
     minhash_signatures_arrow,
     substring_anchor_index,
@@ -120,9 +121,11 @@ def stream_span_flags(
     AT-LEAST-ONCE per shared window position, stateless, append-mode.
     ``seen_anchors`` is the static
     :func:`~..operators.dedup.substring_anchor_index` table the batch
-    pipeline maintains (same ``min_tokens`` — a width mismatch joins
-    nothing, so validate at deploy); stream-side work is O(batch tokens)
-    anchor hashing plus a fingerprint-keyed stream-static join."""
+    pipeline maintains — a width mismatch is REFUSED via the index's
+    ``__fp`` metadata tag instead of silently matching nothing;
+    stream-side work is O(batch tokens) anchor hashing plus a
+    fingerprint-keyed stream-static join."""
+    _check_anchor_width(seen_anchors, min_tokens)
     batch = substring_anchor_index(doc_stream, "doc_id", "text", min_tokens)
     return (
         batch.join(

@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",
+    "curation_excise_contaminated",
 ]
 
 

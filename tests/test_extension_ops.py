@@ -681,6 +681,57 @@ def test_decontaminate_spans_matches_naive(spark):
     assert (2, 25, 0, 0, 0, 0.0, False) in got  # clean doc present
 
 
+def test_excise_spans_matches_naive_token_cut(spark):
+    """excise_spans == drop exactly the naive-covered token positions and
+    reassemble in order: the planted-quote doc loses the quote verbatim
+    (prefix+tail survive), the clean doc passes through byte-identical,
+    a fully-contaminated doc empties, and the dense docs match the naive
+    cut everywhere."""
+    import random
+
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cur
+
+    rng = random.Random(5)
+    quote = [f"q{i}" for i in range(14)]
+    train = {
+        1: [f"a{i}" for i in range(4)] + quote + ["tail"],
+        2: [f"clean{i}" for i in range(25)],
+        3: [rng.choice(("u", "v", "w")) for _ in range(24)],
+        5: list(quote),  # fully contaminated -> cleaned_text ''
+    }
+    evald = {100: list(quote), 101: [rng.choice(("u", "v", "w")) for _ in range(24)]}
+    tdf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in train.items()], "doc_id long, text string"
+    )
+    edf = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in evald.items()], "doc_id long, text string"
+    )
+    W = 5
+    got = {
+        r.doc_id: (r.n_tokens, r.kept_tokens, r.cleaned_text)
+        for r in cur.excise_spans(tdf, edf, "doc_id", "text", min_tokens=W).collect()
+    }
+    # naive covered positions per train doc (cross-table maximal runs)
+    for tid, a in train.items():
+        cut = set()
+        for b in evald.values():
+            for dgn in range(-(len(b) - 1), len(a)):
+                i, j, run = max(0, dgn), max(0, dgn) - dgn, 0
+                while i <= len(a) and j <= len(b):
+                    if i < len(a) and j < len(b) and a[i] == b[j]:
+                        run += 1
+                    else:
+                        if run >= W:
+                            cut.update(range(i - run, i))  # 0-based
+                        run = 0
+                    i += 1
+                    j += 1
+        kept = [w for p, w in enumerate(a) if p not in cut]
+        assert got[tid] == (len(a), len(kept), " ".join(kept)), tid
+    assert got[2][2] == " ".join(train[2])  # clean doc verbatim
+    assert got[5] == (14, 0, "")  # fully contaminated
+
+
 def test_anchor_index_width_mismatch_refused(spark, tmp_path):
     """The anchor index records its window width in the __fp column
     metadata; probing at a different min_tokens is refused instead of

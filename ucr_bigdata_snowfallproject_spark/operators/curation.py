@@ -157,6 +157,91 @@ def decontaminate_spans(
     )
 
 
+def excise_spans(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 13,
+) -> DataFrame:
+    """The ACTION step after :func:`decontaminate_spans`: rebuild each
+    training document with every token inside a shared ≥``min_tokens``
+    verbatim span REMOVED (surgical excision keeps the clean majority of
+    a lightly-contaminated doc instead of dropping it — the Lee et al.
+    2022 recommendation). Returns one row per training doc:
+    (id, n_tokens, kept_tokens, cleaned_text) — untouched docs pass
+    through verbatim (cleaned_text == normalized original), fully
+    contaminated docs emit cleaned_text=''.
+
+    Exactness: the span table's train-side intervals explode to a
+    DISTINCT (doc, pos) covered set (total size = Σ span lengths, ≪
+    corpus positions); tokens anti-join it and reassemble in position
+    order — all integer/string ops on the same lowercased
+    whitespace-normalized tokenization the span detector uses, so the
+    cleaned text replays verbatim in SQL (the gated oracle pins its
+    md5). Scale shape: one token explode (the same move every text
+    operator pays), a fingerprint join for spans, a (doc, pos)-keyed
+    anti-join, one per-doc ordered re-aggregation — every key
+    doc-grained and skew-free."""
+    from .dedup import _merge_anchor_runs, substring_anchor_index
+
+    train = substring_anchor_index(df, id_col, text_col, min_tokens)
+    ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens)
+    matches = train.alias("t").join(
+        F.broadcast(ev.alias("e")),
+        F.col("t.__fp") == F.col("e.__fp"),
+    ).select(
+        F.col("t.__id").alias("doc_a"),
+        F.col("e.__id").alias("doc_b"),
+        F.col("t.__pos").alias("pos_a"),
+        F.col("e.__pos").alias("pos_b"),
+    )
+    spans = _merge_anchor_runs(matches, min_tokens)
+    covered = (
+        spans.select(
+            F.col("doc_a").alias("__id"),
+            F.explode(
+                F.sequence(
+                    F.col("start_a"),
+                    F.col("start_a") + F.col("span_tokens") - 1,
+                )
+            ).alias("__pos"),
+        )
+        .distinct()
+        .withColumn("__cut", F.lit(1))
+    )
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(
+        F.col(id_col), F.posexplode(toks).alias("__p0", "__w")
+    ).select(id_col, (F.col("__p0") + 1).alias("__pos"), "__w")
+    kept = tok.join(
+        covered.withColumnRenamed("__id", id_col), [id_col, "__pos"], "left"
+    ).filter(F.col("__cut").isNull())
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__w")))
+                ),
+                lambda s: s.getField("__w"),
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    base = df.select(
+        F.col(id_col), F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    return base.join(
+        rebuilt, id_col, "left"
+    ).select(
+        id_col,
+        "n_tokens",
+        F.coalesce("kept_tokens", F.lit(0)).cast("bigint").alias("kept_tokens"),
+        F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+    )
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,

@@ -121,12 +121,18 @@ _GATED_WINDOW = [
     # round-9-BUILT curation_decontaminate_spans (substring-level
     # benchmark decontamination — the exact-span strengthening of
     # curation_decontaminate, two-table span oracle).
+    # Round 9e: ks_drift_totalprice_quantized rotates out (r08
+    # driver-green; the drift family keeps text_jsd_en_vs_rest +
+    # skew_stats_events_by_user gated) for the round-9-BUILT
+    # curation_excise_contaminated (the decontamination ACTION:
+    # span-covered tokens surgically removed, cleaned text md5-pinned
+    # by the oracle).
     # =====================================================================
     "dedup_substring_spans",
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",
-    "ks_drift_totalprice_quantized",
+    "curation_excise_contaminated",
     "dedup_minhash_candidates_md5",
     "dedup_incremental_minhash_md5",
     "similarity_pq_int8_topk",

@@ -348,6 +348,83 @@ def curation_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_excise_contaminated",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ), anchors AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 11), ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(arr) - 11, 0))) g(i)
+      WHERE len(arr) >= 12
+    ), m AS (
+      SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+             b.doc_id AS doc_b, b.pos AS pos_b
+      FROM anchors a JOIN anchors b ON a.fp = b.fp
+      WHERE a.doc_id % 7 != 0 AND b.doc_id % 7 = 0
+    ), r AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_a, MIN(pos_a) AS s, MAX(pos_a) - MIN(pos_a) + 12 AS tok
+      FROM r GROUP BY doc_a, doc_b, diag, grp
+    ), covered AS (
+      SELECT DISTINCT doc_a, p AS pos
+      FROM spans, LATERAL unnest(generate_series(s, s + tok - 1)) q(p)
+    ), toks AS (
+      SELECT doc_id, p AS pos, w
+      FROM (SELECT doc_id, unnest(arr) AS w,
+                   generate_subscripts(arr, 1) AS p FROM t)
+      WHERE doc_id % 7 != 0
+    ), kept AS (
+      SELECT tk.doc_id, tk.pos, tk.w
+      FROM toks tk LEFT JOIN covered c
+        ON c.doc_a = tk.doc_id AND c.pos = tk.pos
+      WHERE c.doc_a IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rb.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           md5(COALESCE(rb.cleaned_text, '')) AS cleaned_md5
+    FROM documents d LEFT JOIN rebuilt rb ON rb.doc_id = d.doc_id
+    WHERE d.doc_id % 7 != 0
+    """,
+)
+def curation_excise_contaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination ACTION (operators.curation.excise_spans):
+    training docs (doc_id % 7 != 0) rebuilt with every token inside a
+    >=12-token verbatim span shared with the eval corpus (doc_id % 7 ==
+    0) removed — surgical excision instead of whole-doc drops (Lee et
+    al. 2022). Hashed through the cleaned text's md5 so the oracle pins
+    the full reassembled string, token order included, not just counts;
+    untouched docs hash their normalized original, fully-contaminated
+    docs hash ''. The tail filter keeps the bench's count() honest
+    (round-9 hollow-plan rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = curation_ops.excise_spans(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        min_tokens=12,
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "kept_tokens",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).filter(F.col("kept_tokens") >= 0)
+
+
+@register(
     "curation_token_budget_mix",
     """
     WITH t AS (

@@ -1169,6 +1169,53 @@ def test_stdlib_image_decode_known_sizes():
     assert multimodal._decode_image_stdlib(bytes(bmp)) == (8, 4)
 
 
+def test_jpeg_fixture_segment_lengths_walk_to_eoi():
+    """Spec-strict marker walk over the synthesized JPEG: advancing by each
+    segment's OWN length field must land exactly on the next 0xFF marker
+    byte all the way to EOI (ADVICE r09 #1 — the DHT length was one byte
+    long, which desyncs strict walkers like PIL at SOS; the in-repo stdlib
+    decoder passed only because it returns early at SOF)."""
+    import struct
+
+    for progressive in (False, True):
+        buf = multimodal.jpeg_bytes(13, 7, progressive=progressive)
+        assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+        i, markers = 2, []
+        while True:
+            assert buf[i] == 0xFF, f"desync at offset {i}: expected marker"
+            marker = buf[i + 1]
+            markers.append(marker)
+            if marker == 0xD9:  # EOI
+                assert i + 2 == len(buf)
+                break
+            (seg_len,) = struct.unpack(">H", buf[i + 2 : i + 4])
+            if marker == 0xDA:  # SOS: entropy data follows until EOI
+                i = i + 2 + seg_len
+                # scan entropy bytes (no 0xFF markers inside this fixture's
+                # one-byte scan) up to the final EOI
+                while not (buf[i] == 0xFF and buf[i + 1] == 0xD9):
+                    i += 1
+            else:
+                i = i + 2 + seg_len
+        assert 0xC4 in markers  # DHT was walked, not skipped by luck
+        assert (0xC2 if progressive else 0xC0) in markers
+
+
+def test_jpeg_fixture_opens_in_pil_when_installed():
+    """When PIL is present (the preferred decoder in extract_features),
+    the fixture JPEG must actually open — the regression ADVICE r09 #1
+    described was PIL failing on the overlong DHT."""
+    import pytest
+
+    try:
+        import io
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not installed in this container")
+    img = Image.open(io.BytesIO(multimodal.jpeg_bytes(13, 7)))
+    assert img.size == (13, 7)
+
+
 def test_stdlib_png_is_fully_valid():
     """The synthesized PNG is a complete file (chunk CRCs included): every
     chunk's stored CRC re-verifies and the IDAT inflates to the expected
@@ -2811,6 +2858,41 @@ def test_session_state_release_paths(spark):
     assert out.count() == rows1
     assert tf_out.count() == tf_rows
     clear_session_state(spark)
+
+
+def test_pagerank_release_caches_is_self_contained(spark):
+    """ADVICE r09 #2: ``pagerank(release_caches=True)`` unpersists every
+    frame the call persisted (edges, invariants, per-round ranks) before
+    returning, leaving ZERO persistent blocks behind — and the eagerly
+    checkpointed result is bit-identical to the default lazy-plan form."""
+    from ucr_bigdata_snowfallproject_spark.operators import graph
+    from ucr_bigdata_snowfallproject_spark.session import clear_session_state
+
+    clear_session_state(spark)
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 3), (4, 0)]
+    df = spark.createDataFrame(edges, "s long, d long")
+    # persist mode exercises per-round rank persists too (n_iter > 5 would;
+    # force it explicitly so the test stays fast)
+    expected = {
+        r.node: r.rank_fix
+        for r in graph.pagerank(
+            df, "s", "d", n_iter=3, checkpoint_mode="persist"
+        ).collect()
+    }
+    clear_session_state(spark)
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() == 0
+    got_df = graph.pagerank(
+        df, "s", "d", n_iter=3, checkpoint_mode="persist", release_caches=True
+    )
+    # the ONLY block left is the returned result's own localCheckpoint
+    # storage (the caller's data — releasing that too would defeat the
+    # call); every operator-internal persist (edges, invariants, per-round
+    # ranks — several frames in persist mode) is gone
+    assert jsc.getPersistentRDDs().size() == 1
+    assert {r.node: r.rank_fix for r in got_df.collect()} == expected
+    clear_session_state(spark)
+    assert jsc.getPersistentRDDs().size() == 0
 
 
 def test_heavy_hitters_rejects_non_round_trippable_types(spark):

@@ -42,3 +42,27 @@ def test_registry_contract():
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 25
+
+
+def test_namespace_flatten_raises_on_divergent_same_name():
+    """ADVICE r09 #3: the queries-package flatten must refuse a name bound
+    to DIFFERENT objects in two submodules (silent last-module-wins could
+    mask a helper divergence); identical objects (shared imports) pass."""
+    import types
+
+    from ucr_bigdata_snowfallproject_spark.queries._shared import (
+        flatten_namespaces,
+    )
+
+    shared = object()
+    a = types.ModuleType("qa")
+    b = types.ModuleType("qb")
+    a.F = shared
+    b.F = shared  # same object in both → fine
+    a._helper = lambda: 1
+    merged = flatten_namespaces((a, b))
+    assert merged["F"] is shared and "_helper" in merged
+
+    b._helper = lambda: 2  # now divergent
+    with pytest.raises(RuntimeError, match="collision: '_helper'.*qa.*qb"):
+        flatten_namespaces((a, b))

@@ -54,6 +54,7 @@ def pagerank(
     checkpoint_mode: str = "auto",
     round_digits: int = 12,
     persist_edges: bool = True,
+    release_caches: bool = False,
 ) -> DataFrame:
     """PageRank over ``edges`` (multi-edges count as parallel edges).
     Returns one row per node: (node, rank_fix, rank) where ``rank_fix``
@@ -92,31 +93,55 @@ def pagerank(
     the persist pays a memory-write; the win is proportional to true
     scan cost (wide tables, object storage), which is the 100 TB regime
     the default is chosen for. Set False for cheap re-scannable inputs
-    or when the caller already persisted/bucketed the edge table."""
+    or when the caller already persisted/bucketed the edge table.
+
+    Cache lifetime (ADVICE r09 #2): every frame this function persists
+    routes through ``_util.track_persist``, so the session-level ledger
+    (``_util.release_tracked()`` / ``session.clear_session_state``)
+    releases them — repeated pagerank calls in a long-lived session do
+    NOT leak past the next ledger release (the bench harness clears
+    between queries). The default leaves the persists alive after return
+    because the RESULT is a lazy plan over them: unpersisting eagerly
+    would silently recompute the whole iteration chain on the caller's
+    first action. ``release_caches=True`` opts into self-contained
+    cleanup: the final ranks are eagerly local-checkpointed (lineage
+    truncated) and every frame THIS CALL persisted is unpersisted before
+    returning — bit-identical result, one extra materialization pass,
+    nothing left in the cache manager except the returned frame's own
+    checkpoint storage (which the session ledger still releases)."""
     if not (0 < damping_pct < 100):
         raise ValueError(f"damping_pct must be in (0,100), got {damping_pct}")
     if checkpoint_mode == "auto":
         checkpoint_mode = "unrolled" if n_iter <= 5 else "persist"
     inv_mode = "persist" if checkpoint_mode == "unrolled" else checkpoint_mode
+
+    scoped: list[DataFrame] = []  # frames THIS call persisted
+
+    def _mat(df: DataFrame, mode: str) -> DataFrame:
+        out = _materialize(df, mode)
+        if mode == "persist":
+            scoped.append(out)
+        return out
+
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if persist_edges:
-        e = _materialize(e, "persist")
+        e = _mat(e, "persist")
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = _materialize(nodes, inv_mode)
+    nodes = _mat(nodes, inv_mode)
     n_total = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edges annotated with the sender's out-degree, reused every round
-    ed = _materialize(e.join(out_deg, "src"), inv_mode)
+    ed = _mat(e.join(out_deg, "src"), inv_mode)
     # Dangling MEMBERSHIP (nodes with no out-edges) is loop-invariant —
     # only the mass on it changes per round. Materialize the set once and,
     # when it's empty (every symmetric/undirected graph), skip the
     # per-round dangling aggregate entirely: that removes one anti-join +
     # full-ranks scan + 1-row agg per iteration from the plan.
-    dang_nodes = _materialize(
+    dang_nodes = _mat(
         nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti"),
         inv_mode,
     )
@@ -132,7 +157,7 @@ def pagerank(
 
     base = (scale * (100 - damping_pct)) // (100 * n_total)
     init = F.floor(F.lit(float(scale)) / F.lit(n_total)).cast("long")
-    ranks = _materialize(
+    ranks = _mat(
         nodes.select("node", init.alias("rank_fix")), rank_mode
     )
     for _ in range(n_iter):
@@ -168,16 +193,23 @@ def pagerank(
             )
         else:
             rank_expr = F.lit(base) + F.coalesce(F.col("__sum"), F.lit(0))
-        ranks = _materialize(
+        ranks = _mat(
             step.select("node", rank_expr.alias("rank_fix")), rank_mode
         )
-    return ranks.select(
+    result = ranks.select(
         "node",
         "rank_fix",
         F.round(F.col("rank_fix") / F.lit(float(scale)), round_digits).alias(
             "rank"
         ),
     )
+    if release_caches:
+        # truncate lineage FIRST (eager), then drop this call's persists —
+        # the checkpointed result no longer references them
+        result = _materialize(result, "local")
+        for f in scoped:
+            f.unpersist()
+    return result
 
 
 def triangle_counts(

@@ -143,10 +143,14 @@ def jpeg_bytes(width: int, height: int, progressive: bool = False) -> bytes:
         + b"\x01"  # 1 component
         + b"\x01\x11\x00"  # id, 1x1 sampling, quant table 0
     )
-    # minimal DC Huffman table: one 1-bit code mapping to symbol 0
+    # minimal DC Huffman table: one 1-bit code mapping to symbol 0.
+    # Payload = 2 (length field) + 1 (class/id) + 16 (counts) + 1 (symbol)
+    # = 20 bytes — a spec-strict marker walker that advances by the length
+    # field must land exactly on the next 0xFF marker (ADVICE r09 #1: the
+    # old value 21 overshot by one byte and desynced PIL at SOS).
     dht = (
         b"\xff\xc4"
-        + struct.pack(">H", 21)
+        + struct.pack(">H", 20)
         + b"\x00"  # class 0 (DC), table 0
         + bytes([1] + [0] * 15)  # one code of length 1
         + b"\x00"  # symbol

@@ -567,3 +567,50 @@ def test_headline_queries_not_hollow_under_count(spark):
         if "Join" in full and "Join" not in cnt:
             hollow.append(name)
     assert not hollow, f"hollow under count(): {hollow}"
+
+
+def test_decontaminate_spans_broadcast_guard(spark, monkeypatch):
+    """VERDICT r09 #1: the eval-anchor join in decontaminate_spans /
+    excise_spans broadcasts the eval side only while the SIZED estimate
+    fits the budget — below it the plan carries a BroadcastHashJoin on
+    the fingerprint; with the budget forced to zero the same call plans
+    a shuffled join (no broadcast build side to OOM) and the OUTPUT is
+    row-identical either way."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation
+
+    train = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l m n o p"),
+            (2, "z y x w v u t s r q p o n m l k"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "c d e f g h i j k l m n o p q r")], "doc_id long, text string"
+    )
+
+    def plans_broadcast(df):
+        # the eval-anchor join is the only train⋈eval join in the plan;
+        # AQE may also broadcast elsewhere, so check under broadcast_eval
+        # semantics with the simple string
+        return "BroadcastHashJoin" in checks.explain_str(df, "simple")
+
+    small = curation.decontaminate_spans(train, ev, "doc_id", "text", min_tokens=3)
+    assert plans_broadcast(small)
+
+    monkeypatch.setattr(curation, "_EVAL_BROADCAST_BUDGET_BYTES", 0)
+    big = curation.decontaminate_spans(train, ev, "doc_id", "text", min_tokens=3)
+    assert not plans_broadcast(big)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(small) == rows(big)
+
+    # excise_spans shares the guard: forced-off broadcast stays
+    # broadcast-free and bit-identical to the forced-on form
+    exc_b = curation.excise_spans(
+        train, ev, "doc_id", "text", min_tokens=3, broadcast_eval=True
+    )
+    exc_s = curation.excise_spans(
+        train, ev, "doc_id", "text", min_tokens=3, broadcast_eval=False
+    )
+    assert plans_broadcast(exc_b) and not plans_broadcast(exc_s)
+    assert rows(exc_b) == rows(exc_s)

@@ -70,6 +70,69 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+#: Eval-anchor broadcast budget (bytes) for the span-decontamination pair.
+#: One anchor row is ~96 bytes in the broadcast hash relation (32-char md5
+#: hex + UTF8String overhead + bigint pos + id); 128 MiB ≈ 1.4M anchors ≈
+#: a 1.4M-token eval suite — an order of magnitude past every published
+#: decontamination benchmark set, while refusing the multi-GB broadcast an
+#: adversarially large "eval" corpus would build (VERDICT r09 gap #1).
+_EVAL_BROADCAST_BUDGET_BYTES = 128 * 1024 * 1024
+_EVAL_ANCHOR_ROW_BYTES = 96
+
+
+def _eval_anchor_matches(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int,
+    broadcast_eval: bool | None,
+) -> DataFrame:
+    """Shared train⋈eval anchor-match builder behind
+    :func:`decontaminate_spans` / :func:`excise_spans` — returns
+    (doc_a=train id, doc_b=eval id, pos_a, pos_b) rows for every shared
+    ``min_tokens``-window fingerprint.
+
+    Broadcast guard (VERDICT r09 #1): ``broadcast_eval=None`` (the
+    default) SIZES the eval side before choosing the plan — one cheap
+    aggregate over the eval text column estimates the anchor count
+    (Σ max(0, tokens − W + 1), exact by construction), and the eval
+    anchors broadcast only when the estimate fits
+    ``_EVAL_BROADCAST_BUDGET_BYTES``; above it the join falls back to a
+    plain shuffled equi-join on the fingerprint — identical output,
+    different physical plan, no multi-GB build side. ``True``/``False``
+    force either plan (True is the pre-r10 behavior; False lets AQE pick
+    for unusual shapes)."""
+    from .dedup import substring_anchor_index
+
+    train = substring_anchor_index(df, id_col, text_col, min_tokens)
+    ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens)
+    if broadcast_eval is None:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        n_anchors = eval_df.select(
+            F.coalesce(
+                F.sum(
+                    F.greatest(
+                        F.size(toks) - F.lit(min_tokens - 1), F.lit(0)
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            )
+        ).first()[0]
+        broadcast_eval = (
+            n_anchors * _EVAL_ANCHOR_ROW_BYTES <= _EVAL_BROADCAST_BUDGET_BYTES
+        )
+    ev_side = F.broadcast(ev.alias("e")) if broadcast_eval else ev.alias("e")
+    return train.alias("t").join(
+        ev_side, F.col("t.__fp") == F.col("e.__fp")
+    ).select(
+        F.col("t.__id").alias("doc_a"),
+        F.col("e.__id").alias("doc_b"),
+        F.col("t.__pos").alias("pos_a"),
+        F.col("e.__pos").alias("pos_b"),
+    )
+
+
 def decontaminate_spans(
     df: DataFrame,
     eval_df: DataFrame,
@@ -77,6 +140,7 @@ def decontaminate_spans(
     text_col: str,
     min_tokens: int = 13,
     threshold_tokens: int = 0,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """Substring-level benchmark decontamination — the exact-span
     strengthening of :func:`decontaminate`: for each training document,
@@ -97,26 +161,16 @@ def decontaminate_spans(
     ``contaminated_tokens > threshold_tokens``.
 
     Scale shape: both sides reduce to narrow anchor tables
-    (``dedup.substring_anchor_index`` — the eval side is benchmark-sized
-    and its anchors broadcast); the only join keys on the fingerprint;
-    run merge + interval union are span-table-sized. All integer
-    arithmetic ⇒ full SQL oracle."""
-    from .dedup import (
-        _merge_anchor_runs,
-        substring_anchor_index,
-        union_interval_lengths,
-    )
+    (``dedup.substring_anchor_index``); the only join keys on the
+    fingerprint, and the eval side broadcasts only while it is provably
+    benchmark-sized — ``broadcast_eval=None`` sizes it first and falls
+    back to a plain shuffled join above the budget (see
+    :func:`_eval_anchor_matches`); run merge + interval union are
+    span-table-sized. All integer arithmetic ⇒ full SQL oracle."""
+    from .dedup import _merge_anchor_runs, union_interval_lengths
 
-    train = substring_anchor_index(df, id_col, text_col, min_tokens)
-    ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens)
-    matches = train.alias("t").join(
-        F.broadcast(ev.alias("e")),
-        F.col("t.__fp") == F.col("e.__fp"),
-    ).select(
-        F.col("t.__id").alias("doc_a"),
-        F.col("e.__id").alias("doc_b"),
-        F.col("t.__pos").alias("pos_a"),
-        F.col("e.__pos").alias("pos_b"),
+    matches = _eval_anchor_matches(
+        df, eval_df, id_col, text_col, min_tokens, broadcast_eval
     )
     spans = _merge_anchor_runs(matches, min_tokens)
     per_doc = spans.groupBy(F.col("doc_a").alias("__id")).agg(
@@ -163,6 +217,7 @@ def excise_spans(
     id_col: str,
     text_col: str,
     min_tokens: int = 13,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """The ACTION step after :func:`decontaminate_spans`: rebuild each
     training document with every token inside a shared ≥``min_tokens``
@@ -182,19 +237,14 @@ def excise_spans(
     md5). Scale shape: one token explode (the same move every text
     operator pays), a fingerprint join for spans, a (doc, pos)-keyed
     anti-join, one per-doc ordered re-aggregation — every key
-    doc-grained and skew-free."""
-    from .dedup import _merge_anchor_runs, substring_anchor_index
+    doc-grained and skew-free. The eval anchors broadcast only under the
+    sized budget (``broadcast_eval=None`` — see
+    :func:`_eval_anchor_matches`); above it the fingerprint join
+    shuffles both sides, identical output."""
+    from .dedup import _merge_anchor_runs
 
-    train = substring_anchor_index(df, id_col, text_col, min_tokens)
-    ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens)
-    matches = train.alias("t").join(
-        F.broadcast(ev.alias("e")),
-        F.col("t.__fp") == F.col("e.__fp"),
-    ).select(
-        F.col("t.__id").alias("doc_a"),
-        F.col("e.__id").alias("doc_b"),
-        F.col("t.__pos").alias("pos_a"),
-        F.col("e.__pos").alias("pos_b"),
+    matches = _eval_anchor_matches(
+        df, eval_df, id_col, text_col, min_tokens, broadcast_eval
     )
     spans = _merge_anchor_runs(matches, min_tokens)
     covered = (

@@ -614,6 +614,98 @@ def test_substring_spans_incremental_equals_filtered_rebuild(spark):
         assert got == want and got, cap
 
 
+def test_substring_spans_poly_mode_identical_to_md5(spark):
+    """VERDICT r09 #2: the O(n) Karp–Rabin anchor mode computes EXACTLY
+    the md5 mode's spans — planted quote, dense small-vocab corpus
+    (multiple diagonals, internal repetition), several widths, plus
+    the incremental append==rebuild contract in poly mode and the
+    cross-mode probe refusals (metadata tag AND dtype backstop)."""
+    import random
+
+    import pytest as _pytest
+
+    rng = random.Random(11)
+    quote = [f"q{i}" for i in range(18)]
+    docs = {
+        1: [f"a{i}" for i in range(5)] + quote,
+        2: quote + [f"b{i}" for i in range(9)],
+        **{
+            i: [rng.choice(("u", "v", "w")) for _ in range(26)]
+            for i in range(3, 9)
+        },
+    }
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    for W in (4, 7, 12):
+        md5 = {
+            tuple(r)
+            for r in dedup_ops.substring_spans(
+                df, "doc_id", "text", min_tokens=W
+            ).collect()
+        }
+        poly = {
+            tuple(r)
+            for r in dedup_ops.substring_spans(
+                df, "doc_id", "text", min_tokens=W, hash_mode="poly"
+            ).collect()
+        }
+        assert poly == md5 and md5, W
+
+    # incremental == rebuild-filtered, probing a POLY index
+    batch_ids = {2, 5, 8}
+    seen = df.filter(~F.col("doc_id").isin(*batch_ids))
+    new = df.filter(F.col("doc_id").isin(*batch_ids))
+    idx = dedup_ops.substring_anchor_index(
+        seen, "doc_id", "text", 5, hash_mode="poly"
+    )
+    got = {
+        tuple(r)
+        for r in dedup_ops.substring_spans_incremental(
+            new, idx, "doc_id", "text", 5, hash_mode="poly"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in dedup_ops.substring_spans(
+            df, "doc_id", "text", 5, hash_mode="poly"
+        ).collect()
+        if r.doc_a in batch_ids or r.doc_b in batch_ids
+    }
+    assert got == want and got
+
+    # per-doc coverage rides the same spans → identical signal
+    cov_md5 = sorted(
+        map(tuple, dedup_ops.span_coverage(df, "doc_id", "text", 5).collect())
+    )
+    cov_poly = sorted(
+        map(
+            tuple,
+            dedup_ops.span_coverage(
+                df, "doc_id", "text", 5, hash_mode="poly"
+            ).collect(),
+        )
+    )
+    assert cov_md5 == cov_poly
+
+    # refusals: md5 probe against a poly index (metadata), and a
+    # stripped-metadata index still refuses on the dtype backstop
+    with _pytest.raises(ValueError, match="hash_mode"):
+        dedup_ops.substring_spans_incremental(new, idx, "doc_id", "text", 5)
+    stripped = idx.select(
+        "__id", "__pos", F.col("__fp").cast("bigint").alias("__fp")
+    )
+    with _pytest.raises(ValueError, match="incompatible"):
+        dedup_ops.substring_spans_incremental(
+            new, stripped, "doc_id", "text", 5, hash_mode="md5"
+        )
+    # unknown mode refused loudly
+    with _pytest.raises(ValueError, match="hash_mode"):
+        dedup_ops.substring_anchor_index(
+            df, "doc_id", "text", 5, hash_mode="sha1"
+        )
+
+
 def test_decontaminate_spans_matches_naive(spark):
     """Substring-level decontamination == naive cross-table maximal-run
     reference + Python interval union, on a fixture with a planted

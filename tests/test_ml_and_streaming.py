@@ -459,6 +459,67 @@ def test_stream_span_flags_match_batch_anchor_probe(spark, tmp_path_factory):
     assert any(a >= 900000 and b == src.doc_id for a, b, *_ in got)
 
 
+def test_stream_span_extents_match_batch_incremental(spark, tmp_path_factory):
+    """VERDICT r09 #5: the stream-side maximal-extent merge — the stream
+    emits MERGED (pair, diagonal) runs, and because every run lives
+    inside one streaming document (one row → one micro-batch), the
+    output equals the batch substring_spans_incremental restricted to
+    new-vs-corpus pairs EXACTLY, even with one file per trigger. The
+    planted doc pastes a 15-token quote, which must surface as ONE
+    maximal span (positions + length), not 4 raw anchor flags."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import (
+        substring_anchor_index,
+        substring_spans_incremental,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_span_extents,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        run_to_memory_sink,
+    )
+
+    W = 12
+    d = load_table(spark, SF_SMOKE, "documents")
+    seen = d.filter(F.col("doc_id") % 2 == 0)
+    idx = substring_anchor_index(seen, "doc_id", "text", W)
+    src = seen.limit(1).collect()[0]
+    quote = " ".join(src.text.lower().strip().split()[:15])
+    clone = spark.createDataFrame(
+        [(src.doc_id + 900000, "prefix words here " + quote, "en", "x", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    new = d.filter(F.col("doc_id") % 2 == 1).unionByName(clone)
+    stream_dir = str(tmp_path_factory.mktemp("span-extent-stream"))
+    new.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+    got = {
+        (r.doc_id, r.matched_id, r.start_new, r.start_seen, r.span_tokens)
+        for r in run_to_memory_sink(
+            stream_span_extents(stream, idx, min_tokens=W), "span_extents"
+        ).collect()
+    }
+    # batch reference: incremental spans, restricted to new-vs-corpus
+    # pairs (the stream never probes batch siblings), re-oriented to
+    # (new doc, corpus doc)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = set()
+    for r in substring_spans_incremental(
+        new, idx, "doc_id", "text", W
+    ).collect():
+        a_new, b_new = r.doc_a in new_ids, r.doc_b in new_ids
+        if a_new and b_new:
+            continue  # batch-sibling pair: out of the stream's contract
+        if a_new:
+            want.add((r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens))
+        else:
+            want.add((r.doc_b, r.doc_a, r.start_b, r.start_a, r.span_tokens))
+    assert got == want and got
+    # the planted quote is ONE maximal 15-token span at exact positions
+    assert (src.doc_id + 900000, src.doc_id, 4, 1, 15) in got
+
+
 def test_stream_merge_into_snapshot_matches_batch(spark, tmp_path_factory):
     """Streaming CDC apply: micro-batch MERGEs into the snapshot table
     converge to exactly the batch upsert result — last-writer-wins per

@@ -135,7 +135,18 @@ _GATED_WINDOW = [
     # span-covered tokens surgically removed, cleaned text md5-pinned
     # by the oracle).
     # =====================================================================
-    "dedup_substring_spans",
+    # =====================================================================
+    # Round-10 rotation (VERDICT r09 "Next round" #2): gate the
+    # round-10-BUILT dedup_substring_spans_poly — the O(n) Karp–Rabin
+    # anchor fast path, externally proven span-identical to md5 mode
+    # under the SAME span oracle SQL. Rotated OUT: dedup_substring_spans
+    # (r09 driver-green; it shares that oracle VERBATIM with the incoming
+    # twin, and the span family keeps dedup_span_coverage,
+    # dedup_substring_spans_incremental, curation_decontaminate_spans,
+    # curation_excise_contaminated gated; the md5-mode Spark path stays
+    # oracle-checked in the local pytest mirror).
+    # =====================================================================
+    "dedup_substring_spans_poly",
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",

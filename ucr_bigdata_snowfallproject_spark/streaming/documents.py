@@ -107,6 +107,7 @@ def stream_span_flags(
     doc_stream: DataFrame,
     seen_anchors: DataFrame,
     min_tokens: int = 50,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Flag streaming documents sharing a ≥``min_tokens``-token VERBATIM
     span with the indexed corpus — the streaming face of
@@ -114,19 +115,20 @@ def stream_span_flags(
 
     Every emitted row (doc_id, matched_id, pos_new, pos_seen) certifies a
     full ``min_tokens``-token verbatim window shared at those 1-based
-    positions: a single anchor match IS a complete detection (the batch
-    operator's run merge only extends matches to their MAXIMAL span, and
-    a per-(pair, diagonal) window is stateful — so maximal extents stay
-    batch-side, exactly the flag/refine split the near-dup stream uses).
-    AT-LEAST-ONCE per shared window position, stateless, append-mode.
-    ``seen_anchors`` is the static
+    positions: a single anchor match IS a complete detection. For the
+    maximal-extent form see :func:`stream_span_extents` (round 10) —
+    raw flags remain the cheapest shape when downstream only needs the
+    boolean/position signal. AT-LEAST-ONCE per shared window position,
+    stateless, append-mode. ``seen_anchors`` is the static
     :func:`~..operators.dedup.substring_anchor_index` table the batch
-    pipeline maintains — a width mismatch is REFUSED via the index's
-    ``__fp`` metadata tag instead of silently matching nothing;
-    stream-side work is O(batch tokens) anchor hashing plus a
-    fingerprint-keyed stream-static join."""
-    _check_anchor_width(seen_anchors, min_tokens)
-    batch = substring_anchor_index(doc_stream, "doc_id", "text", min_tokens)
+    pipeline maintains — a width or hash-mode mismatch is REFUSED via
+    the index's ``__fp`` metadata tag (+ dtype backstop) instead of
+    silently matching nothing; stream-side work is O(batch tokens)
+    anchor hashing plus a fingerprint-keyed stream-static join."""
+    _check_anchor_width(seen_anchors, min_tokens, hash_mode)
+    batch = substring_anchor_index(
+        doc_stream, "doc_id", "text", min_tokens, hash_mode
+    )
     return (
         batch.join(
             seen_anchors.select(
@@ -143,6 +145,82 @@ def stream_span_flags(
             F.col("__pos").alias("pos_new"),
             "pos_seen",
         )
+    )
+
+
+def stream_span_extents(
+    doc_stream: DataFrame,
+    seen_anchors: DataFrame,
+    min_tokens: int = 50,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """MAXIMAL verbatim spans between streaming documents and the indexed
+    corpus (VERDICT r09 #5) — :func:`stream_span_flags` upgraded from raw
+    anchor matches to merged extents: one row per maximal shared run,
+    (doc_id, matched_id, start_new, start_seen, span_tokens), the exact
+    schema/semantics of ``dedup.substring_spans_incremental`` restricted
+    to new-vs-corpus pairs.
+
+    Why this stays STATELESS and still emits GLOBALLY maximal spans: a
+    (pair, diagonal) anchor run lives entirely inside ONE streaming
+    document's anchor set, and a document's text arrives in one row —
+    so every run is confined to a single micro-batch by construction.
+    Within the batch, a non-time window is unsupported on streams, so
+    the gaps-and-islands merge runs as: hash-repartition the flag rows
+    by (doc_id, matched_id, diagonal) — a stateless exchange that
+    colocates each run — then one Arrow ``mapInPandas`` pass per
+    partition sorts its rows and merges step-1 position runs
+    (span_tokens = run_len + W − 1, the batch operator's identity).
+    The UDF concatenates its partition's Arrow batches before merging
+    because Arrow may split a partition mid-group; partition payload is
+    match-table-sized (≪ corpus — the same bound the batch run-merge
+    window carries). Batch-sibling pairs (new-vs-new in the same
+    micro-batch) are intentionally NOT probed — same contract as
+    :func:`stream_span_flags`; run the batch incremental operator on
+    accumulated batches when sibling pairs matter.
+
+    Exactly-once per (pair, diagonal, start) within a file-source batch;
+    append-mode; width/hash-mode mismatches with the index refuse as in
+    the flag form. Parity with the batch operator is pinned in
+    ``test_stream_span_extents_match_batch_incremental``."""
+    W = min_tokens
+    flags = stream_span_flags(doc_stream, seen_anchors, min_tokens, hash_mode)
+    keyed = flags.withColumn("__diag", F.col("pos_new") - F.col("pos_seen"))
+    schema = (
+        "doc_id long, matched_id long, start_new long, start_seen long, "
+        "span_tokens long"
+    )
+
+    def merge_runs(batches):
+        import pandas as pd
+
+        parts = list(batches)  # whole partition: Arrow may split a group
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(
+            ["doc_id", "matched_id", "__diag", "pos_new"]
+        ).reset_index(drop=True)
+        key_change = (
+            pdf[["doc_id", "matched_id", "__diag"]].diff().ne(0).any(axis=1)
+        )
+        gap = pdf["pos_new"].diff().ne(1)
+        run_id = (key_change | gap).cumsum()
+        g = pdf.groupby(run_id)
+        yield pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].first(),
+                "matched_id": g["matched_id"].first(),
+                "start_new": g["pos_new"].min(),
+                "start_seen": g["pos_seen"].min(),
+                "span_tokens": g["pos_new"].size() + (W - 1),
+            }
+        )
+
+    return keyed.repartition("doc_id", "matched_id", "__diag").mapInPandas(
+        merge_runs, schema
     )
 
 

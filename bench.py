@@ -155,7 +155,112 @@ HEADLINE = [
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",
     "curation_excise_contaminated",
+    # round-10 additions, benched from birth: the O(n) Karp–Rabin anchor
+    # fast path (xxhash64 token transform + Arrow rolling combine vs
+    # md5-per-window — the md5 twin stays above for the A/B), and the
+    # span-aware five-stage curation capstone (minhash dedup →
+    # span-coverage drop → eval excision → budget mix → interleave)
+    "dedup_substring_spans_poly",
+    "curation_span_clean_mix_pipeline",
+    # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
+    # and export-sink families had NO headline representative — snapshot
+    # MERGE/CDF replay and the side-effect tar sink now bench from here on
+    "incremental_agg_replay",
+    "export_tar_shards",
 ]
+
+# ---------------------------------------------------------------------------
+# Operator-family audit (VERDICT r09 #7): every operator FAMILY in the
+# registry keeps >=1 headline representative, enforced by
+# tests/test_bench_bands.py::test_every_registry_family_has_a_headline_rep.
+# Families are semantic groups (the rotation-log vocabulary), mapped from
+# registry-name prefixes; a new query whose prefix is unknown FAILS the
+# audit until it is mapped here — silent family growth can't skip the bench.
+# ---------------------------------------------------------------------------
+
+#: registry-name prefix (first "_"-token; "q<digits>" → "q") → family
+FAMILY_PREFIXES = {
+    # relational core: filters/projections/set-ops/limits/small joins
+    "anti": "relational", "semi": "relational", "union": "relational",
+    "except": "relational", "intersect": "relational",
+    "distinct": "relational", "filter": "relational", "topk": "relational",
+    "join": "relational", "nullsafe": "relational", "bloom": "relational",
+    # TPC-H shapes incl. subquery forms
+    "q": "tpch", "correlated": "tpch", "sql": "tpch",
+    # aggregates + robust stats + distribution/shuffle diagnostics
+    "group": "aggregates", "global": "aggregates", "cube": "aggregates",
+    "rollup": "aggregates", "grouping": "aggregates", "pivot": "aggregates",
+    "approx": "aggregates", "corr": "aggregates",
+    "correlation": "aggregates", "heavy": "aggregates",
+    "histogram": "aggregates", "mad": "aggregates",
+    "winsorize": "aggregates", "profile": "aggregates",
+    "ols": "aggregates", "skew": "aggregates", "salted": "aggregates",
+    "conditional": "aggregates",
+    # windows / event-time
+    "window": "windows", "ewma": "windows", "rolling": "windows",
+    "resample": "windows", "rate": "windows", "sessionize": "windows",
+    "funnel": "windows", "twa": "windows", "events": "windows",
+    # scalar/semi-structured expression surface
+    "scalar": "scalars", "from": "scalars", "json": "scalars",
+    "array": "scalars", "unpivot": "scalars",
+    # text analysis
+    "text": "text", "wordcount": "text",
+    # dedup (exact / minhash / simhash / cdc / spans)
+    "dedup": "dedup", "cdc": "snapshot",
+    # curation / sampling / quality gating
+    "curation": "curation", "sample": "curation",
+    "stratified": "curation", "quality": "curation",
+    # embeddings / ANN / kNN graph
+    "similarity": "similarity", "embedding": "similarity",
+    # drift diagnostics (embedding_drift_by_label maps via special case)
+    "ks": "drift", "psi": "drift",
+    # retrieval
+    "retrieval": "retrieval", "rag": "retrieval",
+    # graph analytics
+    "graph": "graph",
+    # snapshot tables (MERGE / time travel / CDF / incremental replay)
+    "snapshot": "snapshot", "incremental": "snapshot",
+    # IO sinks/sources with side effects
+    "export": "io",
+    # end-to-end pipelines (reference GSOD flow + corpus builds)
+    "gsod": "pipelines", "corpus": "pipelines",
+    # extended join surface
+    "asof": "joins_ext", "range": "joins_ext", "overlap": "joins_ext",
+    "fuzzy": "joins_ext", "geo": "joins_ext",
+    # python UDF surface
+    "pandas": "udf", "apply": "udf", "udtf": "udf",
+    # multimodal (documented unbenched — see UNBENCHED_FAMILIES)
+    "multimodal": "multimodal",
+    "flagship": "pipelines",
+}
+
+#: exact-name overrides where the prefix would mislead
+FAMILY_OVERRIDES = {
+    "embedding_drift_by_label": "drift",
+    "incremental_agg_replay": "snapshot",
+}
+
+#: families with NO headline representative, each with the reason the
+#: exclusion is deliberate (the audit test asserts the reason is present)
+UNBENCHED_FAMILIES = {
+    "multimodal": (
+        "fixture-SYNTHESIZED constant-size media ops (synthesize_media "
+        "builds its own rows) — a bench row would time fixture generation, "
+        "not an sf-scaled operator; round-trip/shape behavior is pinned in "
+        "pytest instead"
+    ),
+}
+
+
+def family_of(name: str) -> str | None:
+    """Semantic operator family of a registry entry (None = unmapped —
+    the audit test fails on it)."""
+    if name in FAMILY_OVERRIDES:
+        return FAMILY_OVERRIDES[name]
+    head = name.split("_")[0]
+    if re.fullmatch(r"q\d+", head):
+        head = "q"
+    return FAMILY_PREFIXES.get(head)
 
 
 def warm_session(spark) -> None:

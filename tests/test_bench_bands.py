@@ -102,3 +102,54 @@ def test_checked_in_spec_is_coherent():
     warm = {n: center(b) for n, b in spec["bands"].items()}
     v = verdict(warm, spec, sorted(spec["bands"]))
     assert v["host_ratio"] == 1.0 and v["out_of_band"] == {}
+
+
+def test_every_registry_family_has_a_headline_rep():
+    """VERDICT r09 #7: every semantic operator family in the registry
+    keeps >=1 benched headline representative — a family can only skip
+    the bench through the documented UNBENCHED_FAMILIES ledger (with a
+    written reason), and a registry entry with an unmapped prefix fails
+    here until bench.FAMILY_PREFIXES claims it."""
+    import bench
+
+    from ucr_bigdata_snowfallproject_spark.queries import REGISTRY
+
+    unmapped = sorted(n for n in REGISTRY if bench.family_of(n) is None)
+    assert not unmapped, f"registry entries with unmapped family: {unmapped}"
+
+    headline_fams = {bench.family_of(n) for n in bench.HEADLINE}
+    registry_fams = {bench.family_of(n) for n in REGISTRY}
+    missing = sorted(
+        f
+        for f in registry_fams
+        if f not in headline_fams and f not in bench.UNBENCHED_FAMILIES
+    )
+    assert not missing, f"families with no headline representative: {missing}"
+    # every documented exclusion carries a real reason and is still a
+    # live family (drop the ledger row when the family gains a bench rep)
+    for fam, reason in bench.UNBENCHED_FAMILIES.items():
+        assert fam in registry_fams and len(reason) > 40, fam
+        assert fam not in headline_fams, f"{fam} is benched — drop the ledger row"
+    # every headline query exists in the registry (no stale bench names)
+    stale = sorted(n for n in bench.HEADLINE if n not in REGISTRY)
+    assert not stale, f"headline names missing from registry: {stale}"
+
+
+def test_headline_queries_all_have_bands_or_are_new():
+    """Every benched headline query has a seeded band in bench_bands.json
+    — a new headline entry may ride at most ONE round without a band (the
+    verdict lists it under no_band), so this test pins the ledger: any
+    bandless query must be in the spec's documented `pending_seed` list."""
+    import bench
+
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_bands.json")
+    spec = json.load(open(path))
+    pending = set(spec.get("pending_seed", []))
+    missing = sorted(
+        n for n in bench.HEADLINE if n not in spec["bands"] and n not in pending
+    )
+    assert not missing, (
+        f"headline queries without a band or pending_seed entry: {missing}"
+    )
+    # pending_seed may not hide queries that already have bands
+    assert not (pending & set(spec["bands"])), "seeded queries still pending"

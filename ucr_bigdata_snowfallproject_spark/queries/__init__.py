@@ -146,12 +146,35 @@ _GATED_WINDOW = [
     # curation_excise_contaminated gated; the md5-mode Spark path stays
     # oracle-checked in the local pytest mirror).
     # =====================================================================
+    # Round 10b: gate the round-10-BUILT span-aware capstone
+    # curation_span_clean_mix_pipeline (minhash dedup → within-train
+    # span-coverage drop → eval-span excision → token-budget mix on
+    # CLEANED counts → interleave, ONE plan, ONE composed oracle).
+    # Rotated OUT: curation_excise_contaminated (r09 driver-green; its
+    # excise replay — cleaned-text md5 included — is composed VERBATIM
+    # inside the incoming capstone's oracle, and the span-curation
+    # family keeps curation_decontaminate_spans gated; it stays
+    # oracle-checked in the local pytest mirror).
+    "curation_span_clean_mix_pipeline",
+    # Round 10c: the two BPE entries convert from rows-only to
+    # ORACLE-BACKED (a DuckDB WITH RECURSIVE replays the full greedy
+    # merge loop; encode reuses its final vocab state) and gate
+    # immediately per the converted-this-round rule. Rotated OUT:
+    # text_stats_documents (r1-r9 driver-green regression guard; the
+    # text family keeps text_tfidf_top_terms + text_jsd_en_vs_rest
+    # gated plus the two incoming BPE entries) and
+    # dedup_minhash_candidates_md5 (r09 driver-green; its candidate
+    # CTE is embedded VERBATIM in the still-gated
+    # dedup_incremental_minhash_md5 + dedup_minhash_components_md5
+    # oracles via _minhash_md5_sql, and the dedup stage is composed in
+    # both gated capstones). Both stay oracle-checked in the local
+    # pytest mirror.
+    "text_bpe_merges",
+    "text_bpe_encode",
     "dedup_substring_spans_poly",
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",
-    "curation_excise_contaminated",
-    "dedup_minhash_candidates_md5",
     "dedup_incremental_minhash_md5",
     "similarity_pq_int8_topk",
     "dedup_minhash_components_md5",
@@ -401,8 +424,9 @@ _GATED_WINDOW = [
     "flagship_monthly_median_join",
     "dedup_exact_by_fingerprint",
     # similarity_brute_force_topk rotated out in round 6c (see the
-    # round-6c note above) — replaced by similarity_int8_rerank_topk
-    "text_stats_documents",
+    # round-6c note above) — replaced by similarity_int8_rerank_topk;
+    # text_stats_documents rotated out in round 10c (see the round-10c
+    # note above) for the BPE oracle conversions
 ]
 
 

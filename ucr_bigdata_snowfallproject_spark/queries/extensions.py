@@ -967,6 +967,228 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "curation_span_clean_mix_pipeline",
+    _minhash_md5_sql("""
+    , survivors AS (
+      SELECT d.* FROM documents d
+      WHERE doc_id NOT IN (
+        SELECT DISTINCT id_b FROM est WHERE jaccard_est >= 0.8)
+    ), train AS (
+      SELECT * FROM survivors WHERE doc_id % 7 != 0
+    ), ev AS (
+      SELECT * FROM documents WHERE doc_id % 7 = 0
+    ),
+    -- stage 2: WITHIN-TRAIN substring-span coverage (min_tokens=12);
+    -- drop docs that are more than half duplicated text (integer rule
+    -- 2*dup > n_tokens — no float compare anywhere)
+    ta AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM train
+    ), sanch AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 11), ' ')) AS fp
+      FROM ta, LATERAL unnest(generate_series(1, greatest(len(arr) - 11, 0))) g(i)
+      WHERE len(arr) >= 12
+    ), sm AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM sanch a JOIN sanch b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ), sr AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM sm
+    ), sspans AS (
+      SELECT doc_a, doc_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+             MAX(pos_a) - MIN(pos_a) + 12 AS tok
+      FROM sr GROUP BY doc_a, doc_b, diag, grp
+    ), siv AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_a AS doc_id, start_a AS s, start_a + tok - 1 AS e
+        FROM sspans
+        UNION ALL
+        SELECT doc_b, start_b, start_b + tok - 1 FROM sspans)
+    ), sisl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM siv)
+    ), scov AS (
+      SELECT doc_id, SUM(len) AS dup FROM (
+        SELECT doc_id, g, MAX(e) - MIN(s) + 1 AS len
+        FROM sisl GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), kept1 AS (
+      SELECT t.* FROM train t LEFT JOIN scov ON scov.doc_id = t.doc_id
+      WHERE 2 * COALESCE(scov.dup, 0) <=
+            len(regexp_split_to_array(lower(trim(t.text)), '\\s+'))
+    ),
+    -- stage 3: excise every >=12-token span shared with the eval corpus
+    ka AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM kept1
+    ), ea AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM ev
+    ), kanch AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 11), ' ')) AS fp
+      FROM ka, LATERAL unnest(generate_series(1, greatest(len(arr) - 11, 0))) g(i)
+      WHERE len(arr) >= 12
+    ), eanch AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 11), ' ')) AS fp
+      FROM ea, LATERAL unnest(generate_series(1, greatest(len(arr) - 11, 0))) g(i)
+      WHERE len(arr) >= 12
+    ), em AS (
+      SELECT k.doc_id AS doc_a, k.pos AS pos_a,
+             e.doc_id AS doc_b, e.pos AS pos_b
+      FROM kanch k JOIN eanch e ON k.fp = e.fp
+    ), er AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM em
+    ), espans AS (
+      SELECT doc_a, MIN(pos_a) AS s, MAX(pos_a) - MIN(pos_a) + 12 AS tok
+      FROM er GROUP BY doc_a, doc_b, diag, grp
+    ), ecovered AS (
+      SELECT DISTINCT doc_a, p AS pos
+      FROM espans, LATERAL unnest(generate_series(s, s + tok - 1)) q(p)
+    ), ktoks AS (
+      SELECT doc_id, p AS pos, w
+      FROM (SELECT doc_id, unnest(arr) AS w,
+                   generate_subscripts(arr, 1) AS p FROM ka)
+    ), ekept AS (
+      SELECT tk.doc_id, tk.pos, tk.w
+      FROM ktoks tk LEFT JOIN ecovered c
+        ON c.doc_a = tk.doc_id AND c.pos = tk.pos
+      WHERE c.doc_a IS NULL
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS kept_tokens,
+             string_agg(w, ' ' ORDER BY pos) AS cleaned_text
+      FROM ekept GROUP BY doc_id
+    ), cleaned AS (
+      SELECT k.doc_id, k.source,
+             COALESCE(rb.kept_tokens, 0) AS kept_tokens,
+             md5(COALESCE(rb.cleaned_text, '')) AS cleaned_md5
+      FROM kept1 k LEFT JOIN rebuilt rb ON rb.doc_id = k.doc_id
+      WHERE COALESCE(rb.kept_tokens, 0) > 0
+    ),
+    -- stage 4: per-source token budget on the CLEANED token counts
+    bt AS (
+      SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'),
+                                1, 8))::BIGINT AS priority
+      FROM cleaned
+    ), bc AS (
+      SELECT *, SUM(kept_tokens) OVER (
+               PARTITION BY source ORDER BY priority, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM bt
+    ), bkept AS (
+      SELECT doc_id, source, kept_tokens, cleaned_md5 FROM bc WHERE cum <= 800
+    ),
+    -- stage 5: proportional interleave into the global training order
+    ranked AS (
+      SELECT doc_id, source, kept_tokens, cleaned_md5,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#il'),
+                                        1, 8))::BIGINT, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS tot
+      FROM bkept
+    )
+    SELECT doc_id, source, CAST(kept_tokens AS BIGINT) AS kept_tokens,
+           cleaned_md5,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY (i - 0.5) / tot, source NULLS FIRST, doc_id) AS INT)
+             AS interleave_rank
+    FROM ranked
+    """),
+)
+def curation_span_clean_mix_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SPAN-AWARE end-to-end curation capstone (VERDICT r09 #4) — the
+    r8 dedup→mix→interleave composition extended with the round-9/10
+    substring-span signals, still ONE lazy plan under ONE composed
+    DuckDB oracle:
+
+    1. portable-md5 MinHash near-dedup over the corpus (survivors at
+       jaccard_est >= 0.8);
+    2. WITHIN-TRAIN substring-span coverage (train = surviving doc_id %
+       7 != 0, min_tokens=12): drop documents that are more than half
+       duplicated text (integer rule 2·dup_tokens > n_tokens — the Lee
+       et al. 2022 boilerplate drop);
+    3. substring-level decontamination ACTION vs the eval corpus
+       (doc_id % 7 == 0): every shared >=12-token verbatim span excised
+       (curation.excise_spans), fully-contaminated docs (0 kept tokens)
+       dropped, cleaned text pinned through its md5;
+    4. per-source token-budget mix (budget 800) on the CLEANED token
+       counts — budget decisions see post-excision sizes, the order a
+       real pipeline must apply them in;
+    5. proportional source interleave into the global training order.
+
+    Every stage's oracle already exists standalone (minhash CTE, span
+    CTE, excise replay, budget prefix, interleave rank); this entry
+    proves the COMPOSITION hash-matches end to end — survivor set,
+    coverage drops, excised text bytes, budget cut, and final training
+    order, row for row.
+
+    Plan shape: the survivor-train frame and the coverage-kept frame are
+    MULTI-CONSUMER subplans (span detection self-joins its anchor table,
+    excision reads tokens + anchors + the base row, the source join
+    reads ids) — each lazily persists (``dedup._materialize('persist')``,
+    session-ledger tracked) so the minhash-dedup stage computes ONCE
+    instead of once per consumer (measured 25.4s → recompute-free on the
+    same plan; compute-once, not lineage truncation — still one job)."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import _materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    surv = dedup_ops.minhash_dedup(d, "doc_id", "text", threshold=0.8, hash="md5")
+    train = _materialize(surv.filter(F.col("doc_id") % 7 != 0), "persist")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    cov = dedup_ops.span_coverage(train, "doc_id", "text", min_tokens=12)
+    keep_ids = cov.filter(
+        2 * F.col("dup_tokens") <= F.col("n_tokens")
+    ).select("doc_id")
+    kept1 = _materialize(
+        train.join(keep_ids, "doc_id", "left_semi"), "persist"
+    )
+    cleaned = (
+        curation_ops.excise_spans(kept1, ev, "doc_id", "text", min_tokens=12)
+        .filter(F.col("kept_tokens") > 0)
+        .join(kept1.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "kept_tokens",
+            F.md5("cleaned_text").alias("cleaned_md5"),
+        )
+    )
+    kept = curation_ops.token_budget_mix(
+        cleaned, "source", "doc_id", F.col("kept_tokens"), budget_tokens=800
+    )
+    ranked = curation_ops.proportional_interleave(
+        kept.select("doc_id", "source", "kept_tokens", "cleaned_md5"),
+        "source",
+        "doc_id",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+        "cleaned_md5",
+        "interleave_rank",
+    )
+
+
 @register("dedup_simhash_candidates", None)  # xxhash64 fast path — rows-only
 def dedup_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 SimHash near-dup candidates (64-bit fingerprint, 16-bit bands,

@@ -599,14 +599,91 @@ def rolling_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_merges", None)  # iterative driver-coordinated — rows-only
+# Shared recursive BPE oracle (round 10, VERDICT r09 #6): DuckDB WITH
+# RECURSIVE replays learn_bpe_merges EXACTLY — state rows are the
+# symbolized word-frequency vocab; each step aggregates adjacent-pair
+# counts over the PREVIOUS iteration (the recursive reference is the
+# prior working table, so per-step argmax is legal), picks the
+# (-count, pair)-min merge, and rewrites every word with the greedy
+# left-to-right rule (overlapping occurrences — only possible when
+# left==right — resolve by keeping odd ranks within each step-1
+# position run, the same scan order as the Python loop). Stops at
+# n_merges or weighted_count < min_count, like the operator. The
+# max_vocab_words cap (200k) is a no-op at driver scale factors
+# (sf0.01 vocab: 31 words) and is therefore not replayed.
+_BPE_ST_CTE = """
+    WITH RECURSIVE wf AS (
+      SELECT w, COUNT(*) AS n FROM (
+        SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+        FROM documents)
+      WHERE w != '' GROUP BY w
+    ),
+    st(step, w, syms, n, ml, mr, mc) AS (
+      SELECT 0, w, string_split(w, ''), n,
+             NULL::VARCHAR, NULL::VARCHAR, NULL::BIGINT
+      FROM wf
+      UNION ALL
+      (
+      WITH prev AS (SELECT * FROM st),
+      pairs AS (
+        SELECT p.syms[i] AS a, p.syms[i+1] AS b, SUM(p.n) AS cnt
+        FROM prev p, LATERAL unnest(generate_series(1, len(p.syms)-1)) g(i)
+        WHERE len(p.syms) >= 2 GROUP BY 1, 2
+      ),
+      best AS (SELECT a, b, cnt FROM pairs ORDER BY cnt DESC, a, b LIMIT 1),
+      pos AS (
+        SELECT p.w, i
+        FROM prev p JOIN best ON TRUE,
+             LATERAL unnest(generate_series(1, len(p.syms)-1)) g(i)
+        WHERE p.syms[i] = best.a AND p.syms[i+1] = best.b
+      ),
+      sel AS (
+        SELECT w, list(i) AS sis FROM (
+          SELECT w, i, ROW_NUMBER() OVER (PARTITION BY w, grp ORDER BY i) AS k
+          FROM (SELECT w, i,
+                       i - ROW_NUMBER() OVER (PARTITION BY w ORDER BY i) AS grp
+                FROM pos)
+        ) WHERE k % 2 = 1 GROUP BY w
+      ),
+      rebuilt AS (
+        SELECT q.w, list(CASE WHEN q.hit THEN q.ab ELSE q.sym END
+                         ORDER BY q.i) AS syms
+        FROM (
+          SELECT p.w, u.i, p.syms[u.i] AS sym, best.a || best.b AS ab,
+                 COALESCE(list_contains(s.sis, u.i), FALSE) AS hit,
+                 COALESCE(list_contains(s.sis, u.i - 1), FALSE) AS absorbed
+          FROM prev p JOIN best ON TRUE LEFT JOIN sel s ON s.w = p.w,
+          LATERAL unnest(generate_series(1, len(p.syms))) u(i)
+        ) q WHERE NOT q.absorbed GROUP BY q.w
+      )
+      SELECT p.step + 1, p.w, r.syms, p.n, best.a, best.b, best.cnt
+      FROM prev p JOIN rebuilt r ON r.w = p.w JOIN best ON TRUE
+      WHERE p.step < 32 AND best.cnt >= 2
+      )
+    )
+"""
+
+
+@register(
+    "text_bpe_merges",
+    _BPE_ST_CTE + """
+    SELECT CAST(step - 1 AS INT) AS step, ml AS "left", mr AS "right",
+           mc AS weighted_count
+    FROM (SELECT DISTINCT step, ml, mr, mc FROM st WHERE step >= 1)
+    ORDER BY step
+    """,
+)
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE merge learning (operators.text.learn_bpe_merges) —
     the tokenizer-training workload: greedy most-frequent-adjacent-pair
     merges over the word-frequency table (ONE corpus pass; every
-    iteration is vocabulary-sized). Deterministic (lexicographic
-    tie-break) but iterative — rows-only; pinned against a driver-side
-    reference implementation in tests."""
+    iteration is vocabulary-sized, run driver-side like production BPE
+    trainers). Deterministic (lexicographic tie-break) — and since round
+    10 ORACLE-BACKED: a DuckDB WITH RECURSIVE replays the whole greedy
+    loop (per-step pair-count argmax over the previous state + the
+    left-to-right merge rewrite), converting the iterative algorithm
+    from rows-only to externally hash-verified, like
+    dedup_minhash_components_md5's recursive closure before it."""
     d = load_table(spark, sf_dir, "documents")
     merges = text_ops.learn_bpe_merges(d, "text", n_merges=32)
     return spark.createDataFrame(
@@ -615,14 +692,35 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_bpe_encode", None)  # iterative merge application — rows-only
+@register(
+    "text_bpe_encode",
+    _BPE_ST_CTE + """
+    , final AS (
+      SELECT w, syms FROM st WHERE step = (SELECT MAX(step) FROM st)
+    ), toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents
+    )
+    SELECT t.doc_id, CAST(SUM(len(f.syms)) AS INT) AS n_bpe_tokens
+    FROM toks t JOIN final f ON f.w = t.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    LIMIT 500
+    """,
+)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer application (operators.text.apply_bpe): learn 32
     merges from the corpus (one distributed word-count pass), then encode
     every document in one Arrow-batched scan-side pass — the merge table
     rides the UDF closure, no shuffle. The train→apply split mirrors
     production tokenizer pipelines; encode invariants (round-trip
-    concatenation, rank order, determinism) pinned in tests."""
+    concatenation, rank order, determinism) pinned in tests. Since round
+    10 ORACLE-BACKED: on training-vocab words, lowest-rank-first greedy
+    application provably reaches the training loop's final segmentation
+    (a merge never creates new adjacency between two OLD symbols, so
+    rank order is the only application order), so the oracle reuses the
+    recursive learn replay's FINAL vocab state and sums per-doc symbol
+    counts."""
     d = load_table(spark, sf_dir, "documents")
     merges = text_ops.learn_bpe_merges(d, "text", n_merges=32)
     out = text_ops.apply_bpe(d, "doc_id", "text", merges)

@@ -705,6 +705,107 @@ def test_substring_spans_poly_mode_identical_to_md5(spark):
             df, "doc_id", "text", 5, hash_mode="sha1"
         )
 
+    # the curation span pair rides the same fast path: poly ==
+    # md5 for both the signal and the excised text
+    from ucr_bigdata_snowfallproject_spark.operators import curation
+
+    train, ev = df.filter("doc_id % 3 != 0"), df.filter("doc_id % 3 = 0")
+    for op in (curation.decontaminate_spans, curation.excise_spans):
+        a = sorted(map(tuple, op(train, ev, "doc_id", "text", 5).collect()))
+        b = sorted(
+            map(
+                tuple,
+                op(
+                    train, ev, "doc_id", "text", 5, hash_mode="poly"
+                ).collect(),
+            )
+        )
+        assert a == b and a, op.__name__
+
+
+def _naive_intra_doc_spans(docs: dict, W: int):
+    """Reference: maximal runs of >=W consecutive equal tokens between a
+    doc and ITSELF at a positive position offset — the cross-doc naive
+    reference restricted to self-pairs, diagonals d < 0 only (pos_a <
+    pos_b)."""
+    spans = set()
+    for did, a in docs.items():
+        for d in range(1, len(a)):  # offset pos_b - pos_a
+            run = 0
+            for i in range(len(a) - d + 1):
+                if i < len(a) - d and a[i] == a[i + d]:
+                    run += 1
+                else:
+                    if run >= W:
+                        spans.add((did, i - run + 1, i - run + 1 + d, run))
+                    run = 0
+    return spans
+
+
+def test_intra_doc_spans_planted_repeat_and_naive_reference(spark):
+    """Round 10: within-document repetition spans. A doc repeating its
+    own 8-token paragraph reports exactly one maximal span with both
+    1-based positions; a tandem repeat shorter than the window surfaces
+    as one maximal run per diagonal; the seeded small-vocab corpus
+    matches the naive self-alignment reference exactly; poly mode is
+    identical; and the coverage signal matches a Python interval union
+    over BOTH occurrences."""
+    import random
+
+    para = [f"p{i}" for i in range(8)]
+    docs = {
+        1: para + ["mid1", "mid2"] + para + ["tail"],
+        2: [f"b{i}" for i in range(20)],                  # no repeats
+        3: ["u", "v"] * 6,                                # tandem repeat
+    }
+    rng = random.Random(23)
+    for i in range(4, 9):
+        docs[i] = [rng.choice(("u", "v", "w")) for _ in range(24)]
+    df = spark.createDataFrame(
+        [(k, " ".join(v)) for k, v in docs.items()], "doc_id long, text string"
+    )
+    for W in (3, 5):
+        got = {
+            tuple(r)
+            for r in dedup_ops.intra_doc_spans(
+                df, "doc_id", "text", min_tokens=W
+            ).collect()
+        }
+        assert got == _naive_intra_doc_spans(docs, W) and got, W
+        poly = {
+            tuple(r)
+            for r in dedup_ops.intra_doc_spans(
+                df, "doc_id", "text", min_tokens=W, hash_mode="poly"
+            ).collect()
+        }
+        assert poly == got, W
+    # the planted paragraph repeat is present with exact positions
+    got5 = {
+        tuple(r)
+        for r in dedup_ops.intra_doc_spans(
+            df, "doc_id", "text", min_tokens=5
+        ).collect()
+    }
+    assert (1, 1, 11, 8) in got5
+
+    # coverage == Python interval union over both occurrence sides
+    W = 3
+    cov = {
+        r.doc_id: (r.n_tokens, r.rep_tokens, r.rep_frac)
+        for r in dedup_ops.self_repetition_coverage(
+            df, "doc_id", "text", min_tokens=W
+        ).collect()
+    }
+    assert set(cov) == set(docs)
+    for did, toks_ in docs.items():
+        covered = set()
+        for d2, sa, sb, ln in _naive_intra_doc_spans({did: toks_}, W):
+            covered.update(range(sa, sa + ln))
+            covered.update(range(sb, sb + ln))
+        frac = round(len(covered) / len(toks_), 4)
+        assert cov[did] == (len(toks_), len(covered), frac), did
+    assert cov[2][1] == 0  # the no-repeat doc appears with zero coverage
+
 
 def test_decontaminate_spans_matches_naive(spark):
     """Substring-level decontamination == naive cross-table maximal-run
@@ -848,6 +949,20 @@ def test_anchor_index_width_mismatch_refused(spark, tmp_path):
     # matching width still works (smoke, not a correctness claim)
     assert dedup_ops.substring_spans_incremental(
         d.limit(5), loaded, "doc_id", "text", 12
+    ).count() >= 0
+    # the r10 hash-mode tag also survives the round trip: a persisted
+    # POLY index refuses an md5-mode probe after reload
+    pidx = dedup_ops.substring_anchor_index(
+        d, "doc_id", "text", 12, hash_mode="poly"
+    )
+    ppath = str(tmp_path / "anchors-poly")
+    pidx.write.parquet(ppath)
+    ploaded = spark.read.parquet(ppath)
+    assert (ploaded.schema["__fp"].metadata or {}).get("hash_mode") == "poly"
+    with pytest.raises(ValueError, match="hash_mode"):
+        dedup_ops.substring_spans_incremental(d, ploaded, "doc_id", "text", 12)
+    assert dedup_ops.substring_spans_incremental(
+        d.limit(5), ploaded, "doc_id", "text", 12, hash_mode="poly"
     ).count() >= 0
 
 

@@ -87,6 +87,7 @@ def _eval_anchor_matches(
     text_col: str,
     min_tokens: int,
     broadcast_eval: bool | None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Shared train⋈eval anchor-match builder behind
     :func:`decontaminate_spans` / :func:`excise_spans` — returns
@@ -105,8 +106,8 @@ def _eval_anchor_matches(
     for unusual shapes)."""
     from .dedup import substring_anchor_index
 
-    train = substring_anchor_index(df, id_col, text_col, min_tokens)
-    ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens)
+    train = substring_anchor_index(df, id_col, text_col, min_tokens, hash_mode)
+    ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens, hash_mode)
     if broadcast_eval is None:
         toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         n_anchors = eval_df.select(
@@ -141,6 +142,7 @@ def decontaminate_spans(
     min_tokens: int = 13,
     threshold_tokens: int = 0,
     broadcast_eval: bool | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """Substring-level benchmark decontamination — the exact-span
     strengthening of :func:`decontaminate`: for each training document,
@@ -170,7 +172,7 @@ def decontaminate_spans(
     from .dedup import _merge_anchor_runs, union_interval_lengths
 
     matches = _eval_anchor_matches(
-        df, eval_df, id_col, text_col, min_tokens, broadcast_eval
+        df, eval_df, id_col, text_col, min_tokens, broadcast_eval, hash_mode
     )
     spans = _merge_anchor_runs(matches, min_tokens)
     per_doc = spans.groupBy(F.col("doc_a").alias("__id")).agg(
@@ -218,6 +220,7 @@ def excise_spans(
     text_col: str,
     min_tokens: int = 13,
     broadcast_eval: bool | None = None,
+    hash_mode: str = "md5",
 ) -> DataFrame:
     """The ACTION step after :func:`decontaminate_spans`: rebuild each
     training document with every token inside a shared ≥``min_tokens``
@@ -244,7 +247,7 @@ def excise_spans(
     from .dedup import _merge_anchor_runs
 
     matches = _eval_anchor_matches(
-        df, eval_df, id_col, text_col, min_tokens, broadcast_eval
+        df, eval_df, id_col, text_col, min_tokens, broadcast_eval, hash_mode
     )
     spans = _merge_anchor_runs(matches, min_tokens)
     covered = (

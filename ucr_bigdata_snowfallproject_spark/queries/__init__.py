@@ -171,11 +171,25 @@ _GATED_WINDOW = [
     # pytest mirror.
     "text_bpe_merges",
     "text_bpe_encode",
+    # Round 10d: gate the round-10-BUILT within-document span pair —
+    # dedup_intra_doc_spans (maximal self-repeat spans, the within-doc
+    # half of the Lee et al. recipe) and dedup_self_repetition (the
+    # Gopher-style per-doc repetition quality signal, interval-union
+    # oracle). Rotated OUT: dedup_incremental_minhash_md5 (r09
+    # driver-green; its candidate CTE is embedded verbatim in the
+    # still-gated dedup_minhash_components_md5, and the incremental
+    # append==rebuild contract keeps three gated representatives —
+    # dedup_substring_spans_incremental, retrieval_bm25_incremental,
+    # similarity_ivf_int8_incremental) and dedup_embedding_cosine_blocked
+    # (driver-green r02-r09; the embedding near-dup family keeps
+    # dedup_embedding_knn_components gated). Both stay oracle-checked in
+    # the local pytest mirror.
+    "dedup_intra_doc_spans",
+    "dedup_self_repetition",
     "dedup_substring_spans_poly",
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",
-    "dedup_incremental_minhash_md5",
     "similarity_pq_int8_topk",
     "dedup_minhash_components_md5",
     "dedup_simhash_candidates_md5",
@@ -406,7 +420,8 @@ _GATED_WINDOW = [
     # scalar_string_functions_2/scalar_date_arithmetic and q3) ---
     "gsod_reference_pipeline",
     # --- oracle-converted / new in round 2 ---
-    "dedup_embedding_cosine_blocked",
+    # dedup_embedding_cosine_blocked rotated out in round 10d (see the
+    # round-10d note above) for the within-document span pair
     # text_redact_pii rotated out in round 7d (driver-green r02-r06; the
     # text family keeps text_stats_documents + text_jsd_en_vs_rest gated
     # plus four incoming text entries) for the round-7-built quality-

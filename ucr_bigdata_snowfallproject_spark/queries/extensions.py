@@ -828,6 +828,111 @@ def dedup_substring_spans_incremental(
     return dedup_ops.substring_spans_incremental(new, idx, "doc_id", "text", 12)
 
 
+# Intra-document span CTE (round 10): the within-doc half of the span
+# machinery at min_tokens=3 (the fixture's ~54-token small-vocab docs
+# self-repeat at 3-grams; production default is 50), consumed by the
+# span report and the self-repetition coverage oracle below.
+_INTRA_SPAN_CTE = """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM documents
+    ), s AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 2), ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(arr) - 2, 0))) g(i)
+      WHERE len(arr) >= 3
+    ), m AS (
+      SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+      FROM s a JOIN s b
+        ON a.fp = b.fp AND a.doc_id = b.doc_id AND a.pos < b.pos
+    ), r AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_id,
+             CAST(MIN(pos_a) AS BIGINT) AS start_a,
+             CAST(MIN(pos_b) AS BIGINT) AS start_b,
+             CAST(MAX(pos_a) - MIN(pos_a) + 3 AS BIGINT) AS span_tokens
+      FROM r GROUP BY doc_id, diag, grp
+    )
+"""
+
+
+@register(
+    "dedup_intra_doc_spans",
+    _INTRA_SPAN_CTE + """
+    SELECT doc_id, start_a, start_b, span_tokens FROM spans
+    """,
+)
+def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 WITHIN-document repetition spans (round 10,
+    operators.dedup.intra_doc_spans): every maximal verbatim >=3-token
+    span occurring at two positions inside the same document — the
+    within-doc half of the Lee et al. 2022 recipe that document- and
+    cross-document-level dedup both miss (a page repeating its own
+    paragraph, a template stamping a block twice). Same anchor →
+    diagonal → gaps-and-islands machinery as dedup_substring_spans,
+    restricted to self-pairs with pos_a < pos_b; the oracle replays it
+    verbatim. min_tokens=3 matches the fixture's small-vocab docs;
+    production default is 50."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.intra_doc_spans(d, "doc_id", "text", min_tokens=3)
+
+
+@register(
+    "dedup_self_repetition",
+    _INTRA_SPAN_CTE + """
+    , iv AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_id, start_a AS s, start_a + span_tokens - 1 AS e
+        FROM spans
+        UNION ALL
+        SELECT doc_id, start_b, start_b + span_tokens - 1 FROM spans)
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iv)
+    ), cov AS (
+      SELECT doc_id, SUM(len) AS rep FROM (
+        SELECT doc_id, g, MAX(e) - MIN(s) + 1 AS len
+        FROM isl GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+                AS BIGINT) AS n_tokens,
+           CAST(COALESCE(cov.rep, 0) AS BIGINT) AS rep_tokens,
+           ROUND(COALESCE(cov.rep, 0)::DOUBLE /
+                 len(regexp_split_to_array(lower(trim(d.text)), '\\s+')), 4)
+             AS rep_frac
+    FROM documents d LEFT JOIN cov ON cov.doc_id = d.doc_id
+    """,
+)
+def dedup_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X-cur per-document SELF-repetition coverage (round 10,
+    operators.dedup.self_repetition_coverage): for EVERY document, the
+    count and fraction of its tokens inside at least one >=3-token span
+    that also occurs elsewhere in the SAME document — the exact-span
+    analogue of the Gopher/MassiveText repetition quality rules
+    ("drop documents that are mostly their own boilerplate"). Both
+    occurrences count as covered; the interval-union kernel prevents
+    double-counting. The tail filter is a Catalyst-unprovable no-op
+    keeping the bench's count() from eliminating the unique-keyed left
+    join (the round-9 hollow-plan rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_ops.self_repetition_coverage(
+        d, "doc_id", "text", min_tokens=3
+    ).filter(F.col("rep_tokens") >= 0)
+
+
 @register(
     "dedup_substring_spans_poly",
     _SPAN_CTE + """

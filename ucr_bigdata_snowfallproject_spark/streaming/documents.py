@@ -224,6 +224,101 @@ def stream_span_extents(
     )
 
 
+def stream_self_repetition(
+    doc_stream: DataFrame,
+    min_tokens: int = 50,
+    round_digits: int = 4,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Per-document SELF-repetition coverage over a STREAM (round 10) —
+    the online face of ``dedup.self_repetition_coverage``: for every
+    arriving document, (doc_id, n_tokens, rep_tokens, rep_frac), the
+    Gopher-style repetition quality signal. Self-repetition is
+    DOC-LOCAL, so unlike the cross-doc span probes this needs no index,
+    no state, and no shuffle: token hashes compute JVM-side (the same
+    ``xxhash64`` transform as the poly anchor mode), and one stateless
+    Arrow pass per micro-batch runs the Karp–Rabin window kernel
+    (``dedup._poly_roll``), groups duplicate fingerprints, merges
+    per-diagonal step-1 runs, and interval-unions both occurrence
+    sides — BIT-IDENTICAL to the batch operator in poly mode (pinned in
+    tests). ``threshold`` (e.g. 0.2) emits only docs above it — the
+    drop-list face a streaming curation pipeline consumes."""
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.dedup import _poly_roll
+
+    W = min_tokens
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    hashed = doc_stream.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
+    )
+    schema = "doc_id long, n_tokens long, rep_tokens long, rep_frac double"
+
+    def per_doc_rep(h: "np.ndarray") -> int:
+        fps = _poly_roll(np.asarray(h, dtype=np.int64).view(np.uint64), W)
+        m = fps.size
+        if m == 0:
+            return 0
+        order = np.argsort(fps, kind="stable")
+        sf = fps[order]
+        covered: set[int] = set()
+        # duplicate-fp groups -> per-diagonal step-1 runs -> intervals
+        i = 0
+        runs: dict[int, list[int]] = {}
+        while i < m:
+            j = i + 1
+            while j < m and sf[j] == sf[i]:
+                j += 1
+            if j - i > 1:
+                pos = np.sort(order[i:j]) + 1  # 1-based window starts
+                for a_i in range(len(pos)):
+                    for b_i in range(a_i + 1, len(pos)):
+                        d = int(pos[b_i] - pos[a_i])
+                        runs.setdefault(d, []).append(int(pos[a_i]))
+            i = j
+        for d, plist in runs.items():
+            plist.sort()
+            run_start, prev = plist[0], plist[0]
+            for p in plist[1:] + [None]:
+                if p is not None and p == prev + 1:
+                    prev = p
+                    continue
+                span = prev - run_start + W
+                covered.update(range(run_start, run_start + span))
+                covered.update(range(run_start + d, run_start + d + span))
+                if p is not None:
+                    run_start = prev = p
+        return len(covered)
+
+    def rep_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rep = pdf["__h"].map(per_doc_rep).astype("int64")
+            # Spark's round() is HALF_UP; pandas .round is HALF_EVEN —
+            # a 32-token doc with rep=5 (0.15625) would diverge on the
+            # tie, so replicate HALF_UP explicitly (ratios are >= 0)
+            scale = float(10**round_digits)
+            frac = np.floor(rep / pdf["n_tokens"] * scale + 0.5) / scale
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pdf["n_tokens"],
+                    "rep_tokens": rep,
+                    "rep_frac": frac,
+                }
+            )
+            yield out
+
+    out = hashed.mapInPandas(rep_batches, schema)
+    if threshold is not None:
+        out = out.filter(F.col("rep_frac") > threshold)
+    return out
+
+
 def stream_merge_into_snapshot(
     doc_stream: DataFrame,
     root: str,

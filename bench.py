@@ -162,6 +162,15 @@ HEADLINE = [
     # span-coverage drop → eval excision → budget mix → interleave)
     "dedup_substring_spans_poly",
     "curation_span_clean_mix_pipeline",
+    # round-11 back-fill (VERDICT r10 Missing #3 — benched from birth was
+    # missed for these four r10 gates): within-doc repetition spans +
+    # the Gopher-style self-repetition coverage fold, and the BPE
+    # train/apply pair (one word-count pass + vocabulary-bounded
+    # driver-side merge loop)
+    "dedup_intra_doc_spans",
+    "dedup_self_repetition",
+    "text_bpe_merges",
+    "text_bpe_encode",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on
@@ -381,8 +390,10 @@ def main() -> None:
 
                 v = band_verdict(warm, spec, HEADLINE)
                 detail["host_ratio"] = v["host_ratio"]
+                detail["host_ratios"] = v["host_ratios"]
                 detail["out_of_band"] = v["out_of_band"]
                 detail["no_band"] = v["no_band"]
+                detail["trend_watch"] = v["trend_watch"]
         detail["notes"] = (
             "value = warm-median total (steady-state execution; the cold "
             "pass is Janino-codegen/analyzer-bound at this SF — a "
@@ -415,9 +426,16 @@ def main() -> None:
         # self-adjudicates drift. host_ratio is the run's measured
         # uniform drift (1.0 = band-center box state).
         out["host_ratio"] = detail["host_ratio"]
+        # per-class drift (r11): "compute" = Arrow/hash lanes; a large
+        # default/compute divergence is the family-structured drift the
+        # r10 verdict flagged as unadjudicable under one scalar ratio
+        out["host_ratios"] = detail["host_ratios"]
         out["n_out_of_band"] = len(detail["out_of_band"])
         if detail["out_of_band"]:
             out["out_of_band"] = sorted(detail["out_of_band"])
+        out["n_trend_watch"] = len(detail["trend_watch"])
+        if detail["trend_watch"]:
+            out["trend_watch"] = sorted(detail["trend_watch"])
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # keep the line tail-capture-safe at any suite size
         out["queries"] = {

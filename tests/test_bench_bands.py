@@ -9,7 +9,14 @@ from __future__ import annotations
 import json
 import os
 
-from tools.bench_bands import band_limits, center, host_ratio, verdict
+from tools.bench_bands import (
+    band_limits,
+    center,
+    host_ratio,
+    host_ratios,
+    trend_watch,
+    verdict,
+)
 
 SPEC = {
     "sf": 0.1,
@@ -23,6 +30,24 @@ SPEC = {
     },
 }
 HEADLINE = ["cal_a", "cal_b", "cal_c", "narrow", "tiny", "brand_new"]
+
+#: two-class variant (r11): arrow_q normalizes under the "compute"
+#: ratio measured from arrow_cal_{a,b,c}; everything else under default
+SPEC2 = {
+    "sf": 0.1,
+    "calibration": ["cal_a", "cal_b", "cal_c"],
+    "calibration_classes": {
+        "compute": ["arrow_cal_a", "arrow_cal_b", "arrow_cal_c"]
+    },
+    "bands": {
+        **SPEC["bands"],
+        "arrow_cal_a": {"obs": [1.4, 1.5, 1.6], "class": "compute"},
+        "arrow_cal_b": {"obs": [0.55, 0.60, 0.65], "class": "compute"},
+        "arrow_cal_c": {"obs": [2.8, 3.0, 3.2], "class": "compute"},
+        "arrow_q": {"obs": [1.0, 1.05, 1.1], "class": "compute"},
+    },
+}
+HEADLINE2 = HEADLINE + ["arrow_cal_a", "arrow_cal_b", "arrow_cal_c", "arrow_q"]
 
 
 def _warm(drift: float, overrides: dict | None = None) -> dict:
@@ -87,6 +112,64 @@ def test_missing_calibration_defaults_to_unit_ratio():
     assert host_ratio({}, {"bands": {}}) == 1.0
 
 
+def _warm2(default_drift: float, compute_drift: float, overrides=None) -> dict:
+    w = {}
+    for n, b in SPEC2["bands"].items():
+        d = compute_drift if b.get("class") == "compute" else default_drift
+        w[n] = center(b) * d
+    w.update(overrides or {})
+    return w
+
+
+def test_family_structured_drift_normalizes_per_class():
+    """THE r10 gap (VERDICT r10 #3): relational lanes 5% fast while
+    Arrow/hash lanes run 1.25× slow, zero code change. One scalar ratio
+    reads the compute family as ~1.3× regressed; per-class ratios
+    measure 0.95 and 1.25 separately and everything is green."""
+    v = verdict(_warm2(0.95, 1.25), SPEC2, HEADLINE2)
+    assert abs(v["host_ratios"]["default"] - 0.95) < 1e-9
+    assert abs(v["host_ratios"]["compute"] - 1.25) < 1e-9
+    assert v["out_of_band"] == {}
+
+
+def test_compute_class_regression_trips_under_its_own_ratio():
+    """A genuine 2.2× regression on one compute-class query flags even
+    while BOTH classes drift (default 1.1×, compute 1.3×) — normalized
+    by the compute ratio it still exceeds hi, and the report names the
+    class that normalized it."""
+    over = {"arrow_q": center(SPEC2["bands"]["arrow_q"]) * 2.2 * 1.3}
+    v = verdict(_warm2(1.1, 1.3, over), SPEC2, HEADLINE2)
+    assert list(v["out_of_band"]) == ["arrow_q"]
+    assert v["out_of_band"]["arrow_q"]["class"] == "compute"
+
+
+def test_unmeasurable_class_falls_back_to_default_ratio():
+    """A class whose calibration queries are absent from this run's warm
+    dict inherits the default ratio instead of silently using 1.0."""
+    warm = {n: center(b) * 1.4 for n, b in SPEC["bands"].items()}
+    r = host_ratios(warm, SPEC2)
+    assert abs(r["default"] - 1.4) < 1e-9 and r["compute"] == r["default"]
+
+
+def test_trend_watch_flags_monotone_in_band_creep():
+    """Three rounds each +12% (all inside the ±80% band) — invisible to
+    the band check, flagged by the trend alarm with rounds and rise."""
+    spec = dict(SPEC2)
+    spec["history"] = {
+        "arrow_q": [[8, 1.0], [9, 1.12], [10, 1.254]],
+        "narrow": [[8, 2.0], [9, 1.9], [10, 2.1]],      # not monotone
+        "tiny": [[9, 0.10], [10, 0.11]],                 # too short
+        "cal_a": [[8, 0.50], [9, 0.51], [10, 0.52]],     # rise < 20%
+    }
+    tw = trend_watch(spec, HEADLINE2)
+    assert list(tw) == ["arrow_q"]
+    assert tw["arrow_q"]["rounds"] == [8, 9, 10]
+    assert tw["arrow_q"]["rise"] >= 1.25
+    # verdict carries the alarm without tripping out_of_band
+    v = verdict(_warm2(1.0, 1.0), spec, HEADLINE2)
+    assert list(v["trend_watch"]) == ["arrow_q"] and v["out_of_band"] == {}
+
+
 def test_checked_in_spec_is_coherent():
     """The real bench_bands.json: calibration queries exist with bands,
     every band's stored lo/hi equals the rule output (regenerated
@@ -96,12 +179,40 @@ def test_checked_in_spec_is_coherent():
     assert len(spec["calibration"]) >= 3
     for q in spec["calibration"]:
         assert q in spec["bands"], q
+    # r11: every calibration class has >=3 banded anchors, disjoint from
+    # the default set, each tagged with its own class
+    for cls, names in spec["calibration_classes"].items():
+        assert len(names) >= 3 and not (set(names) & set(spec["calibration"]))
+        for q in names:
+            assert spec["bands"][q].get("class") == cls, q
     for name, band in spec["bands"].items():
         lo, hi = band_limits(band)
         assert (band["lo"], band["hi"]) == (round(lo, 3), round(hi, 3)), name
+        assert band.get("class") in (None, *spec["calibration_classes"]), name
+    # history: chronological per-query [round, sec] pairs, known queries
+    for q, h in spec.get("history", {}).items():
+        assert q in spec["bands"], q
+        rounds = [r for r, _s in h]
+        assert rounds == sorted(rounds) and all(s > 0 for _r, s in h), q
     warm = {n: center(b) for n, b in spec["bands"].items()}
     v = verdict(warm, spec, sorted(spec["bands"]))
     assert v["host_ratio"] == 1.0 and v["out_of_band"] == {}
+    assert all(r == 1.0 for r in v["host_ratios"].values())
+
+
+def test_bench_plans_cover_headline():
+    """VERDICT r10 #2 (plan-audit freshness): every HEADLINE query has a
+    dumped physical plan in bench_plans/ — `bench.py --profile` dumps
+    ALL of HEADLINE, so a missing dump means the audit was not re-run
+    after a headline addition (exactly how the two heaviest r10 queries
+    shipped with an unaudited plan)."""
+    import bench
+
+    plans_dir = os.path.join(os.path.dirname(__file__), "..", "bench_plans")
+    dumped = {f[: -len(".plan.txt")] for f in os.listdir(plans_dir)
+              if f.endswith(".plan.txt")}
+    missing = sorted(set(bench.HEADLINE) - dumped)
+    assert not missing, f"headline queries with no plan dump: {missing}"
 
 
 def test_every_registry_family_has_a_headline_rep():

@@ -807,6 +807,74 @@ def test_intra_doc_spans_planted_repeat_and_naive_reference(spark):
     assert cov[2][1] == 0  # the no-repeat doc appears with zero coverage
 
 
+def test_intra_doc_occurrence_cap_and_degenerate_short_circuit(spark):
+    """VERDICT r10 #1: ``max_anchor_occurrences`` bounds the
+    degenerate-doc O(L²) self-join. A doc of one token repeated L times
+    makes every window fingerprint identical (L−W+1 occurrences of one
+    (doc, fp)); with the cap it is dropped from the span report and
+    SHORT-CIRCUITED to rep_frac = 1.0 by the coverage signal, while
+    every under-cap doc stays bit-exact — and a cap above the corpus's
+    max multiplicity is a no-op (capped == exact), in both hash modes
+    and in the streaming twin."""
+    para = " ".join(f"p{i}" for i in range(8))
+    rows = [
+        (1, f"{para} mid1 mid2 {para} tail"),   # paragraph repeat
+        (2, " ".join(f"b{i}" for i in range(20))),  # no repeats
+        (3, "u v " * 6),                        # tandem, fp multiplicity 5
+        (4, "x " * 400),                        # DEGENERATE: 398 equal fps
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    W = 3
+    for mode in ("md5", "poly"):
+        exact_spans = {
+            tuple(r)
+            for r in dedup_ops.intra_doc_spans(
+                df, "doc_id", "text", W, hash_mode=mode
+            ).collect()
+        }
+        # cap above max multiplicity (398) == exact, span for span
+        noop = {
+            tuple(r)
+            for r in dedup_ops.intra_doc_spans(
+                df, "doc_id", "text", W, hash_mode=mode,
+                max_anchor_occurrences=400,
+            ).collect()
+        }
+        assert noop == exact_spans and any(r[0] == 4 for r in exact_spans)
+        # cap=10: the degenerate doc's spans vanish; every other doc's
+        # spans are untouched (all its multiplicities are <= 5)
+        capped = {
+            tuple(r)
+            for r in dedup_ops.intra_doc_spans(
+                df, "doc_id", "text", W, hash_mode=mode,
+                max_anchor_occurrences=10,
+            ).collect()
+        }
+        assert capped == {r for r in exact_spans if r[0] != 4}
+
+        exact_cov = {
+            r.doc_id: (r.n_tokens, r.rep_tokens, r.rep_frac)
+            for r in dedup_ops.self_repetition_coverage(
+                df, "doc_id", "text", W, hash_mode=mode
+            ).collect()
+        }
+        cov = {
+            r.doc_id: (r.n_tokens, r.rep_tokens, r.rep_frac)
+            for r in dedup_ops.self_repetition_coverage(
+                df, "doc_id", "text", W, hash_mode=mode,
+                max_anchor_occurrences=10,
+            ).collect()
+        }
+        # degenerate doc: honest degrade to all-repetition (exact mode
+        # agrees here by construction: the whole doc IS one repeat)
+        assert cov[4] == (400, 400, 1.0) and exact_cov[4] == cov[4]
+        # everything else bit-exact vs the uncapped signal
+        assert {k: v for k, v in cov.items() if k != 4} == {
+            k: v for k, v in exact_cov.items() if k != 4
+        }
+        assert cov[2][1] == 0
+
+
 def test_decontaminate_spans_matches_naive(spark):
     """Substring-level decontamination == naive cross-table maximal-run
     reference + Python interval union, on a fixture with a planted

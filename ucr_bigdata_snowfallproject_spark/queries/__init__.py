@@ -186,11 +186,25 @@ _GATED_WINDOW = [
     # the local pytest mirror.
     "dedup_intra_doc_spans",
     "dedup_self_repetition",
+    # =====================================================================
+    # Round-11 rotation (VERDICT r10 #1/#5): gate the round-11-BUILT
+    # dedup_self_repetition_capped — the max_anchor_occurrences degrade
+    # knob proven EXTERNALLY (the oracle replays per-(doc, fp) occurrence
+    # counts, over-cap exclusion, and the degenerate-doc short-circuit on
+    # planted tandem/scatter docs; the exact default stays pinned by
+    # dedup_self_repetition above). The capstone
+    # curation_span_clean_mix_pipeline also grew its stage-2 self-
+    # repetition drop this round (same gated slot, extended oracle).
+    # Rotated OUT: similarity_pq_int8_topk (r10 driver-green; the ANN
+    # family keeps similarity_ivf_int8_indexed_topk and
+    # similarity_knn_graph_int8 gated, and the PQ-ADC path stays
+    # oracle-checked in the local pytest mirror).
+    # =====================================================================
+    "dedup_self_repetition_capped",
     "dedup_substring_spans_poly",
     "dedup_span_coverage",
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",
-    "similarity_pq_int8_topk",
     "dedup_minhash_components_md5",
     "dedup_simhash_candidates_md5",
     "similarity_knn_graph_int8",

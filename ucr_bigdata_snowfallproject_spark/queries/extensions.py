@@ -933,6 +933,128 @@ def dedup_self_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("rep_tokens") >= 0)
 
 
+#: Planted docs for the CAPPED self-repetition entry (r11): the natural
+#: fixture's max per-(doc, fp) multiplicity is 2, so the cap's two code
+#: paths need planted inputs — a degenerate tandem doc (60 tokens of
+#: "u v", every W=3 window fingerprint occurring 29 times > cap 10 ⇒
+#: SHORT-CIRCUIT) and a scattered 4×-repeat doc (multiplicity 4 ≤ 10 ⇒
+#: stays on the exact path). Both literals are injected VERBATIM into
+#: the oracle's VALUES clause so DuckDB replays the same corpus.
+_SELFREP_TANDEM = ("u v " * 30).strip()
+_SELFREP_SCATTER = " ".join(
+    ["alpha beta gamma"]
+    + [f"f{i}" for i in range(10)]
+    + ["alpha beta gamma"]
+    + [f"g{i}" for i in range(10)]
+    + ["alpha beta gamma"]
+    + [f"h{i}" for i in range(10)]
+    + ["alpha beta gamma"]
+)
+
+
+@register(
+    "dedup_self_repetition_capped",
+    f"""
+    WITH docs0 AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES (9000001, '{_SELFREP_TANDEM}'),
+                            (9000002, '{_SELFREP_SCATTER}'))
+             v(doc_id, text)
+    ), t AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM docs0
+    ), n AS (
+      SELECT doc_id, len(arr) AS n_tok FROM t
+    ), s AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 2), ' ')) AS fp
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(arr) - 2, 0))) g(i)
+      WHERE len(arr) >= 3
+    ),
+    -- the max_anchor_occurrences=10 cap: over-cap (doc, fp) groups
+    -- leave the self-join; any doc owning one short-circuits below
+    hot AS (
+      SELECT doc_id, fp FROM s GROUP BY doc_id, fp HAVING COUNT(*) > 10
+    ), degen AS (
+      SELECT DISTINCT doc_id FROM hot
+    ), s2 AS (
+      SELECT s.doc_id, s.pos, s.fp
+      FROM s LEFT JOIN hot ON hot.doc_id = s.doc_id AND hot.fp = s.fp
+      WHERE hot.fp IS NULL
+    ), m AS (
+      SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+      FROM s2 a JOIN s2 b
+        ON a.fp = b.fp AND a.doc_id = b.doc_id AND a.pos < b.pos
+    ), r AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM m
+    ), spans AS (
+      SELECT doc_id, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+             MAX(pos_a) - MIN(pos_a) + 3 AS tok
+      FROM r GROUP BY doc_id, diag, grp
+    ), iv AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_id, start_a AS s, start_a + tok - 1 AS e FROM spans
+        UNION ALL
+        SELECT doc_id, start_b, start_b + tok - 1 FROM spans)
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iv)
+    ), cov AS (
+      SELECT doc_id, SUM(len) AS rep FROM (
+        SELECT doc_id, g, MAX(e) - MIN(s) + 1 AS len
+        FROM isl GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(n.n_tok AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN dg.doc_id IS NOT NULL THEN n.n_tok
+                     ELSE COALESCE(cov.rep, 0) END AS BIGINT) AS rep_tokens,
+           ROUND((CASE WHEN dg.doc_id IS NOT NULL THEN n.n_tok
+                       ELSE COALESCE(cov.rep, 0) END)::DOUBLE / n.n_tok, 4)
+             AS rep_frac
+    FROM docs0 d
+    JOIN n ON n.doc_id = d.doc_id
+    LEFT JOIN cov ON cov.doc_id = d.doc_id
+    LEFT JOIN degen dg ON dg.doc_id = d.doc_id
+    """,
+)
+def dedup_self_repetition_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X-cur CAPPED self-repetition coverage (round 11, VERDICT r10
+    #1 externally proven): ``max_anchor_occurrences=10`` on
+    operators.dedup.self_repetition_coverage over the documents table
+    plus two PLANTED docs — a degenerate 60-token tandem repeat whose
+    every window fingerprint occurs 29 times (the O(L²) input class the
+    cap exists for: it must SHORT-CIRCUIT to rep_frac = 1.0 without
+    entering the self-join) and a scattered 4×-repeat doc under the cap
+    (must stay bit-exact on the uncapped path). The oracle replays the
+    full cap semantics — per-(doc, fp) occurrence counts, over-cap
+    group exclusion, degenerate-doc override — so the driver externally
+    verifies the degrade knob itself, not just the exact default
+    (which dedup_self_repetition pins)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [(9000001, _SELFREP_TANDEM), (9000002, _SELFREP_SCATTER)],
+        "doc_id long, text string",
+    )
+    return dedup_ops.self_repetition_coverage(
+        d.unionByName(planted),
+        "doc_id",
+        "text",
+        min_tokens=3,
+        max_anchor_occurrences=10,
+    ).filter(F.col("rep_tokens") >= 0)
+
+
 @register(
     "dedup_substring_spans_poly",
     _SPAN_CTE + """
@@ -1084,12 +1206,63 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ev AS (
       SELECT * FROM documents WHERE doc_id % 7 = 0
     ),
-    -- stage 2: WITHIN-TRAIN substring-span coverage (min_tokens=12);
+    -- stage 2 (r11): per-doc SELF-repetition drop (Gopher-style, the
+    -- doc-local signal — runs first because it needs no cross-doc
+    -- join): within-doc >=3-token repeat coverage via the intra-doc
+    -- span machinery; drop docs more than a tenth self-repeated
+    -- (integer rule 10*rep > n_tokens — no float compare anywhere)
+    it AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+      FROM train
+    ), ianch AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(list_slice(arr, i, i + 2), ' ')) AS fp
+      FROM it, LATERAL unnest(generate_series(1, greatest(len(arr) - 2, 0))) g(i)
+      WHERE len(arr) >= 3
+    ), im AS (
+      SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
+      FROM ianch a JOIN ianch b
+        ON a.fp = b.fp AND a.doc_id = b.doc_id AND a.pos < b.pos
+    ), ir AS (
+      SELECT *, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_id, pos_a - pos_b ORDER BY pos_a) AS grp
+      FROM im
+    ), ispans AS (
+      SELECT doc_id, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+             MAX(pos_a) - MIN(pos_a) + 3 AS tok
+      FROM ir GROUP BY doc_id, diag, grp
+    ), iiv AS (
+      SELECT DISTINCT doc_id, s, e FROM (
+        SELECT doc_id, start_a AS s, start_a + tok - 1 AS e FROM ispans
+        UNION ALL
+        SELECT doc_id, start_b, start_b + tok - 1 FROM ispans)
+    ), iisl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS UNBOUNDED PRECEDING) AS g
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM iiv)
+    ), icov AS (
+      SELECT doc_id, SUM(len) AS rep FROM (
+        SELECT doc_id, g, MAX(e) - MIN(s) + 1 AS len
+        FROM iisl GROUP BY doc_id, g)
+      GROUP BY doc_id
+    ), train2 AS (
+      SELECT t.* FROM train t LEFT JOIN icov ON icov.doc_id = t.doc_id
+      WHERE 10 * COALESCE(icov.rep, 0) <=
+            len(regexp_split_to_array(lower(trim(t.text)), '\\s+'))
+    ),
+    -- stage 3: WITHIN-TRAIN substring-span coverage (min_tokens=12);
     -- drop docs that are more than half duplicated text (integer rule
     -- 2*dup > n_tokens — no float compare anywhere)
     ta AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
-      FROM train
+      FROM train2
     ), sanch AS (
       SELECT doc_id, i AS pos,
              md5(array_to_string(list_slice(arr, i, i + 11), ' ')) AS fp
@@ -1130,11 +1303,11 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sisl GROUP BY doc_id, g)
       GROUP BY doc_id
     ), kept1 AS (
-      SELECT t.* FROM train t LEFT JOIN scov ON scov.doc_id = t.doc_id
+      SELECT t.* FROM train2 t LEFT JOIN scov ON scov.doc_id = t.doc_id
       WHERE 2 * COALESCE(scov.dup, 0) <=
             len(regexp_split_to_array(lower(trim(t.text)), '\\s+'))
     ),
-    -- stage 3: excise every >=12-token span shared with the eval corpus
+    -- stage 4: excise every >=12-token span shared with the eval corpus
     ka AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
       FROM kept1
@@ -1186,7 +1359,7 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM kept1 k LEFT JOIN rebuilt rb ON rb.doc_id = k.doc_id
       WHERE COALESCE(rb.kept_tokens, 0) > 0
     ),
-    -- stage 4: per-source token budget on the CLEANED token counts
+    -- stage 5: per-source token budget on the CLEANED token counts
     bt AS (
       SELECT *, ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#mix'),
                                 1, 8))::BIGINT AS priority
@@ -1199,7 +1372,7 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), bkept AS (
       SELECT doc_id, source, kept_tokens, cleaned_md5 FROM bc WHERE cum <= 800
     ),
-    -- stage 5: proportional interleave into the global training order
+    -- stage 6: proportional interleave into the global training order
     ranked AS (
       SELECT doc_id, source, kept_tokens, cleaned_md5,
              ROW_NUMBER() OVER (
@@ -1220,51 +1393,66 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 def curation_span_clean_mix_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The SPAN-AWARE end-to-end curation capstone (VERDICT r09 #4) — the
-    r8 dedup→mix→interleave composition extended with the round-9/10
-    substring-span signals, still ONE lazy plan under ONE composed
-    DuckDB oracle:
+    """The SPAN-AWARE end-to-end curation capstone (VERDICT r09 #4;
+    self-repetition stage added r11 per VERDICT r10 #5) — the r8
+    dedup→mix→interleave composition extended with the round-9/10/11
+    span signals, still ONE lazy plan under ONE composed DuckDB oracle:
 
     1. portable-md5 MinHash near-dedup over the corpus (survivors at
        jaccard_est >= 0.8);
-    2. WITHIN-TRAIN substring-span coverage (train = surviving doc_id %
-       7 != 0, min_tokens=12): drop documents that are more than half
-       duplicated text (integer rule 2·dup_tokens > n_tokens — the Lee
-       et al. 2022 boilerplate drop);
-    3. substring-level decontamination ACTION vs the eval corpus
+    2. per-doc SELF-repetition drop over train (= surviving doc_id % 7
+       != 0): the Gopher-style doc-LOCAL quality rule
+       (dedup.self_repetition_coverage, min_tokens=3 — the fixture's
+       docs self-repeat at 3-grams; production would use ~50): drop
+       documents more than a tenth self-repeated (integer rule
+       10·rep_tokens > n_tokens). Doc-local ⇒ runs before any
+       cross-doc join, the order a scale pipeline wants;
+    3. WITHIN-TRAIN substring-span coverage (min_tokens=12): drop
+       documents that are more than half duplicated text (integer rule
+       2·dup_tokens > n_tokens — the Lee et al. 2022 boilerplate drop);
+    4. substring-level decontamination ACTION vs the eval corpus
        (doc_id % 7 == 0): every shared >=12-token verbatim span excised
        (curation.excise_spans), fully-contaminated docs (0 kept tokens)
        dropped, cleaned text pinned through its md5;
-    4. per-source token-budget mix (budget 800) on the CLEANED token
+    5. per-source token-budget mix (budget 800) on the CLEANED token
        counts — budget decisions see post-excision sizes, the order a
        real pipeline must apply them in;
-    5. proportional source interleave into the global training order.
+    6. proportional source interleave into the global training order.
 
-    Every stage's oracle already exists standalone (minhash CTE, span
-    CTE, excise replay, budget prefix, interleave rank); this entry
-    proves the COMPOSITION hash-matches end to end — survivor set,
-    coverage drops, excised text bytes, budget cut, and final training
-    order, row for row.
+    Every stage's oracle already exists standalone (minhash CTE,
+    intra-doc span CTE, span CTE, excise replay, budget prefix,
+    interleave rank); this entry proves the COMPOSITION hash-matches
+    end to end — survivor set, self-repetition drops, coverage drops,
+    excised text bytes, budget cut, and final training order, row for
+    row.
 
-    Plan shape: the survivor-train frame and the coverage-kept frame are
-    MULTI-CONSUMER subplans (span detection self-joins its anchor table,
-    excision reads tokens + anchors + the base row, the source join
-    reads ids) — each lazily persists (``dedup._materialize('persist')``,
-    session-ledger tracked) so the minhash-dedup stage computes ONCE
-    instead of once per consumer (measured 25.4s → recompute-free on the
-    same plan; compute-once, not lineage truncation — still one job)."""
+    Plan shape: the survivor-train frame, the self-repetition-kept
+    frame, and the coverage-kept frame are MULTI-CONSUMER subplans
+    (span detection self-joins its anchor table, excision reads tokens
+    + anchors + the base row, the source join reads ids) — each lazily
+    persists (``dedup._materialize('persist')``, session-ledger
+    tracked) so each stage computes ONCE instead of once per consumer
+    (measured 25.4s → recompute-free on the same plan; compute-once,
+    not lineage truncation — still one job)."""
     from ucr_bigdata_snowfallproject_spark.operators.dedup import _materialize
 
     d = load_table(spark, sf_dir, "documents")
     surv = dedup_ops.minhash_dedup(d, "doc_id", "text", threshold=0.8, hash="md5")
     train = _materialize(surv.filter(F.col("doc_id") % 7 != 0), "persist")
     ev = d.filter(F.col("doc_id") % 7 == 0)
-    cov = dedup_ops.span_coverage(train, "doc_id", "text", min_tokens=12)
+    selfrep = dedup_ops.self_repetition_coverage(
+        train, "doc_id", "text", min_tokens=3
+    )
+    keep0 = selfrep.filter(
+        10 * F.col("rep_tokens") <= F.col("n_tokens")
+    ).select("doc_id")
+    train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "persist")
+    cov = dedup_ops.span_coverage(train2, "doc_id", "text", min_tokens=12)
     keep_ids = cov.filter(
         2 * F.col("dup_tokens") <= F.col("n_tokens")
     ).select("doc_id")
     kept1 = _materialize(
-        train.join(keep_ids, "doc_id", "left_semi"), "persist"
+        train2.join(keep_ids, "doc_id", "left_semi"), "persist"
     )
     cleaned = (
         curation_ops.excise_spans(kept1, ev, "doc_id", "text", min_tokens=12)

@@ -172,8 +172,10 @@ HEADLINE = [
     "text_bpe_merges",
     "text_bpe_encode",
     # round-11, benched from birth: the occurrence-capped self-repetition
-    # path (planted degenerate docs exercise the short-circuit)
+    # path (planted degenerate docs exercise the short-circuit) and
+    # SemDeDup — semantic cluster-then-prune dedup on the int8 codebook
     "dedup_self_repetition_capped",
+    "dedup_semdedup_int8",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

@@ -3879,3 +3879,69 @@ def test_bin_index_clamps_before_int_narrowing(spark):
     # after edge-clamping: a→{bin3, bin0}, b→{bin0, bin0}; ECDFs diverge
     # by 1/2 at every pre-top step → D = 0.5 exactly
     assert row.ks == 0.5
+
+
+def _semdedup_fixture(spark):
+    """4-dim toy corpus for semdedup_int8: centroids c0 = e_x, c1 = e_y;
+    cell 0 holds a near-dup pair (10, 11) plus a distinct survivor (12),
+    cell 1 holds a single vector (20)."""
+    rows = [
+        (10, [1.0, 0.01, 0.0, 0.0]),
+        (11, [0.99, 0.012, 0.0, 0.0]),
+        (12, [0.8, 0.55, 0.0, 0.0]),
+        (20, [0.01, 1.0, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroid_codes = [(0, [127, 0, 0, 0]), (1, [0, 127, 0, 0])]
+    return corpus, centroid_codes
+
+
+def test_semdedup_keep_rule_drops_centroid_closer_member(spark):
+    """SemDeDup keep-the-edge rule: of the near-dup pair (10, 11) in
+    cell 0, vec 10 sits CLOSER to the centroid (codes [127,1,0,0] vs
+    [127,2,0,0]) so IT is dropped and the edge member 11 survives; the
+    distinct vector 12 and the singleton cell 1 are untouched."""
+    corpus, centroid_codes = _semdedup_fixture(spark)
+    out = {
+        r["vec_id"]: r
+        for r in sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95).collect()
+    }
+    assert {i: r["is_dup"] for i, r in out.items()} == {10: 1, 11: 0, 12: 0, 20: 0}
+    assert out[10]["cell"] == 0 and out[11]["cell"] == 0 and out[12]["cell"] == 0
+    assert out[20]["cell"] == 1
+    assert out[10]["cell_n"] == 3 and out[20]["cell_n"] == 1
+    assert out[10]["cent_sim"] > out[11]["cent_sim"]
+
+
+def test_semdedup_max_cell_rows_short_circuit(spark):
+    """Over-cap cells skip the pairwise join and keep exactly the single
+    member FARTHEST from the centroid (min (cent_sim, id)): with
+    max_cell_rows=2, cell 0 (3 members) short-circuits to keep only
+    vec 12 (cent_sim ≈ 0.824 < the ≈1.0 pair), while the under-cap
+    singleton cell 1 stays on the exact path."""
+    corpus, centroid_codes = _semdedup_fixture(spark)
+    out = {
+        r["vec_id"]: r["is_dup"]
+        for r in sim_ops.semdedup_int8(
+            corpus, centroid_codes, eps=0.95, max_cell_rows=2
+        ).collect()
+    }
+    assert out == {10: 1, 11: 1, 12: 0, 20: 0}
+
+
+def test_semdedup_zero_vector_total(spark):
+    """A zero vector (maxabs = 0 → all-zero codes) must flow through
+    with cent_sim = 0.0 and never join a pair (cosine undefined —
+    excluded by construction since its rounded sim is NULL-safe 0)."""
+    rows = [
+        (10, [1.0, 0.01, 0.0, 0.0]),
+        (30, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroid_codes = [(0, [127, 0, 0, 0]), (1, [0, 127, 0, 0])]
+    out = {
+        r["vec_id"]: r
+        for r in sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95).collect()
+    }
+    assert out[30]["cent_sim"] == 0.0
+    assert out[30]["is_dup"] == 0 and out[10]["is_dup"] == 0

@@ -1841,3 +1841,200 @@ def ivf_int8_knn_graph_delta(
         .drop("__rn")
     )
     return updated_old.unionByName(new_edges.select("src_id", "nbr_id", "sim"))
+
+
+def semdedup_int8(
+    corpus: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    round_digits: int = 4,
+    max_cell_rows: int | None = None,
+    persist_members: bool = True,
+) -> DataFrame:
+    """SemDeDup — semantic deduplication via cluster-then-prune (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): assign every embedding to a cluster, score
+    pairwise cosine ONLY within clusters, and for each near-duplicate
+    pair (rounded cosine ≥ ``eps``) drop the member CLOSER to its
+    centroid — the paper's keep-rule (retain the "edge" example, prune
+    the redundant interior one). The missing published training-data
+    method beside the exact/minhash/simhash/embedding-LSH dedup family:
+    it removes semantically redundant pairs that are not near-verbatim,
+    which n-gram methods cannot see.
+
+    Clustering reuses the int8 deterministic codebook discipline of
+    :func:`ivf_int8_build` (``centroid_codes`` is an external integer
+    artifact; assignment = max integer-cosine centroid, min-cid ties),
+    so the WHOLE pipeline — assignment, centroid similarity, pair
+    pruning — is exact-int64 or IEEE-double arithmetic and hash-checks
+    against a DuckDB oracle, not just a recall bound. ``cent_sim`` (the
+    keep-rule key) is the full int8 cosine
+    ``dot_int(codes, cc) / (√‖codes‖² · √‖cc‖²)`` rounded to
+    ``round_digits``; ties break toward keeping the smaller id.
+
+    Returns one row per corpus vector: (id, cell, cell_n, cent_sim,
+    is_dup) — survivors are ``is_dup = 0``; a curation pipeline
+    semi-joins on them.
+
+    Scale shape: one corpus scan computes codes + centroid dots (Arrow
+    int64 matmul, no shuffle); the pair stage shuffles narrow
+    (id, vec, cell) rows by cell and scores |cell|²/2 pairs per cell —
+    the SemDeDup design point: k centroids bound pairwise work at
+    Σ|cell|² ≈ n²/k, so k scales with n (the paper runs 50k clusters at
+    web scale; pick k ≈ n / desired-cell-size). A degenerate direction
+    cluster (every vector near-parallel → one giant cell) re-creates the
+    quadratic the clustering was meant to bound —
+    ``max_cell_rows`` is the degrade knob: cells larger than the cap
+    SHORT-CIRCUIT to the keep-rule applied cell-wide (keep exactly the
+    single member FARTHEST from the centroid — min (cent_sim, id) — and
+    mark the rest duplicates, skipping their pairwise join entirely).
+    That is the honest degrade for eps-dense blobs (an over-cap cell at
+    dedup-grade eps is one semantic point); the default ``None`` stays
+    exact, which the gated oracle pins. Mirrors ``max_anchor_docs`` /
+    ``max_anchor_occurrences`` in the span family.
+    """
+    import math
+
+    # inline codes — same expressions as quantize_embeddings, no join
+    # back to the corpus (ivf_int8_build's idiom), keeping __cd (the
+    # int64 centroid dot array) for cent_sim
+    with_codes = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__cfn"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xs"),
+        )
+        .withColumn("__maxabs", F.array_max(F.transform(F.col("__xs"), F.abs)))
+        .withColumn(
+            "__codes",
+            F.when(
+                F.col("__maxabs") > 0,
+                F.transform(
+                    F.col("__xs"),
+                    lambda x: F.floor(x / F.col("__maxabs") * 127 + F.lit(0.5)).cast(
+                        "int"
+                    ),
+                ),
+            ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0))),
+        )
+    )
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    scored = with_codes.withColumn("__cd", dots_udf(F.col("__codes")))
+    best = F.array_min(_int8_centroid_scores(F.col("__cd"), centroid_codes))
+    cids_arr = F.array(*[F.lit(int(cid)).cast("int") for cid, _ in centroid_codes])
+    cns_arr = F.array(
+        *[
+            F.lit(math.sqrt(float(sum(int(x) * int(x) for x in code))))
+            for _, code in centroid_codes
+        ]
+    )
+    # own int8 code norm² — exact int64 fold (≤ 127²·dim per component)
+    cn2 = F.aggregate(
+        F.col("__codes"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x.cast("long"),
+    )
+    members = (
+        scored.withColumn("__cell", best.getField("cid"))
+        .withColumn("__pos", F.array_position(cids_arr, F.col("__cell")).cast("int"))
+        .withColumn("__cn2", cn2)
+        .withColumn(
+            "cent_sim",
+            F.when(
+                F.col("__cn2") > 0,
+                F.round(
+                    F.element_at(F.col("__cd"), F.col("__pos")).cast("double")
+                    / (
+                        F.sqrt(F.col("__cn2").cast("double"))
+                        * F.element_at(cns_arr, F.col("__pos"))
+                    ),
+                    round_digits,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(id_col, vec_col, "__cfn", "__cell", "cent_sim")
+    )
+    if persist_members:
+        # three consumers (cell counts + both sides of the pair join)
+        # would each re-run the codes scan and the Arrow matmul
+        from pyspark import StorageLevel
+
+        from ._util import track_persist
+
+        members = track_persist(members.persist(StorageLevel.MEMORY_AND_DISK))
+    counts = members.groupBy("__cell").agg(F.count(F.lit(1)).alias("cell_n"))
+    members = members.join(F.broadcast(counts), "__cell")
+
+    if max_cell_rows is not None:
+        w = Window.partitionBy("__cell").orderBy(F.asc("cent_sim"), F.asc(id_col))
+        over = members.filter(F.col("cell_n") > max_cell_rows)
+        over_flagged = over.withColumn(
+            "__dup", (F.row_number().over(w) > 1).cast("int")
+        )
+        pairable = members.filter(F.col("cell_n") <= max_cell_rows)
+    else:
+        over_flagged = None
+        pairable = members
+
+    a = pairable.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__ida"),
+        F.col(vec_col).alias("__va"),
+        F.col("__cfn").alias("__na"),
+        F.col("cent_sim").alias("__ca"),
+    )
+    b = pairable.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__idb"),
+        F.col(vec_col).alias("__vb"),
+        F.col("__cfn").alias("__nb"),
+        F.col("cent_sim").alias("__cb"),
+    )
+    sim = F.round(
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+        round_digits,
+    )
+    losers = (
+        a.join(
+            b,
+            (a["__cell"] == b["__cell"]) & (F.col("__ida") < F.col("__idb")),
+        )
+        .select(
+            F.col("__ida"), F.col("__idb"), F.col("__ca"), F.col("__cb"),
+            F.col("__na"), F.col("__nb"), sim.alias("__sim"),
+        )
+        # norm-0 guard BEFORE the threshold: a zero vector's pair sim is
+        # 0/0 = NaN, and Spark orders NaN ABOVE every number (DuckDB
+        # compares it false) — without this a zero vector would "match"
+        # everything in its cell on the Spark side only
+        .filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+        .filter(F.col("__sim") >= eps)
+        .select(
+            F.when(
+                (F.col("__ca") > F.col("__cb"))
+                | ((F.col("__ca") == F.col("__cb")) & (F.col("__ida") > F.col("__idb"))),
+                F.col("__ida"),
+            )
+            .otherwise(F.col("__idb"))
+            .alias(id_col)
+        )
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    flagged = pairable.join(losers, id_col, "left").withColumn(
+        "__dup", F.coalesce(F.col("__dup"), F.lit(0))
+    )
+    if over_flagged is not None:
+        flagged = flagged.unionByName(
+            over_flagged.select(*flagged.columns), allowMissingColumns=False
+        )
+    return flagged.select(
+        F.col(id_col),
+        F.col("__cell").alias("cell"),
+        F.col("cell_n").cast("long").alias("cell_n"),
+        F.col("cent_sim"),
+        F.col("__dup").alias("is_dup"),
+    )

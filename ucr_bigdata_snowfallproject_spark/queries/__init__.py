@@ -208,7 +208,18 @@ _GATED_WINDOW = [
     "dedup_minhash_components_md5",
     "dedup_simhash_candidates_md5",
     "similarity_knn_graph_int8",
-    "dedup_embedding_knn_components",
+    # =====================================================================
+    # Round-11 rotation (2 of 2): gate the round-11-BUILT
+    # dedup_semdedup_int8 — SemDeDup (Abbas et al. 2023), semantic
+    # cluster-then-prune dedup on the deterministic int8 codebook, with
+    # 12 planted near-duplicates DERIVED identically on both engines.
+    # Rotated OUT: dedup_embedding_knn_components (r10 driver-green; its
+    # oracle embeds _KNN_GRAPH_INT8_ORACLE verbatim and the kNN core
+    # stays gated right above via similarity_knn_graph_int8, while the
+    # connected-components kernel keeps dedup_minhash_components_md5
+    # gated; the entry stays oracle-checked in the local pytest mirror).
+    # =====================================================================
+    "dedup_semdedup_int8",
     "fuzzy_join_part_names",
     "curation_corpus_mix_pipeline",
     # =====================================================================

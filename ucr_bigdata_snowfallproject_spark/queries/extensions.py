@@ -2105,3 +2105,115 @@ def similarity_ivf_int8_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     return sim_ops.ivf_int8_topk_indexed(loaded, q, centroid_codes, k=10, n_probe=4)
 
 
+
+
+_SEMDEDUP_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+      UNION ALL
+      -- planted near-duplicates: vec_id < 12 scaled by 1.01 and shifted
+      -- by 0.001 per component, stored as float32 — derived identically
+      -- on the Spark side, so no vector literals anywhere
+      SELECT vec_id + 9000000,
+             list_transform(
+               embedding,
+               x -> CAST(CAST(x * CAST(1.01 AS DOUBLE)
+                              + CAST(0.001 AS DOUBLE) AS REAL) AS DOUBLE))
+      FROM embeddings WHERE vec_id < 12
+    ), m AS (
+      SELECT vec_id, xs,
+             list_aggregate(list_transform(xs, x -> ABS(x)), 'max') AS maxabs
+      FROM base
+    ), codes AS (
+      SELECT vec_id, xs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(
+                         xs, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS DOUBLE))
+                  ELSE list_transform(xs, x -> CAST(0 AS DOUBLE)) END AS c
+      FROM m
+    ), cents AS (
+      SELECT vec_id AS cid, c AS cc,
+             sqrt(list_dot_product(c, c)) AS cns
+      FROM codes WHERE vec_id < 16
+    ), assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, ct.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY -(list_dot_product(e.c, ct.cc) / ct.cns) ASC,
+                          ct.cid ASC) AS rn
+        FROM codes e CROSS JOIN cents ct)
+      WHERE rn = 1
+    ), mem AS (
+      SELECT a.vec_id, a.cid AS cell, b.xs,
+             CASE WHEN list_dot_product(c.c, c.c) > 0 THEN
+               ROUND(list_dot_product(c.c, ct.cc)
+                     / (sqrt(list_dot_product(c.c, c.c)) * ct.cns), 4)
+             ELSE 0.0 END AS cent_sim
+      FROM assign a
+      JOIN base b ON b.vec_id = a.vec_id
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN cents ct ON ct.cid = a.cid
+    ), celln AS (
+      SELECT cell, COUNT(*) AS cell_n FROM mem GROUP BY cell
+    ), pairs AS (
+      SELECT p.vec_id AS ia, q.vec_id AS ib,
+             p.cent_sim AS ca, q.cent_sim AS cb,
+             ROUND(list_dot_product(p.xs, q.xs) /
+                   (sqrt(list_dot_product(p.xs, p.xs)) *
+                    sqrt(list_dot_product(q.xs, q.xs))), 4) AS sim
+      FROM mem p JOIN mem q ON p.cell = q.cell AND p.vec_id < q.vec_id
+    ), losers AS (
+      SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND ia > ib)
+                           THEN ia ELSE ib END AS vec_id
+      FROM pairs WHERE sim >= 0.95
+    )
+    SELECT mem.vec_id, CAST(mem.cell AS INT) AS cell,
+           CAST(cn.cell_n AS BIGINT) AS cell_n, mem.cent_sim,
+           CAST(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS is_dup
+    FROM mem
+    JOIN celln cn ON cn.cell = mem.cell
+    LEFT JOIN losers l ON l.vec_id = mem.vec_id
+    """
+
+
+@register("dedup_semdedup_int8", _SEMDEDUP_ORACLE)
+def dedup_semdedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3 SemDeDup — SEMANTIC deduplication (Abbas et al. 2023;
+    operators.similarity.semdedup_int8, round 11): cluster every
+    embedding into its max-int8-cosine cell of the deterministic
+    16-centroid codebook (the codes of vec_id < 16 — the same external
+    integer artifact the gated IVF/kNN-graph entries use), score exact
+    rounded cosine ONLY within cells, and for each pair at sim >= 0.95
+    drop the member CLOSER to its centroid (the paper's keep-the-edge
+    rule; rounded cent_sim, id tie-break). The corpus is the embeddings
+    table plus 12 PLANTED near-duplicates (vec_id < 12 scaled 1.01 +
+    0.001, cast back to float32) DERIVED identically in the oracle from
+    the same parquet — the natural fixture's max pairwise cosine is
+    ~0.46, so without planting the pair stage would be vacuous.
+    Fully integer/IEEE arithmetic end to end ⇒ the whole
+    cluster-then-prune result (cell, cell_n, cent_sim, is_dup per
+    vector) hash-checks against DuckDB — covering the one published
+    training-data dedup method (semantic, non-verbatim) the
+    exact/minhash/simhash/LSH family cannot express."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 9000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x * F.lit(1.01) + F.lit(0.001)).cast("float"),
+        ).alias("embedding"),
+    )
+    corpus = e.select("vec_id", "embedding").unionByName(planted)
+    cent_rows = (
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect()
+    )
+    centroid_codes = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sorted(cent_rows, key=lambda r: r["vec_id"])
+    ]
+    return sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95)

@@ -309,6 +309,15 @@ def main() -> None:
     repeat = int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "3"))
     if "--repeat" in sys.argv:
         repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
+    # --only a,b,c: restrict this run (profile or timed) to a subset of
+    # HEADLINE — single-query plan dumps and band seeding; the driver
+    # never passes it, so the recorded JSON line is always the full suite
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        unknown = only - set(HEADLINE)
+        if unknown:
+            raise SystemExit(f"--only names not in HEADLINE: {sorted(unknown)}")
+        HEADLINE[:] = [n for n in HEADLINE if n in only]
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="snowfall-bench")

@@ -2216,4 +2216,9 @@ def dedup_semdedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         (int(r["vec_id"]), [int(x) for x in r["codes"]])
         for r in sorted(cent_rows, key=lambda r: r["vec_id"])
     ]
-    return sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95)
+    # anti-hollow trailing filter: under bench's count() Catalyst would
+    # otherwise eliminate the losers left-join AND the pair self-join
+    # (unique-keyed, unreferenced) and time cluster-assignment only
+    return sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95).filter(
+        F.col("is_dup") >= 0
+    )

@@ -176,6 +176,7 @@ HEADLINE = [
     # SemDeDup — semantic cluster-then-prune dedup on the int8 codebook
     "dedup_self_repetition_capped",
     "dedup_semdedup_int8",
+    "curation_semantic_decontaminate",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

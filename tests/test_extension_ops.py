@@ -3945,3 +3945,33 @@ def test_semdedup_zero_vector_total(spark):
     }
     assert out[30]["cent_sim"] == 0.0
     assert out[30]["is_dup"] == 0 and out[10]["is_dup"] == 0
+
+
+def test_semantic_decontaminate_planted_and_zero_vector(spark):
+    """semantic_decontaminate_int8: a train copy of an eval vector is
+    contaminated (same cell, sim ≈ 1.0); a zero train vector flows
+    through clean (norm-0 pairs are guarded out BEFORE the threshold —
+    Spark orders NaN above every number); output is total over train."""
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.02, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [0.99, 0.021, 0.0, 0.0]),   # ≈ eval 100 → contaminated
+            (2, [0.01, 1.0, 0.0, 0.0]),     # other cell → clean
+            (3, [0.0, 0.0, 0.0, 0.0]),      # zero vector → clean, total
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    centroid_codes = [(0, [127, 0, 0, 0]), (1, [0, 127, 0, 0])]
+    out = {
+        r["vec_id"]: r
+        for r in sim_ops.semantic_decontaminate_int8(
+            train, ev, centroid_codes, eps=0.95
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1]["contaminated"] == 1 and out[1]["n_eval_hits"] == 1
+    assert out[1]["max_eval_sim"] >= 0.999
+    assert out[2]["contaminated"] == 0 and out[2]["max_eval_sim"] == 0.0
+    assert out[3]["contaminated"] == 0 and out[3]["n_eval_hits"] == 0

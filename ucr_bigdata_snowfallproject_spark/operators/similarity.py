@@ -1318,26 +1318,14 @@ def _int8_centroid_scores(
     )
 
 
-def ivf_int8_build(
-    corpus: DataFrame,
-    centroid_codes: list[tuple[int, list[int]]],
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Build the int8-assigned IVF inverted file: every corpus vector
-    quantizes (:func:`quantize_embeddings` — deterministic) and lands in
-    the cell of its max-int8-cosine centroid (min cid on ties). Output
-    (id, vec, __cfn float norm, __cell) — the exact frame
-    ``index_store.save_ivf_cells`` persists partitioned by ``__cell``.
-
-    Scale shape: pure column expressions — one corpus scan, ZERO shuffle
-    (the write's repartition by cell is the only exchange, at build time,
-    once). Assignment cost is |centroids| integer dots per row on 4×
-    smaller int8 codes."""
-    # codes inline as a sibling column — same expressions as
-    # quantize_embeddings, but NO self-join back to the corpus (a join on
-    # id would shuffle the corpus against itself for nothing)
-    with_codes = (
+def _inline_codes(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, __cfn, __xs, __codes) — int8 codes inline as sibling
+    columns: same expressions as :func:`quantize_embeddings`, but NO
+    self-join back to the corpus (a join on id would shuffle the corpus
+    against itself for nothing). The shared first scan of
+    :func:`ivf_int8_build`, :func:`semdedup_int8` and
+    :func:`semantic_decontaminate_int8`."""
+    return (
         corpus.select(
             F.col(id_col),
             F.col(vec_col),
@@ -1358,6 +1346,25 @@ def ivf_int8_build(
             ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0))),
         )
     )
+
+
+def ivf_int8_build(
+    corpus: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Build the int8-assigned IVF inverted file: every corpus vector
+    quantizes (:func:`quantize_embeddings` — deterministic) and lands in
+    the cell of its max-int8-cosine centroid (min cid on ties). Output
+    (id, vec, __cfn float norm, __cell) — the exact frame
+    ``index_store.save_ivf_cells`` persists partitioned by ``__cell``.
+
+    Scale shape: pure column expressions — one corpus scan, ZERO shuffle
+    (the write's repartition by cell is the only exchange, at build time,
+    once). Assignment cost is |centroids| integer dots per row on 4×
+    smaller int8 codes."""
+    with_codes = _inline_codes(corpus, id_col, vec_col)
     dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
     cell = (
         F.array_min(_int8_centroid_scores(F.col("__cd"), centroid_codes))
@@ -1897,30 +1904,9 @@ def semdedup_int8(
     """
     import math
 
-    # inline codes — same expressions as quantize_embeddings, no join
-    # back to the corpus (ivf_int8_build's idiom), keeping __cd (the
-    # int64 centroid dot array) for cent_sim
-    with_codes = (
-        corpus.select(
-            F.col(id_col),
-            F.col(vec_col),
-            l2_norm(F.col(vec_col)).alias("__cfn"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__xs"),
-        )
-        .withColumn("__maxabs", F.array_max(F.transform(F.col("__xs"), F.abs)))
-        .withColumn(
-            "__codes",
-            F.when(
-                F.col("__maxabs") > 0,
-                F.transform(
-                    F.col("__xs"),
-                    lambda x: F.floor(x / F.col("__maxabs") * 127 + F.lit(0.5)).cast(
-                        "int"
-                    ),
-                ),
-            ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0))),
-        )
-    )
+    # shared inline-codes scan, keeping __cd (the int64 centroid dot
+    # array) for cent_sim
+    with_codes = _inline_codes(corpus, id_col, vec_col)
     dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
     scored = with_codes.withColumn("__cd", dots_udf(F.col("__codes")))
     best = F.array_min(_int8_centroid_scores(F.col("__cd"), centroid_codes))
@@ -2037,4 +2023,104 @@ def semdedup_int8(
         F.col("cell_n").cast("long").alias("cell_n"),
         F.col("cent_sim"),
         F.col("__dup").alias("is_dup"),
+    )
+
+
+def semantic_decontaminate_int8(
+    train: DataFrame,
+    eval_df: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space sibling of
+    ``curation.decontaminate`` (shingle fraction) and
+    ``curation.decontaminate_spans`` (verbatim spans): a train example
+    whose embedding lies within cosine ``eps`` of ANY eval example is
+    contaminated even when no n-gram overlaps (paraphrased eval answers,
+    translated questions, reworded benchmarks — the leakage n-gram
+    methods cannot see; standard practice alongside SemDeDup in
+    embedding-curated corpora).
+
+    Both sides assign to cells of the deterministic int8 codebook
+    (:func:`semdedup_int8`'s discipline) and only same-cell train×eval
+    pairs are cosine-scored — at matched ``eps`` a contaminated pair is
+    also a near-dup pair, so the cell blocker loses the same
+    (boundary-straddling) pairs SemDeDup itself accepts losing; raise
+    the probe count by replicating eval rows into their top-p cells if
+    recall above one cell is needed (eval sets are small — the cheap
+    side to replicate).
+
+    Returns ONE row per train vector: (id, cell, n_eval_hits,
+    max_eval_sim, contaminated) — ``max_eval_sim`` is NULL-safe 0.0 for
+    clean rows so the frame is total and a pipeline can threshold or
+    join without null handling.
+
+    Scale shape: one scan per side for codes + centroid dots (Arrow
+    int64 matmul); the probe is a cell equi-join where the eval side is
+    tiny (an eval suite is thousands of rows against a 100 TB corpus) —
+    Spark broadcasts it; per-cell work is |train_cell|·|eval_cell|, and
+    the one aggregation groups by train id. Zero-norm guard as in
+    :func:`semdedup_int8` (Spark orders NaN above every number)."""
+    t = _cells_with_norms(train, centroid_codes, id_col, vec_col)
+    e = _cells_with_norms(eval_df, centroid_codes, id_col, vec_col)
+    probe = e.select(
+        F.col("__cell"),
+        F.col(id_col).alias("__eid"),
+        F.col(vec_col).alias("__ev"),
+        F.col("__cfn").alias("__en"),
+    )
+    sim = F.round(
+        dot(F.col(vec_col), F.col("__ev")) / (F.col("__cfn") * F.col("__en")),
+        round_digits,
+    )
+    hits = (
+        t.join(F.broadcast(probe), "__cell")
+        .filter((F.col("__cfn") > 0) & (F.col("__en") > 0))
+        .select(F.col(id_col), sim.alias("__sim"))
+        .filter(F.col("__sim") >= eps)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+            F.max("__sim").alias("max_eval_sim"),
+        )
+    )
+    return (
+        t.select(id_col, F.col("__cell").alias("cell"))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.coalesce(F.col("n_eval_hits"), F.lit(0).cast("long")).alias(
+                "n_eval_hits"
+            ),
+            F.coalesce(F.col("max_eval_sim"), F.lit(0.0)).alias("max_eval_sim"),
+            (F.coalesce(F.col("n_eval_hits"), F.lit(0).cast("long")) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def _cells_with_norms(
+    corpus: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, __cfn, __cell) — the shared assignment scan of
+    :func:`semdedup_int8` / :func:`semantic_decontaminate_int8`: inline
+    int8 codes (no join back to the corpus), Arrow int64 centroid dots,
+    argmax cell with min-cid ties. Identical math to
+    :func:`ivf_int8_build` (which additionally keeps the float norm for
+    its probe stage — as this does)."""
+    with_codes = _inline_codes(corpus, id_col, vec_col)
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    best = F.array_min(_int8_centroid_scores(F.col("__cd"), centroid_codes))
+    return (
+        with_codes.withColumn("__cd", dots_udf(F.col("__codes")))
+        .withColumn("__cell", best.getField("cid"))
+        .select(id_col, vec_col, "__cfn", "__cell")
     )

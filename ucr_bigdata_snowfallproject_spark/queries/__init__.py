@@ -221,7 +221,21 @@ _GATED_WINDOW = [
     # =====================================================================
     "dedup_semdedup_int8",
     "fuzzy_join_part_names",
-    "curation_corpus_mix_pipeline",
+    # =====================================================================
+    # Round-11 rotation (3 of 3): gate the round-11-BUILT
+    # curation_semantic_decontaminate — embedding-space eval
+    # decontamination (the semantic sibling of the shingle/span
+    # decontaminators), cell-blocked on the same int8 codebook, with 12
+    # planted contaminated train rows derived identically on both
+    # engines. Rotated OUT: curation_corpus_mix_pipeline (r8
+    # driver-green; superseded as the gated capstone by
+    # curation_span_clean_mix_pipeline — six stages, strict superset of
+    # its composition — and every one of its stages keeps a gated
+    # representative: minhash via dedup_minhash_components_md5, mix via
+    # curation_token_budget_mix, interleave via the span capstone; stays
+    # oracle-checked in the local pytest mirror).
+    # =====================================================================
+    "curation_semantic_decontaminate",
     # =====================================================================
     # Round-7 rotation (VERDICT r06 "Next round" #1/#6): clear the
     # external-verification backlog — ALL 17 oracle-backed entries that

@@ -2222,3 +2222,125 @@ def dedup_semdedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95).filter(
         F.col("is_dup") >= 0
     )
+
+
+_SEMANTIC_DECON_ORACLE = """
+    WITH allv AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xs
+      FROM embeddings
+    ), planted AS (
+      -- contaminated-by-construction train rows: perturbed copies of the
+      -- first 12 eval vectors, derived identically on the Spark side
+      SELECT vec_id + 9000000 AS vec_id,
+             list_transform(
+               embedding,
+               x -> CAST(CAST(x * CAST(1.01 AS DOUBLE)
+                              + CAST(0.001 AS DOUBLE) AS REAL) AS DOUBLE)) AS xs
+      FROM embeddings WHERE vec_id % 7 = 0 AND vec_id < 84
+    ), u AS (
+      SELECT 't' AS side, vec_id, xs FROM allv WHERE vec_id % 7 <> 0
+      UNION ALL
+      SELECT 't', vec_id, xs FROM planted
+      UNION ALL
+      SELECT 'e', vec_id, xs FROM allv WHERE vec_id % 7 = 0
+    ), m AS (
+      SELECT side, vec_id, xs,
+             list_aggregate(list_transform(xs, x -> ABS(x)), 'max') AS maxabs
+      FROM u
+    ), codes AS (
+      SELECT side, vec_id, xs,
+             CASE WHEN maxabs > 0
+                  THEN list_transform(
+                         xs, x -> CAST(FLOOR(x / maxabs * 127 + 0.5) AS DOUBLE))
+                  ELSE list_transform(xs, x -> CAST(0 AS DOUBLE)) END AS c
+      FROM m
+    ), cents AS (
+      SELECT vec_id AS cid, c AS cc,
+             sqrt(list_dot_product(c, c)) AS cns
+      FROM codes WHERE vec_id < 16
+    ), assign AS (
+      SELECT side, vec_id, cid FROM (
+        SELECT e.side, e.vec_id, ct.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.side, e.vec_id
+                 ORDER BY -(list_dot_product(e.c, ct.cc) / ct.cns) ASC,
+                          ct.cid ASC) AS rn
+        FROM codes e CROSS JOIN cents ct)
+      WHERE rn = 1
+    ), tr AS (
+      SELECT a.vec_id, a.cid AS cell, b.xs
+      FROM assign a JOIN u b ON b.side = a.side AND b.vec_id = a.vec_id
+      WHERE a.side = 't'
+    ), ev AS (
+      SELECT a.vec_id, a.cid AS cell, b.xs
+      FROM assign a JOIN u b ON b.side = a.side AND b.vec_id = a.vec_id
+      WHERE a.side = 'e'
+    ), hits AS (
+      SELECT t.vec_id,
+             COUNT(*) AS n_eval_hits,
+             MAX(sim) AS max_eval_sim
+      FROM (
+        SELECT t.vec_id,
+               ROUND(list_dot_product(t.xs, e.xs) /
+                     (sqrt(list_dot_product(t.xs, t.xs)) *
+                      sqrt(list_dot_product(e.xs, e.xs))), 4) AS sim
+        FROM tr t JOIN ev e ON e.cell = t.cell) t
+      WHERE sim >= 0.95
+      GROUP BY t.vec_id
+    )
+    SELECT tr.vec_id, CAST(tr.cell AS INT) AS cell,
+           CAST(COALESCE(h.n_eval_hits, 0) AS BIGINT) AS n_eval_hits,
+           COALESCE(h.max_eval_sim, 0.0) AS max_eval_sim,
+           CAST(CASE WHEN COALESCE(h.n_eval_hits, 0) > 0 THEN 1 ELSE 0 END
+                AS INT) AS contaminated
+    FROM tr LEFT JOIN hits h ON h.vec_id = tr.vec_id
+    """
+
+
+@register("curation_semantic_decontaminate", _SEMANTIC_DECON_ORACLE)
+def curation_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-cur SEMANTIC eval decontamination
+    (operators.similarity.semantic_decontaminate_int8, round 11): the
+    embedding-space sibling of curation_decontaminate (shingles) and
+    curation_decontaminate_spans (verbatim spans) — a train vector
+    within rounded cosine 0.95 of ANY eval vector (vec_id % 7 = 0, the
+    capstone's eval convention) is contaminated even with zero n-gram
+    overlap. Both sides cell-assign on the deterministic 16-centroid
+    int8 codebook and only same-cell train×eval pairs are scored; the
+    train side carries 12 PLANTED perturbed copies of eval vectors
+    (1.01·x + 0.001 as float32, derived identically in the oracle) so
+    the contamination path is externally exercised — the natural
+    train↔eval max cosine is ~0.46. Output is TOTAL over train
+    (n_eval_hits / max_eval_sim / contaminated, null-safe zeros), so
+    the whole probe hash-checks in DuckDB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ev = e.filter(F.col("vec_id") % 7 == 0).select("vec_id", "embedding")
+    planted = (
+        e.filter((F.col("vec_id") % 7 == 0) & (F.col("vec_id") < 84))
+        .select(
+            (F.col("vec_id") + 9000000).alias("vec_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: (x * F.lit(1.01) + F.lit(0.001)).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    train = (
+        e.filter(F.col("vec_id") % 7 != 0)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    cent_rows = (
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect()
+    )
+    centroid_codes = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sorted(cent_rows, key=lambda r: r["vec_id"])
+    ]
+    # anti-hollow trailing filter: keeps the hits left-join (and the
+    # cell probe join behind it) under bench's count()
+    return sim_ops.semantic_decontaminate_int8(
+        train, ev, centroid_codes, eps=0.95
+    ).filter(F.col("n_eval_hits") >= 0)

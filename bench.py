@@ -177,6 +177,7 @@ HEADLINE = [
     "dedup_self_repetition_capped",
     "dedup_semdedup_int8",
     "curation_semantic_decontaminate",
+    "dedup_semdedup_incremental",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

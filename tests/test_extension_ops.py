@@ -3975,3 +3975,37 @@ def test_semantic_decontaminate_planted_and_zero_vector(spark):
     assert out[1]["max_eval_sim"] >= 0.999
     assert out[2]["contaminated"] == 0 and out[2]["max_eval_sim"] == 0.0
     assert out[3]["contaminated"] == 0 and out[3]["n_eval_hits"] == 0
+
+
+def test_semdedup_delta_matches_batch_including_old_survivor_flips(spark):
+    """semdedup_int8_delta == semdedup_int8 on the union, bit-identical —
+    including the one interesting transition: OLD survivors beaten by a
+    NEW pair (13 near-dups old 12 with LOWER cent_sim → old 12 flips to
+    dup; 21 near-dups old 20 likewise), while old-only drops (10) carry
+    over and within-delta pairs score too."""
+    old_rows = [
+        (10, [1.0, 0.01, 0.0, 0.0]),
+        (11, [0.99, 0.012, 0.0, 0.0]),
+        (12, [0.8, 0.55, 0.0, 0.0]),
+        (20, [0.01, 1.0, 0.0, 0.0]),
+    ]
+    delta_rows = [
+        (13, [0.75, 0.6, 0.0, 0.0]),    # near 12, farther from centroid
+        (21, [0.012, 0.995, 0.0, 0.0]), # near 20, farther from centroid
+    ]
+    schema = "vec_id long, embedding array<float>"
+    old = spark.createDataFrame(old_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    centroid_codes = [(0, [127, 0, 0, 0]), (1, [0, 127, 0, 0])]
+    batch = sim_ops.semdedup_int8(
+        old.unionByName(delta), centroid_codes, eps=0.95
+    )
+    flagged_old = sim_ops.semdedup_int8(old, centroid_codes, eps=0.95)
+    inc = sim_ops.semdedup_int8_delta(
+        flagged_old, old, delta, centroid_codes, eps=0.95
+    )
+    key = lambda r: r["vec_id"]
+    b, i = sorted(batch.collect(), key=key), sorted(inc.collect(), key=key)
+    assert [tuple(r) for r in b] == [tuple(r) for r in i]
+    flags = {r["vec_id"]: r["is_dup"] for r in i}
+    assert flags == {10: 1, 11: 0, 12: 1, 13: 0, 20: 1, 21: 0}

@@ -1850,6 +1850,61 @@ def ivf_int8_knn_graph_delta(
     return updated_old.unionByName(new_edges.select("src_id", "nbr_id", "sim"))
 
 
+def _members_with_cent_sim(
+    corpus: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """(id, vec, __cfn, __cell, cent_sim) — the member scan shared by
+    :func:`semdedup_int8` and :func:`semdedup_int8_delta`: one
+    :func:`_inline_codes` pass + Arrow int64 centroid dots, argmax cell
+    (min-cid ties), and the full int8 cosine to the ASSIGNED centroid
+    (exact int64 dot and norm², one IEEE division/sqrt, rounded) as the
+    keep-rule key. Zero-code vectors get cent_sim = 0.0 so the frame
+    stays total."""
+    import math
+
+    with_codes = _inline_codes(corpus, id_col, vec_col)
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    scored = with_codes.withColumn("__cd", dots_udf(F.col("__codes")))
+    best = F.array_min(_int8_centroid_scores(F.col("__cd"), centroid_codes))
+    cids_arr = F.array(*[F.lit(int(cid)).cast("int") for cid, _ in centroid_codes])
+    cns_arr = F.array(
+        *[
+            F.lit(math.sqrt(float(sum(int(x) * int(x) for x in code))))
+            for _, code in centroid_codes
+        ]
+    )
+    # own int8 code norm² — exact int64 fold (≤ 127²·dim per component)
+    cn2 = F.aggregate(
+        F.col("__codes"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x.cast("long") * x.cast("long"),
+    )
+    return (
+        scored.withColumn("__cell", best.getField("cid"))
+        .withColumn("__pos", F.array_position(cids_arr, F.col("__cell")).cast("int"))
+        .withColumn("__cn2", cn2)
+        .withColumn(
+            "cent_sim",
+            F.when(
+                F.col("__cn2") > 0,
+                F.round(
+                    F.element_at(F.col("__cd"), F.col("__pos")).cast("double")
+                    / (
+                        F.sqrt(F.col("__cn2").cast("double"))
+                        * F.element_at(cns_arr, F.col("__pos"))
+                    ),
+                    round_digits,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(id_col, vec_col, "__cfn", "__cell", "cent_sim")
+    )
+
+
 def semdedup_int8(
     corpus: DataFrame,
     centroid_codes: list[tuple[int, list[int]]],
@@ -1902,46 +1957,8 @@ def semdedup_int8(
     exact, which the gated oracle pins. Mirrors ``max_anchor_docs`` /
     ``max_anchor_occurrences`` in the span family.
     """
-    import math
-
-    # shared inline-codes scan, keeping __cd (the int64 centroid dot
-    # array) for cent_sim
-    with_codes = _inline_codes(corpus, id_col, vec_col)
-    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
-    scored = with_codes.withColumn("__cd", dots_udf(F.col("__codes")))
-    best = F.array_min(_int8_centroid_scores(F.col("__cd"), centroid_codes))
-    cids_arr = F.array(*[F.lit(int(cid)).cast("int") for cid, _ in centroid_codes])
-    cns_arr = F.array(
-        *[
-            F.lit(math.sqrt(float(sum(int(x) * int(x) for x in code))))
-            for _, code in centroid_codes
-        ]
-    )
-    # own int8 code norm² — exact int64 fold (≤ 127²·dim per component)
-    cn2 = F.aggregate(
-        F.col("__codes"),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x.cast("long") * x.cast("long"),
-    )
-    members = (
-        scored.withColumn("__cell", best.getField("cid"))
-        .withColumn("__pos", F.array_position(cids_arr, F.col("__cell")).cast("int"))
-        .withColumn("__cn2", cn2)
-        .withColumn(
-            "cent_sim",
-            F.when(
-                F.col("__cn2") > 0,
-                F.round(
-                    F.element_at(F.col("__cd"), F.col("__pos")).cast("double")
-                    / (
-                        F.sqrt(F.col("__cn2").cast("double"))
-                        * F.element_at(cns_arr, F.col("__pos"))
-                    ),
-                    round_digits,
-                ),
-            ).otherwise(F.lit(0.0)),
-        )
-        .select(id_col, vec_col, "__cfn", "__cell", "cent_sim")
+    members = _members_with_cent_sim(
+        corpus, centroid_codes, id_col, vec_col, round_digits
     )
     if persist_members:
         # three consumers (cell counts + both sides of the pair join)
@@ -2123,4 +2140,150 @@ def _cells_with_norms(
         with_codes.withColumn("__cd", dots_udf(F.col("__codes")))
         .withColumn("__cell", best.getField("cid"))
         .select(id_col, vec_col, "__cfn", "__cell")
+    )
+
+
+def semdedup_int8_delta(
+    flagged_old: DataFrame,
+    old_vectors: DataFrame,
+    delta: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    round_digits: int = 4,
+    persist_members: bool = True,
+) -> DataFrame:
+    """Incremental SemDeDup — fold a ``delta`` of NEW vectors into an
+    existing :func:`semdedup_int8` result WITHOUT rescoring old×old
+    pairs, bit-identical to rerunning the batch on the union. The
+    equality is exact, not approximate, because the keep-rule is
+    pair-local and drops are MONOTONE under corpus growth: a vector is
+    a duplicate iff SOME same-cell pair at rounded cosine ≥ ``eps``
+    ranks it higher by (cent_sim, id) — adding vectors only ADDS pairs,
+    never removes one, so previously-dropped vectors stay dropped and
+    the only possible flips are old survivors beaten by a NEW pair.
+    Hence: updated flags = old flags ∪ losers(delta×old ∪ delta×delta),
+    and cell assignment / cent_sim are per-vector constants. (Same
+    artifact-update contract as :func:`ivf_int8_knn_graph_delta`; the
+    gated entry shares the BATCH oracle verbatim — the driver
+    externally proves incremental == batch.)
+
+    ``flagged_old`` is the saved batch output (id, cell, cell_n,
+    cent_sim, is_dup); ``old_vectors`` re-supplies (id, vec) for pair
+    scoring (the float corpus artifact — cell_n is recomputed on the
+    union, so a stale count column in the artifact is ignored).
+    ``delta`` ids must be disjoint from old ids (append-only contract,
+    as in every incremental operator here).
+
+    Scale shape: the delta scans once for codes/cells (Arrow int64
+    matmul); old×delta pairs are ONE cell equi-join where the delta is
+    the small side (broadcast) — per-cell work is |cell_old|·|cell_Δ| +
+    |cell_Δ|²/2, against the batch rerun's |cell_old ∪ cell_Δ|²/2: the
+    incremental path does ~|Δ|/n of the batch pair work. Zero-norm
+    pairs guarded as in :func:`semdedup_int8`."""
+    dm = _members_with_cent_sim(delta, centroid_codes, id_col, vec_col, round_digits)
+    om = (
+        flagged_old.select(
+            F.col(id_col),
+            F.col("cell").alias("__cell"),
+            F.col("cent_sim"),
+            F.col("is_dup").alias("__old_dup"),
+        )
+        .join(old_vectors.select(F.col(id_col), F.col(vec_col)), id_col)
+        .withColumn("__cfn", l2_norm(F.col(vec_col)))
+    )
+    if persist_members:
+        from pyspark import StorageLevel
+
+        from ._util import track_persist
+
+        dm = track_persist(dm.persist(StorageLevel.MEMORY_AND_DISK))
+        om = track_persist(om.persist(StorageLevel.MEMORY_AND_DISK))
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("__cell"),
+            F.col(id_col).alias(f"__id{tag}"),
+            F.col(vec_col).alias(f"__v{tag}"),
+            F.col("__cfn").alias(f"__n{tag}"),
+            F.col("cent_sim").alias(f"__c{tag}"),
+        )
+
+    def losers_of(pairs: DataFrame) -> DataFrame:
+        sim = F.round(
+            dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+            round_digits,
+        )
+        return (
+            pairs.filter((F.col("__na") > 0) & (F.col("__nb") > 0))
+            .select(
+                F.col("__ida"), F.col("__idb"), F.col("__ca"), F.col("__cb"),
+                sim.alias("__sim"),
+            )
+            .filter(F.col("__sim") >= eps)
+            # loser = max by (cent_sim, id) — the batch rule expressed
+            # pair-order-free
+            .select(
+                F.when(
+                    (F.col("__ca") > F.col("__cb"))
+                    | (
+                        (F.col("__ca") == F.col("__cb"))
+                        & (F.col("__ida") > F.col("__idb"))
+                    ),
+                    F.col("__ida"),
+                )
+                .otherwise(F.col("__idb"))
+                .alias(id_col)
+            )
+        )
+
+    da, db = side(dm, "a"), side(dm, "b")
+    oa = side(om, "b")  # old side plays "b" in delta×old pairs
+    cross = losers_of(
+        da.join(oa, (da["__cell"] == oa["__cell"]))
+    )
+    within = losers_of(
+        da.join(db, (da["__cell"] == db["__cell"]) & (F.col("__ida") < F.col("__idb")))
+    )
+    losers = cross.unionByName(within).distinct().withColumn("__new_dup", F.lit(1))
+
+    counts = (
+        om.select(id_col, "__cell")
+        .unionByName(dm.select(id_col, "__cell"))
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    old_out = (
+        om.select(id_col, "__cell", "cent_sim", "__old_dup")
+        .join(losers, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__cell"),
+            F.col("cent_sim"),
+            F.greatest(
+                F.col("__old_dup"), F.coalesce(F.col("__new_dup"), F.lit(0))
+            ).alias("is_dup"),
+        )
+    )
+    new_out = (
+        dm.select(id_col, "__cell", "cent_sim")
+        .join(losers, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("__cell"),
+            F.col("cent_sim"),
+            F.coalesce(F.col("__new_dup"), F.lit(0)).alias("is_dup"),
+        )
+    )
+    return (
+        old_out.unionByName(new_out)
+        .join(F.broadcast(counts), "__cell")
+        .select(
+            F.col(id_col),
+            F.col("__cell").alias("cell"),
+            F.col("cell_n").cast("long").alias("cell_n"),
+            F.col("cent_sim"),
+            F.col("is_dup"),
+        )
     )

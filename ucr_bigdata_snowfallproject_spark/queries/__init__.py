@@ -433,7 +433,19 @@ _GATED_WINDOW = [
     # skew_stats_events_by_user gated plus the incoming profile_documents)
     # for the round-7-built incremental IVF maintenance entry — append ==
     # full rebuild under the full-corpus oracle:
-    "similarity_ivf_int8_incremental",
+    # =====================================================================
+    # Round-11 rotation (4 of 4): gate the round-11-BUILT
+    # dedup_semdedup_incremental — the SemDeDup artifact-update path
+    # (delta×old + delta×delta pairs only; drops are monotone under
+    # corpus growth so incremental == batch BIT-identically), sharing
+    # dedup_semdedup_int8's oracle VERBATIM so the driver externally
+    # proves the equality. Rotated OUT: similarity_ivf_int8_incremental
+    # (r10 driver-green; the incremental-artifact family keeps THIS new
+    # entry plus incremental_agg_replay gated, the IVF family keeps
+    # similarity_ivf_int8_indexed_topk gated; stays oracle-checked in
+    # the local pytest mirror).
+    # =====================================================================
+    "dedup_semdedup_incremental",
     # --- round-5f rotation: the BM25 retrieval and key-skew-diagnostic
     # families earn first driver rows. Rotated out: text_language_id
     # (text-signal family keeps text_stats_documents, text_redact_pii,

@@ -2344,3 +2344,51 @@ def curation_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFra
     return sim_ops.semantic_decontaminate_int8(
         train, ev, centroid_codes, eps=0.95
     ).filter(F.col("n_eval_hits") >= 0)
+
+
+@register("dedup_semdedup_incremental", _SEMDEDUP_ORACLE)
+def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 incremental SemDeDup lifecycle
+    (operators.similarity.semdedup_int8_delta, round 11): batch-dedup
+    the OLD corpus (vec_id % 5 != 0), persist the flag table and the
+    float vectors as parquet artifacts, reload both, then fold in the
+    DELTA (vec_id % 5 == 0 plus the 12 planted near-duplicates) by
+    scoring ONLY delta×old and delta×delta same-cell pairs — ~|Δ|/n of
+    the batch pair work. Drops are monotone under corpus growth (adding
+    vectors only adds pairs), so the incremental result is BIT-IDENTICAL
+    to the batch rerun on the union: this entry shares
+    dedup_semdedup_int8's oracle VERBATIM, so the driver externally
+    proves incremental == batch, not just that the query runs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 9000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: (x * F.lit(1.01) + F.lit(0.001)).cast("float"),
+        ).alias("embedding"),
+    )
+    old = e.filter(F.col("vec_id") % 5 != 0).select("vec_id", "embedding")
+    delta = (
+        e.filter(F.col("vec_id") % 5 == 0)
+        .select("vec_id", "embedding")
+        .unionByName(planted)
+    )
+    cent_rows = (
+        sim_ops.quantize_embeddings(e.filter(F.col("vec_id") < 16), "vec_id")
+        .select("vec_id", "codes")
+        .collect()
+    )
+    centroid_codes = [
+        (int(r["vec_id"]), [int(x) for x in r["codes"]])
+        for r in sorted(cent_rows, key=lambda r: r["vec_id"])
+    ]
+    root = _scratch_dir("snowfall-semdd-")
+    sim_ops.semdedup_int8(old, centroid_codes, eps=0.95).write.mode(
+        "overwrite"
+    ).parquet(root + "/flags")
+    old.write.mode("overwrite").parquet(root + "/vectors")
+    flagged_old = spark.read.parquet(root + "/flags")
+    old_v = spark.read.parquet(root + "/vectors")
+    return sim_ops.semdedup_int8_delta(
+        flagged_old, old_v, delta, centroid_codes, eps=0.95
+    ).filter(F.col("is_dup") >= 0)

@@ -4009,3 +4009,40 @@ def test_semdedup_delta_matches_batch_including_old_survivor_flips(spark):
     assert [tuple(r) for r in b] == [tuple(r) for r in i]
     flags = {r["vec_id"]: r["is_dup"] for r in i}
     assert flags == {10: 1, 11: 0, 12: 1, 13: 0, 20: 1, 21: 0}
+
+
+def test_semdedup_coarse_kernel_matches_plain_join(spark):
+    """coarse_eps engages the grouped-Arrow coarse+refine pair kernel;
+    at a margin below eps it must reproduce the plain HOF-join path
+    bit-identically on the toy fixture (and compose with the cell cap:
+    over-cap cells short-circuit before the Arrow stage either way)."""
+    corpus, centroid_codes = _semdedup_fixture(spark)
+    plain = sorted(
+        map(tuple, sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95).collect())
+    )
+    coarse = sorted(
+        map(
+            tuple,
+            sim_ops.semdedup_int8(
+                corpus, centroid_codes, eps=0.95, coarse_eps=0.93
+            ).collect(),
+        )
+    )
+    assert plain == coarse
+    capped_plain = sorted(
+        map(
+            tuple,
+            sim_ops.semdedup_int8(
+                corpus, centroid_codes, eps=0.95, max_cell_rows=2
+            ).collect(),
+        )
+    )
+    capped_coarse = sorted(
+        map(
+            tuple,
+            sim_ops.semdedup_int8(
+                corpus, centroid_codes, eps=0.95, max_cell_rows=2, coarse_eps=0.93
+            ).collect(),
+        )
+    )
+    assert capped_plain == capped_coarse

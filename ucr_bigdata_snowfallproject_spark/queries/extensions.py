@@ -2146,7 +2146,7 @@ _SEMDEDUP_ORACLE = """
         FROM codes e CROSS JOIN cents ct)
       WHERE rn = 1
     ), mem AS (
-      SELECT a.vec_id, a.cid AS cell, b.xs,
+      SELECT a.vec_id, a.cid AS cell, b.xs, c.c,
              CASE WHEN list_dot_product(c.c, c.c) > 0 THEN
                ROUND(list_dot_product(c.c, ct.cc)
                      / (sqrt(list_dot_product(c.c, c.c)) * ct.cns), 4)
@@ -2158,12 +2158,18 @@ _SEMDEDUP_ORACLE = """
     ), celln AS (
       SELECT cell, COUNT(*) AS cell_n FROM mem GROUP BY cell
     ), pairs AS (
+      -- coarse stage first (the Spark side's grouped-Arrow kernel):
+      -- int8-code cosine >= 0.93 in the same DIVISION form, then the
+      -- exact rounded rerank at 0.95
       SELECT p.vec_id AS ia, q.vec_id AS ib,
              p.cent_sim AS ca, q.cent_sim AS cb,
              ROUND(list_dot_product(p.xs, q.xs) /
                    (sqrt(list_dot_product(p.xs, p.xs)) *
                     sqrt(list_dot_product(q.xs, q.xs))), 4) AS sim
       FROM mem p JOIN mem q ON p.cell = q.cell AND p.vec_id < q.vec_id
+      WHERE list_dot_product(p.c, q.c)
+              / (sqrt(list_dot_product(p.c, p.c)) *
+                 sqrt(list_dot_product(q.c, q.c))) >= 0.93
     ), losers AS (
       SELECT DISTINCT CASE WHEN ca > cb OR (ca = cb AND ia > ib)
                            THEN ia ELSE ib END AS vec_id
@@ -2193,6 +2199,10 @@ def dedup_semdedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.001, cast back to float32) DERIVED identically in the oracle from
     the same parquet — the natural fixture's max pairwise cosine is
     ~0.46, so without planting the pair stage would be vacuous.
+    The pair stage runs the PRODUCTION kernel — coarse_eps=0.93: one
+    grouped Arrow task per cell, exact integer-code GEMM coarse filter,
+    sequential exact-cosine rerank on survivors (measured ~1000× the
+    HOF fold per pair) — and the oracle replays BOTH stages verbatim.
     Fully integer/IEEE arithmetic end to end ⇒ the whole
     cluster-then-prune result (cell, cell_n, cent_sim, is_dup per
     vector) hash-checks against DuckDB — covering the one published
@@ -2219,9 +2229,9 @@ def dedup_semdedup_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-hollow trailing filter: under bench's count() Catalyst would
     # otherwise eliminate the losers left-join AND the pair self-join
     # (unique-keyed, unreferenced) and time cluster-assignment only
-    return sim_ops.semdedup_int8(corpus, centroid_codes, eps=0.95).filter(
-        F.col("is_dup") >= 0
-    )
+    return sim_ops.semdedup_int8(
+        corpus, centroid_codes, eps=0.95, coarse_eps=0.93
+    ).filter(F.col("is_dup") >= 0)
 
 
 _SEMANTIC_DECON_ORACLE = """
@@ -2383,12 +2393,12 @@ def dedup_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in sorted(cent_rows, key=lambda r: r["vec_id"])
     ]
     root = _scratch_dir("snowfall-semdd-")
-    sim_ops.semdedup_int8(old, centroid_codes, eps=0.95).write.mode(
-        "overwrite"
-    ).parquet(root + "/flags")
+    sim_ops.semdedup_int8(
+        old, centroid_codes, eps=0.95, coarse_eps=0.93
+    ).write.mode("overwrite").parquet(root + "/flags")
     old.write.mode("overwrite").parquet(root + "/vectors")
     flagged_old = spark.read.parquet(root + "/flags")
     old_v = spark.read.parquet(root + "/vectors")
     return sim_ops.semdedup_int8_delta(
-        flagged_old, old_v, delta, centroid_codes, eps=0.95
+        flagged_old, old_v, delta, centroid_codes, eps=0.95, coarse_eps=0.93
     ).filter(F.col("is_dup") >= 0)

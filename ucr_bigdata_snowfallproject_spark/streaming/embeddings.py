@@ -305,3 +305,86 @@ def stream_ivf_int8_near_dup_flags(
             "sim",
         )
     )
+
+
+def stream_semantic_contamination_flags(
+    vec_stream: DataFrame,
+    eval_cells: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Streaming face of
+    :func:`~..operators.similarity.semantic_decontaminate_int8` (X9):
+    flag arriving TRAIN vectors whose rounded cosine to a STATIC eval
+    vector in the SAME int8-codebook cell is ≥ ``eps`` — the
+    embedding-space contamination signal, evaluated as the crawl lands
+    instead of in the nightly batch. ``eval_cells`` is the static side
+    from ``similarity._cells_with_norms(eval_df, centroid_codes, ...)``
+    (or its persisted parquet): (id, vec, __cfn, __cell) — the cheap
+    side, materialized once per eval-suite release.
+
+    Same contracts as the sibling index probes: quantization + integer
+    centroid dots are scan-side (inlined sibling columns — a derived
+    code frame joined back would be a stream-stream self-join needing
+    state for nothing), the stream-static cell equi-join prunes per
+    micro-batch, output is an APPEND-mode at-least-once flag stream
+    (id, eval_id, sim) — consumers aggregate per doc or merge into a
+    snapshot in ``foreachBatch``. Single-cell blocking (the batch
+    decontaminator's recall contract): a boundary-straddling pair can
+    be missed on BOTH sides identically, so batch == stream remains
+    bit-identical — the batch function IS the streaming function,
+    pinned in tests. Zero-norm guard on both sides (Spark orders NaN
+    above every number)."""
+    from ..operators.similarity import (
+        _int8_centroid_scores,
+        matrix_int_dots_udf,
+    )
+
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    q = (
+        vec_stream.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+        .withColumn(
+            "__xs", F.transform(F.col("__qvec"), lambda x: x.cast("double"))
+        )
+        .withColumn("__maxabs", F.array_max(F.transform(F.col("__xs"), F.abs)))
+    )
+    m = F.col("__maxabs")
+    codes = F.when(
+        m > 0,
+        F.transform(
+            F.col("__xs"), lambda x: F.floor(x / m * 127 + F.lit(0.5)).cast("int")
+        ),
+    ).otherwise(F.transform(F.col("__xs"), lambda x: F.lit(0)))
+    assigned = (
+        q.withColumn("__qc", codes)
+        .drop("__xs", "__maxabs")
+        .withColumn("__qd", dots_udf(F.col("__qc")))
+        .withColumn(
+            "__cell",
+            F.array_min(
+                _int8_centroid_scores(F.col("__qd"), centroid_codes)
+            ).getField("cid"),
+        )
+        .drop("__qc", "__qd")
+    )
+    sim = dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cfn"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        assigned.join(eval_cells, "__cell")
+        .withColumn("sim", sim)
+        .filter((F.col("__qn") > 0) & (F.col("__cfn") > 0))
+        .filter(F.col("sim") >= eps)
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col(id_col).alias("eval_id"),
+            "sim",
+        )
+    )

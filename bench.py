@@ -341,7 +341,10 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.count()  # materialize so AQE's final plan is recorded
             with open(os.path.join(prof_dir, f"{name}.plan.txt"), "w") as fh:
-                fh.write(checks.explain_str(df, "formatted"))
+                # dedupe repeated cached-subplan reprints (VERDICT r11 #4:
+                # the capstone's raw dump was 28.6 MB of 11k InMemoryScan
+                # body copies); first occurrences stay verbatim
+                fh.write(checks.dump_str(df))
             clear_session_state(spark)
             print(f"# [profile] {name} -> {prof_dir}/{name}.plan.txt",
                   file=sys.stderr)

@@ -213,6 +213,48 @@ def test_bench_plans_cover_headline():
               if f.endswith(".plan.txt")}
     missing = sorted(set(bench.HEADLINE) - dumped)
     assert not missing, f"headline queries with no plan dump: {missing}"
+    # size cap (VERDICT r11 #4): --profile dedupes cached-subplan
+    # reprints (plans.checks.dump_str) — a dump past 2 MB means either
+    # the profile pass predates the dedupe or a plan genuinely exploded;
+    # both must fail loudly, not ship a 28.6 MB unreviewable blob
+    cap = 2 * 1024 * 1024
+    oversized = sorted(
+        f for f in os.listdir(plans_dir)
+        if f.endswith(".plan.txt")
+        and os.path.getsize(os.path.join(plans_dir, f)) > cap
+    )
+    assert not oversized, f"plan dumps over {cap} bytes: {oversized}"
+
+
+def test_dedupe_plan_text_keeps_first_occurrences():
+    """plans.checks.dedupe_plan_text (VERDICT r11 #4): every distinct
+    normalized TREE line of the input survives in the output — eliding
+    only ever removes a run whose identical (modulo node/expression ids
+    and runtime stats) text appeared earlier, so a CartesianProduct or
+    any other audit-relevant node inside a cached body cannot be hidden
+    by the dedupe. Replayed on the heaviest checked-in dump."""
+    from ucr_bigdata_snowfallproject_spark.plans import checks
+
+    plans_dir = os.path.join(os.path.dirname(__file__), "..", "bench_plans")
+    biggest = max(
+        (f for f in os.listdir(plans_dir) if f.endswith(".plan.txt")),
+        key=lambda f: os.path.getsize(os.path.join(plans_dir, f)),
+    )
+    text = open(os.path.join(plans_dir, biggest)).read()
+    out = checks.dedupe_plan_text(text)
+    assert len(out) <= len(text) + 1
+    lines = text.splitlines()
+    tree_end = next(
+        (i for i, ln in enumerate(lines) if checks._DETAIL_HEADER_RE.match(ln)),
+        len(lines),
+    )
+    outnorm = {checks._norm_plan_line(ln) for ln in out.splitlines()}
+    missing = {
+        checks._norm_plan_line(ln) for ln in lines[:tree_end]
+    } - outnorm
+    assert not {m for m in missing if m.strip()}, sorted(missing)[:5]
+    # idempotent: a deduped dump passes through unchanged-or-smaller
+    assert len(checks.dedupe_plan_text(out)) <= len(out) + 1
 
 
 def test_every_registry_family_has_a_headline_rep():

@@ -326,11 +326,14 @@ def decontaminate(
 
     Broadcast guard (VERDICT r10 #6, the same sizing rule as
     :func:`_eval_anchor_matches`): ``broadcast_eval=None`` estimates the
-    eval shingle count with one cheap aggregate (Σ max(0, tokens−n+1) —
-    an upper bound on the DISTINCT set) and broadcasts only while it
-    fits ``_EVAL_BROADCAST_BUDGET_BYTES``; above it the probe falls back
-    to a shuffled equi-join — identical output, no unbounded build side.
-    ``True``/``False`` force either plan. Prefer
+    eval shingle count with one cheap aggregate (Σ max(1, tokens−n+1) —
+    an upper bound on the DISTINCT set; the floor is 1, not 0, because
+    :func:`~..dedup.shingles` emits one whole-text shingle for a doc
+    shorter than ``n`` tokens, so a sub-``n``-token-dominated eval set
+    must still count one row each — ADVICE r11) and broadcasts only
+    while it fits ``_EVAL_BROADCAST_BUDGET_BYTES``; above it the probe
+    falls back to a shuffled equi-join — identical output, no unbounded
+    build side. ``True``/``False`` force either plan. Prefer
     :func:`decontaminate_spans` (exact-span granularity) for new
     pipelines; this doc-level form remains for the shingle-fraction
     signal."""
@@ -347,7 +350,7 @@ def decontaminate(
         n_shingles = eval_df.select(
             F.coalesce(
                 F.sum(
-                    F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0)).cast(
+                    F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)).cast(
                         "bigint"
                     )
                 ),

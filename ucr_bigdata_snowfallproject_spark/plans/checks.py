@@ -104,3 +104,107 @@ def partitionless_window_count(df: DataFrame) -> int:
             continue  # [funcs], [partSpec] — partitioned, unordered
         n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Plan-dump hygiene (VERDICT r11 #4): formatted explain reprints a cached
+# frame's ENTIRE upstream tree (fresh node ids each time) under every
+# InMemoryTableScan consumer — the six-stage capstone's dump hit 28.6 MB
+# with 11,005 copies of the same few subplans, so the grep audit mostly
+# re-scanned duplicated text. dump_str dedupes REPEATED LINE RUNS: the
+# first occurrence of every distinct plan fragment stays verbatim (a
+# CartesianProduct inside a cached body cannot hide — its first print
+# survives), later identical runs collapse to one marker line, and the
+# node-detail blocks of elided tree lines are dropped. Run-level (not
+# subtree-level) because Spark re-anchors nested "== Final Plan ==" AQE
+# sections at arbitrary indents, which defeats indentation-based subtree
+# extraction.
+# ---------------------------------------------------------------------------
+
+_NODE_ID_RE = re.compile(r"\((\d+)\)")
+_DETAIL_HEADER_RE = re.compile(r"^\((\d+)\) ")
+_PLAN_NOISE_RES = (
+    (re.compile(r"#\d+"), "#"),              # expression ids
+    (re.compile(r"\((\d+)\)"), "(#)"),       # node ids
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(#)"),
+    (re.compile(r"plan_id=\d+"), "plan_id=#"),
+    (re.compile(r"\[\d+\]"), "[#]"),         # RDD ids
+)
+
+#: a repeated run shorter than this stays verbatim — markers for tiny
+#: repeats (single Filters, column lists) would hurt readability more
+#: than the bytes they save
+_MIN_ELIDE_RUN = 12
+#: normalized-line n-gram that seeds a candidate match
+_RUN_SEED = 8
+
+
+def _norm_plan_line(line: str) -> str:
+    s = line.lstrip(" :")
+    for rx, rep in _PLAN_NOISE_RES:
+        s = rx.sub(rep, s)
+    return s
+
+
+def dump_str(df: DataFrame) -> str:
+    """``explain('formatted')`` with duplicated cached-plan text elided —
+    the audit-grade dump ``bench.py --profile`` writes."""
+    return dedupe_plan_text(explain_str(df, "formatted"))
+
+
+def dedupe_plan_text(text: str) -> str:
+    """The pure text transform behind :func:`dump_str` (separate so tests
+    replay it on stored dumps without a SparkSession): greedy
+    first-occurrence-wins dedupe of repeated normalized line runs in the
+    tree section, then detail-block cleanup for elided node ids."""
+    lines = text.splitlines()
+    tree_end = len(lines)
+    for i, ln in enumerate(lines):
+        if _DETAIL_HEADER_RE.match(ln):
+            tree_end = i
+            break
+
+    norm = [_norm_plan_line(ln) for ln in lines[:tree_end]]
+    seeds: dict[tuple, int] = {}
+    out: list[str] = []
+    elided_ids: set[str] = set()
+    i = 0
+    while i < tree_end:
+        key = tuple(norm[i : i + _RUN_SEED])
+        j = seeds.get(key) if len(key) == _RUN_SEED else None
+        if j is not None and j < i:
+            m = 0
+            while i + m < tree_end and norm[j + m] == norm[i + m] and j + m < i:
+                m += 1
+            if m >= _MIN_ELIDE_RUN:
+                indent = lines[i][: len(lines[i]) - len(lines[i].lstrip(" :"))]
+                out.append(
+                    f"{indent}[... {m}-line cached-subplan reprint elided "
+                    f"— identical (modulo ids/stats) to text above ...]"
+                )
+                for k in range(i, i + m):
+                    elided_ids.update(_NODE_ID_RE.findall(lines[k]))
+                i += m
+                continue
+        if len(key) == _RUN_SEED:
+            seeds.setdefault(key, i)
+        out.append(lines[i])
+        i += 1
+
+    # detail blocks: a node id whose every tree occurrence was elided
+    # carries no information the kept text anchors — drop its block.
+    # Ids still present in kept tree lines keep their details.
+    kept_ids: set[str] = set()
+    for ln in out:
+        kept_ids.update(_NODE_ID_RE.findall(ln))
+    drop = elided_ids - kept_ids
+    keep = True
+    for ln in lines[tree_end:]:
+        dm = _DETAIL_HEADER_RE.match(ln)
+        if dm:
+            keep = dm.group(1) not in drop
+        elif not ln.startswith((" ", "\t")) and ln.strip():
+            keep = True  # section headers (Subqueries etc.) always kept
+        if keep:
+            out.append(ln)
+    return "\n".join(out) + "\n"

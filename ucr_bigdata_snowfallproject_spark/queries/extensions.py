@@ -2167,7 +2167,16 @@ _SEMDEDUP_ORACLE = """
                    (sqrt(list_dot_product(p.xs, p.xs)) *
                     sqrt(list_dot_product(q.xs, q.xs))), 4) AS sim
       FROM mem p JOIN mem q ON p.cell = q.cell AND p.vec_id < q.vec_id
-      WHERE list_dot_product(p.c, q.c)
+      -- zero-norm guard (ADVICE r11): a zero vector's coarse/exact
+      -- division is 0/0 = NaN and DuckDB orders NaN ABOVE every number
+      -- (NaN >= t is TRUE), while the Spark kernel filters __cfn > 0 —
+      -- guard BOTH the code norms and the float norms so the engines
+      -- stay in lockstep if the fixture ever gains a zero embedding
+      WHERE list_dot_product(p.c, p.c) > 0
+        AND list_dot_product(q.c, q.c) > 0
+        AND list_dot_product(p.xs, p.xs) > 0
+        AND list_dot_product(q.xs, q.xs) > 0
+        AND list_dot_product(p.c, q.c)
               / (sqrt(list_dot_product(p.c, p.c)) *
                  sqrt(list_dot_product(q.c, q.c))) >= 0.93
     ), losers AS (
@@ -2294,7 +2303,13 @@ _SEMANTIC_DECON_ORACLE = """
                ROUND(list_dot_product(t.xs, e.xs) /
                      (sqrt(list_dot_product(t.xs, t.xs)) *
                       sqrt(list_dot_product(e.xs, e.xs))), 4) AS sim
-        FROM tr t JOIN ev e ON e.cell = t.cell) t
+        FROM tr t JOIN ev e ON e.cell = t.cell
+        -- zero-norm guard (ADVICE r11): mirror the Spark side's
+        -- __cfn > 0 AND __en > 0 filter — DuckDB's NaN orders above
+        -- every number, so an unguarded 0/0 would pair a zero vector
+        -- with everything on the oracle side only
+        WHERE list_dot_product(t.xs, t.xs) > 0
+          AND list_dot_product(e.xs, e.xs) > 0) t
       WHERE sim >= 0.95
       GROUP BY t.vec_id
     )

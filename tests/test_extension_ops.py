@@ -4046,3 +4046,128 @@ def test_semdedup_coarse_kernel_matches_plain_join(spark):
         )
     )
     assert capped_plain == capped_coarse
+
+
+def test_semantic_decontaminate_broadcast_guard_fallback(spark):
+    """VERDICT r11 #2: the eval-embedding broadcast is SIZED — forcing
+    the shuffled fallback (broadcast_eval=False) produces output
+    bit-identical to the forced broadcast plan and to the default sized
+    path (which, for a 1-row eval suite, chooses broadcast)."""
+    ev = spark.createDataFrame(
+        [(100, [1.0, 0.02, 0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [0.99, 0.021, 0.0, 0.0]),
+            (2, [0.01, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    centroid_codes = [(0, [127, 0, 0, 0]), (1, [0, 127, 0, 0])]
+    outs = {
+        mode: sorted(
+            map(
+                tuple,
+                sim_ops.semantic_decontaminate_int8(
+                    train, ev, centroid_codes, eps=0.95, broadcast_eval=mode
+                ).collect(),
+            )
+        )
+        for mode in (True, False, None)
+    }
+    assert outs[True] == outs[False] == outs[None]
+    assert {r[0]: r[4] for r in outs[True]} == {1: 1, 2: 0, 3: 0}
+
+
+def test_semdedup_delta_max_cell_rows_matches_batch(spark):
+    """ADVICE r11: max_cell_rows plumbed through the delta form — when
+    the DELTA pushes a previously under-cap cell over the cap, the
+    incremental result equals the batch-on-union short-circuit (keep
+    the single min-(cent_sim, id) member, everything else duplicate),
+    on both the HOF and the coarse Arrow pair paths; a cell with ZERO
+    delta members (cell 1) rides through untouched (the pruned old
+    side never reaches the pair stage)."""
+    old_rows = [
+        (10, [1.0, 0.01, 0.0, 0.0]),
+        (11, [0.99, 0.012, 0.0, 0.0]),   # near 10 → 10 dropped in old run
+        (12, [0.8, 0.55, 0.0, 0.0]),
+        (20, [0.01, 1.0, 0.0, 0.0]),     # singleton cell 1, no delta lands
+    ]
+    delta_rows = [(13, [0.95, 0.2, 0.0, 0.0])]  # 4th member of cell 0
+    schema = "vec_id long, embedding array<float>"
+    old = spark.createDataFrame(old_rows, schema)
+    delta = spark.createDataFrame(delta_rows, schema)
+    centroid_codes = [(0, [127, 0, 0, 0]), (1, [0, 127, 0, 0])]
+    for coarse in (None, 0.93):
+        batch = sorted(
+            map(
+                tuple,
+                sim_ops.semdedup_int8(
+                    old.unionByName(delta), centroid_codes, eps=0.95,
+                    max_cell_rows=3, coarse_eps=coarse,
+                ).collect(),
+            )
+        )
+        flagged_old = sim_ops.semdedup_int8(
+            old, centroid_codes, eps=0.95, max_cell_rows=3, coarse_eps=coarse
+        )
+        inc = sorted(
+            map(
+                tuple,
+                sim_ops.semdedup_int8_delta(
+                    flagged_old, old, delta, centroid_codes, eps=0.95,
+                    max_cell_rows=3, coarse_eps=coarse,
+                ).collect(),
+            )
+        )
+        assert batch == inc, f"coarse_eps={coarse}"
+        flags = {r[0]: r[4] for r in inc}
+        # cell 0 over cap (4 > 3): keeper is 12 (min cent_sim); the old
+        # pair survivor 11 flips, old drop 10 stays dropped, new 13 dup
+        assert flags == {10: 1, 11: 1, 12: 0, 13: 1, 20: 0}
+
+
+def test_losers_arrow_boundary_double_matches_engine_rounding(spark):
+    """ADVICE r11 (medium): the Arrow pair kernel's refine stage must
+    round like the ENGINES — Spark's F.round rounds the shortest-decimal
+    repr of the double (0.94995's nearest double has exact binary
+    0.94994999…, repr "0.94995" → rounds UP to 0.9500 ≥ 0.95), while the
+    r11 kernel thresholded on the exact binary expansion and REJECTED
+    such a pair. Construct a 2-vector cell whose pair cosine computes to
+    exactly that boundary double (unit norms by ulp-search, dot = d) and
+    pin kernel == HOF path == flagged."""
+    import math
+    from decimal import Decimal
+
+    d = 0.94995
+    assert Decimal(d) < Decimal("0.94995")  # binary sits BELOW the boundary
+    assert repr(d) == "0.94995"             # but the engines' repr reaches it
+    # find s with fl(d*d + s*s) == 1.0 so the Spark-side l2 norm is 1.0
+    s = math.sqrt(1.0 - d * d)
+    for _ in range(64):
+        if d * d + s * s == 1.0:
+            break
+        s = math.nextafter(s, math.inf if d * d + s * s < 1.0 else -math.inf)
+    assert d * d + s * s == 1.0 and math.sqrt(1.0) == 1.0
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [d, s])], "vec_id long, embedding array<double>"
+    )
+    centroid_codes = [(0, [127, 0]), (1, [0, 127])]
+    plain = {
+        r["vec_id"]: r["is_dup"]
+        for r in sim_ops.semdedup_int8(
+            corpus, centroid_codes, eps=0.95
+        ).collect()
+    }
+    arrow = {
+        r["vec_id"]: r["is_dup"]
+        for r in sim_ops.semdedup_int8(
+            corpus, centroid_codes, eps=0.95, coarse_eps=0.93
+        ).collect()
+    }
+    # the pair IS a near-dup under engine rounding: loser is vec 1
+    # (cent_sim 1.0 > vec 2's) — and the Arrow kernel agrees with the
+    # HOF path bit-for-bit
+    assert plain == {1: 1, 2: 0}
+    assert arrow == plain

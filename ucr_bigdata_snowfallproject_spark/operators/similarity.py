@@ -2258,12 +2258,13 @@ def semdedup_int8_delta(
     the batch form, applied to the UNION cell count. An over-cap cell's
     flags depend only on per-vector constants (keep the single member
     with min (cent_sim, id), drop the rest — no pair work), so the
-    delta form RECOMPUTES over-cap cells from the union members,
-    ignoring the saved flags: that is exactly what the batch run on the
-    union produces (an old cell that crossed the cap when the delta
-    landed short-circuits in the batch too, possibly resurrecting an
-    old pairwise-dropped member — honoring the saved flag there would
-    diverge). Pass the SAME value to both forms, as with
+    delta form RECOMPUTES over-cap cells from the union members — which
+    is exactly what the batch run on the union produces for them, saved
+    flags or not: the keeper (global min by (cent_sim, id)) can never
+    be a previously pair-dropped member (a pair loser always ranked
+    ABOVE its winner, who is also in the union), so the recompute only
+    ever flips old SURVIVORS to duplicates — monotone, like every other
+    transition here. Pass the SAME value to both forms, as with
     ``coarse_eps``."""
     dm = _members_with_cent_sim(delta, centroid_codes, id_col, vec_col, round_digits)
     om = (

@@ -388,3 +388,82 @@ def stream_semantic_contamination_flags(
             "sim",
         )
     )
+
+
+def stream_semantic_dup_flags(
+    vec_stream: DataFrame,
+    corpus_members: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Streaming face of SemDeDup (VERDICT r11 #5) — the dedup sibling
+    of :func:`stream_semantic_contamination_flags`: flag arriving
+    vectors that form a semantic near-dup pair (rounded cosine ≥
+    ``eps``) with the STATIC deduplicated corpus, carrying the paper's
+    keep-rule verdict per pair. ``corpus_members`` is exactly the
+    :func:`~..operators.similarity.semdedup_int8_delta` input pair
+    joined — the saved flag table's (id, cell, cent_sim) columns plus
+    the corpus vectors: the artifact the batch pipeline already
+    persists.
+
+    Per micro-batch the stream side runs the batch form's OWN member
+    scan (``similarity._members_with_cent_sim`` — pure inline
+    projections + the Arrow centroid matmul, stateless and
+    streaming-safe, so cell assignment and cent_sim are BIT-IDENTICAL
+    to what the batch delta computes), then a stream-static cell
+    equi-join scores same-cell pairs exactly as the delta's old×new
+    stage. Output is an APPEND-mode at-least-once pair stream
+    (id, matched_id, sim, loser_id) — ``loser_id`` is the member the
+    keep-rule drops (higher (cent_sim, id)); consumers OR the loser
+    flags into the snapshot in ``foreachBatch``. Within-stream
+    (new×new) pairs are the next batch-delta rebuild's job, as with
+    every static-index stream face here; zero-norm guard on both sides
+    (Spark orders NaN above every number)."""
+    from ..operators.similarity import _members_with_cent_sim
+
+    new = _members_with_cent_sim(
+        vec_stream, centroid_codes, id_col, vec_col, round_digits
+    ).select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__cfn").alias("__qn"),
+        F.col("__cell"),
+        F.col("cent_sim").alias("__qc"),
+    )
+    static = corpus_members.select(
+        F.col(id_col).alias("matched_id"),
+        F.col(vec_col).alias("__svec"),
+        l2_norm(F.col(vec_col)).alias("__sn"),
+        F.col("cell").alias("__cell"),
+        F.col("cent_sim").alias("__sc"),
+    )
+    sim = F.round(
+        dot(F.col("__qvec"), F.col("__svec")) / (F.col("__qn") * F.col("__sn")),
+        round_digits,
+    )
+    return (
+        new.join(static, "__cell")
+        .filter((F.col("__qn") > 0) & (F.col("__sn") > 0))
+        .withColumn("sim", sim)
+        .filter(
+            (F.col("sim") >= eps) & (F.col("__qid") != F.col("matched_id"))
+        )
+        .select(
+            F.col("__qid").alias(id_col),
+            F.col("matched_id"),
+            F.col("sim"),
+            F.when(
+                (F.col("__qc") > F.col("__sc"))
+                | (
+                    (F.col("__qc") == F.col("__sc"))
+                    & (F.col("__qid") > F.col("matched_id"))
+                ),
+                F.col("__qid"),
+            )
+            .otherwise(F.col("matched_id"))
+            .alias("loser_id"),
+        )
+    )

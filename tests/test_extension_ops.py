@@ -4171,3 +4171,42 @@ def test_losers_arrow_boundary_double_matches_engine_rounding(spark):
     # HOF path bit-for-bit
     assert plain == {1: 1, 2: 0}
     assert arrow == plain
+
+
+def test_seeded_semdedup_survivors_match_int8_twin(spark):
+    """VERDICT r11 #8: the seeded-float SemDeDup (rows-only in the
+    registry) is tied to the externally hash-proven int8 twin — on the
+    fixture codebook (centroids passed explicitly, so the quantizer is
+    the SAME artifact on both paths) and a fixture where the two keep
+    rules provably coincide (every near-dup pair's lower id is also the
+    edge member — min-id-survives == keep-the-edge), the SURVIVOR SETS
+    are identical. The seeded path stays rows-only for its kmeans mode;
+    this pin is the deterministic external anchor the rows-only ledger
+    cites."""
+    rows = [
+        # cell x: near-dup pair (10, 11) — 10 has the LOWER id AND sits
+        # farther from e_x (cent_sim lower), so both rules keep 10
+        (10, [0.90, 0.30, 0.0, 0.0]),
+        (11, [0.91, 0.28, 0.0, 0.0]),
+        (12, [0.60, 0.75, 0.0, 0.0]),   # distinct survivor, cell x edge
+        # cell y: near-dup pair (20, 21), same arrangement
+        (20, [0.30, 0.90, 0.0, 0.0]),
+        (21, [0.28, 0.91, 0.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroid_codes = [(0, [127, 0, 0, 0]), (1, [0, 127, 0, 0])]
+    float_centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    int8_survivors = {
+        r["vec_id"]
+        for r in sim_ops.semdedup_int8(
+            corpus, centroid_codes, eps=0.95
+        ).collect()
+        if r["is_dup"] == 0
+    }
+    seeded_survivors = {
+        r["vec_id"]
+        for r in sim_ops.semdedup(
+            corpus, threshold=0.95, centroids=float_centroids
+        ).collect()
+    }
+    assert int8_survivors == seeded_survivors == {10, 12, 20}

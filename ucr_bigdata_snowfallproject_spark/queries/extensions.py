@@ -1194,9 +1194,39 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_span_clean_mix_pipeline",
-    _minhash_md5_sql("""
+def _span_capstone_sql(w: int, cap: int | None) -> str:
+    """The composed six-stage capstone oracle, parameterized on the
+    stage-2 self-repetition window ``w`` and its
+    ``max_anchor_occurrences`` cap (None = uncapped): the GATED
+    fixture-width entry uses (3, None) — every token position anchors
+    at W=3 on the fixture — and the PRODUCTION-shaped twin uses
+    (50, 10), the width/knob a real pipeline runs (VERDICT r11 #3).
+    Stage-2's cap replay is the dedup_self_repetition_capped oracle's:
+    over-cap (doc, fp) groups leave the self-join, owning docs
+    short-circuit to rep = n_tokens (⇒ always dropped by the 10·rep
+    rule). With cap=None the hot/degen CTEs are vacuous and the SQL is
+    semantically the pre-r12 capstone oracle verbatim."""
+    wm1 = w - 1
+    if cap is not None:
+        cap_ctes = f"""
+    ihot AS (
+      SELECT doc_id, fp FROM ianch GROUP BY doc_id, fp HAVING COUNT(*) > {cap}
+    ), idegen AS (
+      SELECT DISTINCT doc_id FROM ihot
+    ), ianch2 AS (
+      SELECT i.doc_id, i.pos, i.fp
+      FROM ianch i LEFT JOIN ihot h
+        ON h.doc_id = i.doc_id AND h.fp = i.fp
+      WHERE h.fp IS NULL
+    ),"""
+    else:
+        cap_ctes = """
+    idegen AS (
+      SELECT doc_id FROM it WHERE FALSE
+    ), ianch2 AS (
+      SELECT * FROM ianch
+    ),"""
+    return _minhash_md5_sql(f"""
     , survivors AS (
       SELECT d.* FROM documents d
       WHERE doc_id NOT IN (
@@ -1208,20 +1238,22 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     -- stage 2 (r11): per-doc SELF-repetition drop (Gopher-style, the
     -- doc-local signal — runs first because it needs no cross-doc
-    -- join): within-doc >=3-token repeat coverage via the intra-doc
+    -- join): within-doc >={w}-token repeat coverage via the intra-doc
     -- span machinery; drop docs more than a tenth self-repeated
-    -- (integer rule 10*rep > n_tokens — no float compare anywhere)
+    -- (integer rule 10*rep > n_tokens — no float compare anywhere);
+    -- docs owning an over-cap (doc, fp) anchor group short-circuit to
+    -- rep = n_tokens (always dropped)
     it AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
       FROM train
     ), ianch AS (
       SELECT doc_id, i AS pos,
-             md5(array_to_string(list_slice(arr, i, i + 2), ' ')) AS fp
-      FROM it, LATERAL unnest(generate_series(1, greatest(len(arr) - 2, 0))) g(i)
-      WHERE len(arr) >= 3
-    ), im AS (
+             md5(array_to_string(list_slice(arr, i, i + {wm1}), ' ')) AS fp
+      FROM it, LATERAL unnest(generate_series(1, greatest(len(arr) - {wm1}, 0))) g(i)
+      WHERE len(arr) >= {w}
+    ),{cap_ctes} im AS (
       SELECT a.doc_id, a.pos AS pos_a, b.pos AS pos_b
-      FROM ianch a JOIN ianch b
+      FROM ianch2 a JOIN ianch2 b
         ON a.fp = b.fp AND a.doc_id = b.doc_id AND a.pos < b.pos
     ), ir AS (
       SELECT *, pos_a - pos_b AS diag,
@@ -1230,7 +1262,7 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM im
     ), ispans AS (
       SELECT doc_id, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
-             MAX(pos_a) - MIN(pos_a) + 3 AS tok
+             MAX(pos_a) - MIN(pos_a) + {w} AS tok
       FROM ir GROUP BY doc_id, diag, grp
     ), iiv AS (
       SELECT DISTINCT doc_id, s, e FROM (
@@ -1253,8 +1285,11 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM iisl GROUP BY doc_id, g)
       GROUP BY doc_id
     ), train2 AS (
-      SELECT t.* FROM train t LEFT JOIN icov ON icov.doc_id = t.doc_id
-      WHERE 10 * COALESCE(icov.rep, 0) <=
+      SELECT t.* FROM train t
+      LEFT JOIN icov ON icov.doc_id = t.doc_id
+      LEFT JOIN idegen dg ON dg.doc_id = t.doc_id
+      WHERE dg.doc_id IS NULL
+        AND 10 * COALESCE(icov.rep, 0) <=
             len(regexp_split_to_array(lower(trim(t.text)), '\\s+'))
     ),
     -- stage 3: WITHIN-TRAIN substring-span coverage (min_tokens=12);
@@ -1388,8 +1423,10 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              ORDER BY (i - 0.5) / tot, source NULLS FIRST, doc_id) AS INT)
              AS interleave_rank
     FROM ranked
-    """),
-)
+    """)
+
+
+@register("curation_span_clean_mix_pipeline", _span_capstone_sql(3, None))
 def curation_span_clean_mix_pipeline(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1442,6 +1479,74 @@ def curation_span_clean_mix_pipeline(
     ev = d.filter(F.col("doc_id") % 7 == 0)
     selfrep = dedup_ops.self_repetition_coverage(
         train, "doc_id", "text", min_tokens=3
+    )
+    keep0 = selfrep.filter(
+        10 * F.col("rep_tokens") <= F.col("n_tokens")
+    ).select("doc_id")
+    train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "persist")
+    cov = dedup_ops.span_coverage(train2, "doc_id", "text", min_tokens=12)
+    keep_ids = cov.filter(
+        2 * F.col("dup_tokens") <= F.col("n_tokens")
+    ).select("doc_id")
+    kept1 = _materialize(
+        train2.join(keep_ids, "doc_id", "left_semi"), "persist"
+    )
+    cleaned = (
+        curation_ops.excise_spans(kept1, ev, "doc_id", "text", min_tokens=12)
+        .filter(F.col("kept_tokens") > 0)
+        .join(kept1.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "kept_tokens",
+            F.md5("cleaned_text").alias("cleaned_md5"),
+        )
+    )
+    kept = curation_ops.token_budget_mix(
+        cleaned, "source", "doc_id", F.col("kept_tokens"), budget_tokens=800
+    )
+    ranked = curation_ops.proportional_interleave(
+        kept.select("doc_id", "source", "kept_tokens", "cleaned_md5"),
+        "source",
+        "doc_id",
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+        "cleaned_md5",
+        "interleave_rank",
+    )
+
+
+@register(
+    "curation_span_clean_mix_pipeline_prod", _span_capstone_sql(50, 10)
+)
+def curation_span_clean_mix_pipeline_prod(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The PRODUCTION-shaped capstone (round 12, VERDICT r11 #3): the
+    same six-stage span-aware curation composition as
+    curation_span_clean_mix_pipeline, but stage 2's self-repetition
+    runs at the width and with the knob a real pipeline uses —
+    min_tokens=50 (the Lee et al./Gopher-scale window; the gated
+    fixture-width twin runs W=3, where EVERY token position anchors
+    and stage 2 alone was 24% of the bench suite) and
+    ``max_anchor_occurrences=10`` ENGAGED (the degenerate-doc degrade
+    knob on, as production would run it; the oracle replays the cap —
+    over-cap anchor groups leave the self-join, owning docs
+    short-circuit to rep = n_tokens and are always dropped). Stages
+    1 and 3-6 are identical (coverage at 12, excision at 12, budget
+    800, proportional interleave). Same composed full oracle family —
+    this is the plan users would run, benched and gated from birth."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import _materialize
+
+    d = load_table(spark, sf_dir, "documents")
+    surv = dedup_ops.minhash_dedup(d, "doc_id", "text", threshold=0.8, hash="md5")
+    train = _materialize(surv.filter(F.col("doc_id") % 7 != 0), "persist")
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    selfrep = dedup_ops.self_repetition_coverage(
+        train, "doc_id", "text", min_tokens=50, max_anchor_occurrences=10
     )
     keep0 = selfrep.filter(
         10 * F.col("rep_tokens") <= F.col("n_tokens")

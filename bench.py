@@ -179,10 +179,14 @@ HEADLINE = [
     "curation_semantic_decontaminate",
     "dedup_semdedup_incremental",
     # round-12, benched from birth (VERDICT r11 #3): the PRODUCTION-shaped
-    # capstone — stage-2 self-repetition at min_tokens=50 with the
+    # capstone — stage-2 self-repetition at min_tokens=50, poly anchors,
     # occurrence cap engaged; tracks the plan users would run (the W=3
     # fixture-width twin above stays as the oracle-stress shape)
     "curation_span_clean_mix_pipeline_prod",
+    # round-12, benched from birth: Bloom-prefiltered decontamination —
+    # the fixed-size-bitmap scan-side prefilter + exact verify join
+    # (prefiltered == exact, shared oracle)
+    "curation_decontaminate_bloom",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ucr_bigdata_snowfallproject_spark.io import load_table
 from ucr_bigdata_snowfallproject_spark.operators import asof as asof_ops
+from ucr_bigdata_snowfallproject_spark.operators import curation as curation_ops
 from ucr_bigdata_snowfallproject_spark.operators import dedup as dedup_ops
 from ucr_bigdata_snowfallproject_spark.operators import multimodal
 from ucr_bigdata_snowfallproject_spark.operators import similarity as sim_ops
@@ -4210,3 +4211,36 @@ def test_seeded_semdedup_survivors_match_int8_twin(spark):
         ).collect()
     }
     assert int8_survivors == seeded_survivors == {10, 12, 20}
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """decontaminate_bloom == decontaminate bit-for-bit (round 12): the
+    Bloom bitmap only admits a SUPERSET of the true hit shingles and
+    the verify join removes the false positives — pinned both at the
+    default bitmap size AND at a pathologically tiny bitmap (64 bits ⇒
+    nearly every probe is a false positive ⇒ the prefilter admits
+    ~everything and the verify join does all the work): correctness is
+    bitmap-size-independent, only the prefilter selectivity degrades."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    exact = sorted(
+        map(
+            tuple,
+            curation_ops.decontaminate(
+                train, ev, "doc_id", "text", n=5, threshold=0.1
+            ).collect(),
+        )
+    )
+    for bits in (1 << 20, 64):
+        bloom = sorted(
+            map(
+                tuple,
+                curation_ops.decontaminate_bloom(
+                    train, ev, "doc_id", "text", n=5, threshold=0.1,
+                    num_bits=bits,
+                ).collect(),
+            )
+        )
+        assert bloom == exact, f"num_bits={bits}"
+    assert any(r[4] for r in exact) or len(exact) > 0

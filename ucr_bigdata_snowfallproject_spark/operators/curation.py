@@ -377,6 +377,76 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.1,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+    bitmap: list[int] | None = None,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (round 12) — the
+    100 TB scale path for :func:`decontaminate`, output BIT-IDENTICAL
+    by construction: the eval corpus's distinct shingle set compresses
+    to a fixed-size Bloom bitmap (``num_bits/64`` int64 words — 128 KiB
+    at the default 2²⁰ bits, vs the up-to-128 MiB exact-anchor
+    broadcast the sized guard allows), every training shingle probes
+    the bitmap SCAN-SIDE (whole-stage-codegen'd xxhash64 + bit tests —
+    ``relational.bloom_semi_join``), and only probable hits reach the
+    exact verify join that removes Bloom false positives. False
+    negatives are impossible, so hit counts — and therefore every
+    output row — equal the exact operator's; the registry entry shares
+    :func:`decontaminate`'s DuckDB oracle VERBATIM.
+
+    Why this beats both exact plans at scale: the broadcast plan is
+    budget-capped (an oversized eval suite forces the shuffled
+    fallback) and the shuffled plan moves EVERY training shingle
+    (Σ tokens of the corpus) through the exchange; here the exchange
+    carries only ~(true hits × (1 + fp_rate)) rows — on a clean corpus
+    essentially nothing — while the bitmap is a reusable
+    index-artifact (persist via ``index_store.save_bloom_bitmap``, pass
+    as ``bitmap``; size ``num_bits`` ≥ ~10× the eval shingle
+    cardinality for <1% fp with 3 hashes, and an over-full bitmap only
+    costs prefilter selectivity, never correctness).
+
+    Per-doc shingle totals come from the scan expression
+    ``size(shingles(text))`` (the array is already distinct) instead of
+    a count over exploded rows — same number, no second aggregate."""
+    from .relational import bloom_semi_join
+
+    doc_sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__g")
+    )
+    eval_sh = eval_df.select(
+        F.explode(shingles(text_col, n)).alias("__g")
+    ).distinct()
+    hits = (
+        bloom_semi_join(doc_sh, eval_sh, "__g", "__g", num_bits, num_hashes, bitmap)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.size(shingles(text_col, n)).cast("long").alias("n_shingles"),
+        )
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_shingles"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hits") / F.col("n_shingles").cast("double"), 4),
+        )
+        .withColumn("contaminated", F.col("contamination") > threshold)
+    )
+
+
 #: portable_hash's value space (md5-prefix parsed as 8 hex digits).
 _HASH_SPACE = 1 << 32
 

@@ -295,7 +295,19 @@ _GATED_WINDOW = [
     "graph_pagerank_parts",
     "text_tfidf_top_terms",
     "similarity_ivf_int8_indexed_topk",
-    "curation_length_band_filter",
+    # =====================================================================
+    # Round-12 rotation (2 of 2): gate the round-12-BUILT
+    # curation_decontaminate_bloom — Bloom-prefiltered decontamination
+    # (the 128 KiB-bitmap scan-side prefilter + exact verify join; the
+    # 100 TB path past both the broadcast budget and the full-shingle
+    # shuffle). It shares curation_decontaminate's oracle VERBATIM, so
+    # the driver externally proves prefiltered == exact. Rotated OUT:
+    # curation_length_band_filter (r07 driver-green; the curation family
+    # keeps eight other gated representatives incl. both capstones and
+    # three decontamination faces; stays oracle-checked in the local
+    # pytest mirror).
+    # =====================================================================
+    "curation_decontaminate_bloom",
     "dedup_cdc_boilerplate",
     # =====================================================================
     # Round-6 rotation (VERDICT r05 #2/#5): 17 never-driver-gated queries

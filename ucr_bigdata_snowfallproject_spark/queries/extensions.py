@@ -216,9 +216,11 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_ops.hash_split(d, "doc_id").select("doc_id", "split")
 
 
-@register(
-    "curation_decontaminate",
-    """
+#: Shared by curation_decontaminate AND its round-12 Bloom-prefiltered
+#: twin — the bloom path's output is bit-identical by construction (the
+#: bitmap only admits a superset; the exact verify join removes false
+#: positives), so one oracle externally proves both plans.
+_DECON_SHINGLE_ORACLE = """
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents
     ), sh AS (
@@ -243,8 +245,10 @@ def curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            (ROUND(COUNT(ev.g)::DOUBLE / COUNT(*), 4) > 0.1) AS contaminated
     FROM tr LEFT JOIN ev USING (g)
     GROUP BY tr.doc_id
-    """,
-)
+    """
+
+
+@register("curation_decontaminate", _DECON_SHINGLE_ORACLE)
 def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (operators.curation.decontaminate): per
     training doc, the fraction of its distinct 5-gram shingles found
@@ -254,6 +258,31 @@ def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, never |train|×|eval|."""
     d = load_table(spark, sf_dir, "documents")
     return curation_ops.decontaminate(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0),
+        "doc_id",
+        "text",
+        n=5,
+        threshold=0.1,
+    )
+
+
+@register("curation_decontaminate_bloom", _DECON_SHINGLE_ORACLE)
+def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (round 12,
+    operators.curation.decontaminate_bloom): the 100 TB scale path for
+    the shingle-fraction signal — the eval corpus's distinct shingles
+    compress to a 128 KiB Bloom bitmap (a reusable index artifact, two
+    orders smaller than the exact-anchor broadcast budget), every
+    training shingle probes it scan-side (codegen'd xxhash64 + bit
+    tests via relational.bloom_semi_join), and only probable hits reach
+    the exact verify join that removes false positives. False negatives
+    are impossible ⇒ output is BIT-IDENTICAL to curation_decontaminate,
+    whose oracle this entry shares VERBATIM — the driver externally
+    proves prefiltered == exact, the same twin discipline as
+    incremental == batch and poly == md5."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.decontaminate_bloom(
         d.filter(F.col("doc_id") % 17 != 0),
         d.filter(F.col("doc_id") % 17 == 0),
         "doc_id",
@@ -1463,19 +1492,32 @@ def curation_span_clean_mix_pipeline(
     excised text bytes, budget cut, and final training order, row for
     row.
 
-    Plan shape: the survivor-train frame, the self-repetition-kept
-    frame, and the coverage-kept frame are MULTI-CONSUMER subplans
-    (span detection self-joins its anchor table, excision reads tokens
-    + anchors + the base row, the source join reads ids) — each lazily
-    persists (``dedup._materialize('persist')``, session-ledger
-    tracked) so each stage computes ONCE instead of once per consumer
-    (measured 25.4s → recompute-free on the same plan; compute-once,
-    not lineage truncation — still one job)."""
+    Plan shape (re-engineered round 12): the survivor-train frame, the
+    self-repetition-kept frame, the coverage-kept frame, and the
+    cleaned (post-excision) frame are MULTI-CONSUMER barrier subplans —
+    each now ``dedup._materialize('local')`` (eager localCheckpoint:
+    lineage TRUNCATION, not just caching). Round-12 finding: with lazy
+    ``persist`` barriers each stage's LOGICAL plan still embeds the
+    full upstream tree, so across six stages the tree grows
+    multiplicatively — the final action's analyzed plan reached ~100 MB
+    of tree text (24,592 embedded parquet-scan nodes) and Catalyst
+    spent 10–13 s of DRIVER time re-walking it per action (measured:
+    persist barriers build 32 s + count 10–13 s vs local-checkpoint
+    barriers build 14–24 s + count 0.6–1.8 s, plan 29 KB — same 298
+    rows). Truncation is the documented trade: blocks live on
+    executors and a lost executor re-runs the job (use
+    ``'reliable'`` checkpoints on a fault-tolerant FS for long 100 TB
+    runs); per-stage plan visibility lives in the standalone gated
+    entries for each composed operator (minhash, self-repetition,
+    span coverage, excision, budget mix, interleave), which keep full
+    un-truncated dumps. ``token_budget_mix``'s phase-1 per-source
+    stats pass collects at plan-CONSTRUCTION time, so the barriers
+    also stop that pass from recomputing the excise join."""
     from ucr_bigdata_snowfallproject_spark.operators.dedup import _materialize
 
     d = load_table(spark, sf_dir, "documents")
     surv = dedup_ops.minhash_dedup(d, "doc_id", "text", threshold=0.8, hash="md5")
-    train = _materialize(surv.filter(F.col("doc_id") % 7 != 0), "persist")
+    train = _materialize(surv.filter(F.col("doc_id") % 7 != 0), "local")
     ev = d.filter(F.col("doc_id") % 7 == 0)
     selfrep = dedup_ops.self_repetition_coverage(
         train, "doc_id", "text", min_tokens=3
@@ -1483,13 +1525,13 @@ def curation_span_clean_mix_pipeline(
     keep0 = selfrep.filter(
         10 * F.col("rep_tokens") <= F.col("n_tokens")
     ).select("doc_id")
-    train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "persist")
+    train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "local")
     cov = dedup_ops.span_coverage(train2, "doc_id", "text", min_tokens=12)
     keep_ids = cov.filter(
         2 * F.col("dup_tokens") <= F.col("n_tokens")
     ).select("doc_id")
     kept1 = _materialize(
-        train2.join(keep_ids, "doc_id", "left_semi"), "persist"
+        train2.join(keep_ids, "doc_id", "left_semi"), "local"
     )
     cleaned = (
         curation_ops.excise_spans(kept1, ev, "doc_id", "text", min_tokens=12)
@@ -1502,6 +1544,13 @@ def curation_span_clean_mix_pipeline(
             F.md5("cleaned_text").alias("cleaned_md5"),
         )
     )
+    # round 12: PERSIST the cleaned frame — token_budget_mix's phase-1
+    # per-source stats pass runs (collects) at PLAN-CONSTRUCTION time,
+    # so without a cache the excise stage (the pipeline's most
+    # expensive join) computes once for the stats and AGAIN for the
+    # final action; the lazy persist makes the stats pass populate the
+    # cache the final plan then reads
+    cleaned = _materialize(cleaned, "local")
     kept = curation_ops.token_budget_mix(
         cleaned, "source", "doc_id", F.col("kept_tokens"), budget_tokens=800
     )
@@ -1528,36 +1577,43 @@ def curation_span_clean_mix_pipeline_prod(
     """The PRODUCTION-shaped capstone (round 12, VERDICT r11 #3): the
     same six-stage span-aware curation composition as
     curation_span_clean_mix_pipeline, but stage 2's self-repetition
-    runs at the width and with the knob a real pipeline uses —
+    runs at the width, hash mode, and knob a real pipeline uses —
     min_tokens=50 (the Lee et al./Gopher-scale window; the gated
-    fixture-width twin runs W=3, where EVERY token position anchors
-    and stage 2 alone was 24% of the bench suite) and
-    ``max_anchor_occurrences=10`` ENGAGED (the degenerate-doc degrade
-    knob on, as production would run it; the oracle replays the cap —
-    over-cap anchor groups leave the self-join, owning docs
-    short-circuit to rep = n_tokens and are always dropped). Stages
-    1 and 3-6 are identical (coverage at 12, excision at 12, budget
-    800, proportional interleave). Same composed full oracle family —
-    this is the plan users would run, benched and gated from birth."""
+    fixture-width twin runs W=3, where stage 2 alone was 24% of the
+    bench suite), ``hash_mode="poly"`` (the O(n) Karp–Rabin anchor
+    fast path: md5 mode hashes O(n·W) BYTES — anchor COUNT is ~n at
+    ANY width, so a bigger W makes md5 stage 2 SLOWER, measured 38.4 s
+    vs the W=3 twin's 34 s; poly removes the W multiplier — exactly
+    why dedup_substring_spans_poly exists and is gated span-identical
+    to md5 mode under the SAME oracle, the collision caveat it
+    documents applying here verbatim), and ``max_anchor_occurrences=10``
+    ENGAGED (the degenerate-doc degrade knob on, as production would
+    run it; the oracle replays the cap — over-cap anchor groups leave
+    the self-join, owning docs short-circuit to rep = n_tokens and are
+    always dropped). Stages 1 and 3-6 are identical (coverage at 12,
+    excision at 12, budget 800, proportional interleave). Same
+    composed full-oracle family — this is the plan users would run,
+    benched and gated from birth."""
     from ucr_bigdata_snowfallproject_spark.operators.dedup import _materialize
 
     d = load_table(spark, sf_dir, "documents")
     surv = dedup_ops.minhash_dedup(d, "doc_id", "text", threshold=0.8, hash="md5")
-    train = _materialize(surv.filter(F.col("doc_id") % 7 != 0), "persist")
+    train = _materialize(surv.filter(F.col("doc_id") % 7 != 0), "local")
     ev = d.filter(F.col("doc_id") % 7 == 0)
     selfrep = dedup_ops.self_repetition_coverage(
-        train, "doc_id", "text", min_tokens=50, max_anchor_occurrences=10
+        train, "doc_id", "text", min_tokens=50,
+        hash_mode="poly", max_anchor_occurrences=10,
     )
     keep0 = selfrep.filter(
         10 * F.col("rep_tokens") <= F.col("n_tokens")
     ).select("doc_id")
-    train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "persist")
+    train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "local")
     cov = dedup_ops.span_coverage(train2, "doc_id", "text", min_tokens=12)
     keep_ids = cov.filter(
         2 * F.col("dup_tokens") <= F.col("n_tokens")
     ).select("doc_id")
     kept1 = _materialize(
-        train2.join(keep_ids, "doc_id", "left_semi"), "persist"
+        train2.join(keep_ids, "doc_id", "left_semi"), "local"
     )
     cleaned = (
         curation_ops.excise_spans(kept1, ev, "doc_id", "text", min_tokens=12)
@@ -1570,6 +1626,13 @@ def curation_span_clean_mix_pipeline_prod(
             F.md5("cleaned_text").alias("cleaned_md5"),
         )
     )
+    # round 12: PERSIST the cleaned frame — token_budget_mix's phase-1
+    # per-source stats pass runs (collects) at PLAN-CONSTRUCTION time,
+    # so without a cache the excise stage (the pipeline's most
+    # expensive join) computes once for the stats and AGAIN for the
+    # final action; the lazy persist makes the stats pass populate the
+    # cache the final plan then reads
+    cleaned = _materialize(cleaned, "local")
     kept = curation_ops.token_budget_mix(
         cleaned, "source", "doc_id", F.col("kept_tokens"), budget_tokens=800
     )

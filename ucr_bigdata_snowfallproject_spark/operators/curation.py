@@ -414,7 +414,17 @@ def decontaminate_bloom(
 
     Per-doc shingle totals come from the scan expression
     ``size(shingles(text))`` (the array is already distinct) instead of
-    a count over exploded rows — same number, no second aggregate."""
+    a count over exploded rows — same number, no second aggregate.
+
+    Sizing note (measured round 12): the bitmap rides the plan as an
+    ARRAY LITERAL probed by three ``element_at`` expressions —
+    Catalyst/Janino cost grows with the word count, and an oversized
+    bitmap is pure overhead (2²⁰ bits = 16,384 words measured 14–16 s
+    vs 3.4 s at 2¹⁷ bits on the same sf0.1 input, identical output).
+    Size ``num_bits`` to ~10× the EVAL shingle cardinality and no more;
+    ≤ ~4k words is free. At true 100 TB eval-suite sizes, move the
+    words into a broadcast join against a (word_idx, word) frame if the
+    literal ever exceeds ~64k words."""
     from .relational import bloom_semi_join
 
     doc_sh = df.select(

@@ -282,6 +282,9 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves prefiltered == exact, the same twin discipline as
     incremental == batch and poly == md5."""
     d = load_table(spark, sf_dir, "documents")
+    # anti-hollow trailing filter (the round-9 rule): under bench's
+    # count() Catalyst would eliminate the unique-keyed hits join and
+    # time the shingle count alone
     return curation_ops.decontaminate_bloom(
         d.filter(F.col("doc_id") % 17 != 0),
         d.filter(F.col("doc_id") % 17 == 0),
@@ -289,7 +292,11 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         n=5,
         threshold=0.1,
-    )
+        # ~10x the sf0.1 eval shingle cardinality (~13k): the bitmap is
+        # a plan literal — 2^20 bits measured 14-16s of pure plan/codegen
+        # overhead vs 3.4s at 2^17, identical output (operator docstring)
+        num_bits=1 << 17,
+    ).filter(F.col("n_hits") >= 0)
 
 
 @register(

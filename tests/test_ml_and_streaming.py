@@ -1350,3 +1350,50 @@ def test_stream_semantic_dup_flags_match_batch_delta(spark, tmp_path_factory):
     stream_losers = {p[3] for p in got_pairs}
     assert old_dups | stream_losers == want_dups
     flagged_old.unpersist()
+
+
+def test_stream_contamination_flags_match_batch(spark, tmp_path_factory):
+    """Round-12 streaming shingle-decontamination face: per-doc distinct
+    hit counts from the stateless hit stream == batch
+    curation.decontaminate's n_hits (and n_shingles rides scan-side),
+    micro-batched == its own batch run."""
+    from pyspark.sql import functions as SF
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cu
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import shingles
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_contamination_flags,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import run_to_memory_sink
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    eval_sh = ev.select(SF.explode(shingles("text", 5)).alias("__g")).distinct()
+
+    want_rows = {
+        tuple(r)
+        for r in stream_contamination_flags(train, eval_sh, n=5).collect()
+    }
+    assert want_rows  # the shared-vocabulary fixture must actually hit
+
+    stream_dir = str(tmp_path_factory.mktemp("decon-stream"))
+    train.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+    flags = run_to_memory_sink(
+        stream_contamination_flags(stream, eval_sh, n=5), "decon_flags"
+    )
+    got_rows = {tuple(r) for r in flags.collect()}
+    assert got_rows == want_rows
+
+    got_counts = {
+        (r["doc_id"], r["n"])
+        for r in flags.groupBy("doc_id")
+        .agg(F.countDistinct("hit_shingle").alias("n"))
+        .collect()
+    }
+    batch = cu.decontaminate(train, ev, "doc_id", "text", n=5, threshold=0.1)
+    want_counts = {
+        (r["doc_id"], r["n_hits"]) for r in batch.collect() if r["n_hits"] > 0
+    }
+    assert got_counts == want_counts

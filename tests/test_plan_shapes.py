@@ -559,6 +559,7 @@ def test_headline_queries_not_hollow_under_count(spark):
     from ucr_bigdata_snowfallproject_spark.queries import REGISTRY
 
     hollow = []
+    oversized = []
     for name in bench.HEADLINE:
         fn, _ = REGISTRY[name]
         df = fn(spark, SF_SMOKE)
@@ -566,7 +567,20 @@ def test_headline_queries_not_hollow_under_count(spark):
         cnt = df.groupBy().count()._jdf.queryExecution().optimizedPlan().toString()
         if "Join" in full and "Join" not in cnt:
             hollow.append(name)
+        # round-12 plan-SIZE audit (the lineage-truncation lesson,
+        # SCALE.md "multiplicative-plan finding"): persist barriers do
+        # not truncate lineage, so a chained composition's optimized
+        # tree grows multiplicatively with stage depth — the six-stage
+        # capstone silently reached ~100 MB of tree and 10-13 s of
+        # driver planning PER ACTION. Any headline plan past 4 MB of
+        # text is that failure mode reappearing; truncate at barriers
+        # (dedup._materialize('local'/'reliable')) instead of widening
+        # this limit. Largest legitimate plan today is ~150 KB
+        # (curation_corpus_mix_pipeline).
+        if len(full) > 4 * 1024 * 1024:
+            oversized.append((name, len(full)))
     assert not hollow, f"hollow under count(): {hollow}"
+    assert not oversized, f"multiplicative plan blowup: {oversized}"
 
 
 def test_decontaminate_spans_broadcast_guard(spark, monkeypatch):

@@ -496,3 +496,42 @@ def stream_bm25_scores(
             "score",
         )
     )
+
+
+def stream_contamination_flags(
+    doc_stream: DataFrame,
+    eval_shingles: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Shingle-level eval-contamination flags for a document stream —
+    the streaming face of ``operators.curation.decontaminate`` (round
+    12, completing the decontamination symmetry: spans →
+    :func:`stream_span_flags`, embeddings →
+    ``embeddings.stream_semantic_contamination_flags``, shingles →
+    here). Per micro-batch each arriving document's DISTINCT word
+    ``n``-gram shingles compute scan-side (``dedup.shingles`` — pure
+    column exprs), explode, and a stream-static equi-join probes
+    ``eval_shingles`` (the batch pipeline's persisted DISTINCT eval
+    shingle set, one column ``__g``).
+
+    Output is an APPEND-mode, AT-LEAST-ONCE hit stream
+    (doc_id, n_shingles, hit_shingle) — one row per (doc, leaked
+    shingle), with the doc's total distinct shingle count riding every
+    row scan-side so a ``foreachBatch`` consumer can aggregate the
+    exact contamination fraction (COUNT(hits)/any(n_shingles)) without
+    re-reading text: grouped per-doc aggregation is deliberately NOT
+    done in-stream (it would need update-mode state for nothing —
+    the stateless contract every flag face here keeps). The pytest pin
+    proves per-doc hit counts == the batch operator's ``n_hits``
+    bit-exactly."""
+    from ..operators.dedup import shingles
+
+    sh = doc_stream.select(
+        F.col("doc_id"),
+        F.size(shingles("text", n)).cast("long").alias("n_shingles"),
+        F.explode(shingles("text", n)).alias("__g"),
+    )
+    ev = eval_shingles.select(F.col("__g")).distinct()
+    return sh.join(ev, "__g").select(
+        "doc_id", "n_shingles", F.col("__g").alias("hit_shingle")
+    )

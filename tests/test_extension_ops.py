@@ -2878,6 +2878,82 @@ def test_bloom_bitmap_artifact_roundtrip(spark, tmp_path):
     assert plain.exceptAll(via_artifact).count() == 0
 
 
+def test_bloom_semi_join_join_mode_matches_literal(spark):
+    """Round 13: the broadcast word-table probe (mode="join") == the
+    array-literal probe == the plain semi join, at a word count 32× the
+    literal ceiling AND at a tiny bitmap (false-positive-dominated);
+    auto mode picks join above _BLOOM_LITERAL_MAX_WORDS; a prebuilt
+    bitmap list feeds the join form too (occupied-words conversion)."""
+    from ucr_bigdata_snowfallproject_spark.operators.relational import (
+        _BLOOM_LITERAL_MAX_WORDS, bloom_semi_join, build_bloom_bitmap,
+        semi_join,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    hot = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    plain = sorted(
+        map(
+            tuple,
+            semi_join(
+                li,
+                hot.select(F.col("o_orderkey").alias("l_orderkey")),
+                ["l_orderkey"],
+            ).collect(),
+        )
+    )
+    big = 64 * _BLOOM_LITERAL_MAX_WORDS * 32
+    for nb, mode in ((big, "join"), (big, None), (1 << 8, "join"),
+                     (1 << 14, "literal")):
+        got = sorted(
+            map(
+                tuple,
+                bloom_semi_join(
+                    li, hot, "l_orderkey", "o_orderkey", num_bits=nb,
+                    mode=mode,
+                ).collect(),
+            )
+        )
+        assert got == plain, f"num_bits={nb} mode={mode}"
+    # prebuilt bitmap → join form: the dense list converts driver-side to
+    # the occupied-words frame and probes identically
+    bm = build_bloom_bitmap(hot, "o_orderkey", num_bits=1 << 14, num_hashes=3)
+    via_list = sorted(
+        map(
+            tuple,
+            bloom_semi_join(
+                li, hot, "l_orderkey", "o_orderkey", num_bits=1 << 14,
+                bitmap=bm, mode="join",
+            ).collect(),
+        )
+    )
+    assert via_list == plain
+
+
+def test_bloom_auto_bits_rule():
+    """The decontaminate_bloom auto-sizing rule (round 13, VERDICT r12
+    What's-wrong #1): ~10 bits per estimated eval shingle, next power of
+    two, floor 2^14 — and the sf0.1-shaped estimate (~13k shingles)
+    reproduces the 2^17 the r12 gated query pinned BY HAND after
+    measuring the 2^20 literal's 14-16 s plan/codegen cliff."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        _bloom_auto_bits,
+    )
+
+    assert _bloom_auto_bits(0) == 1 << 14
+    assert _bloom_auto_bits(1) == 1 << 14
+    assert _bloom_auto_bits(1638) == 1 << 14  # 16,380 ≤ 2^14
+    assert _bloom_auto_bits(1639) == 1 << 15
+    assert _bloom_auto_bits(13_000) == 1 << 17  # the r12 manual choice
+    assert _bloom_auto_bits(13_108) == 1 << 18
+    # no ceiling: a 10^9-shingle eval union gets an fp-correct 2^34 —
+    # unreachable as a plan literal, served by the join form
+    assert _bloom_auto_bits(10**9) == 1 << 34
+
+
 def test_dedupe_doc_lines_hand_case(spark):
     """Repeated non-blank lines keep the FIRST occurrence only; blanks
     always survive; trim-equal lines count as repeats; zero-shuffle."""
@@ -4129,6 +4205,76 @@ def test_semdedup_delta_max_cell_rows_matches_batch(spark):
         assert flags == {10: 1, 11: 1, 12: 0, 13: 1, 20: 0}
 
 
+def test_fast_path_twins_match_md5_siblings(spark):
+    """VERDICT r12 Next #7: the crc32/xxhash fast-path registry twins
+    (`dedup_minhash_candidates`, `dedup_minhash_components`,
+    `dedup_simhash_candidates`) are rows-only entries whose ALGORITHMS
+    are externally hash-proven through their portable-md5 siblings;
+    this pin ties each fast path to its sibling ON THE FIXTURE (the
+    `test_seeded_semdedup_survivors_match_int8_twin` pattern), so the
+    justified-rows-only ledger carries a deterministic
+    identity-to-proven-twin check instead of a bare rows>0 smoke.
+
+    - MinHash: the LSH band structure is identical across hash modes
+      (64 permutations over the same Mersenne space, 16 bands), so on
+      the fixture the candidate PAIR SET, the decision set
+      (jaccard_est ≥ 0.5), and the downstream component labels are all
+      IDENTICAL to the md5 twin's.
+    - SimHash: the band structure necessarily differs (8×8-bit live
+      bands for xxhash64 vs 4×15-bit for md5's 60 live planes), so raw
+      candidate sets are incomparable BY DESIGN and even truth-recall
+      differs by exactly one fixture pair (the 4-band md5 form is the
+      strictly-coarser prefilter).  The deterministic pin is therefore
+      EXACT per-mode truth-miss sets: fast misses {(33,436)}, md5
+      misses {(33,436),(89,114)}, and md5's truth-hits are a SUBSET of
+      the fast path's — any drift in either mode's decision surface
+      fails loudly."""
+    d = load_table(spark, SF_SMOKE, "documents")
+
+    fast = dedup_ops.minhash_candidates(d, "doc_id", "text", num_hashes=64,
+                                        bands=16)
+    md5 = dedup_ops.minhash_candidates(d, "doc_id", "text", num_hashes=64,
+                                       bands=16, hash="md5")
+    pairs_fast = {(r.id_a, r.id_b) for r in fast.collect()}
+    pairs_md5 = {(r.id_a, r.id_b) for r in md5.collect()}
+    assert pairs_fast and pairs_fast == pairs_md5
+    dec_fast = {(r.id_a, r.id_b)
+                for r in fast.filter(F.col("jaccard_est") >= 0.5).collect()}
+    dec_md5 = {(r.id_a, r.id_b)
+               for r in md5.filter(F.col("jaccard_est") >= 0.5).collect()}
+    assert dec_fast and dec_fast == dec_md5
+
+    comp_fast = {
+        tuple(r)
+        for r in dedup_ops.dup_components(
+            fast.filter(F.col("jaccard_est") >= 0.5)
+        ).collect()
+    }
+    comp_md5 = {
+        tuple(r)
+        for r in dedup_ops.dup_components(
+            md5.filter(F.col("jaccard_est") >= 0.5)
+        ).collect()
+    }
+    assert comp_fast and comp_fast == comp_md5
+
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup_ops.ngram_jaccard_all_pairs(
+            d, "doc_id", "text", min_jaccard=0.8
+        ).collect()
+    }
+    assert truth
+    sim_fast = {(r.id_a, r.id_b)
+                for r in dedup_ops.simhash_candidates(d, "doc_id", "text").collect()}
+    sim_md5 = {(r.id_a, r.id_b)
+               for r in dedup_ops.simhash_candidates(
+                   d, "doc_id", "text", hash="md5").collect()}
+    assert truth - sim_fast == {(33, 436)}
+    assert truth - sim_md5 == {(33, 436), (89, 114)}
+    assert truth & sim_md5 <= sim_fast
+
+
 def test_losers_arrow_boundary_double_matches_engine_rounding(spark):
     """ADVICE r11 (medium): the Arrow pair kernel's refine stage must
     round like the ENGINES — Spark's F.round rounds the shortest-decimal
@@ -4232,15 +4378,24 @@ def test_decontaminate_bloom_matches_exact(spark):
             ).collect(),
         )
     )
-    for bits in (1 << 20, 64):
+    # (num_bits, mode): auto-sized default; tiny 64-bit literal (nearly
+    # every probe a false positive ⇒ the verify join does all the work);
+    # forced JOIN form at a word count far above the literal ceiling
+    # (round 13 — the broadcast word-table rung); auto mode at 2^20,
+    # which now auto-switches literal→join at _BLOOM_LITERAL_MAX_WORDS.
+    for bits, mode in ((None, None), (64, "literal"), (1 << 23, "join"),
+                       (1 << 20, None)):
         bloom = sorted(
             map(
                 tuple,
                 curation_ops.decontaminate_bloom(
                     train, ev, "doc_id", "text", n=5, threshold=0.1,
-                    num_bits=bits,
+                    num_bits=bits, mode=mode,
                 ).collect(),
             )
         )
-        assert bloom == exact, f"num_bits={bits}"
-    assert any(r[4] for r in exact) or len(exact) > 0
+        assert bloom == exact, f"num_bits={bits} mode={mode}"
+    # the fixture must actually CONTAIN contamination or the equalities
+    # above prove nothing (ADVICE r12: the old `or len(exact) > 0` clause
+    # was vacuously true on any non-empty result)
+    assert any(r[4] for r in exact)

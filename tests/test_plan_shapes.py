@@ -643,3 +643,40 @@ def test_decontaminate_spans_broadcast_guard(spark, monkeypatch):
     leg_auto = curation.decontaminate(train, ev, "doc_id", "text", n=3)
     assert plans_broadcast(leg_auto)  # tiny eval fits the real budget
     assert rows(leg_auto) == rows(leg_small)
+
+
+# ---------------------------------------------------------------------------
+# Standing lineage-truncation guard (round 13, VERDICT r12 Missing #3):
+# every composed multi-stage registry entry's analyzed LOGICAL plan must
+# stay bounded. Round 12 found persist-only barriers embed the upstream
+# tree MULTIPLICATIVELY — ~100 MB of plan text / 24,592 embedded scans and
+# 10-13 s of pure driver planning on a 298-row result. The fix (eager
+# localCheckpoint at barriers) was applied where it was caught; this test
+# makes the rule standing: any future stage-stack that regrows a
+# multiplicative tree fails HERE, at build time, not as a bench anomaly.
+# ---------------------------------------------------------------------------
+
+import pytest
+
+_COMPOSED_ENTRIES = [
+    "corpus_build_pipeline",
+    "curation_corpus_mix_pipeline",
+    "curation_pipeline_stats",
+    "curation_span_clean_mix_pipeline",
+    "curation_span_clean_mix_pipeline_prod",
+    "dedup_minhash_components",
+    "dedup_minhash_components_md5",
+    "dedup_embedding_knn_components",
+    "dedup_span_coverage",
+    "rag_prep_pipeline",
+    "gsod_reference_pipeline",
+]
+
+
+@pytest.mark.parametrize("name", _COMPOSED_ENTRIES)
+def test_composed_entry_analyzed_plan_bounded(spark, name):
+    df = q(spark, name)
+    stats = checks.assert_analyzed_plan_bounded(df)
+    # healthy truncated compositions measure ~10-50 KB; the bound in the
+    # helper (1 MiB) is the loud-failure line, this message records actuals
+    assert stats["bytes"] > 0, stats

@@ -43,6 +43,11 @@ def main() -> None:
 
     repo = os.path.abspath(args.repo)
     sys.path.insert(0, repo)
+    # Version purity: sys.path only steers the DRIVER. Python workers
+    # resolve cloudpickled-by-reference modules from their own PYTHONPATH,
+    # so without this a worker could import the launch checkout instead of
+    # --repo and the A/B would silently compare mixed code (ADVICE r12).
+    os.environ["PYTHONPATH"] = repo + os.pathsep + os.environ.get("PYTHONPATH", "")
     git = subprocess.run(
         ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True).stdout.strip()

@@ -377,6 +377,23 @@ def decontaminate(
     )
 
 
+#: Auto-sizing bounds for the Bloom decontamination bitmap: ~10 bits per
+#: eval shingle (<1% fp at 3 hashes), rounded up to a power of two, never
+#: below 2¹⁴ bits (256 words — free).  No upper cap: above
+#: ``relational._BLOOM_LITERAL_MAX_WORDS`` the probe switches to the
+#: broadcast word-table JOIN form, whose cost is num_bits-independent.
+_BLOOM_BITS_PER_KEY = 10
+_BLOOM_MIN_BITS = 1 << 14
+
+
+def _bloom_auto_bits(n_eval_shingles: int) -> int:
+    """num_bits for a given eval-shingle cardinality estimate: next power
+    of two ≥ ``_BLOOM_BITS_PER_KEY ×`` the estimate, floored at
+    ``_BLOOM_MIN_BITS``.  Pure so tests pin the rule without Spark."""
+    target = _BLOOM_BITS_PER_KEY * max(int(n_eval_shingles), 1)
+    return max(_BLOOM_MIN_BITS, 1 << (target - 1).bit_length())
+
+
 def decontaminate_bloom(
     df: DataFrame,
     eval_df: DataFrame,
@@ -384,15 +401,16 @@ def decontaminate_bloom(
     text_col: str,
     n: int = 5,
     threshold: float = 0.1,
-    num_bits: int = 1 << 20,
+    num_bits: int | None = None,
     num_hashes: int = 3,
     bitmap: list[int] | None = None,
+    mode: str | None = None,
 ) -> DataFrame:
     """Bloom-prefiltered benchmark decontamination (round 12) — the
     100 TB scale path for :func:`decontaminate`, output BIT-IDENTICAL
     by construction: the eval corpus's distinct shingle set compresses
-    to a fixed-size Bloom bitmap (``num_bits/64`` int64 words — 128 KiB
-    at the default 2²⁰ bits, vs the up-to-128 MiB exact-anchor
+    to a fixed-size Bloom bitmap (``num_bits/64`` int64 words — 16 KiB
+    at the auto-sized sf0.1 2¹⁷ bits, vs the up-to-128 MiB exact-anchor
     broadcast the sized guard allows), every training shingle probes
     the bitmap SCAN-SIDE (whole-stage-codegen'd xxhash64 + bit tests —
     ``relational.bloom_semi_join``), and only probable hits reach the
@@ -416,17 +434,42 @@ def decontaminate_bloom(
     ``size(shingles(text))`` (the array is already distinct) instead of
     a count over exploded rows — same number, no second aggregate.
 
-    Sizing note (measured round 12): the bitmap rides the plan as an
-    ARRAY LITERAL probed by three ``element_at`` expressions —
-    Catalyst/Janino cost grows with the word count, and an oversized
-    bitmap is pure overhead (2²⁰ bits = 16,384 words measured 14–16 s
-    vs 3.4 s at 2¹⁷ bits on the same sf0.1 input, identical output).
-    Size ``num_bits`` to ~10× the EVAL shingle cardinality and no more;
-    ≤ ~4k words is free. At true 100 TB eval-suite sizes, move the
-    words into a broadcast join against a (word_idx, word) frame if the
-    literal ever exceeds ~64k words."""
+    Sizing (round 13 — auto by default): ``num_bits=None`` derives the
+    size from the SAME one-aggregate eval-shingle estimate
+    :func:`decontaminate` uses for its broadcast guard
+    (Σ max(1, tokens−n+1), an upper bound on the distinct set — zero new
+    jobs beyond the bitmap build that scans the eval side anyway):
+    ~10 bits per shingle rounded up to a power of two, floor 2¹⁴
+    (:func:`_bloom_auto_bits`).  An oversized bitmap is pure overhead in
+    the default ARRAY-LITERAL probe — Catalyst/Janino cost grows with
+    the word count (2²⁰ bits = 16,384 words measured 14–16 s vs 3.4 s at
+    2¹⁷ on the same sf0.1 input, identical output; the r12 default of
+    2²⁰ reproduced exactly that cliff, VERDICT r12) — so above
+    ``relational._BLOOM_LITERAL_MAX_WORDS`` the probe switches to the
+    broadcast (word_idx, word) JOIN form automatically
+    (``relational.bloom_semi_join(mode=...)``), whose plan size is
+    num_bits-independent and whose broadcast carries only occupied
+    words.  ``mode`` forces either probe form; see
+    ``SCALE.md`` § "Bloom-vs-exact crossover" for when the prefilter
+    beats the exact shuffled plan at all."""
     from .relational import bloom_semi_join
 
+    if num_bits is None:
+        if bitmap is not None:
+            num_bits = 64 * len(bitmap)
+        else:
+            toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            est = eval_df.select(
+                F.coalesce(
+                    F.sum(
+                        F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)).cast(
+                            "bigint"
+                        )
+                    ),
+                    F.lit(0),
+                )
+            ).first()[0]
+            num_bits = _bloom_auto_bits(est)
     doc_sh = df.select(
         F.col(id_col), F.explode(shingles(text_col, n)).alias("__g")
     )
@@ -434,7 +477,9 @@ def decontaminate_bloom(
         F.explode(shingles(text_col, n)).alias("__g")
     ).distinct()
     hits = (
-        bloom_semi_join(doc_sh, eval_sh, "__g", "__g", num_bits, num_hashes, bitmap)
+        bloom_semi_join(
+            doc_sh, eval_sh, "__g", "__g", num_bits, num_hashes, bitmap, mode
+        )
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )

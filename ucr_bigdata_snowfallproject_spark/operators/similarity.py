@@ -2537,7 +2537,17 @@ def _losers_arrow(
 
     def round_hits(sims):
         """Exact engine predicate: F.round(sim, d) >= eps under Spark's
-        Double.toString/BigDecimal HALF_UP semantics (== Python repr)."""
+        Double.toString/BigDecimal HALF_UP semantics (== Python repr).
+
+        JDK dependency (ADVICE r12): the `== Python repr` equivalence
+        relies on Double.toString being shortest-round-trip, guaranteed
+        since JDK 19 (JDK-4511638); pre-19 JVMs have documented cases
+        emitting LONGER decimals, where F.round and this kernel could
+        diverge on a boundary double. The engine targets the bundled
+        JDK 17+ Spark runtime where the pinned pytest suite
+        (test_losers_arrow_* boundary cases) proves equivalence; on a
+        JVM swap those pins — not a silent flag flip — surface any
+        divergence."""
         import numpy as np
 
         return np.fromiter(

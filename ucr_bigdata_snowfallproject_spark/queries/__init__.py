@@ -421,7 +421,11 @@ _GATED_WINDOW = [
     # window/time family keeps twa_events_hourly + funnel_events_conversion)
     # for the round-6-built IR evaluation operator:
     "retrieval_eval_metrics",
-    "bloom_semi_join_lineitem",
+    # bloom_semi_join_lineitem rotated out in round 13 (r12 driver-green;
+    # the Bloom-prefilter family keeps curation_decontaminate_bloom AND
+    # gains the round-13-BUILT broadcast word-table form below — built
+    # this round, gated this round per the standing rule):
+    "curation_decontaminate_bloom_join",
     # --- round-5d rotation: four more late-round-5 families earn first
     # driver rows (corpus-cleaning transform, side-effect sink manifest,
     # in-row entropy, weighted sampling). Rotated out, each family still

@@ -111,7 +111,9 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold → connected components (iterative min-label propagation,
     operators.dedup.dup_components). Output: (doc_id, comp) dup-cluster
     labels. Rows-only (seed-dependent candidates; iterative, not
-    SQL-expressible — SURVEY §7.4)."""
+    SQL-expressible — SURVEY §7.4); since round 13 the full (doc_id,
+    comp) output is pinned IDENTICAL to the md5 twin's components on
+    the fixture (test_fast_path_twins_match_md5_siblings)."""
     d = load_table(spark, sf_dir, "documents")
     cand = dedup_ops.minhash_candidates(d, "doc_id", "text")
     pairs = cand.filter(F.col("jaccard_est") >= 0.5)

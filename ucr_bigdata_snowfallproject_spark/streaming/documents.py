@@ -502,6 +502,7 @@ def stream_contamination_flags(
     doc_stream: DataFrame,
     eval_shingles: DataFrame,
     n: int = 5,
+    bloom: tuple[list[int], int, int] | None = None,
 ) -> DataFrame:
     """Shingle-level eval-contamination flags for a document stream —
     the streaming face of ``operators.curation.decontaminate`` (round
@@ -523,14 +524,30 @@ def stream_contamination_flags(
     done in-stream (it would need update-mode state for nothing —
     the stateless contract every flag face here keeps). The pytest pin
     proves per-doc hit counts == the batch operator's ``n_hits``
-    bit-exactly."""
+    bit-exactly.
+
+    ``bloom`` (round 13 — the batch ``decontaminate_bloom``'s exact
+    streaming sibling, VERDICT r12 Next #6): pass ``(bitmap, num_bits,
+    num_hashes)`` — typically ``index_store.load_bloom_bitmap`` of the
+    bitmap built once from the SAME eval shingle set — and every
+    arriving shingle probes the array-literal bitmap SCAN-SIDE
+    (``relational.bloom_probe_filter``) before the stream-static join,
+    so each micro-batch's exchange carries ~true-hits × (1 + fp_rate)
+    rows instead of Σ batch shingles.  False negatives are impossible
+    and the equi-join removes false positives, so the output stream is
+    BIT-IDENTICAL with or without the prefilter (pytest-pinned against
+    the batch operator either way)."""
     from ..operators.dedup import shingles
+    from ..operators.relational import bloom_probe_filter
 
     sh = doc_stream.select(
         F.col("doc_id"),
         F.size(shingles("text", n)).cast("long").alias("n_shingles"),
         F.explode(shingles("text", n)).alias("__g"),
     )
+    if bloom is not None:
+        bitmap, num_bits, num_hashes = bloom
+        sh = sh.filter(bloom_probe_filter("__g", bitmap, num_bits, num_hashes))
     ev = eval_shingles.select(F.col("__g")).distinct()
     return sh.join(ev, "__g").select(
         "doc_id", "n_shingles", F.col("__g").alias("hit_shingle")

@@ -187,6 +187,14 @@ HEADLINE = [
     # the fixed-size-bitmap scan-side prefilter + exact verify join
     # (prefiltered == exact, shared oracle)
     "curation_decontaminate_bloom",
+    # round-13, benched from birth: the broadcast word-table probe form —
+    # num_bits forced to 2^23 (32x the literal ceiling), plan size
+    # num_bits-independent (join form == literal form == exact, shared
+    # oracle verbatim)
+    "curation_decontaminate_bloom_join",
+    # round-13, benched from birth: the Bloom short-circuit anti join —
+    # probe misses are definite non-members kept with zero exchange
+    "bloom_anti_join_lineitem",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

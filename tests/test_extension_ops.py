@@ -2933,6 +2933,111 @@ def test_bloom_semi_join_join_mode_matches_literal(spark):
     assert via_list == plain
 
 
+def test_bloom_anti_join_matches_plain(spark):
+    """Round 13: bloom_anti_join == plain left-anti join in every probe
+    form — the Bloom miss branch keeps definite non-members with zero
+    exchange, the hit branch's exact anti join rescues false positives.
+    A fp-SATURATED bitmap (all-ones single word: every probe 'hits')
+    degrades to the plain anti join; an empty build side keeps all."""
+    from ucr_bigdata_snowfallproject_spark.operators.relational import (
+        anti_join, bloom_anti_join,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    hot = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    plain = sorted(
+        map(
+            tuple,
+            anti_join(
+                li,
+                hot.select(F.col("o_orderkey").alias("l_orderkey")),
+                ["l_orderkey"],
+            ).collect(),
+        )
+    )
+    assert plain
+    for kw in (
+        {},  # auto: join form
+        {"mode": "literal", "num_bits": 1 << 14},
+        {"mode": "join", "num_bits": 1 << 23},
+        {"mode": "literal", "num_bits": 64, "bitmap": [-1]},  # fp-saturated
+    ):
+        got = sorted(
+            map(
+                tuple,
+                bloom_anti_join(
+                    li, hot, "l_orderkey", "o_orderkey", **kw
+                ).collect(),
+            )
+        )
+        assert got == plain, kw
+    empty = hot.filter(F.lit(False))
+    kept = bloom_anti_join(
+        li, empty, "l_orderkey", "o_orderkey", num_bits=1 << 10
+    ).count()
+    assert kept == li.count()
+
+
+def test_bloom_words_artifact_roundtrip(spark, tmp_path):
+    """Round 13: the occupied-words frame artifact — build_bloom_words →
+    save_bloom_words → load_bloom_words → bloom_semi_join(words=...) ==
+    the plain semi join, at a num_bits only the sparse artifact can
+    carry (2^34 — the dense bitmap list would be 256 MiB of driver
+    words and an int32 overflow in the dense artifact's schema); the
+    loaded params drive the probe; a words frame with mode='literal'
+    refuses."""
+    import pytest as _pytest
+
+    from ucr_bigdata_snowfallproject_spark.index_store import (
+        load_bloom_words, save_bloom_words,
+    )
+    from ucr_bigdata_snowfallproject_spark.operators.relational import (
+        bloom_semi_join, build_bloom_words, semi_join,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    hot = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    nb = 1 << 34
+    w = build_bloom_words(hot, "o_orderkey", num_bits=nb, num_hashes=3)
+    root = str(tmp_path / "bloom_words")
+    save_bloom_words(w, root, num_bits=nb, num_hashes=3)
+    loaded_w, lnb, lnh = load_bloom_words(spark, root)
+    assert (lnb, lnh) == (nb, 3)
+    got = sorted(
+        map(
+            tuple,
+            bloom_semi_join(
+                li, hot, "l_orderkey", "o_orderkey", num_bits=lnb,
+                num_hashes=lnh, words=loaded_w, mode="join",
+            ).collect(),
+        )
+    )
+    plain = sorted(
+        map(
+            tuple,
+            semi_join(
+                li,
+                hot.select(F.col("o_orderkey").alias("l_orderkey")),
+                ["l_orderkey"],
+            ).collect(),
+        )
+    )
+    assert got == plain
+    with _pytest.raises(ValueError, match="words frame"):
+        bloom_semi_join(
+            li, hot, "l_orderkey", "o_orderkey", num_bits=1 << 10,
+            words=loaded_w, mode="literal",
+        )
+
+
 def test_bloom_auto_bits_rule():
     """The decontaminate_bloom auto-sizing rule (round 13, VERDICT r12
     What's-wrong #1): ~10 bits per estimated eval shingle, next power of
@@ -4378,11 +4483,11 @@ def test_decontaminate_bloom_matches_exact(spark):
             ).collect(),
         )
     )
-    # (num_bits, mode): auto-sized default; tiny 64-bit literal (nearly
-    # every probe a false positive ⇒ the verify join does all the work);
-    # forced JOIN form at a word count far above the literal ceiling
-    # (round 13 — the broadcast word-table rung); auto mode at 2^20,
-    # which now auto-switches literal→join at _BLOOM_LITERAL_MAX_WORDS.
+    # (num_bits, mode): auto-sized default (join form); tiny 64-bit
+    # literal (nearly every probe a false positive ⇒ the verify join
+    # does all the work); forced JOIN form at a word count far above the
+    # literal cliff (round 13 — the broadcast word-table rung); auto
+    # mode at the r12 cliff size 2^20 (join form, num_bits-independent).
     for bits, mode in ((None, None), (64, "literal"), (1 << 23, "join"),
                        (1 << 20, None)):
         bloom = sorted(

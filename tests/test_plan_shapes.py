@@ -392,10 +392,12 @@ def test_join_hints_flip_physical_strategy(spark):
 
 
 def test_bloom_semi_join_prefilter_in_scan_stage(spark):
-    """bloom_semi_join: the Bloom probe must be a plain Filter on the fact
-    side BELOW the join (scan-stage xxhash64 bit tests), the join itself a
-    semi join, and the plan free of cartesian/nested-loop shapes. Also
-    pins exactness: survivors == plain left-semi join."""
+    """bloom_semi_join: the probe must stay fact-side BELOW the semi join
+    and the plan free of cartesian/nested-loop shapes — in BOTH probe
+    forms: the r13-default JOIN form plans broadcast HASH joins against
+    the occupied-words frame (never nested-loop), the literal form a
+    plain scan-stage Filter. Also pins exactness: survivors == plain
+    left-semi join."""
     from ucr_bigdata_snowfallproject_spark.operators.relational import (
         bloom_semi_join, semi_join,
     )
@@ -408,9 +410,21 @@ def test_bloom_semi_join_prefilter_in_scan_stage(spark):
     )
     out = bloom_semi_join(li, hot, "l_orderkey", "o_orderkey")
     text = checks.explain_str(out)
-    assert "xxhash64" in text  # the scan-side probe survived optimization
+    assert "xxhash64" in text  # the probe survived optimization
+    assert "BroadcastHashJoin" in text  # word probes are HASH joins
     assert "CartesianProduct" not in text
     assert "BroadcastNestedLoopJoin" not in text
+
+    lit = bloom_semi_join(
+        li, hot, "l_orderkey", "o_orderkey", mode="literal"
+    )
+    lit_text = checks.explain_str(lit)
+    # literal form: pure Filter expression, no word-join machinery —
+    # the scan-only contract the streaming faces rely on
+    assert "xxhash64" in lit_text
+    assert "__bw" not in lit_text and "element_at" in lit_text
+    assert lit.exceptAll(out).count() == 0
+    assert out.exceptAll(lit).count() == 0
 
     plain = semi_join(
         li, hot.select(F.col("o_orderkey").alias("l_orderkey")), ["l_orderkey"]

@@ -250,6 +250,52 @@ def load_bloom_bitmap(
     return bitmap, rows[0].num_bits, rows[0].num_hashes
 
 
+def save_bloom_words(
+    words: DataFrame,
+    root: str,
+    num_bits: int,
+    num_hashes: int,
+    n_files: int = 1,
+) -> int:
+    """Persist an OCCUPIED-words Bloom frame
+    (``relational.build_bloom_words``) — the join-form sibling of
+    :func:`save_bloom_bitmap` for bitmaps too large to densify into a
+    driver list (round 13): the artifact is SPARSE (row count bounded by
+    the build key cardinality, never ``num_bits/64``) and NEVER
+    collected, so ``num_bits`` can be 10⁹-10¹⁰ for fp-rate-correct
+    sizing of a real eval union.  ``num_bits``/``num_hashes`` travel
+    with the rows (probe-side hashing must match the build's) as BIGINT
+    — the dense artifact's INT would overflow exactly in the regime
+    this form exists for.  Returns the committed snapshot version."""
+    from pyspark.sql import functions as F
+
+    df = words.select(
+        F.col("__w").cast("int").alias("w"),
+        F.col("__bits").cast("long").alias("bits"),
+        F.lit(int(num_bits)).cast("long").alias("num_bits"),
+        F.lit(int(num_hashes)).cast("int").alias("num_hashes"),
+    )
+    return snapshot_table.create_snapshot(df, root, n_files=n_files)
+
+
+def load_bloom_words(
+    spark: SparkSession, root: str, version: int | None = None
+) -> tuple[DataFrame, int, int]:
+    """Load a saved occupied-words Bloom frame → (words DataFrame with
+    columns ``(__w, __bits)``, num_bits, num_hashes); feed straight into
+    ``relational.bloom_semi_join(..., words=..., num_bits=...,
+    num_hashes=..., mode="join")``.  Only the one-row parameter read
+    touches the driver — the words stay distributed."""
+    from pyspark.sql import functions as F
+
+    snap = snapshot_table.read_snapshot(spark, root, version)
+    meta = snap.select("num_bits", "num_hashes").first()
+    words = snap.select(
+        F.col("w").alias("__w"), F.col("bits").alias("__bits")
+    )
+    return words, int(meta[0]), int(meta[1])
+
+
 def save_bm25_stats(
     tf: DataFrame,
     lens: DataFrame,

@@ -379,9 +379,9 @@ def decontaminate(
 
 #: Auto-sizing bounds for the Bloom decontamination bitmap: ~10 bits per
 #: eval shingle (<1% fp at 3 hashes), rounded up to a power of two, never
-#: below 2¹⁴ bits (256 words — free).  No upper cap: above
-#: ``relational._BLOOM_LITERAL_MAX_WORDS`` the probe switches to the
-#: broadcast word-table JOIN form, whose cost is num_bits-independent.
+#: below 2¹⁴ bits (256 words).  No upper cap: the default broadcast
+#: word-table JOIN probe's cost is num_bits-independent (measured flat,
+#: SCALE.md § "Bloom-vs-exact crossover").
 _BLOOM_BITS_PER_KEY = 10
 _BLOOM_MIN_BITS = 1 << 14
 
@@ -440,16 +440,15 @@ def decontaminate_bloom(
     (Σ max(1, tokens−n+1), an upper bound on the distinct set — zero new
     jobs beyond the bitmap build that scans the eval side anyway):
     ~10 bits per shingle rounded up to a power of two, floor 2¹⁴
-    (:func:`_bloom_auto_bits`).  An oversized bitmap is pure overhead in
-    the default ARRAY-LITERAL probe — Catalyst/Janino cost grows with
-    the word count (2²⁰ bits = 16,384 words measured 14–16 s vs 3.4 s at
-    2¹⁷ on the same sf0.1 input, identical output; the r12 default of
-    2²⁰ reproduced exactly that cliff, VERDICT r12) — so above
-    ``relational._BLOOM_LITERAL_MAX_WORDS`` the probe switches to the
-    broadcast (word_idx, word) JOIN form automatically
-    (``relational.bloom_semi_join(mode=...)``), whose plan size is
-    num_bits-independent and whose broadcast carries only occupied
-    words.  ``mode`` forces either probe form; see
+    (:func:`_bloom_auto_bits`).  The probe defaults to the broadcast
+    (word_idx, word) JOIN form (round 13): the measured sf0.1 curve has
+    it FLAT ~1.6-1.8 s warm from 2¹⁷ through 2²³ bits while the
+    ARRAY-LITERAL probe grows with word count and never wins (2.0 s at
+    2¹⁵ → 3.5-4.1 s at 2¹⁸ → the 14-16 s r12 cliff at 2²⁰ — the r12
+    DEFAULT, VERDICT r12 What's-wrong #1), so auto-sizing is free:
+    plan size is num_bits-independent and the broadcast carries only
+    occupied words.  ``mode="literal"`` forces the scan-only probe
+    (what the streaming face uses as a pure expression); see
     ``SCALE.md`` § "Bloom-vs-exact crossover" for when the prefilter
     beats the exact shuffled plan at all."""
     from .relational import bloom_semi_join

@@ -185,13 +185,18 @@ def limit(df: DataFrame, n: int) -> DataFrame:
     return df.limit(n)
 
 
-#: Largest bitmap (in int64 words) that rides the plan as an array
-#: literal.  Catalyst/Janino cost grows with literal size — measured
-#: round 12: 2,048 words ≈ 3.4 s total at sf0.1 vs 16,384 words ≈ 14-16 s
-#: of pure plan/codegen overhead on identical input.  Above this,
-#: :func:`bloom_semi_join` switches to the broadcast (word_idx, word)
-#: JOIN form, whose broadcast carries only OCCUPIED words and whose plan
-#: size is independent of ``num_bits``.
+#: Word count at which the array-LITERAL probe's plan/codegen cost is
+#: measured clearly past the broadcast-join form's (round-13 sf0.1 curve,
+#: SCALE.md § "Bloom-vs-exact crossover": literal warm 2.0 s at 512 words
+#: → 2.6 s at 2,048 → 3.5-4.1 s at 4,096 → 14-16 s at 16,384 (r12), while
+#: the JOIN form is FLAT 1.6-1.8 s from 2,048 through 131,072 words).
+#: Auto mode therefore never picks the literal — the join form wins at
+#: every measured size AND is the only one that scales num_bits past the
+#: plan-literal regime; the literal remains for explicit ``mode=
+#: "literal"`` callers and for the streaming scan-filter probe
+#: (:func:`bloom_probe_filter`), which must stay a pure expression.
+#: This constant documents the cliff and bounds the sizes the streaming
+#: faces should load as literals.
 _BLOOM_LITERAL_MAX_WORDS = 4096
 
 
@@ -265,6 +270,7 @@ def bloom_semi_join(
     num_hashes: int = 3,
     bitmap: list[int] | None = None,
     mode: str | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Semi join with an explicit scan-side Bloom prefilter: keep the
     ``fact`` rows whose ``fact_key`` exists in ``build``'s ``build_key``
@@ -310,15 +316,123 @@ def bloom_semi_join(
       × occupied words; past ~10⁹ keys the words frame itself outgrows a
       sane broadcast — at that point use the plain shuffled semi join,
       whose exchange the prefilter could no longer undercut anyway).
-    - ``None`` (default) — literal while the word count fits
-      ``_BLOOM_LITERAL_MAX_WORDS``, join above it.
+    - ``None`` (default) — the JOIN form, always: the round-13 sf0.1
+      curve measured it flat (~1.6-1.8 s warm) from 2,048 through
+      131,072 words while the literal grows with word count and never
+      wins (2.0 s at 512 words → 3.5-4.1 s at 4,096 → 14-16 s at
+      16,384); the literal also cannot scale past the plan-literal
+      regime at all.  ``mode="literal"`` remains for callers that need
+      a single-stage scan-only plan (the streaming faces probe via
+      :func:`bloom_probe_filter` for the same reason).
+
+    ``words`` (join form only): a prebuilt occupied-words frame —
+    :func:`build_bloom_words` output or ``index_store.load_bloom_words``
+    — skipping the build job without ever collecting the words
+    (the artifact path for bitmaps too large to densify).
     """
-    n_words = num_bits // 64
+    annotated, hit = _bloom_annotate(
+        fact, build, fact_key, build_key, num_bits, num_hashes, bitmap,
+        mode, words,
+    )
+    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
+    return annotated.filter(hit).drop("__bloom_hit").join(
+        keys, fact_key, "left_semi"
+    )
+
+
+def bloom_anti_join(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+    bitmap: list[int] | None = None,
+    mode: str | None = None,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Anti join with a scan-side Bloom SHORT-CIRCUIT (round 13): keep
+    the ``fact`` rows whose ``fact_key`` does NOT exist in ``build``'s
+    ``build_key`` set — the complement of :func:`bloom_semi_join`, and
+    the shape of every removal filter in a curation pipeline (drop
+    contaminated docs, drop already-seen fingerprints, drop dup losers).
+
+    The Bloom filter's asymmetry works FOR the anti join: a probe miss
+    is a DEFINITE non-member, so bloom-no rows are kept immediately
+    without ever reaching an exchange; only probable members (~true
+    members × (1 + fp_rate)) pay the exact anti join that rescues the
+    false positives. Result is EXACT (identical to a plain left-anti
+    join) for the same reason the semi form is.
+
+    Plan shape: a two-branch union — branch 1 is the bloom-no filter
+    (scan-stage only, zero exchange), branch 2 is bloom-yes → exact
+    anti join. That reads ``fact`` twice, which is the deliberate trade:
+    at 100 TB a columnar re-scan with a pushed filter is cheap next to
+    shuffling the full fact side on the key (the plain anti join's
+    cost), and on a mostly-clean corpus branch 2 carries ~nothing.
+    Same ``mode``/``bitmap``/``words`` contract as
+    :func:`bloom_semi_join`."""
+    annotated, hit = _bloom_annotate(
+        fact, build, fact_key, build_key, num_bits, num_hashes, bitmap,
+        mode, words,
+    )
+    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
+    definite_out = annotated.filter(~hit).drop("__bloom_hit")
+    rescued = (
+        annotated.filter(hit)
+        .drop("__bloom_hit")
+        .join(keys, fact_key, "left_anti")
+    )
+    return definite_out.unionByName(rescued)
+
+
+def _bloom_annotate(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    num_bits: int,
+    num_hashes: int,
+    bitmap: list[int] | None,
+    mode: str | None,
+    words: DataFrame | None,
+) -> tuple[DataFrame, Column]:
+    """Shared probe machinery of :func:`bloom_semi_join` /
+    :func:`bloom_anti_join`: returns ``fact`` annotated with a boolean
+    ``__bloom_hit`` column (probable member) and the column itself.
+    Literal mode is a pure scan expression; join mode adds
+    ``num_hashes`` broadcast left joins against the occupied-words
+    frame (no exchange on the fact side either way)."""
     if mode is None:
-        mode = "literal" if n_words <= _BLOOM_LITERAL_MAX_WORDS else "join"
+        # measured round 13 (sf0.1 curve in SCALE.md): the join form is
+        # flat ~1.6-1.8 s at every bitmap size while the literal grows
+        # with the word count and never wins — auto always joins
+        mode = "join"
     if mode not in ("literal", "join"):
         raise ValueError(f"unknown bloom probe mode: {mode!r}")
-    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
+    if words is not None and mode != "join":
+        raise ValueError("a prebuilt words frame requires mode='join'")
+    if mode == "literal":
+        if bitmap is None:
+            bitmap = build_bloom_bitmap(build, build_key, num_bits, num_hashes)
+        probe = bloom_probe_filter(fact_key, bitmap, num_bits, num_hashes)
+        return fact.withColumn("__bloom_hit", probe), F.col("__bloom_hit")
+    # join form: occupied words only. localCheckpoint the (tiny vs build
+    # input) words frame so the num_hashes broadcast scans share ONE build
+    # job instead of re-running the distinct+groupBy per join — the same
+    # eager-barrier contract the literal form already has (its collect runs
+    # at plan-construction time), and it truncates lineage (round-12 rule).
+    if words is not None:
+        pass  # prebuilt artifact frame (load_bloom_words) — used as-is
+    elif bitmap is not None:
+        spark = fact.sparkSession
+        words = spark.createDataFrame(
+            [(w, b) for w, b in enumerate(bitmap) if b != 0],
+            "__w int, __bits long",
+        )
+    else:
+        words = build_bloom_words(build, build_key, num_bits, num_hashes)
+        words = words.localCheckpoint(eager=True)
     pos_probe = _bloom_positions(fact_key, num_bits, num_hashes)
     # seed literal must stay INT to hash identically to the build side
     # (xxhash64 is input-type-sensitive; {i}L would be a BIGINT seed)
@@ -329,25 +443,6 @@ def bloom_semi_join(
         )
         for i in range(num_hashes)
     ]
-    if mode == "literal":
-        if bitmap is None:
-            bitmap = build_bloom_bitmap(build, build_key, num_bits, num_hashes)
-        probe = bloom_probe_filter(fact_key, bitmap, num_bits, num_hashes)
-        return fact.filter(probe).join(keys, fact_key, "left_semi")
-    # join form: occupied words only. localCheckpoint the (tiny vs build
-    # input) words frame so the num_hashes broadcast scans share ONE build
-    # job instead of re-running the distinct+groupBy per join — the same
-    # eager-barrier contract the literal form already has (its collect runs
-    # at plan-construction time), and it truncates lineage (round-12 rule).
-    if bitmap is not None:
-        spark = fact.sparkSession
-        words = spark.createDataFrame(
-            [(w, b) for w, b in enumerate(bitmap) if b != 0],
-            "__w int, __bits long",
-        )
-    else:
-        words = build_bloom_words(build, build_key, num_bits, num_hashes)
-        words = words.localCheckpoint(eager=True)
     out = fact
     probe = F.lit(True)
     for i, (pos, bit) in enumerate(zip(pos_probe, bits_probe)):
@@ -362,10 +457,10 @@ def bloom_semi_join(
         probe = probe & (
             F.coalesce(F.col(f"__bits{i}"), F.lit(0)).bitwiseAND(bit) != 0
         )
-    out = out.filter(probe).drop(
+    out = out.withColumn("__bloom_hit", probe).drop(
         *[c for i in range(num_hashes) for c in (f"__bw{i}", f"__bits{i}")]
     )
-    return out.join(keys, fact_key, "left_semi")
+    return out, F.col("__bloom_hit")
 
 
 def build_bloom_bitmap(

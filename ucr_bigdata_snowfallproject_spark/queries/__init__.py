@@ -484,7 +484,11 @@ _GATED_WINDOW = [
     # the end-to-end superset — plus decontaminate, token_budget_mix,
     # dsir_scores, weighted_sample gated). Both stay oracle-checked in
     # the local pytest mirror. ---
-    "retrieval_bm25_topk",
+    # retrieval_bm25_topk rotated out in round 13 (r12 driver-green; the
+    # retrieval family keeps retrieval_bm25_incremental +
+    # retrieval_eval_metrics gated) for the round-13-BUILT Bloom
+    # short-circuit anti join — built this round, gated this round:
+    "bloom_anti_join_lineitem",
     "skew_stats_events_by_user",
     # --- round-5g rotation: exact two-phase heavy hitters earns a first
     # driver row. Rotated out: q11_top_share_parts (share-of-total scalar

@@ -293,10 +293,11 @@ def curation_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=5,
         threshold=0.1,
         # num_bits=None → auto-sized from the eval-shingle estimate (r13:
-        # ~10 bits/shingle next-pow2 ⇒ 2^17 on the sf0.1 eval side — the
-        # same value this query pinned by hand in r12 after measuring the
-        # 2^20 literal's 14-16s plan/codegen cliff; the auto rule is
-        # pinned in test_bloom_auto_bits_rule / .._picks_r12_manual_size)
+        # ~10 bits/shingle next-pow2 ⇒ 2^18 on the sf0.1 eval side) and
+        # probed via the default broadcast word-table JOIN form — measured
+        # 1.65s warm vs the r12 hand-pinned 2^17 literal's 2.6-3.4s and
+        # the 2^20 literal default's 14-16s cliff (SCALE.md crossover
+        # section; sizing rule pinned in test_bloom_auto_bits_rule)
     ).filter(F.col("n_hits") >= 0)
 
 

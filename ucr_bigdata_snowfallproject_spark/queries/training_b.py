@@ -289,6 +289,35 @@ def bloom_semi_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bloom_anti_join_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey NOT IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    )
+    """,
+)
+def bloom_anti_join_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-SHORT-CIRCUITED anti join (round 13,
+    operators.relational.bloom_anti_join): lineitems of everything BUT
+    the high-value orders — the removal-filter shape of every curation
+    pipeline (drop contaminated docs / seen fingerprints / dup losers).
+    The Bloom asymmetry works FOR the anti join: a probe miss is a
+    DEFINITE non-member kept straight from the scan with ZERO exchange;
+    only probable members (~true members × (1+fp)) pay the exact anti
+    join that rescues false positives. Result exactly equals the plain
+    anti join (the oracle — NOT IN over a non-nullable key)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    hot = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    return relational.bloom_anti_join(li, hot, "l_orderkey", "o_orderkey")
+
+
+@register(
     "embedding_quantize_int8",
     """
     WITH q AS (

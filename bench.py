@@ -195,6 +195,9 @@ HEADLINE = [
     # round-13, benched from birth: the Bloom short-circuit anti join —
     # probe misses are definite non-members kept with zero exchange
     "bloom_anti_join_lineitem",
+    # round-13, benched from birth: the span-granularity Bloom prefilter
+    # (train anchors cut scan-side before the anchor equi-join)
+    "curation_decontaminate_spans_bloom",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

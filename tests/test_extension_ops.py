@@ -2982,6 +2982,42 @@ def test_bloom_anti_join_matches_plain(spark):
     assert kept == li.count()
 
 
+def test_decontaminate_spans_bloom_matches_exact(spark):
+    """Round 13: decontaminate_spans(bloom_prefilter=True) == the exact
+    operator row-for-row — the anchor-side Bloom prefilter only admits
+    a superset of matching fingerprints and the anchor equi-join
+    rescues false positives — in BOTH eval-side plans (broadcast and
+    forced-shuffled, where the prefilter actually cuts the exchange);
+    excise_spans rides the same switch."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    train = d.filter(F.col("doc_id") % 7 != 0)
+    ev = d.filter(F.col("doc_id") % 7 == 0)
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    exact = rows(
+        curation_ops.decontaminate_spans(
+            train, ev, "doc_id", "text", min_tokens=12
+        )
+    )
+    assert any(r[6] for r in exact)  # fixture must contain contamination
+    for bc in (None, False):
+        got = rows(
+            curation_ops.decontaminate_spans(
+                train, ev, "doc_id", "text", min_tokens=12,
+                broadcast_eval=bc, bloom_prefilter=True,
+            )
+        )
+        assert got == exact, f"broadcast_eval={bc}"
+    exact_x = rows(
+        curation_ops.excise_spans(train, ev, "doc_id", "text", min_tokens=12)
+    )
+    got_x = rows(
+        curation_ops.excise_spans(
+            train, ev, "doc_id", "text", min_tokens=12, bloom_prefilter=True
+        )
+    )
+    assert got_x == exact_x
+
+
 def test_bloom_words_artifact_roundtrip(spark, tmp_path):
     """Round 13: the occupied-words frame artifact — build_bloom_words →
     save_bloom_words → load_bloom_words → bloom_semi_join(words=...) ==

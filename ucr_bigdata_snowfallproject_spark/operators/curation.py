@@ -88,6 +88,7 @@ def _eval_anchor_matches(
     min_tokens: int,
     broadcast_eval: bool | None,
     hash_mode: str = "md5",
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Shared train⋈eval anchor-match builder behind
     :func:`decontaminate_spans` / :func:`excise_spans` — returns
@@ -103,12 +104,27 @@ def _eval_anchor_matches(
     plain shuffled equi-join on the fingerprint — identical output,
     different physical plan, no multi-GB build side. ``True``/``False``
     force either plan (True is the pre-r10 behavior; False lets AQE pick
-    for unusual shapes)."""
+    for unusual shapes).
+
+    ``bloom_prefilter=True`` (round 13 — the span-granularity sibling of
+    :func:`decontaminate_bloom`'s prefilter): the train anchor side is
+    cut SCAN-SIDE to probable fingerprint matches
+    (``relational.bloom_prefilter``, word-table join probe, auto-sized
+    ~10 bits per eval anchor) before the equi-join, whose exact match
+    then rescues Bloom false positives — output identical, but the
+    shuffled-fallback exchange carries ~matching anchors instead of the
+    corpus's FULL anchor stream (~n tokens × 44 bytes at 100 TB). With
+    the broadcast plan the join is already exchange-free on the train
+    side, so the prefilter merely cuts probe work; its regime is the
+    same as the shingle form's (see SCALE.md crossover): an eval union
+    past the broadcast budget over a mostly-clean corpus."""
     from .dedup import substring_anchor_index
+    from .relational import bloom_prefilter as _rel_bloom_prefilter
 
     train = substring_anchor_index(df, id_col, text_col, min_tokens, hash_mode)
     ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens, hash_mode)
-    if broadcast_eval is None:
+    n_anchors = None
+    if broadcast_eval is None or bloom_prefilter:
         toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
         n_anchors = eval_df.select(
             F.coalesce(
@@ -120,8 +136,18 @@ def _eval_anchor_matches(
                 F.lit(0),
             )
         ).first()[0]
+    if broadcast_eval is None:
         broadcast_eval = (
             n_anchors * _EVAL_ANCHOR_ROW_BYTES <= _EVAL_BROADCAST_BUDGET_BYTES
+        )
+    if bloom_prefilter:
+        train = _rel_bloom_prefilter(
+            train,
+            ev.select("__fp"),
+            "__fp",
+            "__fp",
+            num_bits=_bloom_auto_bits(n_anchors),
+            mode="join",
         )
     ev_side = F.broadcast(ev.alias("e")) if broadcast_eval else ev.alias("e")
     return train.alias("t").join(
@@ -143,6 +169,7 @@ def decontaminate_spans(
     threshold_tokens: int = 0,
     broadcast_eval: bool | None = None,
     hash_mode: str = "md5",
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """Substring-level benchmark decontamination — the exact-span
     strengthening of :func:`decontaminate`: for each training document,
@@ -172,7 +199,8 @@ def decontaminate_spans(
     from .dedup import _merge_anchor_runs, union_interval_lengths
 
     matches = _eval_anchor_matches(
-        df, eval_df, id_col, text_col, min_tokens, broadcast_eval, hash_mode
+        df, eval_df, id_col, text_col, min_tokens, broadcast_eval, hash_mode,
+        bloom_prefilter,
     )
     spans = _merge_anchor_runs(matches, min_tokens)
     per_doc = spans.groupBy(F.col("doc_a").alias("__id")).agg(
@@ -221,6 +249,7 @@ def excise_spans(
     min_tokens: int = 13,
     broadcast_eval: bool | None = None,
     hash_mode: str = "md5",
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """The ACTION step after :func:`decontaminate_spans`: rebuild each
     training document with every token inside a shared ≥``min_tokens``
@@ -247,7 +276,8 @@ def excise_spans(
     from .dedup import _merge_anchor_runs
 
     matches = _eval_anchor_matches(
-        df, eval_df, id_col, text_col, min_tokens, broadcast_eval, hash_mode
+        df, eval_df, id_col, text_col, min_tokens, broadcast_eval, hash_mode,
+        bloom_prefilter,
     )
     spans = _merge_anchor_runs(matches, min_tokens)
     covered = (

@@ -386,6 +386,36 @@ def bloom_anti_join(
     return definite_out.unionByName(rescued)
 
 
+def bloom_prefilter(
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    num_bits: int = 1 << 16,
+    num_hashes: int = 3,
+    bitmap: list[int] | None = None,
+    mode: str | None = None,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """The raw prefilter half of :func:`bloom_semi_join` (round 13):
+    ``fact`` rows whose ``fact_key`` is a PROBABLE member of ``build``'s
+    key set — false positives included (the caller's downstream exact
+    join must rescue them), false negatives impossible.
+
+    Exists for operators whose verify step is NOT a semi join: the span
+    decontamination family joins train anchors to eval anchors and
+    keeps BOTH sides' payload columns (positions, ids), so the rescue
+    is the equi-join itself — prefiltering the train side here cuts the
+    join exchange to ~matching-fingerprint rows without changing one
+    output row.  Same ``mode``/``bitmap``/``words`` contract as
+    :func:`bloom_semi_join`."""
+    annotated, hit = _bloom_annotate(
+        fact, build, fact_key, build_key, num_bits, num_hashes, bitmap,
+        mode, words,
+    )
+    return annotated.filter(hit).drop("__bloom_hit")
+
+
 def _bloom_annotate(
     fact: DataFrame,
     build: DataFrame,

@@ -218,7 +218,14 @@ _GATED_WINDOW = [
     # =====================================================================
     "curation_span_clean_mix_pipeline_prod",
     "dedup_substring_spans_incremental",
-    "curation_decontaminate_spans",
+    # curation_decontaminate_spans rotated out in round 13 (r12
+    # driver-green; its oracle stays gated VERBATIM through the
+    # round-13-BUILT Bloom-prefiltered twin below, which additionally
+    # proves prefiltered == exact at span granularity — the strictly
+    # stronger external claim; the span family also keeps
+    # curation_excise_contaminated + dedup_substring_spans_poly/_
+    # incremental gated):
+    "curation_decontaminate_spans_bloom",
     "dedup_minhash_components_md5",
     "dedup_simhash_candidates_md5",
     "similarity_knn_graph_int8",

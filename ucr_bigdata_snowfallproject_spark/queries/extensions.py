@@ -331,9 +331,7 @@ def curation_decontaminate_bloom_join(
     ).filter(F.col("n_hits") >= 0)
 
 
-@register(
-    "curation_decontaminate_spans",
-    """
+_DECON_SPANS_ORACLE = """
     WITH t AS (
       SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
       FROM documents
@@ -390,8 +388,10 @@ def curation_decontaminate_bloom_join(
     LEFT JOIN per_doc p ON p.doc_a = d.doc_id
     LEFT JOIN cov c ON c.doc_a = d.doc_id
     WHERE d.doc_id % 7 != 0
-    """,
-)
+"""
+
+
+@register("curation_decontaminate_spans", _DECON_SPANS_ORACLE)
 def curation_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level benchmark decontamination
     (operators.curation.decontaminate_spans): every maximal >=12-token
@@ -412,6 +412,36 @@ def curation_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         min_tokens=12,
+    ).filter(F.col("n_spans") >= 0)
+
+
+@register("curation_decontaminate_spans_bloom", _DECON_SPANS_ORACLE)
+def curation_decontaminate_spans_bloom(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-prefiltered SPAN decontamination (round 13 — the
+    span-granularity sibling of curation_decontaminate_bloom,
+    completing the prefilter symmetry across the decontamination
+    granularities: shingles r12, spans HERE): the train ANCHOR stream
+    is cut scan-side to probable fingerprint matches
+    (relational.bloom_prefilter — word-table join probe auto-sized from
+    the same eval-anchor estimate the broadcast guard computes) before
+    the anchor equi-join, whose exact fingerprint match rescues Bloom
+    false positives. False negatives are impossible ⇒ every span row —
+    and therefore every per-doc signal — is IDENTICAL to
+    curation_decontaminate_spans, whose DuckDB oracle this entry shares
+    VERBATIM (the driver externally proves prefiltered == exact at span
+    granularity). At 100 TB this converts the shuffled-fallback
+    exchange from the corpus's full anchor stream (~n tokens) to
+    ~matching anchors."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.decontaminate_spans(
+        d.filter(F.col("doc_id") % 7 != 0),
+        d.filter(F.col("doc_id") % 7 == 0),
+        "doc_id",
+        "text",
+        min_tokens=12,
+        bloom_prefilter=True,
     ).filter(F.col("n_spans") >= 0)
 
 

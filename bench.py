@@ -198,6 +198,17 @@ HEADLINE = [
     # round-13, benched from birth: the span-granularity Bloom prefilter
     # (train anchors cut scan-side before the anchor equi-join)
     "curation_decontaminate_spans_bloom",
+    # round-13, benched from birth: the published heuristic-filter
+    # recipes — the Gopher rule battery and C4 line cleaning are pure
+    # scan-shaped column/array-lambda plans (zero shuffle; they bench the
+    # codegen throughput of the rule expressions), the canary scan is a
+    # broadcast nested-loop contains join (corpus scan × |patterns|)
+    "curation_gopher_rules",
+    "curation_c4_line_filter",
+    "curation_canary_scan",
+    # round-13, benched from birth: multi-suite decontamination — one
+    # corpus explode serves every benchmark suite (vs k single-suite runs)
+    "curation_decontaminate_multisuite",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

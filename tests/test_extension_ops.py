@@ -4540,3 +4540,160 @@ def test_decontaminate_bloom_matches_exact(spark):
     # above prove nothing (ADVICE r12: the old `or len(exact) > 0` clause
     # was vacuously true on any non-empty result)
     assert any(r[4] for r in exact)
+
+
+def test_gopher_rules_hand_cases(spark):
+    """Round-13 Gopher rule battery: hand docs exercise the rules the
+    word-soup fixture leaves constant-true (symbols, bullets, ellipsis
+    lines, non-alpha words) plus both word-count bounds, so every rule's
+    count pipeline is pinned on inputs where it actually FIRES."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import gopher_rules
+
+    good = "the cat sat of the mat and that have with " * 5  # 50 words
+    docs = [
+        (1, good),
+        (2, "the of"),  # below min_words
+        (3, ("word " * 30) + "# # # #"),  # 4 hashes vs 34 words > 10%
+        (4, "- one bullet line here now\n- two bullet line here now"),
+        (5, "a line that ends so...\nanother trailing one here…\nplain."),
+        (6, ("12345 67890 " * 30)),  # zero alpha words
+        (7, "zz qq ww ee rr " * 12),  # no required words
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_rules(
+            spark.createDataFrame(docs, ["doc_id", "text"]),
+            "doc_id", "text", min_words=40,
+        ).collect()
+    }
+    assert out[1]["keep"] == 1 and all(
+        v == 1 for k, v in out[1].items() if k.startswith("r_")
+    )
+    assert out[2]["r_word_count"] == 0
+    assert out[3]["r_symbol_ratio"] == 0
+    # doc 4: 2/2 lines bullets -> >90% -> fails; doc 5: 2/3 ellipsis ends
+    assert out[4]["r_bullet_lines"] == 0
+    assert out[5]["r_ellipsis_lines"] == 0
+    assert out[6]["r_alpha_words"] == 0
+    assert out[7]["r_required_words"] == 0
+    # '...' occurrence counting is exact-integer: 4 dots = one '...' + 1
+    ell = gopher_rules(
+        spark.createDataFrame([(9, "w .... w")], ["doc_id", "text"]),
+        "doc_id", "text", min_words=1,
+    ).collect()[0]
+    # 3 words ('w','....','w'), replace-counting finds ONE '...' (greedy
+    # left-to-right, remainder '.' is not an ellipsis): 10*1 > 3 -> fails
+    assert ell["n_words"] == 3 and ell["r_symbol_ratio"] == 0
+
+
+def test_c4_line_filter_hand_cases(spark):
+    """Round-13 C4 line cleaning on hand pages: terminal punctuation,
+    min words per line, the javascript line ban, the lorem-ipsum /
+    brace page bans, and sentence-count doc gating — each predicate
+    exercised where the soup fixture can't."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import c4_line_filter
+
+    page_good = (
+        "This page has a first proper sentence right here.\n"
+        "short one.\n"
+        "A second full sentence also ends with a mark!\n"
+        "this line enables JavaScript tracking everywhere today.\n"
+        "a line with no terminal punctuation at all"
+    )
+    docs = [
+        (1, page_good),
+        (2, "Lorem ipsum dolor sit amet something.\nAnother good line here."),
+        (3, "if (x) { return y; } is code here.\nAnother fine sentence here."),
+        (4, "One single good sentence is not enough here."),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in c4_line_filter(
+            spark.createDataFrame(docs, ["doc_id", "page"]),
+            "doc_id", "page", min_words_per_line=5, min_sentences=2,
+        ).collect()
+    }
+    # doc 1: 5 lines; kept = the 2 proper sentences (short line <5 words,
+    # javascript line banned case-insensitively, unterminated line out)
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (5, 2)
+    assert out[1]["cleaned_text"] == (
+        "This page has a first proper sentence right here.\n"
+        "A second full sentence also ends with a mark!"
+    )
+    assert out[1]["n_sentences"] == 2 and out[1]["keep_doc"] == 1
+    assert out[2]["keep_doc"] == 0  # lorem ipsum page ban
+    assert out[3]["keep_doc"] == 0  # '{' page ban
+    assert out[4]["keep_doc"] == 0  # 1 sentence < min_sentences
+    # row-preserving: every input doc emits exactly one row
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_canary_scan_counts_and_edges(spark):
+    """Round-13 canary_scan: exact non-overlapping occurrence counts,
+    no token alignment required (mid-word hits count), empty patterns
+    dropped, non-matching docs absent, and the plan broadcasts the
+    pattern side (nested-loop contains join — zero corpus shuffle)."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import canary_scan
+
+    docs = spark.createDataFrame(
+        [
+            (1, "secret42 and again secret42 tail"),
+            (2, "xxsecret42yy embedded mid-word"),
+            (3, "aaaa"),  # overlap probe for pattern 'aa'
+            (4, "nothing to see"),
+        ],
+        ["doc_id", "text"],
+    )
+    pats = spark.createDataFrame(
+        [(10, "secret42"), (11, "aa"), (12, "")], ["pat_id", "pattern"]
+    )
+    out = canary_scan(docs, "doc_id", "text", pats)
+    rows = {(r["doc_id"], r["pat_id"]): r["n_occurrences"] for r in out.collect()}
+    assert rows == {
+        (1, 10): 2,   # two verbatim hits
+        (2, 10): 1,   # mid-word counts (substring, not token, semantics)
+        (3, 11): 2,   # 'aaaa' -> non-overlapping left-to-right = 2
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_decontaminate_multi_matches_per_suite_runs(spark):
+    """Round-13 multi-suite decontamination: the one-pass per-(doc,
+    suite) table sliced at each suite == the single-suite
+    curation.decontaminate run against that suite alone (hit rows only
+    — the multi form's contract), across every suite in the fixture.
+    Also pins the forced-shuffled fallback to the broadcast plan's
+    output (same guard contract as the single-suite form)."""
+    d = load_table(spark, SF_SMOKE, "documents")
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+
+    multi = curation_ops.decontaminate_multi(
+        train, ev.select("source", "text"), "doc_id", "text", "source", n=5
+    )
+    rows = multi.collect()
+    assert rows and len({r["suite"] for r in rows}) > 1
+    got_by_suite: dict = {}
+    for r in rows:
+        got_by_suite.setdefault(r["suite"], set()).add(
+            (r["doc_id"], r["n_shingles"], r["n_hits"],
+             r["contamination"], r["contaminated"])
+        )
+    for suite in got_by_suite:
+        single = curation_ops.decontaminate(
+            train, ev.filter(F.col("source") == suite), "doc_id", "text", n=5
+        )
+        want = {
+            (r["doc_id"], r["n_shingles"], r["n_hits"],
+             r["contamination"], r["contaminated"])
+            for r in single.collect() if r["n_hits"] > 0
+        }
+        assert got_by_suite[suite] == want, suite
+
+    shuffled = curation_ops.decontaminate_multi(
+        train, ev.select("source", "text"), "doc_id", "text", "source",
+        n=5, broadcast_eval=False,
+    )
+    assert {tuple(r) for r in shuffled.collect()} == {tuple(r) for r in rows}

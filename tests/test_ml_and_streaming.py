@@ -1441,3 +1441,97 @@ def test_stream_contamination_flags_match_batch(spark, tmp_path_factory):
         if r["n_hits"] > 0
     }
     assert got_counts_b == want_counts_b == want_counts
+
+
+def test_stream_canary_hits_match_batch(spark, tmp_path_factory):
+    """Round-13 streaming canary face: the stateless stream-static
+    contains-join emits EXACTLY the batch canary_scan rows on the same
+    files (bit-identical tuples, occurrence counts included) — the
+    stream == batch pin every streaming face here carries."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cu
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_canary_hits,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        run_to_memory_sink,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pats = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("pat_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 4, 3)).alias(
+            "pattern"
+        ),
+    )
+    want = {tuple(r) for r in cu.canary_scan(d, "doc_id", "text", pats).collect()}
+    assert want and any(r[0] != r[1] for r in want)  # genuine cross-doc hits
+
+    stream_dir = str(tmp_path_factory.mktemp("canary-stream"))
+    d.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+    got = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            stream_canary_hits(stream, pats), "canary_hits"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_multisuite_contamination_flags_match_batch(
+    spark, tmp_path_factory
+):
+    """Round-13 streaming multi-suite decontamination face: per-(doc,
+    suite) distinct hit counts from the stateless one-join hit stream ==
+    batch decontaminate_multi's n_hits bit-exactly (and n_shingles rides
+    scan-side), micro-batched == its own batch run."""
+    from pyspark.sql import functions as SF
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cu
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import shingles
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+        stream_multisuite_contamination_flags,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        run_to_memory_sink,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    ev_sh = ev.select(
+        F.col("source").alias("suite"),
+        SF.explode(shingles("text", 4)).alias("__g"),
+    ).distinct()
+
+    want_rows = {
+        tuple(r)
+        for r in stream_multisuite_contamination_flags(
+            train, ev_sh, n=4
+        ).collect()
+    }
+    assert want_rows and len({r[2] for r in want_rows}) > 1
+
+    stream_dir = str(tmp_path_factory.mktemp("multisuite-stream"))
+    train.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+    flags = run_to_memory_sink(
+        stream_multisuite_contamination_flags(stream, ev_sh, n=4),
+        "multisuite_flags",
+    )
+    assert {tuple(r) for r in flags.collect()} == want_rows
+
+    got_counts = {
+        (r["doc_id"], r["suite"], r["n"])
+        for r in flags.groupBy("doc_id", "suite")
+        .agg(F.countDistinct("hit_shingle").alias("n"))
+        .collect()
+    }
+    batch = cu.decontaminate_multi(
+        train, ev.select("source", "text"), "doc_id", "text", "source", n=4
+    )
+    want_counts = {
+        (r["doc_id"], r["suite"], r["n_hits"]) for r in batch.collect()
+    }
+    assert got_counts == want_counts

@@ -694,3 +694,68 @@ def test_composed_entry_analyzed_plan_bounded(spark, name):
     # healthy truncated compositions measure ~10-50 KB; the bound in the
     # helper (1 MiB) is the loud-failure line, this message records actuals
     assert stats["bytes"] > 0, stats
+
+
+def test_gopher_and_c4_zero_shuffle(spark):
+    """Round-13 heuristic filters are scan-shaped BY CONTRACT: the Gopher
+    rule battery and C4 line cleaning are doc-local column/array-lambda
+    expressions — their plans must contain NO exchange at all (the naive
+    line/token explode→groupBy alternatives would shuffle one row per
+    line/token of the corpus)."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import (
+        c4_line_filter,
+        gopher_rules,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    g = gopher_rules(d, "doc_id", "text", min_words=40)
+    assert checks.shuffle_count(g) == 0
+    assert g.count() == d.count()
+    c = c4_line_filter(d, "doc_id", "text")
+    assert checks.shuffle_count(c) == 0
+    assert c.count() == d.count()
+
+
+def test_canary_scan_broadcast_nlj_no_corpus_shuffle(spark):
+    """canary_scan: the pattern side must broadcast into a nested-loop
+    contains join — the corpus never shuffles (probe misses die in the
+    scan stage), and there is no cartesian product (the join carries the
+    contains condition)."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import canary_scan
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    pats = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("pat_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 4, 3)).alias(
+            "pattern"
+        ),
+    )
+    out = canary_scan(d, "doc_id", "text", pats)
+    text = checks.explain_str(out)
+    assert "BroadcastNestedLoopJoin" in text
+    assert "CartesianProduct" not in text
+    assert "Exchange hashpartitioning" not in text
+
+
+def test_decontaminate_multi_single_corpus_scan(spark):
+    """decontaminate_multi's whole point: ONE corpus scan/explode serves
+    every suite. The plan must read the training documents ONCE (one
+    parquet scan of the corpus side) and broadcast the eval side —
+    k suites may not multiply corpus scans."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        decontaminate_multi,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    out = decontaminate_multi(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0).select("source", "text"),
+        "doc_id", "text", "source", n=4,
+    )
+    text = checks.explain_str(out)
+    assert "BroadcastHashJoin" in text
+    # corpus + eval = exactly two parquet scan NODES (formatted explain
+    # prints each node once in the tree and once in the detail section)
+    import re
+
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", text))) == 2

@@ -407,6 +407,82 @@ def decontaminate(
     )
 
 
+def decontaminate_multi(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    suite_col: str,
+    n: int = 5,
+    threshold: float = 0.1,
+    broadcast_eval: bool | None = None,
+) -> DataFrame:
+    """Multi-suite benchmark decontamination — ALL eval suites checked in
+    ONE corpus pass (round 13): real pipelines screen against dozens of
+    benchmarks, and running :func:`decontaminate` per suite re-scans and
+    re-explodes the 100 TB corpus k times. Here the eval shingle set
+    keeps its ``suite_col`` tag, the corpus explodes ONCE, and a single
+    inverted-index join yields per-(document, suite) contamination.
+
+    Returns (id, suite, n_shingles, n_hits, contamination, contaminated)
+    for pairs with ≥1 hit ONLY — unlike the row-preserving single-suite
+    form, a k-suite row-preserving output would be |corpus|×k mostly-zero
+    rows; absent pairs mean zero hits by contract (consumers needing the
+    dense form cross-join suites and left-join this).
+
+    Per-suite hit counts are bit-identical to running
+    :func:`decontaminate` against that suite alone (same shingle
+    semantics, same join — pytest-pinned): the fan-out join emits one row
+    per (doc shingle, suite that contains it), so no double count and no
+    cross-suite interference. Per-doc totals ride scan-side
+    (``size(shingles(text))`` — the array is already distinct).
+
+    Scale shape: Σ_suites df(shingle) work — identical total to k
+    single-suite runs' JOIN cost, but ONE corpus scan/explode/exchange
+    instead of k. The eval side reduces to DISTINCT (suite, shingle)
+    first and broadcasts under the same Σ-token budget estimate as
+    :func:`decontaminate` (suite tags add a few bytes per row — inside
+    the estimate's distinct-upper-bound slack); above budget it falls
+    back to the shuffled equi-join, identical output."""
+    doc_sh = df.select(
+        F.col(id_col),
+        F.size(shingles(text_col, n)).cast("long").alias("n_shingles"),
+        F.explode(shingles(text_col, n)).alias("__g"),
+    )
+    eval_sh = eval_df.select(
+        F.col(suite_col).alias("suite"), F.explode(shingles(text_col, n)).alias("__g")
+    ).distinct()
+    if broadcast_eval is None:
+        toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        n_ev = eval_df.select(
+            F.coalesce(
+                F.sum(
+                    F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1)).cast(
+                        "bigint"
+                    )
+                ),
+                F.lit(0),
+            )
+        ).first()[0]
+        broadcast_eval = (
+            n_ev * _eval_shingle_row_bytes(n) <= _EVAL_BROADCAST_BUDGET_BYTES
+        )
+    ev_side = F.broadcast(eval_sh) if broadcast_eval else eval_sh
+    return (
+        doc_sh.join(ev_side, "__g")
+        .groupBy(id_col, "suite")
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.count(F.lit(1)).alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.round(F.col("n_hits") / F.col("n_shingles").cast("double"), 4),
+        )
+        .withColumn("contaminated", F.col("contamination") > threshold)
+    )
+
+
 #: Auto-sizing bounds for the Bloom decontamination bitmap: ~10 bits per
 #: eval shingle (<1% fp at 3 hashes), rounded up to a power of two, never
 #: below 2¹⁴ bits (256 words).  No upper cap: the default broadcast
@@ -528,6 +604,54 @@ def decontaminate_bloom(
             F.round(F.col("n_hits") / F.col("n_shingles").cast("double"), 4),
         )
         .withColumn("contaminated", F.col("contamination") > threshold)
+    )
+
+
+def canary_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: DataFrame,
+    pat_id_col: str = "pat_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Exact multi-pattern substring scan — the canary / secret / leaked
+    eval-answer detector: for every (document, pattern) pair where the
+    pattern occurs VERBATIM anywhere in the text (no token alignment —
+    unlike the shingle-based :func:`decontaminate`, a match does not have
+    to sit on word boundaries), emit the occurrence count. The standard
+    sweep a training pipeline runs for planted canary strings, API-key
+    shapes rendered as literals, and benchmark answer strings.
+
+    ``patterns`` is a DataFrame ``(pat_id, pattern)`` — canary sets are
+    small by nature (10²-10⁴ strings), so the operator broadcast-hints it
+    into a nested-loop join whose predicate is a codegen'd ``contains``:
+    one scan over the corpus, zero shuffle of corpus rows, output ~hits.
+    Occurrence counts are exact-integer arithmetic
+    (``(len - len(replace(text, p))) / len(p)`` — non-overlapping,
+    left-to-right, the semantics every engine shares), so the result is
+    engine-bit-identical and DuckDB-oracle-able. Empty patterns are
+    dropped (a zero-length needle matches everywhere and divides by
+    zero). For pattern sets too large to broadcast, this is the wrong
+    operator — use :func:`decontaminate` /
+    :func:`decontaminate_bloom`'s inverted-index shingle path, which
+    never materializes the cross product."""
+    pats = patterns.select(
+        F.col(pat_id_col).alias("pat_id"),
+        F.col(pattern_col).alias("pattern"),
+    ).filter(F.length("pattern") > 0)
+    c = F.col(text_col)
+    p = F.col("pattern")
+    return (
+        df.join(F.broadcast(pats), F.contains(c, p))
+        .select(
+            F.col(id_col),
+            F.col("pat_id"),
+            p,
+            ((F.length(c) - F.length(F.replace(c, p))) / F.length(p))
+            .cast("long")
+            .alias("n_occurrences"),
+        )
     )
 
 

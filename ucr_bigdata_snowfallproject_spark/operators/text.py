@@ -453,6 +453,166 @@ def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: The Gopher "required word" set (Rae et al. 2021 §A.2.3, public): a
+#: document must contain at least ``min_required`` of these to pass the
+#: rule battery's lexical-sanity check.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
+    min_required: int = 2,
+) -> DataFrame:
+    """The Gopher quality-rule battery (Rae et al. 2021 — the published
+    heuristic filter every large web-corpus pipeline runs a variant of):
+    per-document PER-RULE pass flags plus the conjunction, so curation can
+    both filter and DIAGNOSE which rule fired. Rules, with the published
+    thresholds hard-coded as exact integer comparisons (no float ratios —
+    ``10*sym <= n_words`` instead of ``sym/n_words <= 0.1`` — so every
+    flag is bit-identical on any engine, DuckDB oracle included):
+
+    - ``r_word_count``:   min_words <= n_words <= max_words (bounds are
+      the corpus-fit knobs; Gopher used 50..100k)
+    - ``r_mean_word_len``: mean word length in [3, 10] chars
+    - ``r_symbol_ratio``:  ('#' + '...') occurrences <= 10% of words
+    - ``r_bullet_lines``:  <= 90% of lines start with a bullet (-, *, •)
+    - ``r_ellipsis_lines``: <= 30% of lines end with '...' or '…'
+    - ``r_alpha_words``:   >= 80% of words contain an alphabetic char
+    - ``r_required_words``: >= min_required of ``required_words`` present
+
+    Scale shape: pure column expressions over one scan — zero shuffle,
+    zero Python, whole-stage codegen; at 100 TB this runs at parquet read
+    speed and the flags push down into any downstream filter. Flags emit
+    as BIGINT 0/1 (portable hashing across engines)."""
+    c = F.col(text_col)
+    toks = F.filter(tokens(c), lambda t: t != "")
+    n_words = F.size(toks).cast("long")
+    total_chars = F.length(F.regexp_replace(c, r"\s+", "")).cast("long")
+    hash_n = (F.length(c) - F.length(F.replace(c, F.lit("#")))).cast("long")
+    ell_n = ((F.length(c) - F.length(F.replace(c, F.lit("...")))) / 3).cast(
+        "long"
+    )
+    lines = F.split(c, r"\n")
+    n_lines = F.size(lines).cast("long")
+    bullet_n = F.size(
+        F.filter(lines, lambda l: F.trim(l).substr(1, 1).isin("-", "*", "•"))
+    ).cast("long")
+    ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    ).cast("long")
+    alpha_n = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("long")
+    req_n = sum(
+        (F.array_contains(toks, w).cast("long") for w in required_words),
+        F.lit(0).cast("long"),
+    )
+
+    def flag(cond) -> Column:
+        return cond.cast("long")
+
+    r_wc = flag((n_words >= min_words) & (n_words <= max_words))
+    r_mwl = flag(
+        (3 * n_words <= total_chars) & (total_chars <= 10 * n_words)
+    )
+    r_sym = flag(10 * (hash_n + ell_n) <= n_words)
+    r_bullet = flag(10 * bullet_n <= 9 * n_lines)
+    r_ell = flag(10 * ell_lines <= 3 * n_lines)
+    r_alpha = flag(5 * alpha_n >= 4 * n_words)
+    r_req = flag(req_n >= min_required)
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        r_wc.alias("r_word_count"),
+        r_mwl.alias("r_mean_word_len"),
+        r_sym.alias("r_symbol_ratio"),
+        r_bullet.alias("r_bullet_lines"),
+        r_ell.alias("r_ellipsis_lines"),
+        r_alpha.alias("r_alpha_words"),
+        r_req.alias("r_required_words"),
+    )
+    return out.withColumn(
+        "keep",
+        (
+            F.col("r_word_count")
+            * F.col("r_mean_word_len")
+            * F.col("r_symbol_ratio")
+            * F.col("r_bullet_lines")
+            * F.col("r_ellipsis_lines")
+            * F.col("r_alpha_words")
+            * F.col("r_required_words")
+        ).cast("long"),
+    )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_doc_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 line-level cleaning recipe (Raffel et al. 2020 §2.2 — the
+    published WITHIN-document counterpart of the cross-document
+    ``remove_boilerplate_lines``): keep only lines that (a) end in a
+    terminal punctuation mark (. ! ? \"), (b) have at least
+    ``min_words_per_line`` words, and (c) contain none of
+    ``banned_line_words`` (C4 dropped any line with "javascript"); flag
+    the whole document for removal if it contains any of
+    ``banned_doc_substrings`` ("lorem ipsum", code-brace pages) or fewer
+    than ``min_sentences`` sentences survive the line cut.
+
+    Returns one row per input document (row-preserving — composes with
+    row-count-sensitive curation stages): ``(id, n_lines, n_kept,
+    n_sentences, keep_doc, cleaned_text)``, surviving lines in original
+    order.
+
+    Scale shape: unlike ``remove_boilerplate_lines`` (whose line
+    frequency is a corpus-global signal and NEEDS two shuffles), every C4
+    predicate is doc-local, so the whole operator is array lambdas over
+    one scan — zero shuffle, zero explode, zero Python; at 100 TB it runs
+    at parquet read speed and AQE never sees an exchange."""
+    c = F.col(text_col)
+    lines = F.split(c, r"\n")
+
+    def line_keep(l: Column) -> Column:
+        t = F.trim(l)
+        ok = t.substr(-1, 1).isin(".", "!", "?", '"')
+        ok = ok & (F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+                   >= min_words_per_line)
+        low = F.lower(l)
+        for w in banned_line_words:
+            ok = ok & ~low.contains(w)
+        return ok
+
+    kept = F.filter(lines, line_keep)
+    cleaned = F.array_join(kept, "\n")
+    n_sentences = (
+        F.length(cleaned) - F.length(F.regexp_replace(cleaned, r"[.!?]", ""))
+    ).cast("long")
+    doc_ok = n_sentences >= min_sentences
+    low_doc = F.lower(c)
+    for s in banned_doc_substrings:
+        doc_ok = doc_ok & ~low_doc.contains(s.lower())
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        n_sentences.alias("n_sentences"),
+        doc_ok.cast("long").alias("keep_doc"),
+        cleaned.alias("cleaned_text"),
+    )
+
+
 def learn_bpe_merges(
     df: DataFrame,
     text_col: str,

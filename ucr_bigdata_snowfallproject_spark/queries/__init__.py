@@ -374,15 +374,32 @@ _GATED_WINDOW = [
     # pytest mirror. ---
     "similarity_int8_indexed_topk",
     # --- oracle-backed, ungated in round 1 (registration slots 50-88) ---
-    "correlated_subquery_above_custavg",
-    "scalar_date_arithmetic",
+    # correlated_subquery_above_custavg + scalar_date_arithmetic rotated
+    # out in round 13 (both r12 driver-green; the correlated-subquery
+    # family keeps q15_top_supplier gated and TPC-H keeps q1/q3; the
+    # scalar family keeps from_json_events_props + pandas_udf_vowel_ratio
+    # gated — both stay oracle-checked in the local pytest mirror) for
+    # two of the round-13-BUILT published heuristic-filter recipes, gated
+    # the round they were built: the Gopher rule battery (per-rule
+    # integer flags under a full list-lambda DuckDB oracle) and C4
+    # line-level cleaning (synthesized multi-line pages, cleaned text
+    # md5-pinned):
+    "curation_gopher_rules",
+    "curation_c4_line_filter",
     # global_scalar_aggregates rotated out in round 7c (r06 driver-green;
     # the aggregate family keeps q1_pricing_summary gated plus the
     # incoming group_quantiles_lineitem + profile_documents) for the
     # round-7-built exported-weights quality scorer — the fastText-filter
     # APPLY path as pure column math under a full oracle:
     "curation_quality_linear",
-    "salted_group_agg_matches_plain",
+    # salted_group_agg_matches_plain rotated out in round 13 (r12
+    # driver-green; the skew-mitigation family keeps
+    # skew_stats_events_by_user gated and the salted==plain identity
+    # stays pinned in the local pytest mirror) for the round-13-BUILT
+    # multi-suite decontamination — ALL eval suites screened in ONE
+    # corpus pass, per-(doc,suite) hits bit-identical to per-suite runs
+    # of the single-suite operator, full DuckDB oracle:
+    "curation_decontaminate_multisuite",
     "pandas_udf_vowel_ratio",
     "from_json_events_props",
     "q15_top_supplier",
@@ -448,7 +465,13 @@ _GATED_WINDOW = [
     # signals keep text_stats_documents, text_redact_pii, text_jsd,
     # text_dedupe_doc_lines, text_bigram_logppl) for the round-6-built
     # deterministic contrastive-negative miner:
-    "curation_negative_sample",
+    # curation_negative_sample rotated out in round 13 (r12 driver-green;
+    # the curation-sampling family keeps curation_epoch_upsample +
+    # curation_token_budget_mix + curation_quality_linear gated; stays
+    # oracle-checked in the local pytest mirror) for the round-13-BUILT
+    # exact multi-pattern canary scan (broadcast nested-loop contains
+    # join, exact-integer occurrence counts under a full DuckDB oracle):
+    "curation_canary_scan",
     # --- round-5e rotation: the final late-round-5 families (end-to-end
     # corpus build, time-weighted rollup, triangle analytics, fixed-bin
     # histogram). Rotated out, each family still gated (all local-mirror

@@ -1665,3 +1665,244 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Round 13: published heuristic-filter recipes — the Gopher rule battery,
+# C4 line-level cleaning, and the exact multi-pattern canary scan. All
+# three are scan-shaped (zero corpus shuffle) and engine-exact by
+# integer-arithmetic construction; see the operator docstrings.
+# =========================================================================
+
+
+@register(
+    "curation_gopher_rules",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+               AS total_chars,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS hash_n,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+               AS BIGINT) AS ell_n,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(lines,
+               l -> substr(trim(l),1,1) IN ('-','*','•'))) AS BIGINT)
+               AS bullet_n,
+             CAST(len(list_filter(lines,
+               l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…')) AS BIGINT)
+               AS ell_lines,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS alpha_n,
+             CAST(list_contains(toks,'the') AS BIGINT)
+               + CAST(list_contains(toks,'a') AS BIGINT)
+               + CAST(list_contains(toks,'data') AS BIGINT)
+               + CAST(list_contains(toks,'value') AS BIGINT) AS req_n
+      FROM t
+    )
+    SELECT doc_id, n_words, n_lines,
+      CAST(n_words >= 40 AND n_words <= 100000 AS BIGINT) AS r_word_count,
+      CAST(3*n_words <= total_chars AND total_chars <= 10*n_words AS BIGINT)
+        AS r_mean_word_len,
+      CAST(10*(hash_n + ell_n) <= n_words AS BIGINT) AS r_symbol_ratio,
+      CAST(10*bullet_n <= 9*n_lines AS BIGINT) AS r_bullet_lines,
+      CAST(10*ell_lines <= 3*n_lines AS BIGINT) AS r_ellipsis_lines,
+      CAST(5*alpha_n >= 4*n_words AS BIGINT) AS r_alpha_words,
+      CAST(req_n >= 2 AS BIGINT) AS r_required_words,
+      CAST((n_words >= 40 AND n_words <= 100000)
+       AND (3*n_words <= total_chars AND total_chars <= 10*n_words)
+       AND (10*(hash_n + ell_n) <= n_words)
+       AND (10*bullet_n <= 9*n_lines)
+       AND (10*ell_lines <= 3*n_lines)
+       AND (5*alpha_n >= 4*n_words)
+       AND (req_n >= 2) AS BIGINT) AS keep
+    FROM m
+    """,
+)
+def curation_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-rule battery (round 13,
+    operators.text.gopher_rules): per-rule BIGINT pass flags + the
+    conjunction, published thresholds as exact integer comparisons.
+    Fixture fit: ``min_words=40`` (the soup docs straddle it, so the
+    word-count rule varies) and a required-word set drawn from the
+    fixture vocabulary (``the/a/data/value``, >=2) — the symbol/bullet/
+    ellipsis rules are constant-true here (no '#'/bullets in the soup)
+    but every one of their count pipelines still runs and is pinned by
+    the oracle hash. Zero shuffle: the whole battery is one scan of
+    codegen'd column expressions."""
+    d = load_table(spark, sf_dir, "documents")
+    return text_ops.gopher_rules(
+        d, "doc_id", "text", min_words=40,
+        required_words=("the", "a", "data", "value"), min_required=2,
+    )
+
+
+@register(
+    "curation_c4_line_filter",
+    r"""
+    WITH pages AS (
+      SELECT doc_id, replace(text, 'table', '.' || chr(10)) AS page
+      FROM documents
+    ), t AS (
+      SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM pages
+    ), k AS (
+      SELECT doc_id, page, lines,
+             list_filter(lines, l ->
+                right(trim(l), 1) IN ('.', '!', '?', '"')
+                AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                    w -> w <> '')) >= 4
+                AND NOT contains(lower(l), 'slow')) AS kept
+      FROM t
+    ), m AS (
+      SELECT doc_id, page, lines, kept,
+             COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+      FROM k
+    ), n AS (
+      SELECT doc_id, page, lines, kept, cleaned,
+             CAST(length(cleaned)
+                  - length(regexp_replace(cleaned, '[.!?]', '', 'g'))
+               AS BIGINT) AS n_sentences
+      FROM m
+    )
+    SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           n_sentences,
+           CAST(n_sentences >= 2 AND NOT contains(lower(page), 'vector')
+             AS BIGINT) AS keep_doc,
+           md5(cleaned) AS cleaned_md5
+    FROM n
+    """,
+)
+def curation_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (round 13, operators.text.c4_line_filter):
+    keep lines ending in terminal punctuation with >=4 words and no
+    banned word; flag docs below 2 surviving sentences or containing the
+    banned page marker. The fixture soup has no line structure, so the
+    query SYNTHESIZES pages the way the geo query synthesizes
+    coordinates: every 'table' token becomes '.\\n' — a deterministic
+    literal replace both engines share — giving multi-line pages whose
+    lines end in '.' exactly where the soup said 'table'. Fixture-fit
+    knobs: banned line word 'slow', banned page substring 'vector'.
+    Cleaned text pinned through md5 (the text_remove_boilerplate
+    contract). Doc-local by construction — zero shuffle, zero explode,
+    array lambdas at scan speed (contrast remove_boilerplate_lines,
+    whose line-frequency signal NEEDS the corpus-wide exchange)."""
+    d = load_table(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.replace(F.col("text"), F.lit("table"), F.lit(".\n")).alias("page"),
+    )
+    out = text_ops.c4_line_filter(
+        pages, "doc_id", "page", min_words_per_line=4,
+        banned_line_words=("slow",), banned_doc_substrings=("vector",),
+        min_sentences=2,
+    )
+    return out.select(
+        "doc_id", "n_lines", "n_kept", "n_sentences", "keep_doc",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
+@register(
+    "curation_canary_scan",
+    """
+    WITH pats AS (
+      SELECT doc_id AS pat_id,
+             array_to_string(list_slice(string_split(text, ' '), 4, 6), ' ')
+               AS pattern
+      FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT d.doc_id, p.pat_id, p.pattern,
+           CAST((length(d.text) - length(replace(d.text, p.pattern, '')))
+                / length(p.pattern) AS BIGINT) AS n_occurrences
+    FROM documents d, pats p
+    WHERE length(p.pattern) > 0 AND contains(d.text, p.pattern)
+    """,
+)
+def curation_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-pattern canary scan (round 13,
+    operators.curation.canary_scan): every (doc, canary) VERBATIM
+    substring hit with its exact occurrence count — token alignment NOT
+    required, the detector shape for planted canaries / leaked eval
+    answers / secret literals. The canary set derives deterministically
+    from the fixture (tokens 4..6 of every doc_id % 97 == 0 document),
+    so each canary is guaranteed >=1 self-hit and the common-word soup
+    yields genuine cross-doc hits. Plan: the pattern table broadcasts
+    into a nested-loop ``contains`` join — ONE corpus scan, zero corpus
+    shuffle, output ~hits; occurrence counts are exact integer
+    replace-arithmetic, engine-bit-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    pats = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("pat_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 4, 3)).alias(
+            "pattern"
+        ),
+    )
+    return curation_ops.canary_scan(d, "doc_id", "text", pats)
+
+
+@register(
+    "curation_decontaminate_multisuite",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 4
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+3], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS gs
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, source, unnest(gs) AS g FROM sh
+    ), ev AS (
+      SELECT DISTINCT source AS suite, g FROM ex WHERE doc_id % 17 = 0
+    ), tr AS (
+      SELECT doc_id, g FROM ex WHERE doc_id % 17 <> 0
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM tr GROUP BY doc_id
+    )
+    SELECT tr.doc_id, ev.suite, tot.n_shingles,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*)::DOUBLE / tot.n_shingles, 4) AS contamination,
+           (ROUND(COUNT(*)::DOUBLE / tot.n_shingles, 4) > 0.1)
+             AS contaminated
+    FROM tr
+    JOIN ev USING (g)
+    JOIN tot ON tot.doc_id = tr.doc_id
+    GROUP BY tr.doc_id, ev.suite, tot.n_shingles
+    """,
+)
+def curation_decontaminate_multisuite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-suite decontamination (round 13,
+    operators.curation.decontaminate_multi): every 17th doc is eval,
+    its ``source`` column stands in for the benchmark-suite tag
+    (4-gram shingles — dense enough on the soup for a real hit table), and
+    ALL suites are screened in ONE corpus scan — per-(doc, suite) hit
+    counts bit-identical to running the single-suite operator per
+    suite (pytest-pinned), but the 100 TB corpus explodes once instead
+    of once per benchmark. Hit-pairs-only output (absent pair = zero
+    hits by contract)."""
+    d = load_table(spark, sf_dir, "documents")
+    return curation_ops.decontaminate_multi(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0).select(
+            F.col("source"), F.col("text")
+        ),
+        "doc_id",
+        "text",
+        "source",
+        n=4,
+        threshold=0.1,
+    )

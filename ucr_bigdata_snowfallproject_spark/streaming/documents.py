@@ -552,3 +552,59 @@ def stream_contamination_flags(
     return sh.join(ev, "__g").select(
         "doc_id", "n_shingles", F.col("__g").alias("hit_shingle")
     )
+
+
+def stream_canary_hits(
+    doc_stream: DataFrame,
+    patterns: DataFrame,
+    pat_id_col: str = "pat_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Exact multi-pattern canary detection on a document stream — the
+    streaming face of ``operators.curation.canary_scan`` (round 13).
+    The canary table is STATIC (planted canaries / secret shapes / eval
+    answer strings change per release, not per batch), so each micro
+    batch pays one stream-static broadcast nested-loop ``contains``
+    join: stateless, APPEND-mode, zero stream-side shuffle, output
+    ~hits. Emits ``(doc_id, pat_id, pattern, n_occurrences)`` with the
+    batch operator's exact-integer occurrence arithmetic — the pytest
+    pin proves stream rows == the batch operator's rows bit-exactly on
+    the same files."""
+    from ..operators.curation import canary_scan
+
+    return canary_scan(
+        doc_stream, "doc_id", "text", patterns,
+        pat_id_col=pat_id_col, pattern_col=pattern_col,
+    )
+
+
+def stream_multisuite_contamination_flags(
+    doc_stream: DataFrame,
+    eval_suite_shingles: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Multi-suite shingle contamination for a document stream — the
+    streaming face of ``operators.curation.decontaminate_multi`` (round
+    13): ``eval_suite_shingles`` is the batch pipeline's persisted
+    DISTINCT ``(suite, __g)`` table (ALL benchmark suites, one
+    artifact), each arriving document's distinct ``n``-gram shingles
+    compute scan-side and ONE stream-static equi-join emits
+    ``(doc_id, n_shingles, suite, hit_shingle)`` — one row per (doc,
+    suite, leaked shingle), every suite screened per micro-batch
+    without re-reading the batch corpus or running k per-suite streams.
+    Stateless APPEND-mode at-least-once flags, same contract as
+    :func:`stream_contamination_flags`; a ``foreachBatch`` consumer
+    aggregates exact per-(doc, suite) fractions from the riding
+    ``n_shingles``. The pytest pin proves per-(doc, suite) hit counts
+    == the batch operator's ``n_hits`` bit-exactly."""
+    from ..operators.dedup import shingles
+
+    sh = doc_stream.select(
+        F.col("doc_id"),
+        F.size(shingles("text", n)).cast("long").alias("n_shingles"),
+        F.explode(shingles("text", n)).alias("__g"),
+    )
+    ev = eval_suite_shingles.select("suite", "__g").distinct()
+    return sh.join(ev, "__g").select(
+        "doc_id", "n_shingles", "suite", F.col("__g").alias("hit_shingle")
+    )

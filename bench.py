@@ -209,6 +209,11 @@ HEADLINE = [
     # round-13, benched from birth: multi-suite decontamination — one
     # corpus explode serves every benchmark suite (vs k single-suite runs)
     "curation_decontaminate_multisuite",
+    # round-13, benched from birth: Misra-Gries frequent n-grams (the
+    # exchange carries O(k × partitions) candidates, never the n-gram
+    # vocabulary) and the per-(suite, source) contamination rollup
+    "text_frequent_ngrams",
+    "curation_contamination_report",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

@@ -1906,3 +1906,125 @@ def curation_decontaminate_multisuite(
         n=4,
         threshold=0.1,
     )
+
+
+@register(
+    "text_frequent_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT CASE WHEN len(t) >= 2
+                  THEN list_transform(
+                         generate_series(1, len(t) - 1),
+                         i -> array_to_string(t[i:i+1], ' '))
+                  ELSE [array_to_string(t, ' ')] END AS gs
+      FROM toks
+    ), bg AS (
+      SELECT unnest(gs) AS item FROM sh
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bg
+    )
+    SELECT item,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) / CAST(n AS DOUBLE), 6) AS share
+    FROM bg, tot
+    GROUP BY item, n
+    HAVING COUNT(*) > CAST(0.001 AS DOUBLE) * n
+    """,
+)
+def text_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide frequent n-grams (round 13) — the boilerplate-mining /
+    Gopher duplicated-n-gram analysis: the exact two-phase Misra-Gries
+    heavy hitters (aggregates.heavy_hitters) run over the exploded
+    bigram MULTISET (text.raw_shingles — occurrences, not per-doc
+    distinct). The oracle is the full GROUP BY/HAVING the operator
+    replaces; at 100 TB the operator shuffles only O(k × partitions)
+    candidates, never the n-gram vocabulary (10¹⁰⁺ distinct bigrams on a
+    web corpus — the full groupBy's exchange is the whole reason
+    frequent-pattern mining needs the sketch phase)."""
+    d = load_table(spark, sf_dir, "documents")
+    bg = d.select(
+        F.explode(text_ops.raw_shingles("text", 2)).alias("item")
+    )
+    return aggregates.heavy_hitters(bg, "item", min_share=0.001)
+
+
+@register(
+    "curation_contamination_report",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 4
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+3], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS gs
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, source, unnest(gs) AS g FROM sh
+    ), ev AS (
+      SELECT DISTINCT source AS suite, g FROM ex WHERE doc_id % 17 = 0
+    ), tr AS (
+      SELECT doc_id, source, g FROM ex WHERE doc_id % 17 <> 0
+    ), tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM tr GROUP BY doc_id
+    ), pairs AS (
+      SELECT tr.doc_id, ANY_VALUE(tr.source) AS source, ev.suite,
+             tot.n_shingles, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM tr JOIN ev USING (g) JOIN tot ON tot.doc_id = tr.doc_id
+      GROUP BY tr.doc_id, ev.suite, tot.n_shingles
+    )
+    SELECT suite, source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(*) FILTER (
+             ROUND(n_hits / CAST(n_shingles AS DOUBLE), 4) > 0.1
+           ) AS BIGINT) AS n_contaminated,
+           CAST(SUM(n_hits) AS BIGINT) AS tot_hits,
+           CAST(SUM(n_shingles) AS BIGINT) AS tot_shingles,
+           ROUND(SUM(n_hits) / CAST(SUM(n_shingles) AS DOUBLE), 6)
+             AS hit_rate
+    FROM pairs
+    GROUP BY suite, source
+    """,
+)
+def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(suite, training-source) contamination rollup (round 13) —
+    the dashboard a curation run actually publishes: which benchmark
+    suites leak into which corpus sources, at what rate. Composes
+    decontaminate_multi's one-pass per-(doc, suite) hit table with the
+    training docs' source tag, then aggregates EXACT-INTEGER sums
+    (n_pairs / contaminated count / Σhits / Σshingles) plus one rounded
+    ratio of integer sums — engine-bit-identical, no float summation
+    order anywhere. Scale: adds one broadcast-joinable (doc_id, source)
+    projection and a (suite, source)-keyed aggregate (cardinality
+    suites × sources — tiny) on top of the one corpus pass."""
+    d = load_table(spark, sf_dir, "documents")
+    multi = curation_ops.decontaminate_multi(
+        d.filter(F.col("doc_id") % 17 != 0),
+        d.filter(F.col("doc_id") % 17 == 0).select("source", "text"),
+        "doc_id", "text", "source", n=4, threshold=0.1,
+    )
+    src = d.filter(F.col("doc_id") % 17 != 0).select("doc_id", "source")
+    return (
+        multi.join(F.broadcast(src), "doc_id")
+        .groupBy("suite", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+            F.sum("n_hits").alias("tot_hits"),
+            F.sum("n_shingles").alias("tot_shingles"),
+        )
+        .withColumn(
+            "hit_rate",
+            F.round(
+                F.col("tot_hits") / F.col("tot_shingles").cast("double"), 6
+            ),
+        )
+    )

@@ -214,6 +214,9 @@ HEADLINE = [
     # vocabulary) and the per-(suite, source) contamination rollup
     "text_frequent_ngrams",
     "curation_contamination_report",
+    # round-13, benched from birth: the regex canary sweep (secret
+    # shapes; nested-loop regexp_count join, zero corpus shuffle)
+    "curation_canary_scan_regex",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

@@ -1535,3 +1535,49 @@ def test_stream_multisuite_contamination_flags_match_batch(
         (r["doc_id"], r["suite"], r["n_hits"]) for r in batch.collect()
     }
     assert got_counts == want_counts
+
+
+def test_gopher_and_c4_filters_are_streaming_safe(spark, tmp_path_factory):
+    """Round-13 heuristic filters are STATELESS scan expressions, so the
+    batch operators run UNCHANGED on a streaming frame (no dedicated
+    streaming face needed — the operator is its own face): gopher_rules
+    and c4_line_filter applied to a file stream emit bit-identical rows
+    to their batch runs on the same files."""
+    from ucr_bigdata_snowfallproject_spark.operators.text import (
+        c4_line_filter,
+        gopher_rules,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        read_document_stream,
+    )
+    from ucr_bigdata_snowfallproject_spark.streaming.events import (
+        run_to_memory_sink,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    stream_dir = str(tmp_path_factory.mktemp("filters-stream"))
+    d.repartition(3).write.mode("overwrite").parquet(stream_dir)
+    stream = read_document_stream(spark, stream_dir, max_files_per_trigger=1)
+
+    kw = dict(min_words=40, required_words=("the", "a", "data", "value"),
+              min_required=2)
+    want_g = {tuple(r) for r in gopher_rules(d, "doc_id", "text",
+                                             **kw).collect()}
+    got_g = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            gopher_rules(stream, "doc_id", "text", **kw),
+            "gopher_stream",
+        ).collect()
+    }
+    assert got_g == want_g and any(r[-1] == 0 for r in want_g) \
+        and any(r[-1] == 1 for r in want_g)
+
+    want_c = {tuple(r) for r in c4_line_filter(d, "doc_id", "text").collect()}
+    got_c = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            c4_line_filter(stream, "doc_id", "text"), "c4_stream"
+        ).collect()
+    }
+    assert got_c == want_c

@@ -614,6 +614,7 @@ def canary_scan(
     patterns: DataFrame,
     pat_id_col: str = "pat_id",
     pattern_col: str = "pattern",
+    regex: bool = False,
 ) -> DataFrame:
     """Exact multi-pattern substring scan — the canary / secret / leaked
     eval-answer detector: for every (document, pattern) pair where the
@@ -635,22 +636,40 @@ def canary_scan(
     zero). For pattern sets too large to broadcast, this is the wrong
     operator — use :func:`decontaminate` /
     :func:`decontaminate_bloom`'s inverted-index shingle path, which
-    never materializes the cross product."""
+    never materializes the cross product.
+
+    ``regex=True`` (round 13) switches the patterns to REGULAR
+    EXPRESSIONS — the secret-shape sweep (API-key prefixes, token
+    formats, dotted-quad scans): the predicate becomes
+    ``regexp_count(text, pattern) > 0`` and ``n_occurrences`` the exact
+    non-overlapping match count. For oracle portability keep patterns in
+    the RE2-compatible, lookaround-free dialect (the ``PII_PATTERNS``
+    rule — ``\\b``, non-capturing groups, and bounded repeats are all
+    shared; Java-only lookarounds are not). The pattern rides as a JOIN
+    column, so Spark compiles it per evaluation — irrelevant at
+    canary-set sizes, and the scan cost is |patterns| × corpus in either
+    mode."""
     pats = patterns.select(
         F.col(pat_id_col).alias("pat_id"),
         F.col(pattern_col).alias("pattern"),
     ).filter(F.length("pattern") > 0)
     c = F.col(text_col)
     p = F.col("pattern")
+    if regex:
+        n_occ = F.regexp_count(c, p).cast("long")
+        cond = F.regexp_count(c, p) > 0
+    else:
+        cond = F.contains(c, p)
+        n_occ = (
+            (F.length(c) - F.length(F.replace(c, p))) / F.length(p)
+        ).cast("long")
     return (
-        df.join(F.broadcast(pats), F.contains(c, p))
+        df.join(F.broadcast(pats), cond)
         .select(
             F.col(id_col),
             F.col("pat_id"),
             p,
-            ((F.length(c) - F.length(F.replace(c, p))) / F.length(p))
-            .cast("long")
-            .alias("n_occurrences"),
+            n_occ.alias("n_occurrences"),
         )
     )
 

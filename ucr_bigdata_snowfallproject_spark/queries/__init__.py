@@ -405,7 +405,15 @@ _GATED_WINDOW = [
     # incoming group_quantiles_lineitem + profile_documents) for the
     # round-7-built exported-weights quality scorer — the fastText-filter
     # APPLY path as pure column math under a full oracle:
-    "curation_quality_linear",
+    # curation_quality_linear rotated out in round 13 (r12 driver-green;
+    # the quality family keeps dedup_quality_survivor gated, which
+    # COMPOSES the same score_quality_linear scorer into its survivor
+    # order, so the scorer stays externally exercised; the standalone
+    # face stays oracle-checked in the local pytest mirror) for the
+    # round-13-BUILT regex canary scan — the secret-shape sweep
+    # (canary_scan(regex=True), RE2-compatible patterns, planted-needle
+    # oracle):
+    "curation_canary_scan_regex",
     # salted_group_agg_matches_plain rotated out in round 13 (r12
     # driver-green; the skew-mitigation family keeps
     # skew_stats_events_by_user gated and the salted==plain identity

@@ -2028,3 +2028,82 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+@register(
+    "curation_canary_scan_regex",
+    r"""
+    WITH planted AS (
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 41 = 0
+                THEN ' AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+                ELSE '' END
+        || CASE WHEN doc_id % 29 = 0
+                THEN ' ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  || '@example.com'
+                ELSE '' END
+        || CASE WHEN doc_id % 23 = 0
+                THEN ' 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17'
+                ELSE '' END AS text
+      FROM documents
+    ), pats(pat_id, pattern) AS (
+      VALUES (1, 'AKIA[0-9A-F]{16}'),
+             (2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+             (3, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')
+    )
+    SELECT d.doc_id, CAST(p.pat_id AS BIGINT) AS pat_id, p.pattern,
+           CAST(len(regexp_extract_all(d.text, p.pattern)) AS BIGINT)
+             AS n_occurrences
+    FROM planted d, pats p
+    WHERE len(regexp_extract_all(d.text, p.pattern)) > 0
+    """,
+)
+def curation_canary_scan_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex canary scan (round 13, curation.canary_scan(regex=True)) —
+    the secret-shape sweep: AWS-style key prefixes, email addresses,
+    dotted-quad IPs, each an RE2-compatible lookaround-free pattern so
+    the SAME regex runs on the DuckDB oracle (the PII_PATTERNS rule).
+    The soup fixture carries no secrets, so the query PLANTS them
+    deterministically (md5-derived key/email material + a doc_id-keyed
+    IP on doc_id % 41/29/23 — the geo-query synthesis precedent) and
+    the sweep must recover exactly the planted set with exact
+    non-overlapping match counts. Same plan as the literal form: the
+    pattern table broadcasts into a nested-loop regexp_count join — one
+    corpus scan, zero corpus shuffle, output ~hits."""
+    d = load_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 41 == 0,
+                F.concat(F.lit(" AKIA"), F.upper(F.substring(md5, 1, 16))),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 29 == 0,
+                F.concat(
+                    F.lit(" "), F.substring(md5, 1, 8), F.lit("@example.com")
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 23 == 0,
+                F.concat(
+                    F.lit(" 10.0."),
+                    (F.col("doc_id") % 256).cast("string"),
+                    F.lit(".17"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    pats = spark.createDataFrame(
+        [
+            (1, r"AKIA[0-9A-F]{16}"),
+            (2, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+            (3, r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+        ],
+        ["pat_id", "pattern"],
+    )
+    return curation_ops.canary_scan(
+        planted, "doc_id", "text", pats, regex=True
+    )

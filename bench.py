@@ -217,6 +217,10 @@ HEADLINE = [
     # round-13, benched from birth: the regex canary sweep (secret
     # shapes; nested-loop regexp_count join, zero corpus shuffle)
     "curation_canary_scan_regex",
+    # round-13, benched from birth: the composed filter decision table
+    # (gopher+C4 chained in ONE scan via keep_cols, canary +
+    # contaminated-suite aggregates broadcast back)
+    "curation_filter_decision_table",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

@@ -684,6 +684,10 @@ _COMPOSED_ENTRIES = [
     "dedup_span_coverage",
     "rag_prep_pipeline",
     "gsod_reference_pipeline",
+    # round-13 compositions
+    "curation_decontaminate_multisuite",
+    "curation_contamination_report",
+    "curation_filter_decision_table",
 ]
 
 

@@ -467,6 +467,7 @@ def gopher_rules(
     max_words: int = 100_000,
     required_words: tuple[str, ...] = GOPHER_REQUIRED_WORDS,
     min_required: int = 2,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher quality-rule battery (Rae et al. 2021 — the published
     heuristic filter every large web-corpus pipeline runs a variant of):
@@ -488,7 +489,9 @@ def gopher_rules(
     Scale shape: pure column expressions over one scan — zero shuffle,
     zero Python, whole-stage codegen; at 100 TB this runs at parquet read
     speed and the flags push down into any downstream filter. Flags emit
-    as BIGINT 0/1 (portable hashing across engines)."""
+    as BIGINT 0/1 (portable hashing across engines). ``keep_cols``
+    pass through untouched, so a composed pipeline stays ONE scan
+    instead of re-joining the flags back on the id."""
     c = F.col(text_col)
     toks = F.filter(tokens(c), lambda t: t != "")
     n_words = F.size(toks).cast("long")
@@ -528,6 +531,7 @@ def gopher_rules(
     r_req = flag(req_n >= min_required)
     out = df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep_cols],
         n_words.alias("n_words"),
         n_lines.alias("n_lines"),
         r_wc.alias("r_word_count"),
@@ -560,6 +564,7 @@ def c4_line_filter(
     banned_line_words: tuple[str, ...] = ("javascript",),
     banned_doc_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
     min_sentences: int = 3,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 line-level cleaning recipe (Raffel et al. 2020 §2.2 — the
     published WITHIN-document counterpart of the cross-document
@@ -605,6 +610,7 @@ def c4_line_filter(
         doc_ok = doc_ok & ~low_doc.contains(s.lower())
     return df.select(
         F.col(id_col),
+        *[F.col(k) for k in keep_cols],
         F.size(lines).cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
         n_sentences.alias("n_sentences"),

@@ -373,7 +373,13 @@ _GATED_WINDOW = [
     # q2/q20/q21) and dedup_ngram_jaccard (dedup keeps
     # exact_by_fingerprint, embedding_cosine_blocked, ngram_containment).
     # Both stay oracle-checked in the local pytest mirror. ---
-    "retrieval_bm25_incremental",
+    # retrieval_bm25_incremental rotated out in round 13 (r12
+    # driver-green; the retrieval family keeps retrieval_eval_metrics
+    # gated and both BM25 faces stay oracle-checked in the local pytest
+    # mirror) for the round-13-BUILT composed filter decision table —
+    # all four round-13 filters' verdicts per document under ONE nested
+    # oracle (the filter-suite composition proof):
+    "curation_filter_decision_table",
     # --- round-6c: int8 coarse-scan + exact-rerank ANN (built this round)
     # earns its driver row immediately — the first FULLY-oracle-backed
     # approximate-ANN entry (integer coarse arithmetic makes the whole

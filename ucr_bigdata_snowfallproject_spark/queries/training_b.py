@@ -2107,3 +2107,221 @@ def curation_canary_scan_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_ops.canary_scan(
         planted, "doc_id", "text", pats, regex=True
     )
+
+
+@register(
+    "curation_filter_decision_table",
+    r"""
+    WITH tr AS (
+      SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0
+    ), gt AS (
+      SELECT doc_id, source, text,
+             list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM tr
+    ), gm AS (
+      SELECT doc_id, source, text,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT)
+               AS total_chars,
+             CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+               AS hash_n,
+             CAST((length(text) - length(replace(text, '...', ''))) / 3
+               AS BIGINT) AS ell_n,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(text, chr(10)),
+               l -> substr(trim(l),1,1) IN ('-','*','•'))) AS BIGINT)
+               AS bullet_n,
+             CAST(len(list_filter(string_split(text, chr(10)),
+               l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…')) AS BIGINT)
+               AS ell_lines,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+               AS BIGINT) AS alpha_n,
+             CAST(list_contains(toks,'the') AS BIGINT)
+               + CAST(list_contains(toks,'a') AS BIGINT)
+               + CAST(list_contains(toks,'data') AS BIGINT)
+               + CAST(list_contains(toks,'value') AS BIGINT) AS req_n
+      FROM gt
+    ), gop AS (
+      SELECT doc_id, source, text, n_words,
+        CAST((n_words >= 40 AND n_words <= 100000)
+         AND (3*n_words <= total_chars AND total_chars <= 10*n_words)
+         AND (10*(hash_n + ell_n) <= n_words)
+         AND (10*bullet_n <= 9*n_lines)
+         AND (10*ell_lines <= 3*n_lines)
+         AND (5*alpha_n >= 4*n_words)
+         AND (req_n >= 2) AS BIGINT) AS gopher_keep
+      FROM gm
+    ), c4k AS (
+      SELECT doc_id,
+             replace(text, 'table', '.' || chr(10)) AS page,
+             list_filter(string_split(replace(text, 'table', '.' || chr(10)),
+                                      chr(10)), l ->
+                right(trim(l), 1) IN ('.', '!', '?', '"')
+                AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                    w -> w <> '')) >= 4
+                AND NOT contains(lower(l), 'slow')) AS kept
+      FROM tr
+    ), c4m AS (
+      SELECT doc_id, page,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+      FROM c4k
+    ), c4 AS (
+      SELECT doc_id, n_kept_lines,
+             CAST(
+               CAST(length(cleaned)
+                    - length(regexp_replace(cleaned, '[.!?]', '', 'g'))
+                 AS BIGINT) >= 2
+               AND NOT contains(lower(page), 'vector')
+             AS BIGINT) AS c4_keep
+      FROM c4m
+    ), pats AS (
+      SELECT array_to_string(list_slice(string_split(text, ' '), 4, 6), ' ')
+               AS pattern
+      FROM documents WHERE doc_id % 97 = 0
+    ), canary AS (
+      SELECT d.doc_id,
+             CAST(SUM((length(d.text) - length(replace(d.text, p.pattern, '')))
+                      / length(p.pattern)) AS BIGINT) AS n_canary_hits
+      FROM tr d, pats p
+      WHERE length(p.pattern) > 0 AND contains(d.text, p.pattern)
+      GROUP BY d.doc_id
+    ), mtoks AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), msh AS (
+      SELECT doc_id, source,
+             CASE WHEN len(t) >= 4
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(t) - 3),
+                         i -> array_to_string(t[i:i+3], ' ')))
+                  ELSE [array_to_string(t, ' ')] END AS gs
+      FROM mtoks
+    ), mex AS (
+      SELECT doc_id, unnest(gs) AS g FROM msh
+    ), mev AS (
+      SELECT DISTINCT source AS suite, g
+      FROM msh, UNNEST(gs) AS u(g) WHERE doc_id % 17 = 0
+    ), mtr AS (
+      SELECT doc_id, g FROM mex WHERE doc_id % 17 <> 0
+    ), mtot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+      FROM mtr GROUP BY doc_id
+    ), mpairs AS (
+      SELECT mtr.doc_id, mev.suite, mtot.n_shingles,
+             CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM mtr JOIN mev USING (g) JOIN mtot ON mtot.doc_id = mtr.doc_id
+      GROUP BY mtr.doc_id, mev.suite, mtot.n_shingles
+    ), cont AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_suites
+      FROM mpairs
+      WHERE ROUND(n_hits / CAST(n_shingles AS DOUBLE), 4) > 0.1
+      GROUP BY doc_id
+    )
+    SELECT gop.doc_id, gop.source, gop.n_words, gop.gopher_keep,
+           c4.n_kept_lines, c4.c4_keep,
+           COALESCE(canary.n_canary_hits, 0) AS n_canary_hits,
+           COALESCE(cont.n_contaminated_suites, 0) AS n_contaminated_suites,
+           CAST(gop.gopher_keep = 1 AND c4.c4_keep = 1
+                AND COALESCE(canary.n_canary_hits, 0) = 0
+                AND COALESCE(cont.n_contaminated_suites, 0) = 0
+             AS BIGINT) AS final_keep
+    FROM gop
+    JOIN c4 ON c4.doc_id = gop.doc_id
+    LEFT JOIN canary ON canary.doc_id = gop.doc_id
+    LEFT JOIN cont ON cont.doc_id = gop.doc_id
+    """,
+)
+def curation_filter_decision_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed heuristic-filter DECISION TABLE (round 13) — the
+    row-preserving artifact a production curation run materializes
+    before applying any drop: per training document, every round-13
+    filter's verdict side by side (Gopher battery pass, C4 page gate +
+    surviving line count, total canary occurrences, number of benchmark
+    suites it contaminates) and the final keep conjunction. All-integer
+    columns — engine-bit-identical under the composed oracle, which
+    nests the four stages' own proven CTEs.
+
+    Plan shape (the composition argument): gopher_rules and
+    c4_line_filter are scan expressions, so stage 1+2 CHAIN IN ONE SCAN
+    via ``keep_cols`` pass-through — no flag re-join on doc_id; the
+    canary-hit and contaminated-suite tables are aggregated ~hit-sized
+    frames that LEFT-broadcast-join back. Net (plan-audited): THREE
+    corpus-rate scans — the chained flags scan, the canary contains
+    probe, the decontamination shingle explode — plus two tiny reads
+    (pattern snippets, eval suite), zero corpus shuffle anywhere, and
+    only aggregated hit tables ride the two broadcast joins. At 100 TB
+    the decision table costs the decontamination pass it already owed
+    plus two extra reads of the corpus, never an exchange of it."""
+    d = load_table(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+
+    g = text_ops.gopher_rules(
+        train, "doc_id", "text", min_words=40,
+        required_words=("the", "a", "data", "value"), min_required=2,
+        keep_cols=("source", "text"),
+    )
+    staged = g.select(
+        "doc_id", "source", "n_words",
+        F.col("keep").alias("gopher_keep"),
+        F.replace(F.col("text"), F.lit("table"), F.lit(".\n")).alias("page"),
+        "text",
+    )
+    c = text_ops.c4_line_filter(
+        staged, "doc_id", "page", min_words_per_line=4,
+        banned_line_words=("slow",), banned_doc_substrings=("vector",),
+        min_sentences=2,
+        keep_cols=("source", "n_words", "gopher_keep"),
+    )
+    base = c.select(
+        "doc_id", "source", "n_words", "gopher_keep",
+        F.col("n_kept").alias("n_kept_lines"),
+        F.col("keep_doc").alias("c4_keep"),
+    )
+
+    pats = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("pat_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 4, 3)).alias(
+            "pattern"
+        ),
+    )
+    hits = (
+        curation_ops.canary_scan(train, "doc_id", "text", pats)
+        .groupBy("doc_id")
+        .agg(F.sum("n_occurrences").alias("n_canary_hits"))
+    )
+    cont = (
+        curation_ops.decontaminate_multi(
+            train, ev.select("source", "text"), "doc_id", "text", "source",
+            n=4, threshold=0.1,
+        )
+        .filter(F.col("contaminated"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_suites"))
+    )
+    return (
+        base.join(F.broadcast(hits), "doc_id", "left")
+        .join(F.broadcast(cont), "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_words", "gopher_keep", "n_kept_lines",
+            "c4_keep",
+            F.coalesce(F.col("n_canary_hits"), F.lit(0).cast("long")).alias(
+                "n_canary_hits"
+            ),
+            F.coalesce(
+                F.col("n_contaminated_suites"), F.lit(0).cast("long")
+            ).alias("n_contaminated_suites"),
+        )
+        .withColumn(
+            "final_keep",
+            (
+                (F.col("gopher_keep") == 1)
+                & (F.col("c4_keep") == 1)
+                & (F.col("n_canary_hits") == 0)
+                & (F.col("n_contaminated_suites") == 0)
+            ).cast("long"),
+        )
+    )

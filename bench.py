@@ -221,6 +221,10 @@ HEADLINE = [
     # (gopher+C4 chained in ONE scan via keep_cols, canary +
     # contaminated-suite aggregates broadcast back)
     "curation_filter_decision_table",
+    # round-13, benched from birth: the multimodal family's first
+    # oracle-backed row (synthesized GIF headers through the real
+    # mapInPandas stdlib decode path)
+    "multimodal_gif_dimensions",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on
@@ -288,7 +292,6 @@ FAMILY_PREFIXES = {
     "fuzzy": "joins_ext", "geo": "joins_ext",
     # python UDF surface
     "pandas": "udf", "apply": "udf", "udtf": "udf",
-    # multimodal (documented unbenched — see UNBENCHED_FAMILIES)
     "multimodal": "multimodal",
     "flagship": "pipelines",
 }
@@ -300,15 +303,12 @@ FAMILY_OVERRIDES = {
 }
 
 #: families with NO headline representative, each with the reason the
-#: exclusion is deliberate (the audit test asserts the reason is present)
-UNBENCHED_FAMILIES = {
-    "multimodal": (
-        "fixture-SYNTHESIZED constant-size media ops (synthesize_media "
-        "builds its own rows) — a bench row would time fixture generation, "
-        "not an sf-scaled operator; round-trip/shape behavior is pinned in "
-        "pytest instead"
-    ),
-}
+#: exclusion is deliberate (the audit test asserts the reason is present).
+#: (multimodal left this ledger in round 13: multimodal_gif_dimensions
+#: synthesizes sf-scaled payloads scan-side from doc_id, so its bench row
+#: times the Arrow decode path over an sf-proportional input, not fixture
+#: generation.)
+UNBENCHED_FAMILIES: dict[str, str] = {}
 
 
 def family_of(name: str) -> str | None:

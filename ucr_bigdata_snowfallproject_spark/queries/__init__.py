@@ -533,7 +533,15 @@ _GATED_WINDOW = [
     # similarity_ivf_int8_indexed_topk gated; stays oracle-checked in
     # the local pytest mirror).
     # =====================================================================
-    "dedup_semdedup_incremental",
+    # dedup_semdedup_incremental rotated out in round 13 (r12
+    # driver-green; the SemDeDup family keeps dedup_semdedup_int8 gated
+    # — the batch twin whose oracle the delta path shares VERBATIM —
+    # and incremental == rebuild stays pytest-pinned) for the
+    # round-13-BUILT first ORACLE-BACKED multimodal row — the stdlib
+    # header decoder recovering synthesized GIF ground truth through
+    # the real mapInPandas path (a rows-only family earns its first
+    # external hash row):
+    "multimodal_gif_dimensions",
     # --- round-5f rotation: the BM25 retrieval and key-skew-diagnostic
     # families earn first driver rows. Rotated out: text_language_id
     # (text-signal family keeps text_stats_documents, text_redact_pii,

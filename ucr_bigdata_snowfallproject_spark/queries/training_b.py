@@ -2325,3 +2325,52 @@ def curation_filter_decision_table(spark: SparkSession, sf_dir: str) -> DataFram
             ).cast("long"),
         )
     )
+
+
+@register(
+    "multimodal_gif_dimensions",
+    """
+    SELECT doc_id AS media_id, 'gif' AS kind,
+           CAST(12 AS BIGINT) AS n_bytes,
+           CAST(1 + doc_id % 500 AS INT) AS width,
+           CAST(1 + (doc_id * 7) % 300 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_gif_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's first ORACLE-BACKED external row (round
+    13): GIF payloads are synthesized scan-side from doc_id (the 6-byte
+    'GIF89a' signature + little-endian u16 dimensions + a 2-byte tail,
+    built as a hex expression → ``unhex``), and the REAL
+    ``multimodal.extract_features`` mapInPandas decode path — the same
+    stdlib header parser every binary-fixture pytest pins — must
+    RECOVER the planted dimensions, which the oracle computes by
+    arithmetic alone. A wrong signature, a desynced header layout, an
+    endianness slip, or a broken Arrow batch shape all surface as a
+    hash mismatch against ground truth. (The md5 checksum column is
+    dropped — DuckDB's md5 does not take BLOBs — so the pin here is
+    dims + length; byte-level round-trips stay pinned in
+    test_extension_ops' binary-fixture tests.)"""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = 1 + F.col("doc_id") % 500
+    h = 1 + (F.col("doc_id") * 7) % 300
+
+    def lehex(x):
+        return F.concat(
+            F.lpad(F.lower(F.hex(x % 256)), 2, "0"),
+            F.lpad(F.lower(F.hex((x / 256).cast("long"))), 2, "0"),
+        )
+
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("gif").alias("kind"),
+        F.unhex(
+            F.concat(F.lit("474946383961"), lehex(w), lehex(h), F.lit("003b"))
+        ).alias("payload"),
+    )
+    feats = multimodal.extract_features(
+        media, decoder=multimodal._decode_image_stdlib
+    )
+    return feats.select("media_id", "kind", "n_bytes", "width", "height")

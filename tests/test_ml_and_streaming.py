@@ -1478,6 +1478,24 @@ def test_stream_canary_hits_match_batch(spark, tmp_path_factory):
     }
     assert got == want
 
+    # regex face: the secret-shape sweep streams the same way (stateless)
+    rpats = spark.createDataFrame(
+        [(1, "spark [a-z]+ spark"), (2, "value value value")],
+        ["pat_id", "pattern"],
+    )
+    want_r = {
+        tuple(r)
+        for r in cu.canary_scan(d, "doc_id", "text", rpats, regex=True).collect()
+    }
+    assert want_r
+    got_r = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            stream_canary_hits(stream, rpats, regex=True), "canary_hits_rx"
+        ).collect()
+    }
+    assert got_r == want_r
+
 
 def test_stream_multisuite_contamination_flags_match_batch(
     spark, tmp_path_factory

@@ -559,6 +559,7 @@ def stream_canary_hits(
     patterns: DataFrame,
     pat_id_col: str = "pat_id",
     pattern_col: str = "pattern",
+    regex: bool = False,
 ) -> DataFrame:
     """Exact multi-pattern canary detection on a document stream — the
     streaming face of ``operators.curation.canary_scan`` (round 13).
@@ -569,12 +570,14 @@ def stream_canary_hits(
     ~hits. Emits ``(doc_id, pat_id, pattern, n_occurrences)`` with the
     batch operator's exact-integer occurrence arithmetic — the pytest
     pin proves stream rows == the batch operator's rows bit-exactly on
-    the same files."""
+    the same files. ``regex=True`` switches to the secret-shape sweep
+    (``canary_scan(regex=True)`` — regexp_count predicate), still
+    stateless."""
     from ..operators.curation import canary_scan
 
     return canary_scan(
         doc_stream, "doc_id", "text", patterns,
-        pat_id_col=pat_id_col, pattern_col=pattern_col,
+        pat_id_col=pat_id_col, pattern_col=pattern_col, regex=regex,
     )
 
 

@@ -742,10 +742,14 @@ def test_canary_scan_broadcast_nlj_no_corpus_shuffle(spark):
 
 
 def test_decontaminate_multi_single_corpus_scan(spark):
-    """decontaminate_multi's whole point: ONE corpus scan/explode serves
-    every suite. The plan must read the training documents ONCE (one
-    parquet scan of the corpus side) and broadcast the eval side —
-    k suites may not multiply corpus scans."""
+    """decontaminate_multi's whole point: ONE corpus shingle
+    scan/explode serves every suite — k suites may not multiply the
+    explode. The plan holds exactly THREE parquet scan nodes: the
+    exploded corpus side, the eval side, and the separate per-doc
+    ``size(shingles)`` totals scan (the round-13 per-exploded-row
+    recompute fix — SCALE.md: a rider ``size(arr)`` next to
+    ``explode(arr)`` re-evaluates the array build per exploded row, so
+    the totals live in their own cheap scan joined on the id)."""
     from ucr_bigdata_snowfallproject_spark.operators.curation import (
         decontaminate_multi,
     )
@@ -758,8 +762,7 @@ def test_decontaminate_multi_single_corpus_scan(spark):
     )
     text = checks.explain_str(out)
     assert "BroadcastHashJoin" in text
-    # corpus + eval = exactly two parquet scan NODES (formatted explain
-    # prints each node once in the tree and once in the detail section)
+    # each node prints once in the tree and once in the detail section
     import re
 
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", text))) == 2
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", text))) == 3

@@ -434,8 +434,14 @@ def decontaminate_multi(
     :func:`decontaminate` against that suite alone (same shingle
     semantics, same join — pytest-pinned): the fan-out join emits one row
     per (doc shingle, suite that contains it), so no double count and no
-    cross-suite interference. Per-doc totals ride scan-side
-    (``size(shingles(text))`` — the array is already distinct).
+    cross-suite interference. Per-doc totals come from a SEPARATE
+    ``size(shingles(text))`` scan joined on the id (the
+    :func:`decontaminate_bloom` pattern) — NOT a rider column next to
+    the explode: ``select(size(arr), explode(arr))`` re-evaluates the
+    whole shingle-array build per EXPLODED row (measured 50 s vs 2.8 s
+    on 5k docs at sf0.1 — the same lambda-inlining hazard
+    ``text.raw_shingles`` documents), and the round-9 hollow-count
+    guard is what surfaced it here.
 
     Scale shape: Σ_suites df(shingle) work — identical total to k
     single-suite runs' JOIN cost, but ONE corpus scan/explode/exchange
@@ -445,9 +451,7 @@ def decontaminate_multi(
     the estimate's distinct-upper-bound slack); above budget it falls
     back to the shuffled equi-join, identical output."""
     doc_sh = df.select(
-        F.col(id_col),
-        F.size(shingles(text_col, n)).cast("long").alias("n_shingles"),
-        F.explode(shingles(text_col, n)).alias("__g"),
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("__g")
     )
     eval_sh = eval_df.select(
         F.col(suite_col).alias("suite"), F.explode(shingles(text_col, n)).alias("__g")
@@ -468,13 +472,21 @@ def decontaminate_multi(
             n_ev * _eval_shingle_row_bytes(n) <= _EVAL_BROADCAST_BUDGET_BYTES
         )
     ev_side = F.broadcast(eval_sh) if broadcast_eval else eval_sh
-    return (
+    pairs = (
         doc_sh.join(ev_side, "__g")
         .groupBy(id_col, "suite")
-        .agg(
-            F.first("n_shingles").alias("n_shingles"),
-            F.count(F.lit(1)).alias("n_hits"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(shingles(text_col, n)).cast("long").alias("n_shingles"),
+    )
+    # inner join: hit-pairs-only contract; the pairs side is the small
+    # one (contaminated doc-suite pairs) — AQE broadcasts it at runtime,
+    # so the totals scan never shuffles on a clean corpus
+    return (
+        totals.join(pairs, id_col)
+        .select(id_col, "suite", "n_shingles", "n_hits")
         .withColumn(
             "contamination",
             F.round(F.col("n_hits") / F.col("n_shingles").cast("double"), 4),

@@ -2324,6 +2324,15 @@ def curation_filter_decision_table(spark: SparkSession, sf_dir: str) -> DataFram
                 & (F.col("n_contaminated_suites") == 0)
             ).cast("long"),
         )
+        # trailing no-op filter Catalyst can't prove: under bench's
+        # count() action the two LEFT joins' outputs are otherwise
+        # unreferenced and the unique-keyed joins get legally ELIMINATED
+        # — the round-9 hollow-count audit caught exactly this here
+        # (test_headline_queries_not_hollow_under_count)
+        .filter(
+            (F.col("n_canary_hits") >= 0)
+            & (F.col("n_contaminated_suites") >= 0)
+        )
     )
 
 

@@ -540,10 +540,16 @@ def stream_contamination_flags(
     from ..operators.dedup import shingles
     from ..operators.relational import bloom_probe_filter
 
-    sh = doc_stream.select(
+    # materialize the shingle array ONCE per doc before exploding: the
+    # one-projection form ``select(size(arr), explode(arr))`` re-inlines
+    # the whole array build per EXPLODED row (measured ~18x on sf0.1 —
+    # see decontaminate_multi's docstring; round-13 finding), and a
+    # stream cannot take the batch fix (a second scan joined on the id),
+    # so the array rides one Project as a column instead
+    sh = doc_stream.withColumn("__arr", shingles("text", n)).select(
         F.col("doc_id"),
-        F.size(shingles("text", n)).cast("long").alias("n_shingles"),
-        F.explode(shingles("text", n)).alias("__g"),
+        F.size("__arr").cast("long").alias("n_shingles"),
+        F.explode("__arr").alias("__g"),
     )
     if bloom is not None:
         bitmap, num_bits, num_hashes = bloom
@@ -602,10 +608,16 @@ def stream_multisuite_contamination_flags(
     == the batch operator's ``n_hits`` bit-exactly."""
     from ..operators.dedup import shingles
 
-    sh = doc_stream.select(
+    # materialize the shingle array ONCE per doc before exploding: the
+    # one-projection form ``select(size(arr), explode(arr))`` re-inlines
+    # the whole array build per EXPLODED row (measured ~18x on sf0.1 —
+    # see decontaminate_multi's docstring; round-13 finding), and a
+    # stream cannot take the batch fix (a second scan joined on the id),
+    # so the array rides one Project as a column instead
+    sh = doc_stream.withColumn("__arr", shingles("text", n)).select(
         F.col("doc_id"),
-        F.size(shingles("text", n)).cast("long").alias("n_shingles"),
-        F.explode(shingles("text", n)).alias("__g"),
+        F.size("__arr").cast("long").alias("n_shingles"),
+        F.explode("__arr").alias("__g"),
     )
     ev = eval_suite_shingles.select("suite", "__g").distinct()
     return sh.join(ev, "__g").select(

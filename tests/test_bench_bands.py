@@ -306,3 +306,45 @@ def test_headline_queries_all_have_bands_or_are_new():
     )
     # pending_seed may not hide queries that already have bands
     assert not (pending & set(spec["bands"])), "seeded queries still pending"
+
+
+def test_trend_watch_collapses_same_round_entries():
+    """Round-13 fix: multiple same-round history entries (maintenance +
+    final appends, adjudication re-measures) collapse to their per-round
+    MEDIAN before the monotonicity test — an intra-round spread between
+    a loaded-box and a quiet-box append must NOT arm the cross-round
+    alarm (two r13 volleys fired exactly this way)."""
+    spec = dict(SPEC2)
+    spec["history"] = {
+        # intra-round spread: r10 entries 0.9/1.3 straddle — median 1.1;
+        # rounds 8,9,10 medians = 1.0, 1.05, 1.1 -> rise 1.1 < 1.2: quiet
+        "arrow_q": [[8, 1.0], [9, 1.05], [10, 0.9], [10, 1.3]],
+        # genuine creep ACROSS rounds still fires through duplicates:
+        # medians 1.0, 1.15, 1.32
+        "narrow": [[8, 1.0], [9, 1.1], [9, 1.2], [10, 1.3], [10, 1.34]],
+        # three points but only TWO distinct rounds: too short
+        "tiny": [[9, 0.10], [10, 0.11], [10, 0.12]],
+    }
+    tw = trend_watch(spec, HEADLINE2)
+    assert list(tw) == ["narrow"]
+    assert tw["narrow"]["rounds"] == [8, 9, 10]
+    assert tw["narrow"]["norm"] == [1.0, 1.15, 1.32]
+
+
+def test_trend_adjudicated_suppresses_until_new_round():
+    """Round-13: a trend_adjudicated entry records an examined,
+    environmental-ruled rise — the alarm stays quiet for windows ending
+    at or before the adjudicated round, and RE-ARMS the moment a later
+    round extends the window (a persisting rise must re-fire)."""
+    spec = dict(SPEC2)
+    spec["history"] = {
+        "arrow_q": [[8, 1.0], [9, 1.12], [10, 1.254]],
+    }
+    spec["trend_adjudicated"] = {
+        "arrow_q": {"round": 10, "note": "r10 A/B: environmental"}
+    }
+    assert trend_watch(spec, HEADLINE2) == {}
+    # a NEW round with a still-rising value re-fires
+    spec["history"]["arrow_q"].append([11, 1.41])
+    tw = trend_watch(spec, HEADLINE2)
+    assert list(tw) == ["arrow_q"] and tw["arrow_q"]["rounds"] == [9, 10, 11]

@@ -123,21 +123,50 @@ def host_ratios(warm: dict[str, float], spec: dict) -> dict[str, float]:
 def trend_watch(spec: dict, headline: list[str]) -> dict:
     """Monotone-creep alarm over ``spec["history"]`` (chronological
     ``[round, normalized_sec]`` pairs per query): flag queries whose
-    last ``TREND_K`` rounds rose strictly with total growth ≥
-    ``TREND_MIN_RISE`` — the in-band drift pattern bands cannot see."""
+    last ``TREND_K`` DISTINCT ROUNDS rose strictly with total growth ≥
+    ``TREND_MIN_RISE`` — the in-band drift pattern bands cannot see.
+
+    Multiple same-round entries collapse to their MEDIAN before the
+    monotonicity test (round 13): a round can legitimately hold several
+    observations (maintenance-time + final appends, standalone
+    adjudication re-measures), and the intra-round spread between a
+    loaded-box and a quiet-box measurement is exactly the noise this
+    CROSS-round alarm must not fire on — r13 saw two alarm volleys
+    whose "rise" was one round's two appends normalized against
+    host_ratios 1.22 vs 1.02.
+
+    ``spec["trend_adjudicated"]`` (round 13) makes adjudication a
+    FIRST-CLASS recorded act instead of history surgery: a
+    ``{name: {"round": R, "note": ...}}`` entry suppresses the alarm
+    for any window ENDING at or before round R (the rise was examined
+    — standalone A/B or calibrated re-measure — and ruled
+    environmental; the note names the evidence). The alarm RE-ARMS by
+    construction: once a later round appends, the window ends past R
+    and a persisting rise fires again."""
     hist = spec.get("history", {})
+    adjudicated = spec.get("trend_adjudicated", {})
     out = {}
     for name in headline:
         h = hist.get(name, [])
-        if len(h) < TREND_K:
+        by_round: dict = {}
+        for r, v in h:
+            by_round.setdefault(r, []).append(v)
+        rounds_sorted = sorted(by_round)
+        per_round = [
+            (r, float(statistics.median(by_round[r]))) for r in rounds_sorted
+        ]
+        if len(per_round) < TREND_K:
             continue
-        tail = h[-TREND_K:]
+        tail = per_round[-TREND_K:]
         vals = [v for _r, v in tail]
         if (
             all(b > a for a, b in zip(vals, vals[1:]))
             and vals[0] > 0
             and vals[-1] / vals[0] >= TREND_MIN_RISE
         ):
+            adj = adjudicated.get(name)
+            if adj is not None and tail[-1][0] <= adj.get("round", -1):
+                continue
             out[name] = {
                 "rounds": [r for r, _v in tail],
                 "norm": [round(v, 3) for v in vals],

@@ -766,3 +766,34 @@ def test_decontaminate_multi_single_corpus_scan(spark):
     import re
 
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", text))) == 3
+
+
+def test_streaming_shingle_projection_materializes_array_once(spark):
+    """Round-13 recompute fix, pinned structurally: both streaming
+    contamination faces must build the shingle array in a dedicated
+    Project (`__arr`) and size/explode the COLUMN — the one-projection
+    rider form (`select(size(arr_expr), explode(arr_expr))`)
+    re-evaluates the array build per exploded row (~18× measured;
+    SCALE.md 'per-exploded-row recompute'). The ops run unchanged on
+    batch frames, so the pin reads the batch plan: reverting to the
+    rider removes the `__arr` attribute from the analyzed plan."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import shingles
+    from ucr_bigdata_snowfallproject_spark.streaming.documents import (
+        stream_contamination_flags,
+        stream_multisuite_contamination_flags,
+    )
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    ev = d.filter(F.col("doc_id") % 17 == 0)
+    ev_sh = ev.select(F.explode(shingles("text", 4)).alias("__g")).distinct()
+    ev_suite = ev.select(
+        F.col("source").alias("suite"),
+        F.explode(shingles("text", 4)).alias("__g"),
+    ).distinct()
+    train = d.filter(F.col("doc_id") % 17 != 0)
+    for out in (
+        stream_contamination_flags(train, ev_sh, n=4),
+        stream_multisuite_contamination_flags(train, ev_suite, n=4),
+    ):
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        assert "__arr" in analyzed, "rider form regressed: no __arr Project"

@@ -222,9 +222,10 @@ HEADLINE = [
     # contaminated-suite aggregates broadcast back)
     "curation_filter_decision_table",
     # round-13, benched from birth: the multimodal family's first
-    # oracle-backed row (synthesized GIF headers through the real
-    # mapInPandas stdlib decode path)
+    # oracle-backed rows (synthesized GIF headers / PCM-WAV chunks
+    # through the real mapInPandas stdlib decode paths)
     "multimodal_gif_dimensions",
+    "multimodal_wav_metadata",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

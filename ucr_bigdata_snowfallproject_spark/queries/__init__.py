@@ -227,7 +227,16 @@ _GATED_WINDOW = [
     # incremental gated):
     "curation_decontaminate_spans_bloom",
     "dedup_minhash_components_md5",
-    "dedup_simhash_candidates_md5",
+    # dedup_simhash_candidates_md5 rotated out in round 13 (r12
+    # driver-green; the dedup family keeps ten gated representatives and
+    # the SimHash decision surface is pinned per-mode by
+    # test_fast_path_twins_match_md5_siblings' exact truth-miss sets;
+    # stays oracle-checked in the local pytest mirror) for the
+    # round-13-BUILT audio-lane oracle row — the stdlib wave decoder
+    # recovering synthesized PCM-WAV ground truth through the real
+    # mapInPandas path (the second multimodal decode path earns an
+    # external hash row):
+    "multimodal_wav_metadata",
     "similarity_knn_graph_int8",
     # =====================================================================
     # Round-11 rotation (2 of 2): gate the round-11-BUILT

@@ -2383,3 +2383,69 @@ def multimodal_gif_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, decoder=multimodal._decode_image_stdlib
     )
     return feats.select("media_id", "kind", "n_bytes", "width", "height")
+
+
+@register(
+    "multimodal_wav_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(100 + doc_id % 400 AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio lane's oracle-backed row (round 13 — the
+    multimodal_gif_dimensions pattern applied to the SECOND decode
+    path): complete mono PCM-16 WAV payloads (RIFF + fmt + data chunks,
+    little-endian lengths, zeroed samples) synthesize scan-side from
+    doc_id as a hex expression → ``unhex``, and the REAL
+    ``multimodal.audio_features`` mapInPandas path — the stdlib
+    ``wave`` decoder reading chunk metadata — must recover the planted
+    (sample_rate, n_channels, n_samples), which the oracle computes by
+    arithmetic. ``duration_ms`` is projected out: the operator uses
+    Python ``round`` (banker's) where SQL rounds half-up, and the pin
+    here is the header recovery, not rounding trivia."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    rate = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("int")
+    n_samples = (F.lit(100) + F.col("doc_id") % 400).cast("int")
+    dl = n_samples * 2
+    br = rate * 2
+
+    def u16le(x):
+        return F.concat(
+            F.lpad(F.lower(F.hex(x % 256)), 2, "0"),
+            F.lpad(F.lower(F.hex((x / 256).cast("long"))), 2, "0"),
+        )
+
+    def u32le(x):
+        # all synthesized values < 2^16, so the high half is zero
+        return F.concat(u16le(x), F.lit("0000"))
+
+    hexstr = F.concat(
+        F.lit("52494646"),            # 'RIFF'
+        u32le(F.lit(36) + dl),        # riff payload length
+        F.lit("57415645"),            # 'WAVE'
+        F.lit("666d7420"),            # 'fmt '
+        F.lit("10000000"),            # fmt chunk length = 16
+        F.lit("0100"),                # PCM
+        F.lit("0100"),                # mono
+        u32le(rate),
+        u32le(br),
+        F.lit("0200"),                # block align
+        F.lit("1000"),                # bits per sample = 16
+        F.lit("64617461"),            # 'data'
+        u32le(dl),
+        F.repeat(F.lit("00"), dl),    # zeroed PCM samples
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return multimodal.audio_features(media).select(
+        "media_id", "sample_rate", "n_channels", "n_samples"
+    )

@@ -226,6 +226,13 @@ HEADLINE = [
     # through the real mapInPandas stdlib decode paths)
     "multimodal_gif_dimensions",
     "multimodal_wav_metadata",
+    # round-14, benched from birth: the video lane's oracle row
+    # (synthesized ISO-BMFF through the real mapInPandas box walker) and
+    # the compile-once literal canary form (foldable regexp_count
+    # columns, ONE scan, zero joins — benches the per-eval-compile cost
+    # its join twin curation_canary_scan_regex pays, same fixture)
+    "multimodal_mp4_metadata",
+    "curation_canary_scan_regex_literal",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

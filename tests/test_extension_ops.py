@@ -4659,6 +4659,115 @@ def test_canary_scan_counts_and_edges(spark):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_canary_scan_literal_matches_join_form(spark):
+    """Round-14 compile-once literal form: bit-identical rows to the
+    join form in BOTH modes, join-free single-scan plan, the pattern
+    cap raises, and the empty-pattern edge returns the join form's
+    schema with zero rows."""
+    import pytest
+
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        _CANARY_LITERAL_MAX_PATTERNS,
+        canary_scan,
+        canary_scan_literal,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "secret42 and again secret42 with k-AB12 key"),
+            (2, "xxsecret42yy and 10.0.0.1 address"),
+            (3, "nothing to see"),
+        ],
+        ["doc_id", "text"],
+    )
+    pats = spark.createDataFrame(
+        [(10, "secret42"), (11, "")], ["pat_id", "pattern"]
+    )
+    re_pats = spark.createDataFrame(
+        [(20, r"k-[A-Z0-9]{4}"), (21, r"(?:[0-9]{1,3}\.){3}[0-9]{1,3}")],
+        ["pat_id", "pattern"],
+    )
+    for patterns, regex in ((pats, False), (re_pats, True)):
+        join_rows = {
+            tuple(r)
+            for r in canary_scan(
+                docs, "doc_id", "text", patterns, regex=regex
+            ).collect()
+        }
+        lit_df = canary_scan_literal(
+            docs, "doc_id", "text", patterns, regex=regex
+        )
+        assert {tuple(r) for r in lit_df.collect()} == join_rows
+        assert [f.name for f in lit_df.schema.fields] == [
+            "doc_id", "pat_id", "pattern", "n_occurrences",
+        ]
+        plan = lit_df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Exchange" not in plan
+
+    empty = canary_scan_literal(
+        docs, "doc_id", "text", pats.filter(F.length("pattern") == 0)
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id", "pat_id", "pattern", "n_occurrences",
+    ]
+
+    wide = spark.range(_CANARY_LITERAL_MAX_PATTERNS + 1).select(
+        F.col("id").alias("pat_id"),
+        F.concat(F.lit("needle"), F.col("id")).alias("pattern"),
+    )
+    with pytest.raises(ValueError, match="caps at"):
+        canary_scan_literal(docs, "doc_id", "text", wide)
+
+
+def test_canary_regex_portability_guard(spark):
+    """ADVICE r13: Java-only regex constructs are rejected DRIVER-SIDE
+    before any job runs (the PII_PATTERNS rule as code) — lookarounds,
+    atomic groups, backreferences, possessives all raise; RE2-shared
+    syntax (\\b, named groups, non-capturing groups, bounded repeats,
+    escaped backslash-digit literals) passes; validate=False opts out."""
+    import pytest
+
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        canary_scan,
+        canary_scan_literal,
+        validate_portable_regex,
+    )
+
+    for bad in (
+        r"(?=ahead)x",
+        r"(?!neg)x",
+        r"(?<=behind)x",
+        r"(?<!negb)x",
+        r"(?>atomic)x",
+        r"a*+b",
+        r"a{2,3}+b",
+        r"(dup)\1",
+        r"(?<g>x)\k<g>",
+    ):
+        with pytest.raises(ValueError, match="non-portable regex"):
+            validate_portable_regex(bad)
+    for ok in (
+        r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+        r"(?<name>[a-z]+)-\d+",   # named group ≠ lookbehind
+        r"AKIA[0-9A-F]{16}",
+        r"a\\1b",                 # escaped backslash then digit — literal
+    ):
+        validate_portable_regex(ok)
+
+    docs = spark.createDataFrame([(1, "xy")], ["doc_id", "text"])
+    bad_pats = spark.createDataFrame(
+        [(1, r"(?<=behind)x")], ["pat_id", "pattern"]
+    )
+    for op in (canary_scan, canary_scan_literal):
+        with pytest.raises(ValueError, match="non-portable regex"):
+            op(docs, "doc_id", "text", bad_pats, regex=True)
+        # opt-out still constructs a frame (Java accepts lookbehind)
+        assert op(
+            docs, "doc_id", "text", bad_pats, regex=True, validate=False
+        ).columns == ["doc_id", "pat_id", "pattern", "n_occurrences"]
+
+
 def test_decontaminate_multi_matches_per_suite_runs(spark):
     """Round-13 multi-suite decontamination: the one-pass per-(doc,
     suite) table sliced at each suite == the single-suite

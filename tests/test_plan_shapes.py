@@ -700,6 +700,60 @@ def test_composed_entry_analyzed_plan_bounded(spark, name):
     assert stats["bytes"] > 0, stats
 
 
+# ---------------------------------------------------------------------------
+# The no-rider explode rule as a standing guard (round 14, VERDICT r13
+# Missing #2): `select(size(arr_expr), explode(arr_expr))` re-evaluates
+# the array build PER EXPLODED ROW (~18× ≈ mean shingles/doc, measured —
+# SCALE.md round 13 "the per-exploded-row recompute"). The r13 fix
+# shipped at the three carrying sites; this test makes a REVERT — or a
+# NEW rider anywhere in the registry — fail at build time. Both plan
+# stages are walked: analyzed catches the source-level rider, optimized
+# catches a CollapseProject-style re-inline (ADVICE r13).
+# ---------------------------------------------------------------------------
+
+from ucr_bigdata_snowfallproject_spark.queries import REGISTRY as _FULL_REGISTRY
+
+
+@pytest.mark.parametrize("name", sorted(_FULL_REGISTRY))
+def test_registry_entry_has_no_explode_rider(spark, name):
+    df = q(spark, name)
+    for mode in ("analyzed", "optimized"):
+        assert checks.explode_rider_sites(df, plan=mode) == [], mode
+
+
+def test_explode_rider_guard_detects_the_rider_form(spark):
+    """The guard itself, pinned on the three canonical shapes: the rider
+    flags, the materialized `__arr` form passes, and the legitimate
+    sibling-branch size-totals scan (decontaminate's two-scan design)
+    passes — ancestry, not mere co-occurrence, is the trigger."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import shingles
+
+    d = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    rider = d.select(
+        F.col("doc_id"),
+        F.size(shingles("text", 4)).alias("n"),
+        F.explode(shingles("text", 4)).alias("g"),
+    )
+    sites = checks.explode_rider_sites(rider)
+    assert len(sites) == 1 and sites[0]["generator"] == "explode"
+    with pytest.raises(AssertionError, match="no-rider"):
+        checks.assert_no_explode_rider(rider)
+
+    fixed = d.withColumn("__arr", shingles("text", 4)).select(
+        "doc_id", F.size("__arr").alias("n"), F.explode("__arr").alias("g")
+    )
+    assert checks.explode_rider_sites(fixed) == []
+    assert checks.explode_rider_sites(fixed, plan="optimized") == []
+
+    tot = d.select("doc_id", F.size(shingles("text", 4)).alias("n"))
+    hits = (
+        d.select("doc_id", F.explode(shingles("text", 4)).alias("g"))
+        .groupBy("doc_id")
+        .count()
+    )
+    assert checks.explode_rider_sites(tot.join(hits, "doc_id")) == []
+
+
 def test_gopher_and_c4_zero_shuffle(spark):
     """Round-13 heuristic filters are scan-shaped BY CONTRACT: the Gopher
     rule battery and C4 line cleaning are doc-local column/array-lambda
@@ -797,3 +851,9 @@ def test_streaming_shingle_projection_materializes_array_once(spark):
     ):
         analyzed = out._jdf.queryExecution().analyzed().toString()
         assert "__arr" in analyzed, "rider form regressed: no __arr Project"
+        # ADVICE r13: the source-level pin above can't see an
+        # OPTIMIZER-level re-inline (CollapseProject-style) restoring
+        # the per-exploded-row recompute — the structural guard walks
+        # both plans' Generate ancestry for the identical array subtree
+        for mode in ("analyzed", "optimized"):
+            assert checks.explode_rider_sites(out, plan=mode) == [], mode

@@ -619,6 +619,55 @@ def decontaminate_bloom(
     )
 
 
+#: Java-regex-only constructs DuckDB's RE2 rejects (or silently treats
+#: differently) — the PII_PATTERNS rule as code (ADVICE r13): lookarounds,
+#: atomic groups, backreferences, possessive quantifiers. A conservative
+#: SUBSTRING heuristic, not a parser: an escaped literal like ``\(\?=``
+#: can false-positive, which errs on the safe (portable) side.
+_NONPORTABLE_RE_CONSTRUCTS = (
+    ("(?=", "lookahead"),
+    ("(?!", "negative lookahead"),
+    ("(?<", "lookbehind"),          # also catches (?<= and (?<!
+    ("(?>", "atomic group"),
+    ("*+", "possessive quantifier"),
+    ("++", "possessive quantifier"),
+    ("?+", "possessive quantifier"),
+    ("}+", "possessive quantifier"),
+)
+
+import re as _re
+
+_BACKREF_RE = _re.compile(r"(?<!\\)(?:\\\\)*\\(?:[1-9]|k<)")
+
+
+def validate_portable_regex(pattern: str) -> None:
+    """Raise ``ValueError`` if ``pattern`` uses a Java-only regex
+    construct that RE2 engines (DuckDB, the oracle) reject — making the
+    canary-scan portability contract a driver-side guard instead of a
+    docstring convention (ADVICE r13). Named groups ``(?<name>…`` are
+    exempted from the lookbehind check (both dialects share them)."""
+    for needle, label in _NONPORTABLE_RE_CONSTRUCTS:
+        at = pattern.find(needle)
+        while at != -1:
+            if needle == "(?<" and _re.match(
+                r"\(\?<[A-Za-z]", pattern[at:]
+            ):
+                at = pattern.find(needle, at + 1)
+                continue
+            raise ValueError(
+                f"non-portable regex (Java-only {label}) in canary "
+                f"pattern {pattern!r} — oracle engines run RE2, which "
+                "has no lookaround/backreference/possessive support; "
+                "rewrite lookaround-free (the PII_PATTERNS rule)"
+            )
+    if _BACKREF_RE.search(pattern):
+        raise ValueError(
+            f"non-portable regex (backreference) in canary pattern "
+            f"{pattern!r} — RE2 engines (the DuckDB oracle) have no "
+            "backreferences; rewrite without them"
+        )
+
+
 def canary_scan(
     df: DataFrame,
     id_col: str,
@@ -627,6 +676,7 @@ def canary_scan(
     pat_id_col: str = "pat_id",
     pattern_col: str = "pattern",
     regex: bool = False,
+    validate: bool = True,
 ) -> DataFrame:
     """Exact multi-pattern substring scan — the canary / secret / leaked
     eval-answer detector: for every (document, pattern) pair where the
@@ -654,17 +704,27 @@ def canary_scan(
     EXPRESSIONS — the secret-shape sweep (API-key prefixes, token
     formats, dotted-quad scans): the predicate becomes
     ``regexp_count(text, pattern) > 0`` and ``n_occurrences`` the exact
-    non-overlapping match count. For oracle portability keep patterns in
-    the RE2-compatible, lookaround-free dialect (the ``PII_PATTERNS``
-    rule — ``\\b``, non-capturing groups, and bounded repeats are all
-    shared; Java-only lookarounds are not). The pattern rides as a JOIN
-    column, so Spark compiles it per evaluation — irrelevant at
-    canary-set sizes, and the scan cost is |patterns| × corpus in either
-    mode."""
+    non-overlapping match count. Patterns must stay in the
+    RE2-compatible, lookaround-free dialect (the ``PII_PATTERNS`` rule
+    — ``\\b``, non-capturing groups, and bounded repeats are all shared;
+    Java-only lookarounds/backreferences are not) — ENFORCED
+    driver-side by :func:`validate_portable_regex` over the collected
+    pattern table (bounded by the same small-canary-set contract that
+    makes the broadcast legal; ``validate=False`` opts out for
+    Spark-only sweeps). The pattern rides as a JOIN column, so Spark
+    compiles it per evaluation — irrelevant at canary-set sizes (the
+    measured crossover vs the compile-once literal form is in SCALE.md
+    "Round 14: the canary regex compile"), and the scan cost is
+    |patterns| × corpus in either mode. For large pattern sets prefer
+    :func:`canary_scan_literal` (compile-once, join-free) up to its
+    plan-width ceiling, or the inverted-index shingle path beyond."""
     pats = patterns.select(
         F.col(pat_id_col).alias("pat_id"),
         F.col(pattern_col).alias("pattern"),
     ).filter(F.length("pattern") > 0)
+    if regex and validate:
+        for row in pats.select("pattern").distinct().collect():
+            validate_portable_regex(row["pattern"])
     c = F.col(text_col)
     p = F.col("pattern")
     if regex:
@@ -682,6 +742,99 @@ def canary_scan(
             F.col("pat_id"),
             p,
             n_occ.alias("n_occurrences"),
+        )
+    )
+
+
+#: canary_scan_literal refuses pattern sets wider than this: each pattern
+#: becomes one struct in a per-row array literal, so plan width (and
+#: codegen'd method size) grows linearly with the set — past ~10³ the
+#: join form (per-eval compile and all) or the inverted-index shingle
+#: path wins. The measured crossover is in SCALE.md "Round 14".
+_CANARY_LITERAL_MAX_PATTERNS = 1024
+
+
+def canary_scan_literal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: DataFrame,
+    pat_id_col: str = "pat_id",
+    pattern_col: str = "pattern",
+    regex: bool = False,
+    validate: bool = True,
+) -> DataFrame:
+    """:func:`canary_scan`'s compile-once twin (round 14 — the r13
+    VERDICT wart closed as code): the pattern table is collected
+    driver-side (legal under the same small-set contract that lets the
+    join form broadcast it) and each pattern becomes a LITERAL column —
+    ``regexp_count(text, lit(p))`` / exact replace-arithmetic — stacked
+    into an array of ``(pat_id, pattern, n_occurrences)`` structs,
+    exploded, and filtered to hits. Bit-identical output to the join
+    form (pytest-pinned and oracle-shared VERBATIM by
+    ``curation_canary_scan_regex_literal``).
+
+    Why it exists: in the join form the pattern rides as a join COLUMN,
+    so Spark's regex expressions can't cache the compiled ``Pattern``
+    and recompile per (row × pattern) evaluation. As a foldable literal
+    each regex compiles ONCE per task. The trade: every pattern is a
+    plan node, so the plan (and generated code) widens linearly —
+    ``_CANARY_LITERAL_MAX_PATTERNS`` caps it, and the operator raises
+    past the cap rather than degrade. Same scan shape otherwise: ONE
+    corpus pass, zero join, zero shuffle, output ~hits."""
+    pats = [
+        (r["pat_id"], r["pattern"])
+        for r in patterns.select(
+            F.col(pat_id_col).alias("pat_id"),
+            F.col(pattern_col).alias("pattern"),
+        )
+        .filter(F.length("pattern") > 0)
+        .limit(_CANARY_LITERAL_MAX_PATTERNS + 1)
+        .collect()
+    ]
+    if len(pats) > _CANARY_LITERAL_MAX_PATTERNS:
+        raise ValueError(
+            f"canary_scan_literal caps at {_CANARY_LITERAL_MAX_PATTERNS} "
+            "patterns (plan width grows per pattern) — use canary_scan "
+            "(join form) or the inverted-index shingle path"
+        )
+    if not pats:  # empty set: the join form's (empty) schema, zero rows
+        return canary_scan(
+            df.limit(0), id_col, text_col, patterns,
+            pat_id_col, pattern_col, regex, validate=False,
+        )
+    if regex and validate:
+        for _pid, p in pats:
+            validate_portable_regex(p)
+    pat_id_type = patterns.schema[pat_id_col].dataType
+    c = F.col(text_col)
+
+    def n_occ(p: str) -> F.Column:
+        if regex:
+            return F.regexp_count(c, F.lit(p)).cast("long")
+        return (
+            (F.length(c) - F.length(F.replace(c, F.lit(p))))
+            / F.length(F.lit(p))
+        ).cast("long")
+
+    hits = F.array(
+        *[
+            F.struct(
+                F.lit(pid).cast(pat_id_type).alias("pat_id"),
+                F.lit(p).alias("pattern"),
+                n_occ(p).alias("n_occurrences"),
+            )
+            for pid, p in pats
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.explode(hits).alias("__h"))
+        .filter(F.col("__h.n_occurrences") > 0)
+        .select(
+            F.col(id_col),
+            F.col("__h.pat_id").alias("pat_id"),
+            F.col("__h.pattern").alias("pattern"),
+            F.col("__h.n_occurrences").alias("n_occurrences"),
         )
     )
 

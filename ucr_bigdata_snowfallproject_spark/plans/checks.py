@@ -213,6 +213,115 @@ def dedupe_plan_text(text: str) -> str:
     return "\n".join(out) + "\n"
 
 
+# ---------------------------------------------------------------------------
+# The no-rider explode rule as a standing guard (round 14, VERDICT r13
+# Missing #2): `select(size(arr_expr), explode(arr_expr))` re-evaluates
+# the WHOLE array build per exploded row — measured 18× (≈ mean
+# shingles/doc) on the decode side of every affected scan, invisible at
+# fixture size (SCALE.md round 13 "the per-exploded-row recompute"). The
+# r13 fix materialized the array in its own Project (`__arr`) at the
+# three carrying sites; this guard makes a REVERT a test failure at every
+# registry entry, not a round-later bench-audit find.
+# ---------------------------------------------------------------------------
+
+#: generator functions whose argument is the candidate array subtree
+_GENERATOR_FNS = ("explode", "posexplode", "inline")
+
+_LAMBDA_VAR_RE = re.compile(r"(lambda [A-Za-z]+)_\d+")
+_EXPR_ID_RE = re.compile(r"#\d+")
+
+
+def _norm_expr(s: str) -> str:
+    """Normalize a plan expression for identity-modulo-ids comparison:
+    expression ids (`#12`) and lambda variable numbering (`x_1`) are
+    fresh per evaluation site, so the same source expression prints
+    differently at its Generate and its rider."""
+    return _LAMBDA_VAR_RE.sub(r"\1", _EXPR_ID_RE.sub("#", s))
+
+
+def _tree_depth(line: str) -> int:
+    """Depth of a plan-tree line from its leading tree art (3 chars per
+    level: `+- `, `:- `, `:  `, `   `)."""
+    return (len(line) - len(line.lstrip(" :+-"))) // 3
+
+
+def _balanced_arg(text: str, start: int) -> str | None:
+    """The balanced-paren argument starting at ``start`` (just past the
+    opening paren), up to the matching close."""
+    depth = 1
+    for i in range(start, len(text)):
+        ch = text[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return text[start:i]
+    return None
+
+
+def explode_rider_sites(
+    df: DataFrame, plan: str = "analyzed"
+) -> list[dict[str, str]]:
+    """Scan a frame's logical plan (``plan``: "analyzed" — the source
+    form — or "optimized" — after CollapseProject et al., catching an
+    optimizer-level re-inline of a materialized array, ADVICE r13) for
+    the per-exploded-row recompute anti-pattern: a ``Generate
+    explode(E)`` over a NON-trivial array expression ``E`` (not a bare
+    attribute) whose identical subtree (modulo expr/lambda ids) ALSO
+    appears in an ANCESTOR node — ancestors evaluate once per *exploded
+    output* row, so any re-occurrence there multiplies the array build
+    by the mean array length. Text-level with real tree ancestry
+    (indentation-stack), so the legitimate forms stay quiet: the
+    materialized `__arr` Project (the build sits BELOW the Generate),
+    decontaminate's separate size-totals scan (a sibling branch, not an
+    ancestor), and Catalyst's own pushed-down size filters (below the
+    Generate). Returns one dict per offending site: {generator, expr
+    (truncated), ancestor}."""
+    qe = df._jdf.queryExecution()
+    tree = qe.analyzed() if plan == "analyzed" else qe.optimizedPlan()
+    lines = tree.toString().splitlines()
+    depths = [_tree_depth(ln) for ln in lines]
+    sites: list[dict[str, str]] = []
+    for i, ln in enumerate(lines):
+        m = re.search(r"Generate (\w+)\(", ln)
+        if not m or m.group(1) not in _GENERATOR_FNS:
+            continue
+        arg = _balanced_arg(ln, m.end())
+        if arg is None or "(" not in arg:
+            continue  # bare attribute (materialized form) — safe
+        norm = _norm_expr(arg)
+        # ancestor chain: walk upward keeping strictly-decreasing depth
+        d = depths[i]
+        for j in range(i - 1, -1, -1):
+            if depths[j] < d:
+                d = depths[j]
+                if norm in _norm_expr(lines[j]):
+                    sites.append(
+                        {
+                            "generator": m.group(1),
+                            "expr": arg[:160],
+                            "ancestor": lines[j].strip()[:160],
+                        }
+                    )
+                    break
+            if d == 0:
+                break
+    return sites
+
+
+def assert_no_explode_rider(df: DataFrame) -> None:
+    """Raise if :func:`explode_rider_sites` finds the anti-pattern —
+    pinned across every registry entry in tests/test_plan_shapes.py."""
+    sites = explode_rider_sites(df)
+    if sites:
+        raise AssertionError(
+            "per-exploded-row recompute (the no-rider rule, SCALE.md "
+            f"round 13): {sites} — materialize the array in its own "
+            "Project (withColumn) and size/explode the COLUMN"
+        )
+
+
 def analyzed_plan_stats(df: DataFrame) -> dict[str, int]:
     """Size of a frame's analyzed LOGICAL plan: ``{"bytes": text size,
     "nodes": tree-line count}`` — the standing guard for the round-12

@@ -66,6 +66,38 @@ globals().update(
 #: round-1-green representatives (one per operator family) to fill 50.
 _GATED_WINDOW = [
     # =====================================================================
+    # Round-14 rotation — the FRESHNESS rule becomes policy (VERDICT r13
+    # Missing #3 / next-round #3): every entry has an external green row
+    # cumulatively, but the driver re-proves only 50/round, so entries
+    # last gated in the r01-r05 era relied on judge sweeps for recency.
+    # From this round the rotation biases toward OLDEST-LAST-VERIFIED:
+    # after the same-round gating of new builds (the standing rule,
+    # unbroken since r06), remaining swap capacity goes to the entries
+    # whose last external green row is stalest (computed from the
+    # committed CORRECTNESS_r*.json history), so staleness is bounded by
+    # design rather than judge diligence. This round: 2 slots to the
+    # r14-built entries (multimodal_mp4_metadata — the video lane's
+    # first oracle row; curation_canary_scan_regex_literal — the
+    # compile-once canary form under the regex oracle VERBATIM), 12
+    # slots to pre-r06 entries (listed here, each with its r13-green
+    # outgoing swap partner noted at the partner's old position):
+    "multimodal_mp4_metadata",
+    "curation_canary_scan_regex_literal",
+    # last green r01 — the round-1 core operator families re-proven:
+    "filter_project_sentinels",          # P1/P2/P6 null/sentinel/project
+    "window_latest_lineitem_per_order",  # P5/A2 tie-keeping arg-max
+    "group_median_quantity",             # A1 exact group median
+    "semi_join_customers_with_orders",   # P4/J2 existence semi join
+    "topk_orders_by_price",              # S10/O1 TakeOrderedAndProject
+    "correlation_matrix_lineitem",       # A4/F10 one-job corr matrix
+    "sessionize_events",                 # gap-based sessionization
+    "rollup_revenue_by_year_month",      # rollup/grouping-sets family
+    "scalar_string_functions",           # F-family scalar breadth
+    "asof_join_purchase_attribution",    # J-ext as-of join
+    "dedup_embedding_cosine",            # embedding near-dup (unblocked)
+    # last green r02:
+    "q10_returned_items",                # TPC-H group-by-many-keys shape
+    # =====================================================================
     # Round-8 rotation (VERDICT r07 "Next round" #1/#2/#7): gate the two
     # remaining never-externally-verified oracle-backed entries and the
     # round-8-BUILT portable-md5 minhash family (the conversion of the
@@ -170,7 +202,7 @@ _GATED_WINDOW = [
     # both gated capstones). Both stay oracle-checked in the local
     # pytest mirror.
     "text_bpe_merges",
-    "text_bpe_encode",
+    # text_bpe_encode rotated out in round 14 (r13 driver-green; freshness rule — BPE family keeps text_bpe_merges; stays oracle-checked in the local pytest mirror):
     # Round 10d: gate the round-10-BUILT within-document span pair —
     # dedup_intra_doc_spans (maximal self-repeat spans, the within-doc
     # half of the Lee et al. recipe) and dedup_self_repetition (the
@@ -200,7 +232,7 @@ _GATED_WINDOW = [
     # similarity_knn_graph_int8 gated, and the PQ-ADC path stays
     # oracle-checked in the local pytest mirror).
     # =====================================================================
-    "dedup_self_repetition_capped",
+    # dedup_self_repetition_capped rotated out in round 14 (r13 driver-green; freshness rule — family keeps dedup_self_repetition + dedup_intra_doc_spans; stays oracle-checked in the local pytest mirror):
     "dedup_substring_spans_poly",
     # =====================================================================
     # Round-12 rotation (VERDICT r11 #3/#6): gate the round-12-BUILT
@@ -216,8 +248,8 @@ _GATED_WINDOW = [
     # and curation_decontaminate_spans gated; the standalone entry stays
     # oracle-checked in the local pytest mirror).
     # =====================================================================
-    "curation_span_clean_mix_pipeline_prod",
-    "dedup_substring_spans_incremental",
+    # curation_span_clean_mix_pipeline_prod rotated out in round 14 (r13 driver-green; freshness rule — the W=50 twin of the still-gated capstone (same oracle, parameterized); stays oracle-checked in the local pytest mirror):
+    # dedup_substring_spans_incremental rotated out in round 14 (r13 driver-green; freshness rule — family keeps dedup_substring_spans_poly + curation_decontaminate_spans_bloom; stays oracle-checked in the local pytest mirror):
     # curation_decontaminate_spans rotated out in round 13 (r12
     # driver-green; its oracle stays gated VERBATIM through the
     # round-13-BUILT Bloom-prefiltered twin below, which additionally
@@ -236,7 +268,7 @@ _GATED_WINDOW = [
     # recovering synthesized PCM-WAV ground truth through the real
     # mapInPandas path (the second multimodal decode path earns an
     # external hash row):
-    "multimodal_wav_metadata",
+    # multimodal_wav_metadata rotated out in round 14 (r13 driver-green; freshness rule — multimodal keeps multimodal_gif_dimensions + the incoming mp4 row; stays oracle-checked in the local pytest mirror):
     "similarity_knn_graph_int8",
     # =====================================================================
     # Round-11 rotation (2 of 2): gate the round-11-BUILT
@@ -373,7 +405,7 @@ _GATED_WINDOW = [
     # per-(suite, source) contamination report — decontaminate_multi's
     # one-pass hit table rolled up with exact-integer sums under a full
     # DuckDB oracle:
-    "curation_contamination_report",
+    # curation_contamination_report rotated out in round 14 (r13 driver-green; freshness rule — multisuite family keeps curation_decontaminate_multisuite + the decision table; stays oracle-checked in the local pytest mirror):
     "incremental_agg_replay",
     "rag_prep_pipeline",
     # --- round-6b: the two operators BUILT this round earn driver rows
@@ -401,7 +433,7 @@ _GATED_WINDOW = [
     # the brute-force kernel over candidates). The inline
     # similarity_int8_rerank_topk stays oracle-checked in the local
     # pytest mirror. ---
-    "similarity_int8_indexed_topk",
+    # similarity_int8_indexed_topk rotated out in round 14 (r13 driver-green; freshness rule — ANN family keeps similarity_ivf_int8_indexed_topk + similarity_knn_graph_int8; stays oracle-checked in the local pytest mirror):
     # --- oracle-backed, ungated in round 1 (registration slots 50-88) ---
     # correlated_subquery_above_custavg + scalar_date_arithmetic rotated
     # out in round 13 (both r12 driver-green; the correlated-subquery
@@ -428,7 +460,7 @@ _GATED_WINDOW = [
     # round-13-BUILT regex canary scan — the secret-shape sweep
     # (canary_scan(regex=True), RE2-compatible patterns, planted-needle
     # oracle):
-    "curation_canary_scan_regex",
+    # curation_canary_scan_regex rotated out in round 14 (r13 driver-green; freshness rule — superseded in the window by the r14 literal twin under the SAME oracle VERBATIM; stays oracle-checked in the local pytest mirror):
     # salted_group_agg_matches_plain rotated out in round 13 (r12
     # driver-green; the skew-mitigation family keeps
     # skew_stats_events_by_user gated and the salted==plain identity
@@ -438,8 +470,8 @@ _GATED_WINDOW = [
     # of the single-suite operator, full DuckDB oracle:
     "curation_decontaminate_multisuite",
     "pandas_udf_vowel_ratio",
-    "from_json_events_props",
-    "q15_top_supplier",
+    # from_json_events_props rotated out in round 14 (r13 driver-green; freshness rule — scalar family keeps pandas_udf_vowel_ratio + the incoming scalar_string_functions; stays oracle-checked in the local pytest mirror):
+    # q15_top_supplier rotated out in round 14 (r13 driver-green; freshness rule — TPC-H keeps q1/q3 + the incoming q10; stays oracle-checked in the local pytest mirror):
     # --- new oracle-backed in round 4 (training-pipeline operators).
     # Rotated out to make room, each with its family still driver-gated:
     # salted_join_matches_plain (skew surface: salted_group_agg stays),
@@ -481,12 +513,12 @@ _GATED_WINDOW = [
     # ewma_events_value rotated out in round 6g (r05 driver-green; the
     # window/time family keeps twa_events_hourly + funnel_events_conversion)
     # for the round-6-built IR evaluation operator:
-    "retrieval_eval_metrics",
+    # retrieval_eval_metrics rotated out in round 14 (r13 driver-green; freshness rule — retrieval family keeps rag_prep_pipeline (composes BM25 end-to-end); stays oracle-checked in the local pytest mirror):
     # bloom_semi_join_lineitem rotated out in round 13 (r12 driver-green;
     # the Bloom-prefilter family keeps curation_decontaminate_bloom AND
     # gains the round-13-BUILT broadcast word-table form below — built
     # this round, gated this round per the standing rule):
-    "curation_decontaminate_bloom_join",
+    # curation_decontaminate_bloom_join rotated out in round 14 (r13 driver-green; freshness rule — Bloom family keeps curation_decontaminate_bloom + bloom_anti_join_lineitem; stays oracle-checked in the local pytest mirror):
     # --- round-5d rotation: four more late-round-5 families earn first
     # driver rows (corpus-cleaning transform, side-effect sink manifest,
     # in-row entropy, weighted sampling). Rotated out, each family still
@@ -520,7 +552,7 @@ _GATED_WINDOW = [
     # dedup_cdc_chunks, dedup_ngram_jaccard, embedding near-dup stay),
     # resample_events_hourly_ffill (time grid: twa_events_hourly is the
     # new resample-family representative). ---
-    "twa_events_hourly",
+    # twa_events_hourly rotated out in round 14 (r13 driver-green; freshness rule — time-grid family covered by the incoming sessionize_events + window reps; stays oracle-checked in the local pytest mirror):
     # graph_triangles_parts rotated out in round 6h (r05 driver-green;
     # its edge-building join is a sub-plan of the new entry) for the
     # round-6-built co-purchase projection — the graph-CONSTRUCTION step
@@ -591,7 +623,7 @@ _GATED_WINDOW = [
     # curation_decontaminate rotated out in round 6e (r05 driver-green;
     # curation keeps token_budget_mix, shard_assignments,
     # rag_prep_pipeline) for the round-6-built epochs materializer:
-    "curation_epoch_upsample",
+    # curation_epoch_upsample rotated out in round 14 (r13 driver-green; freshness rule — curation-sampling family keeps curation_token_budget_mix; stays oracle-checked in the local pytest mirror):
     "curation_token_budget_mix",
     # --- round-1 driver-green representatives (regression guard) ---
     "q1_pricing_summary",

@@ -2030,9 +2030,11 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "curation_canary_scan_regex",
-    r"""
+#: Shared VERBATIM by curation_canary_scan_regex (join form) and
+#: curation_canary_scan_regex_literal (round 14, compile-once literal
+#: form) — the driver externally proves the two forms equal by hashing
+#: both against the same ground truth.
+_CANARY_REGEX_ORACLE = r"""
     WITH planted AS (
       SELECT doc_id, text
         || CASE WHEN doc_id % 41 = 0
@@ -2056,20 +2058,14 @@ def curation_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame
              AS n_occurrences
     FROM planted d, pats p
     WHERE len(regexp_extract_all(d.text, p.pattern)) > 0
-    """,
-)
-def curation_canary_scan_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regex canary scan (round 13, curation.canary_scan(regex=True)) —
-    the secret-shape sweep: AWS-style key prefixes, email addresses,
-    dotted-quad IPs, each an RE2-compatible lookaround-free pattern so
-    the SAME regex runs on the DuckDB oracle (the PII_PATTERNS rule).
-    The soup fixture carries no secrets, so the query PLANTS them
-    deterministically (md5-derived key/email material + a doc_id-keyed
-    IP on doc_id % 41/29/23 — the geo-query synthesis precedent) and
-    the sweep must recover exactly the planted set with exact
-    non-overlapping match counts. Same plan as the literal form: the
-    pattern table broadcasts into a nested-loop regexp_count join — one
-    corpus scan, zero corpus shuffle, output ~hits."""
+    """
+
+
+def _canary_regex_fixture(spark: SparkSession, sf_dir: str):
+    """(planted corpus, pattern table) for the regex canary twins: the
+    soup carries no secrets, so plant them deterministically
+    (md5-derived key/email material + a doc_id-keyed IP on
+    doc_id % 41/29/23 — the geo-query synthesis precedent)."""
     d = load_table(spark, sf_dir, "documents")
     md5 = F.md5(F.col("doc_id").cast("string"))
     planted = d.select(
@@ -2104,7 +2100,46 @@ def curation_canary_scan_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         ["pat_id", "pattern"],
     )
+    return planted, pats
+
+
+@register("curation_canary_scan_regex", _CANARY_REGEX_ORACLE)
+def curation_canary_scan_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex canary scan (round 13, curation.canary_scan(regex=True)) —
+    the secret-shape sweep: AWS-style key prefixes, email addresses,
+    dotted-quad IPs, each an RE2-compatible lookaround-free pattern so
+    the SAME regex runs on the DuckDB oracle (the PII_PATTERNS rule).
+    The soup fixture carries no secrets, so the query PLANTS them
+    deterministically (md5-derived key/email material + a doc_id-keyed
+    IP on doc_id % 41/29/23 — the geo-query synthesis precedent) and
+    the sweep must recover exactly the planted set with exact
+    non-overlapping match counts. Plan: the pattern table broadcasts
+    into a nested-loop regexp_count join — one corpus scan, zero corpus
+    shuffle, output ~hits; the pattern rides as a join column, so the
+    regex recompiles per evaluation (the compile-once twin is
+    curation_canary_scan_regex_literal; crossover measured in SCALE.md
+    'Round 14')."""
+    planted, pats = _canary_regex_fixture(spark, sf_dir)
     return curation_ops.canary_scan(
+        planted, "doc_id", "text", pats, regex=True
+    )
+
+
+@register("curation_canary_scan_regex_literal", _CANARY_REGEX_ORACLE)
+def curation_canary_scan_regex_literal(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Regex canary sweep through the COMPILE-ONCE literal-column form
+    (round 14, curation.canary_scan_literal — the r13 VERDICT's named
+    wart closed as code): identical planted fixture, identical oracle
+    VERBATIM as curation_canary_scan_regex, so the driver externally
+    proves join form == literal form == ground truth. Plan: each
+    pattern is a foldable ``regexp_count(text, lit(p))`` (Spark caches
+    the compiled Pattern per task) stacked into one exploded struct
+    array — ONE corpus scan, ZERO joins; plan width grows per pattern,
+    capped at _CANARY_LITERAL_MAX_PATTERNS."""
+    planted, pats = _canary_regex_fixture(spark, sf_dir)
+    return curation_ops.canary_scan_literal(
         planted, "doc_id", "text", pats, regex=True
     )
 
@@ -2248,13 +2283,15 @@ def curation_filter_decision_table(spark: SparkSession, sf_dir: str) -> DataFram
     c4_line_filter are scan expressions, so stage 1+2 CHAIN IN ONE SCAN
     via ``keep_cols`` pass-through — no flag re-join on doc_id; the
     canary-hit and contaminated-suite tables are aggregated ~hit-sized
-    frames that LEFT-broadcast-join back. Net (plan-audited): THREE
+    frames that LEFT-broadcast-join back. Net (plan-audited): FOUR
     corpus-rate scans — the chained flags scan, the canary contains
-    probe, the decontamination shingle explode — plus two tiny reads
-    (pattern snippets, eval suite), zero corpus shuffle anywhere, and
-    only aggregated hit tables ride the two broadcast joins. At 100 TB
-    the decision table costs the decontamination pass it already owed
-    plus two extra reads of the corpus, never an exchange of it."""
+    probe, and decontaminate_multi's TWO (the shingle explode plus its
+    separate size(shingles) totals scan, which its own plan test pins
+    as a distinct parquet read) — plus two tiny reads (pattern
+    snippets, eval suite), zero corpus shuffle anywhere, and only
+    aggregated hit tables ride the two broadcast joins. At 100 TB the
+    decision table costs the decontamination pass it already owed plus
+    three extra reads of the corpus, never an exchange of it."""
     d = load_table(spark, sf_dir, "documents")
     train = d.filter(F.col("doc_id") % 17 != 0)
     ev = d.filter(F.col("doc_id") % 17 == 0)
@@ -2448,4 +2485,88 @@ def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return multimodal.audio_features(media).select(
         "media_id", "sample_rate", "n_channels", "n_samples"
+    )
+
+
+def _mp4_trak_hex(track_id: int) -> str:
+    """Hex of one skeletal ``trak`` box (``operators.multimodal.mp4_bytes``
+    layout): trak(104) wrapping tkhd(96) — 12 zero bytes (v0+flags,
+    ctime, mtime), the u32be track id, 72 reserved zero bytes."""
+    return (
+        "000000687472616b" + "00000060746b6864"
+        + "00" * 12 + f"{track_id:08x}" + "00" * 72
+    )
+
+
+@register(
+    "multimodal_mp4_metadata",
+    """
+    SELECT doc_id AS media_id,
+           CAST(1000 * (1 + doc_id % 4) AS INT) AS timescale,
+           CAST(500 + doc_id % 1000 AS INT) AS duration_ms,
+           CAST(1 + doc_id % 3 AS INT) AS n_tracks
+    FROM documents
+    """,
+)
+def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VIDEO lane's oracle-backed row (round 14 — the gif/wav arc
+    completed, VERDICT r13 next-round #1): minimal-but-valid ISO-BMFF
+    MP4 containers (``ftyp`` + ``moov`` wrapping a version-0 ``mvhd``
+    and 1-3 skeletal ``trak`` boxes, big-endian box sizes — the
+    ``multimodal.mp4_bytes`` layout) synthesize scan-side from doc_id
+    as hex expressions → ``unhex``, and the REAL
+    ``multimodal.video_features`` mapInPandas path — the stdlib
+    ``struct`` box walker reading ``mvhd`` timescale/duration and
+    counting ``trak`` children — must recover the planted
+    (timescale, duration_ms, n_tracks), which the oracle computes by
+    arithmetic alone. ``duration_ms`` is SAFE to pin (unlike wav's
+    banker's-rounding trivia): duration units are planted as
+    duration_ms × (timescale/1000), so ``round(dur·1000/scale)`` is an
+    exact-integer float division with no rounding branch. A desynced
+    box size, a wrong mvhd field offset, an endianness slip, or a
+    miscounted trak all surface as a hash mismatch against ground
+    truth."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.lit(1) + F.col("doc_id") % 4            # timescale multiplier
+    ts = (k * 1000).cast("long")                  # timescale ∈ {1000..4000}
+    ms = F.lit(500) + F.col("doc_id") % 1000      # planted duration_ms
+    dur = (ms * k).cast("long")                   # mvhd duration units
+    n_tracks = (F.lit(1) + F.col("doc_id") % 3).cast("int")
+
+    def u32be(x):
+        return F.lpad(F.lower(F.hex(x.cast("long"))), 8, "0")
+
+    # ftyp: 'isom', minor 512, brands isom/iso2/mp41 (28-byte box)
+    ftyp = "0000001c6674797069736f6d0000020069736f6d69736f326d703431"
+    # mvhd v0 (108-byte box): zeros(v+flags,ctime,mtime), ts, dur, rate
+    # 1.0, volume 1.0, reserved, identity matrix, pre_defined zeros,
+    # next_track_ID = n_tracks + 1
+    matrix = (
+        "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3
+        + "40000000"
+    )
+    mvhd = F.concat(
+        F.lit("0000006c6d766864" + "00" * 12),
+        u32be(ts),
+        u32be(dur),
+        F.lit("000100000100" + "00" * 10 + matrix + "00" * 24),
+        u32be(n_tracks + 1),
+    )
+    t1, t2, t3 = (_mp4_trak_hex(i) for i in (1, 2, 3))
+    traks = (
+        F.when(n_tracks == 1, F.lit(t1))
+        .when(n_tracks == 2, F.lit(t1 + t2))
+        .otherwise(F.lit(t1 + t2 + t3))
+    )
+    # moov size = 8 + 108 (mvhd) + n_tracks·104 (traks)
+    moov_hdr = F.concat(u32be(F.lit(8 + 108) + n_tracks * 104), F.lit("6d6f6f76"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(F.concat(F.lit(ftyp), moov_hdr, mvhd, traks)).alias("payload"),
+    )
+    return multimodal.video_features(media).select(
+        "media_id", "timescale", "duration_ms", "n_tracks"
     )

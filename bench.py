@@ -233,6 +233,13 @@ HEADLINE = [
     # its join twin curation_canary_scan_regex pays, same fixture)
     "multimodal_mp4_metadata",
     "curation_canary_scan_regex_literal",
+    # round-14b, benched from birth: the Aho-Corasick large-pattern-set
+    # canary form (one mapInPandas scan, |patterns|-independent — benches
+    # the Python-automaton fixed cost against its join twin on the same
+    # fixture) and the audio chunk-planning oracle row (synthesized WAVs
+    # through the real manifest planner)
+    "curation_canary_scan_automaton",
+    "multimodal_audio_chunk_manifest",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

@@ -4768,6 +4768,97 @@ def test_canary_regex_portability_guard(spark):
         ).columns == ["doc_id", "pat_id", "pattern", "n_occurrences"]
 
 
+def test_canary_automaton_matches_join_form(spark):
+    """Round-14 Aho-Corasick form: bit-identical rows to the join form
+    on the adversarial cases a trie scan can get wrong — flattened
+    output links (the classic he/she/his/hers ushers probe, where 'he'
+    ends INSIDE 'she' and is reachable only via the failure chain),
+    patterns that are substrings of other patterns, overlapping
+    occurrences (non-overlapping left-to-right counts), duplicate
+    pattern strings under distinct pat_ids, mid-word hits, unicode,
+    null text, and empty patterns dropped. Plan: ONE mapInPandas scan —
+    no join, no exchange."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        canary_scan,
+        canary_scan_automaton,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ushers watch ushers"),
+            (2, "aaaa and the ab abc abcd chain"),
+            (3, "naïve café naïve"),
+            (4, None),
+            (5, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    pats = spark.createDataFrame(
+        [
+            (10, "he"), (11, "she"), (12, "his"), (13, "hers"),
+            (14, "aa"), (15, "ab"), (16, "abc"),
+            (17, "naïve"), (18, "naïve"),   # duplicate string, two ids
+            (19, ""),                        # dropped
+        ],
+        ["pat_id", "pattern"],
+    )
+    join_rows = {
+        tuple(r) for r in canary_scan(docs, "doc_id", "text", pats).collect()
+    }
+    out = canary_scan_automaton(docs, "doc_id", "text", pats)
+    assert {tuple(r) for r in out.collect()} == join_rows
+    # the ushers probe specifically: all three suffix patterns surface
+    assert {(1, 10), (1, 11), (1, 13)} <= {
+        (d, p) for d, p, *_ in join_rows
+    }
+    assert [f.name for f in out.schema.fields] == [
+        "doc_id", "pat_id", "pattern", "n_occurrences",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_canary_automaton_edges(spark):
+    """Empty pattern set returns the shared schema with zero rows; the
+    worker-memory cap raises driver-side with total char count; pat_id
+    dtype (string here, long in the other tests) survives the Arrow
+    round-trip."""
+    import pytest
+
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        _AUTOMATON_MAX_TOTAL_CHARS,
+        canary_scan_automaton,
+    )
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    empty = canary_scan_automaton(
+        docs, "doc_id", "text",
+        spark.createDataFrame([("x", "")], ["pat_id", "pattern"]),
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "doc_id", "pat_id", "pattern", "n_occurrences",
+    ]
+
+    named = canary_scan_automaton(
+        docs, "doc_id", "text",
+        spark.createDataFrame([("k1", "abc"), ("k2", "b")],
+                              ["pat_id", "pattern"]),
+    )
+    assert {tuple(r) for r in named.collect()} == {
+        (1, "k1", "abc", 1), (1, "k2", "b", 1),
+    }
+
+    chunk = _AUTOMATON_MAX_TOTAL_CHARS // 4 + 1
+    wide = spark.range(5).select(
+        F.col("id").alias("pat_id"),
+        F.concat(F.repeat(F.lit("x"), chunk), F.col("id")).alias("pattern"),
+    )
+    with pytest.raises(ValueError, match="total pattern chars"):
+        canary_scan_automaton(docs, "doc_id", "text", wide)
+
+
 def test_decontaminate_multi_matches_per_suite_runs(spark):
     """Round-13 multi-suite decontamination: the one-pass per-(doc,
     suite) table sliced at each suite == the single-suite

@@ -839,6 +839,178 @@ def canary_scan_literal(
     )
 
 
+#: canary_scan_automaton refuses pattern sets whose TOTAL character count
+#: exceeds this: the Aho-Corasick trie is pure-Python dict nodes
+#: (~100-150 B each, worst-case one node per pattern char), so 2^22 total
+#: chars bounds every Python worker at a few hundred MB of automaton —
+#: e.g. 10^5 patterns × 40 chars. Beyond it, split the pattern set into
+#: ≤cap slices and union k automaton passes (still k× cheaper than the
+#: join form's |patterns|-per-row contains), or move to the shingle
+#: inverted-index path (decontaminate / decontaminate_bloom).
+_AUTOMATON_MAX_TOTAL_CHARS = 1 << 22
+
+#: Per-worker automaton cache keyed by the patterns broadcast id: Spark
+#: reuses Python workers across tasks (spark.python.worker.reuse), so
+#: each worker builds the trie ONCE per pattern set, not once per task.
+_AC_CACHE: dict[int, tuple] = {}
+
+
+def _build_aho_corasick(patterns: list[str]):
+    """Build a (goto, fail, out) Aho-Corasick automaton over ``patterns``
+    (classic construction: trie + BFS failure links, output links
+    flattened into ``out`` so a scan reports every pattern ending at a
+    node, including proper-suffix patterns). Pure stdlib — dict-per-node
+    goto, list fail/out — sized for canary sets (10^4-10^5 strings), not
+    genomes."""
+    goto: list[dict[str, int]] = [{}]
+    out: list[list[int]] = [[]]
+    for idx, p in enumerate(patterns):
+        node = 0
+        for ch in p:
+            nxt = goto[node].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[node][ch] = nxt
+            node = nxt
+        out[node].append(idx)
+    from collections import deque
+
+    fail = [0] * len(goto)
+    q = deque(goto[0].values())
+    while q:
+        u = q.popleft()
+        for ch, v in goto[u].items():
+            q.append(v)
+            f = fail[u]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[v] = goto[f].get(ch, 0)
+            if out[fail[v]]:
+                out[v].extend(out[fail[v]])
+    return goto, fail, out
+
+
+def canary_scan_automaton(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: DataFrame,
+    pat_id_col: str = "pat_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """:func:`canary_scan`'s LARGE-pattern-set form (round 14 — the scale
+    rung both canary docstrings deferred to): one Aho-Corasick automaton
+    over the whole pattern set, scanned once per document in
+    O(len(text) + hits) INDEPENDENT of |patterns| — where the join form
+    pays |patterns| ``contains`` evaluations per row and the literal form
+    caps at ~10^3 plan-width. Exact literals only (an automaton cannot
+    ride regexes — ``regex`` sweeps stay on the join/literal forms).
+
+    Semantics are bit-identical to the join form (shared-oracle-pinned):
+    a (doc, pattern) row per pattern occurring VERBATIM anywhere in the
+    text, ``n_occurrences`` the exact non-overlapping left-to-right count
+    (the automaton detects WHICH patterns occur; the count is then
+    ``str.count`` per hit — the same greedy semantics as the join form's
+    replace-arithmetic, recomputed only on actual hits). Empty patterns
+    are dropped; duplicate pattern strings each emit their own pat_id row.
+
+    Plan/scale shape: patterns collect driver-side and ship as ONE
+    broadcast of raw strings (automaton built lazily per Python worker,
+    cached across tasks via worker reuse); the corpus side is a single
+    ``mapInPandas`` pass — one scan, zero joins, zero corpus shuffle,
+    output ~hits. The trade vs the join form is Python-side scanning
+    (Arrow batches, ~10^6-10^7 chars/s/worker) against JVM codegen'd
+    ``contains`` — the measured crossover is in SCALE.md "Round 14: the
+    large-pattern-set canary path". Worker memory is bounded by
+    ``_AUTOMATON_MAX_TOTAL_CHARS`` (raises beyond — split the set or use
+    the shingle inverted-index path)."""
+    import pandas as pd
+
+    pats = [
+        (r["pat_id"], r["pattern"])
+        for r in patterns.select(
+            F.col(pat_id_col).alias("pat_id"),
+            F.col(pattern_col).alias("pattern"),
+        )
+        .filter(F.length("pattern") > 0)
+        .collect()
+    ]
+    total_chars = sum(len(p) for _pid, p in pats)
+    if total_chars > _AUTOMATON_MAX_TOTAL_CHARS:
+        raise ValueError(
+            f"canary_scan_automaton caps at {_AUTOMATON_MAX_TOTAL_CHARS} "
+            f"total pattern chars (got {total_chars}) — the pure-Python "
+            "trie is worker-resident; split the pattern set into capped "
+            "slices or use the shingle inverted-index path"
+        )
+    id_type = df.schema[id_col].dataType
+    pat_id_type = patterns.schema[pat_id_col].dataType
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField("pat_id", pat_id_type),
+            StructField("pattern", StringType()),
+            StructField("n_occurrences", LongType()),
+        ]
+    )
+    if not pats:
+        return df.sparkSession.createDataFrame([], schema)
+    bc = df.sparkSession.sparkContext.broadcast(pats)
+    # Cache key travels in the closure (worker-side Broadcast objects
+    # expose only .value): content-derived so distinct pattern sets never
+    # collide in a reused worker.
+    import hashlib
+
+    cache_key = int(
+        hashlib.md5(repr(pats).encode()).hexdigest()[:15], 16
+    )
+
+    def batches(it):
+        cached = _AC_CACHE.get(cache_key)
+        if cached is None:
+            plist = bc.value
+            cached = (_build_aho_corasick([p for _pid, p in plist]), plist)
+            _AC_CACHE.clear()  # one live pattern set per worker
+            _AC_CACHE[cache_key] = cached
+        (goto, fail, out), plist = cached
+        for pdf in it:
+            ids, pids, pstrs, counts = [], [], [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                node = 0
+                hits: set[int] = set()
+                for ch in text:
+                    nxt = goto[node].get(ch)
+                    while nxt is None and node:
+                        node = fail[node]
+                        nxt = goto[node].get(ch)
+                    node = nxt if nxt is not None else 0
+                    o = out[node]
+                    if o:
+                        hits.update(o)
+                for idx in hits:
+                    pid, p = plist[idx]
+                    ids.append(rid)
+                    pids.append(pid)
+                    pstrs.append(p)
+                    counts.append(text.count(p))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "pat_id": pids,
+                    "pattern": pstrs,
+                    "n_occurrences": pd.Series(counts, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
 #: portable_hash's value space (md5-prefix parsed as 8 hex digits).
 _HASH_SPACE = 1 << 32
 

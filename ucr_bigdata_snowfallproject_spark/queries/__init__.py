@@ -540,7 +540,13 @@ _GATED_WINDOW = [
     # oracle-checked in the local pytest mirror) for the round-13-BUILT
     # exact multi-pattern canary scan (broadcast nested-loop contains
     # join, exact-integer occurrence counts under a full DuckDB oracle):
-    "curation_canary_scan",
+    # curation_canary_scan rotated out in round 14 (r13 driver-green;
+    # its oracle SQL stays gated VERBATIM through the round-14-BUILT
+    # Aho-Corasick large-pattern-set form below — a SECOND independent
+    # implementation under the SAME ground truth; the canary family also
+    # keeps curation_canary_scan_regex_literal gated, and the join form
+    # stays oracle-checked in the local pytest mirror):
+    "curation_canary_scan_automaton",
     # --- round-5e rotation: the final late-round-5 families (end-to-end
     # corpus build, time-weighted rollup, triangle analytics, fixed-bin
     # histogram). Rotated out, each family still gated (all local-mirror
@@ -582,7 +588,15 @@ _GATED_WINDOW = [
     # header decoder recovering synthesized GIF ground truth through
     # the real mapInPandas path (a rows-only family earns its first
     # external hash row):
-    "multimodal_gif_dimensions",
+    # multimodal_gif_dimensions rotated out in round 14 (r13
+    # driver-green; the multimodal family keeps multimodal_mp4_metadata
+    # gated above plus the incoming round-14-BUILT audio CHUNK row —
+    # the same synthesized-WAV payloads as the r13-green wav_metadata
+    # flowing through the real mapInPandas chunk planner against a pure
+    # generate_series arithmetic oracle, converting the last
+    # planning-side audio lane from rows-only; gif stays oracle-checked
+    # in the local pytest mirror):
+    "multimodal_audio_chunk_manifest",
     # --- round-5f rotation: the BM25 retrieval and key-skew-diagnostic
     # families earn first driver rows. Rotated out: text_language_id
     # (text-signal family keeps text_stats_documents, text_redact_pii,

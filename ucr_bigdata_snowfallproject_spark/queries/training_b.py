@@ -1808,9 +1808,10 @@ def curation_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "curation_canary_scan",
-    """
+#: Shared VERBATIM by curation_canary_scan (broadcast-contains join form,
+#: round 13) and curation_canary_scan_automaton (round 14, Aho-Corasick
+#: large-set form) — two independent implementations, one ground truth.
+_CANARY_EXACT_ORACLE = """
     WITH pats AS (
       SELECT doc_id AS pat_id,
              array_to_string(list_slice(string_split(text, ' '), 4, 6), ' ')
@@ -1822,8 +1823,24 @@ def curation_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / length(p.pattern) AS BIGINT) AS n_occurrences
     FROM documents d, pats p
     WHERE length(p.pattern) > 0 AND contains(d.text, p.pattern)
-    """,
-)
+    """
+
+
+def _canary_exact_fixture(spark: SparkSession, sf_dir: str):
+    """(documents, patterns) for the exact-canary oracle: canaries are
+    tokens 4..6 of every doc_id % 97 == 0 document — each guaranteed a
+    self-hit, the common-word soup guaranteeing cross-doc hits."""
+    d = load_table(spark, sf_dir, "documents")
+    pats = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("pat_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 4, 3)).alias(
+            "pattern"
+        ),
+    )
+    return d, pats
+
+
+@register("curation_canary_scan", _CANARY_EXACT_ORACLE)
 def curation_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-pattern canary scan (round 13,
     operators.curation.canary_scan): every (doc, canary) VERBATIM
@@ -1836,14 +1853,27 @@ def curation_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a nested-loop ``contains`` join — ONE corpus scan, zero corpus
     shuffle, output ~hits; occurrence counts are exact integer
     replace-arithmetic, engine-bit-identical."""
-    d = load_table(spark, sf_dir, "documents")
-    pats = d.filter(F.col("doc_id") % 97 == 0).select(
-        F.col("doc_id").alias("pat_id"),
-        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 4, 3)).alias(
-            "pattern"
-        ),
-    )
+    d, pats = _canary_exact_fixture(spark, sf_dir)
     return curation_ops.canary_scan(d, "doc_id", "text", pats)
+
+
+@register("curation_canary_scan_automaton", _CANARY_EXACT_ORACLE)
+def curation_canary_scan_automaton(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The LARGE-pattern-set canary form (round 14,
+    operators.curation.canary_scan_automaton) under the join form's
+    oracle VERBATIM: one Aho-Corasick automaton over the whole canary
+    set, one mapInPandas corpus pass — per-document cost
+    O(len(text) + hits), independent of |patterns|, where the join form
+    pays |patterns| contains per row and the literal form caps at ~10^3
+    plan width. Occurrence counts are str.count on actual hits — the
+    same non-overlapping left-to-right semantics as the oracle's
+    replace-arithmetic, so the three canary forms stay mutually
+    bit-identical (pytest-pinned). Crossover vs the join form measured
+    in SCALE.md "Round 14: the large-pattern-set canary path"."""
+    d, pats = _canary_exact_fixture(spark, sf_dir)
+    return curation_ops.canary_scan_automaton(d, "doc_id", "text", pats)
 
 
 @register(
@@ -2446,7 +2476,19 @@ def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     here is the header recovery, not rounding trivia."""
     from ..operators import multimodal
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_wav_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_features(media).select(
+        "media_id", "sample_rate", "n_channels", "n_samples"
+    )
+
+
+def _synth_wav_media(d: DataFrame) -> DataFrame:
+    """Scan-side synthesized mono PCM-16 WAV payloads from doc_id
+    (complete RIFF + fmt + data chunks, little-endian lengths, zeroed
+    samples; rate = 8000 + doc_id%8 × 1000 Hz, n_samples = 100 +
+    doc_id%400) — shared by multimodal_wav_metadata and
+    multimodal_audio_chunk_manifest so both oracles plant the SAME
+    ground truth the stdlib ``wave`` decoder must recover."""
     rate = (F.lit(8000) + (F.col("doc_id") % 8) * 1000).cast("int")
     n_samples = (F.lit(100) + F.col("doc_id") % 400).cast("int")
     dl = n_samples * 2
@@ -2478,14 +2520,64 @@ def multimodal_wav_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         u32le(dl),
         F.repeat(F.lit("00"), dl),    # zeroed PCM samples
     )
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("kind"),
         F.unhex(hexstr).alias("payload"),
     )
-    return multimodal.audio_features(media).select(
-        "media_id", "sample_rate", "n_channels", "n_samples"
+
+
+@register(
+    "multimodal_audio_chunk_manifest",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             8000 + (doc_id % 8) * 1000 AS rate,
+             100 + doc_id % 400 AS frames
+      FROM documents
+    ), p AS (
+      SELECT media_id, (frames * 1000) // rate AS total_ms,
+             (rate * 2) // 1000 AS bpms
+      FROM m
+    ), e AS (
+      SELECT media_id, total_ms, bpms,
+             unnest(generate_series(0,
+               CASE WHEN total_ms <= 10 THEN 0
+                    ELSE (total_ms - 3) // 8 END)) AS g
+      FROM p
     )
+    SELECT media_id,
+           CAST(g AS INT) AS chunk_id,
+           CAST(g * 8 AS BIGINT) AS start_ms,
+           CAST(LEAST(g * 8 + 10, total_ms) AS BIGINT) AS end_ms,
+           CAST(44 + g * 8 * bpms AS BIGINT) AS byte_start,
+           CAST(44 + LEAST(g * 8 + 10, total_ms) * bpms AS BIGINT)
+             AS byte_end
+    FROM e
+    """,
+)
+def multimodal_audio_chunk_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The audio CHUNKING step's oracle-backed row (round 14 — the
+    gif/wav/mp4 synthesize-decode-recover arc applied to
+    ``operators.multimodal.audio_chunk_manifest``, until now a
+    binary-fixture rows-only smoke): the same scan-side synthesized WAV
+    payloads as multimodal_wav_metadata flow through the REAL
+    mapInPandas chunk planner (chunk_ms=10, overlap_ms=2 — windows step
+    8 ms, final short window kept, exact PCM byte ranges off the
+    44-byte canonical header), and the oracle re-derives every chunk
+    row by ARITHMETIC alone: planted durations are 6-62 ms so each file
+    yields 1-8 chunks, and all byte offsets are exact integers
+    (bytes_per_ms = rate/500 ∈ {16..30} — every synthesized rate is a
+    multiple of 1000, so the operator's float product truncates to the
+    oracle's integer product bit-exactly). A desynced window loop, an
+    off-by-one on the final short window, or a drifting byte-range
+    formula all surface as hash mismatches."""
+    from ..operators import multimodal
+
+    media = _synth_wav_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.audio_chunk_manifest(media, chunk_ms=10, overlap_ms=2)
 
 
 def _mp4_trak_hex(track_id: int) -> str:

@@ -240,6 +240,7 @@ HEADLINE = [
     # through the real manifest planner)
     "curation_canary_scan_automaton",
     "multimodal_audio_chunk_manifest",
+    "multimodal_frame_sample_planted",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

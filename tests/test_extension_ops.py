@@ -4859,6 +4859,40 @@ def test_canary_automaton_edges(spark):
         canary_scan_automaton(docs, "doc_id", "text", wide)
 
 
+def test_canary_auto_dispatch(spark):
+    """Round-14 canary_scan_auto: below the measured crossover the
+    dispatch picks the codegen'd contains join, at/above it the
+    automaton — and the two forms stay bit-identical on the same
+    inputs (the property the decision table's composed stage relies
+    on after the 100× ladder exposed the join form's quadratic term)."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        _CANARY_AUTO_THRESHOLD,
+        canary_scan,
+        canary_scan_auto,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "needle7 in a stack of needle7"), (2, "no hits here")],
+        ["doc_id", "text"],
+    )
+    small = spark.createDataFrame([(7, "needle7")], ["pat_id", "pattern"])
+    out_small = canary_scan_auto(docs, "doc_id", "text", small)
+    plan = out_small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "MapInPandas" not in plan
+
+    wide = spark.range(_CANARY_AUTO_THRESHOLD).select(
+        F.col("id").alias("pat_id"),
+        F.concat(F.lit("needle"), F.col("id")).alias("pattern"),
+    )
+    out_wide = canary_scan_auto(docs, "doc_id", "text", wide)
+    plan = out_wide._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "Join" not in plan
+    assert {tuple(r) for r in out_wide.collect()} == {
+        tuple(r)
+        for r in canary_scan(docs, "doc_id", "text", wide).collect()
+    }
+
+
 def test_decontaminate_multi_matches_per_suite_runs(spark):
     """Round-13 multi-suite decontamination: the one-pass per-(doc,
     suite) table sliced at each suite == the single-suite

@@ -1496,6 +1496,20 @@ def test_stream_canary_hits_match_batch(spark, tmp_path_factory):
     }
     assert got_r == want_r
 
+    # automaton face (round 14): the large-pattern-set path streams the
+    # same rows bit-exactly — one static collect at plan-build, one
+    # stateless mapInPandas scan per micro-batch; regex is refused
+    got_a = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            stream_canary_hits(stream, pats, form="automaton"),
+            "canary_hits_ac",
+        ).collect()
+    }
+    assert got_a == want
+    with pytest.raises(ValueError, match="exact literals only"):
+        stream_canary_hits(stream, rpats, regex=True, form="automaton")
+
 
 def test_stream_multisuite_contamination_flags_match_batch(
     spark, tmp_path_factory

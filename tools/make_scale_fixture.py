@@ -38,11 +38,24 @@ from ucr_bigdata_snowfallproject_spark.session import get_spark
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sfscale1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# optional 4th arg: comma list of tables to emit (round 14 — the 100×
+# documents-only ladder: embeddings' rotation decorrelation only spans
+# 64 copies and lineitem/part at 100× are not what the X10 scan-shaped
+# queries read, so `documents` alone buys the second decade cheaply)
+TABLES = (
+    set(sys.argv[4].split(","))
+    if len(sys.argv) > 4
+    else {"documents", "embeddings", "part", "lineitem"}
+)
+if COPIES > 64 and "embeddings" in TABLES:
+    raise SystemExit("embeddings rotation decorrelates <=64 copies")
 
 spark = get_spark(app_name="make-scale-fixture")
 os.makedirs(DST, exist_ok=True)
 t0 = time.time()
 
+if "documents" not in TABLES:
+    raise SystemExit("documents is the anchor table; always include it")
 docs = load_table(spark, SRC, "documents")
 ID_SPAN = 10_000_000
 toks = F.split(F.col("text"), r"\s+")
@@ -85,28 +98,33 @@ out_docs = (
 out_docs.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 print(f"documents: {time.time()-t0:.1f}s", flush=True)
 
-emb = load_table(spark, SRC, "embeddings")
-V_SPAN = 10_000_000
-rot = F.when(F.col("__k") == 0, F.col("embedding"))
-for k in range(1, COPIES):
-    rot = rot.when(
-        F.col("__k") == k,
-        F.concat(
-            F.slice(F.col("embedding"), k + 1, 64 - k),
-            F.slice(F.col("embedding"), 1, k),
-        ),
+if "embeddings" in TABLES:
+    emb = load_table(spark, SRC, "embeddings")
+    V_SPAN = 10_000_000
+    rot = F.when(F.col("__k") == 0, F.col("embedding"))
+    for k in range(1, COPIES):
+        rot = rot.when(
+            F.col("__k") == k,
+            F.concat(
+                F.slice(F.col("embedding"), k + 1, 64 - k),
+                F.slice(F.col("embedding"), 1, k),
+            ),
+        )
+    out_emb = (
+        emb.withColumn(
+            "__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
+        )
+        .select(
+            (F.col("vec_id") + F.col("__k") * V_SPAN).alias("vec_id"),
+            rot.alias("embedding"),
+            "__k",
+        )
+        .drop("__k")
     )
-out_emb = (
-    emb.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
-    .select(
-        (F.col("vec_id") + F.col("__k") * V_SPAN).alias("vec_id"),
-        rot.alias("embedding"),
-        "__k",
+    out_emb.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/embeddings.parquet"
     )
-    .drop("__k")
-)
-out_emb.repartition(32).write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
-print(f"embeddings: {time.time()-t0:.1f}s", flush=True)
+    print(f"embeddings: {time.time()-t0:.1f}s", flush=True)
 
 # part (round 9, VERDICT r08 #3 — the fuzzy-join scale point): copy k
 # shifts p_partkey and, for k>0, permutes the words of p_name with a
@@ -114,55 +132,66 @@ print(f"embeddings: {time.time()-t0:.1f}s", flush=True)
 # VOCABULARY and name length distribution are preserved (q-gram block
 # membership scales realistically with the 10x distinct-name growth)
 # while exact name collisions across copies are avoided.
-part = load_table(spark, SRC, "part")
-PK_SPAN = 10_000_000
-words = F.split(F.col("p_name"), " ")
-permuted = F.array_join(
-    F.transform(
-        F.array_sort(
-            F.transform(
-                words,
-                lambda t, i: F.concat(
-                    F.md5(
-                        F.concat_ws(
-                            "#",
-                            F.col("p_name"),
-                            t,
-                            i.cast("string"),
-                            F.col("__k").cast("string"),
-                        )
+if "part" in TABLES:
+    part = load_table(spark, SRC, "part")
+    PK_SPAN = 10_000_000
+    words = F.split(F.col("p_name"), " ")
+    permuted = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    words,
+                    lambda t, i: F.concat(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                F.col("p_name"),
+                                t,
+                                i.cast("string"),
+                                F.col("__k").cast("string"),
+                            )
+                        ),
+                        F.lit("\x00"),
+                        t,
                     ),
-                    F.lit("\x00"),
-                    t,
-                ),
-            )
+                )
+            ),
+            lambda s: F.substring(s, 34, 1_000_000),
         ),
-        lambda s: F.substring(s, 34, 1_000_000),
-    ),
-    " ",
-)
-out_part = (
-    part.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
-    .select(
-        (F.col("p_partkey") + F.col("__k") * PK_SPAN).alias("p_partkey"),
-        F.when(F.col("__k") == 0, F.col("p_name")).otherwise(permuted).alias(
-            "p_name"
-        ),
-        *[c for c in part.columns if c not in ("p_partkey", "p_name")],
+        " ",
     )
-)
-out_part.repartition(32).write.mode("overwrite").parquet(f"{DST}/part.parquet")
-print(f"part: {time.time()-t0:.1f}s", flush=True)
+    out_part = (
+        part.withColumn(
+            "__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
+        )
+        .select(
+            (F.col("p_partkey") + F.col("__k") * PK_SPAN).alias("p_partkey"),
+            F.when(F.col("__k") == 0, F.col("p_name"))
+            .otherwise(permuted)
+            .alias("p_name"),
+            *[c for c in part.columns if c not in ("p_partkey", "p_name")],
+        )
+    )
+    out_part.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/part.parquet"
+    )
+    print(f"part: {time.time()-t0:.1f}s", flush=True)
 
-li = load_table(spark, SRC, "lineitem").select("l_orderkey", "l_partkey")
-O_SPAN, P_SPAN = 100_000_000, 10_000_000
-out_li = (
-    li.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
-    .select(
-        (F.col("l_orderkey") + F.col("__k") * O_SPAN).alias("l_orderkey"),
-        (F.col("l_partkey") + F.col("__k") * P_SPAN).alias("l_partkey"),
+if "lineitem" in TABLES:
+    li = load_table(spark, SRC, "lineitem").select("l_orderkey", "l_partkey")
+    O_SPAN, P_SPAN = 100_000_000, 10_000_000
+    out_li = (
+        li.withColumn(
+            "__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
+        )
+        .select(
+            (F.col("l_orderkey") + F.col("__k") * O_SPAN).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("__k") * P_SPAN).alias("l_partkey"),
+        )
     )
-)
-out_li.repartition(32).write.mode("overwrite").parquet(f"{DST}/lineitem.parquet")
-print(f"lineitem: {time.time()-t0:.1f}s done -> {DST}", flush=True)
+    out_li.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/lineitem.parquet"
+    )
+    print(f"lineitem: {time.time()-t0:.1f}s", flush=True)
+print(f"done -> {DST}", flush=True)
 spark.stop()

@@ -695,10 +695,11 @@ def canary_scan(
     left-to-right, the semantics every engine shares), so the result is
     engine-bit-identical and DuckDB-oracle-able. Empty patterns are
     dropped (a zero-length needle matches everywhere and divides by
-    zero). For pattern sets too large to broadcast, this is the wrong
-    operator — use :func:`decontaminate` /
-    :func:`decontaminate_bloom`'s inverted-index shingle path, which
-    never materializes the cross product.
+    zero). For pattern sets too large for |patterns|-per-row contains,
+    this is the wrong operator — :func:`canary_scan_automaton` scans
+    every pattern in one pass (10⁴-10⁵ literals), and beyond that
+    :func:`decontaminate` / :func:`decontaminate_bloom`'s
+    inverted-index shingle path never materializes the cross product.
 
     ``regex=True`` (round 13) switches the patterns to REGULAR
     EXPRESSIONS — the secret-shape sweep (API-key prefixes, token
@@ -717,7 +718,9 @@ def canary_scan(
     "Round 14: the canary regex compile"), and the scan cost is
     |patterns| × corpus in either mode. For large pattern sets prefer
     :func:`canary_scan_literal` (compile-once, join-free) up to its
-    plan-width ceiling, or the inverted-index shingle path beyond."""
+    plan-width ceiling, :func:`canary_scan_automaton` beyond it (exact
+    literals, |patterns|-independent scan), or the inverted-index
+    shingle path past the automaton's worker-memory cap."""
     pats = patterns.select(
         F.col(pat_id_col).alias("pat_id"),
         F.col(pattern_col).alias("pattern"),
@@ -748,9 +751,10 @@ def canary_scan(
 
 #: canary_scan_literal refuses pattern sets wider than this: each pattern
 #: becomes one struct in a per-row array literal, so plan width (and
-#: codegen'd method size) grows linearly with the set — past ~10³ the
-#: join form (per-eval compile and all) or the inverted-index shingle
-#: path wins. The measured crossover is in SCALE.md "Round 14".
+#: codegen'd method size) grows linearly with the set — past ~10³ use
+#: canary_scan_automaton (exact literals, plan width constant) or the
+#: join form for regexes. The measured crossover is in SCALE.md
+#: "Round 14: the large-pattern-set canary path".
 _CANARY_LITERAL_MAX_PATTERNS = 1024
 
 
@@ -958,6 +962,13 @@ def canary_scan_automaton(
         ]
     )
     if not pats:
+        if df.isStreaming:
+            raise ValueError(
+                "canary_scan_automaton: empty pattern table on a STREAM — "
+                "the batch empty-frame return cannot ride a streaming "
+                "plan; fix the canary artifact or use the join form "
+                "(whose empty join is streamable)"
+            )
         return df.sparkSession.createDataFrame([], schema)
     bc = df.sparkSession.sparkContext.broadcast(pats)
     # Cache key travels in the closure (worker-side Broadcast objects
@@ -1009,6 +1020,47 @@ def canary_scan_automaton(
             )
 
     return df.select(id_col, text_col).mapInPandas(batches, schema=schema)
+
+
+#: canary_scan_auto's dispatch threshold: the measured join-vs-automaton
+#: crossover sits at a few hundred patterns (SCALE.md "Round 14: the
+#: large-pattern-set canary path" — join 0.69 s@52 / 1.73 s@455 vs
+#: automaton 0.64 / 1.19 on sf0.1), so below 256 the codegen'd contains
+#: join wins on fixed overhead, above it the |patterns|-independent
+#: automaton wins and keeps widening (79× at 2×10⁴).
+_CANARY_AUTO_THRESHOLD = 256
+
+
+def canary_scan_auto(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    patterns: DataFrame,
+    pat_id_col: str = "pat_id",
+    pattern_col: str = "pattern",
+) -> DataFrame:
+    """Form-dispatching exact canary scan (round 14): count the pattern
+    table (tiny by the canary contract — one driver-side job) and pick
+    the join form below ``_CANARY_AUTO_THRESHOLD`` patterns, the
+    Aho-Corasick automaton at or above it. Exists because the 100×
+    documents ladder caught the composed cost the fixed-size forms hide:
+    `curation_filter_decision_table` embeds a canary stage whose
+    fixture-derived pattern set GROWS with the corpus, so the join
+    form's |patterns| × |docs| term went quadratic (90.6 s at 100×, ~70 s
+    of it the canary stage) while the automaton runs the same stage in
+    ~2 s. Production canary sets are release-fixed, but any pipeline
+    whose patterns derive from data (mined secrets, eval-answer dumps)
+    hits exactly this — the dispatch makes the composed operator safe by
+    default. Output is bit-identical either way (shared-oracle-pinned);
+    exact literals only."""
+    n = patterns.filter(F.length(F.col(pattern_col)) > 0).count()
+    if n >= _CANARY_AUTO_THRESHOLD:
+        return canary_scan_automaton(
+            df, id_col, text_col, patterns, pat_id_col, pattern_col
+        )
+    return canary_scan(
+        df, id_col, text_col, patterns, pat_id_col, pattern_col
+    )
 
 
 #: portable_hash's value space (md5-prefix parsed as 8 hex digits).

@@ -341,7 +341,14 @@ _GATED_WINDOW = [
     #     judge-named top priority).
     # =====================================================================
     "graph_pagerank_parts",
-    "text_tfidf_top_terms",
+    # text_tfidf_top_terms rotated out in round 14 (r13 driver-green;
+    # the text family keeps text_bpe_merges + text_frequent_ngrams
+    # gated; stays oracle-checked in the local pytest mirror) for the
+    # round-14-BUILT frame-sampling oracle row — the LAST multimodal
+    # lane converts: planted byte-arithmetic payloads through the real
+    # 1-to-N mapInPandas sampled-offset explode, every sampled byte
+    # re-derived by the generate_series oracle:
+    "multimodal_frame_sample_planted",
     "similarity_ivf_int8_indexed_topk",
     # =====================================================================
     # Round-12 rotation (2 of 2): gate the round-12-BUILT

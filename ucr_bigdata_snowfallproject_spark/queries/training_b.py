@@ -2356,7 +2356,13 @@ def curation_filter_decision_table(spark: SparkSession, sf_dir: str) -> DataFram
         ),
     )
     hits = (
-        curation_ops.canary_scan(train, "doc_id", "text", pats)
+        # auto form (round 14): the fixture's canary set GROWS with the
+        # corpus (doc_id % 97), so the join form's |patterns| × |docs|
+        # term goes quadratic on the scale ladder (90.6 s at 100× docs,
+        # ~70 s of it this stage) — at sf-fixture sizes the dispatch
+        # still picks the join form (52 < 256), so the band and the
+        # pinned plan shape are unchanged there
+        curation_ops.canary_scan_auto(train, "doc_id", "text", pats)
         .groupBy("doc_id")
         .agg(F.sum("n_occurrences").alias("n_canary_hits"))
     )
@@ -2578,6 +2584,61 @@ def multimodal_audio_chunk_manifest(
 
     media = _synth_wav_media(load_table(spark, sf_dir, "documents"))
     return multimodal.audio_chunk_manifest(media, chunk_ms=10, overlap_ms=2)
+
+
+@register(
+    "multimodal_frame_sample_planted",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, 64 + doc_id % 128 AS n_bytes
+      FROM documents
+    ), e AS (
+      SELECT media_id, n_bytes,
+             unnest(generate_series(0, (n_bytes - 1) // 32)) AS g
+      FROM m
+    )
+    SELECT media_id,
+           CAST(g AS INT) AS frame_no,
+           CAST(g * 32 AS BIGINT) AS offset,
+           CAST((media_id * 7 + g * 32 * 13) % 256 AS INT) AS frame_byte
+    FROM e
+    """,
+)
+def multimodal_frame_sample_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The frame-sampling lane's oracle-backed row (round 14 — the LAST
+    multimodal lane without one; VERDICT r13 let it stay pytest-pinned,
+    but the synthesize-recover recipe covers it too): payloads are
+    planted BYTE-ARITHMETIC videos — length 64 + doc_id%128, byte at
+    offset i = (doc_id·7 + i·13) mod 256, built scan-side via a
+    sequence→transform hex lambda → ``unhex`` — and the REAL
+    ``multimodal.frame_sample`` mapInPandas path (the 1→N sampled-offset
+    explode, every_n_bytes=32) must emit exactly the offsets and bytes
+    the oracle re-derives with ``generate_series`` arithmetic: 2-6
+    frames per payload, every sampled byte value pinned. A drifting
+    stride, an off-by-one on the final partial frame, or a byte-order
+    slip in the Arrow batch all surface as hash mismatches."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    n_bytes = F.lit(64) + did % 128
+    hexstr = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), (n_bytes - 1).cast("int")),
+            lambda i: F.lpad(
+                F.lower(F.hex((did * 7 + i.cast("long") * 13) % 256)), 2, "0"
+            ),
+        ),
+        "",
+    )
+    media = d.select(
+        did.alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.unhex(hexstr).alias("payload"),
+    )
+    return multimodal.frame_sample(media, every_n_bytes=32)
 
 
 def _mp4_trak_hex(track_id: int) -> str:

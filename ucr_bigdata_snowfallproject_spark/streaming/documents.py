@@ -566,6 +566,7 @@ def stream_canary_hits(
     pat_id_col: str = "pat_id",
     pattern_col: str = "pattern",
     regex: bool = False,
+    form: str = "join",
 ) -> DataFrame:
     """Exact multi-pattern canary detection on a document stream — the
     streaming face of ``operators.curation.canary_scan`` (round 13).
@@ -578,9 +579,26 @@ def stream_canary_hits(
     pin proves stream rows == the batch operator's rows bit-exactly on
     the same files. ``regex=True`` switches to the secret-shape sweep
     (``canary_scan(regex=True)`` — regexp_count predicate), still
-    stateless."""
-    from ..operators.curation import canary_scan
+    stateless. ``form="automaton"`` (round 14) swaps in the
+    LARGE-pattern-set Aho-Corasick path
+    (:func:`operators.curation.canary_scan_automaton`): the static
+    pattern table collects once at plan-build time, the automaton rides
+    a single broadcast and each micro-batch pays one stateless
+    mapInPandas scan at O(len + hits)/doc independent of |patterns| —
+    exact literals only (an automaton cannot ride regexes), stream ==
+    batch stays the bit-exact pin."""
+    from ..operators.curation import canary_scan, canary_scan_automaton
 
+    if form == "automaton":
+        if regex:
+            raise ValueError(
+                "form='automaton' matches exact literals only — regex "
+                "sweeps stay on the join/literal forms"
+            )
+        return canary_scan_automaton(
+            doc_stream, "doc_id", "text", patterns,
+            pat_id_col=pat_id_col, pattern_col=pattern_col,
+        )
     return canary_scan(
         doc_stream, "doc_id", "text", patterns,
         pat_id_col=pat_id_col, pattern_col=pattern_col, regex=regex,

@@ -844,13 +844,15 @@ def canary_scan_literal(
 
 
 #: canary_scan_automaton refuses pattern sets whose TOTAL character count
-#: exceeds this: the Aho-Corasick trie is pure-Python dict nodes
-#: (~100-150 B each, worst-case one node per pattern char), so 2^22 total
-#: chars bounds every Python worker at a few hundred MB of automaton —
-#: e.g. 10^5 patterns × 40 chars. Beyond it, split the pattern set into
-#: ≤cap slices and union k automaton passes (still k× cheaper than the
-#: join form's |patterns|-per-row contains), or move to the shingle
-#: inverted-index path (decontaminate / decontaminate_bloom).
+#: exceeds this. MEASURED at the cap (102k word-ish patterns, 4.19M
+#: chars, SCALE.md "Round 14: the large-pattern-set canary path"): 3.45M
+#: trie nodes ≈ 1.0 GB per Python worker (~300 B/dict-node), built in
+#: ~38 s ONCE per worker (cached across tasks via worker reuse — an
+#: executor-lifetime cost, like JVM codegen), scanning ~1M chars/s/worker
+#: thereafter. Deployments with <2 GB Python workers should slice the
+#: set into ≤cap chunks and union k automaton passes (still k× cheaper
+#: than the join form's |patterns|-per-row contains), or move to the
+#: shingle inverted-index path (decontaminate / decontaminate_bloom).
 _AUTOMATON_MAX_TOTAL_CHARS = 1 << 22
 
 #: Per-worker automaton cache keyed by the patterns broadcast id: Spark

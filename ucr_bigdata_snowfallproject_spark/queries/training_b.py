@@ -2534,6 +2534,102 @@ def _synth_wav_media(d: DataFrame) -> DataFrame:
 
 
 @register(
+    "multimodal_extract_features_planted",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'bmp' END AS kind,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 66
+                WHEN 1 THEN 12
+                ELSE 54 + ((3 * (1 + doc_id % 40) + 3) // 4) * 4
+                          * (1 + (doc_id * 7) % 30)
+           END AS BIGINT) AS n_bytes,
+           CAST(1 + doc_id % 40 AS INT) AS width,
+           CAST(1 + (doc_id * 7) % 30 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_extract_features_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GENERIC image lane's planted oracle row (VERDICT r14 Missing
+    #2 — the last multimodal decode path without one): unlike
+    ``multimodal_gif_dimensions`` (which pins the stdlib parser
+    explicitly), this goes through ``multimodal.extract_features`` with
+    the DEFAULT decoder resolution (``default_image_decoder()`` —
+    PIL-or-stdlib), over a THREE-format rotation synthesized scan-side
+    from doc_id: a structurally complete PNG (real IHDR CRC computed
+    in-plan via ``F.crc32``, fixed IDAT + IEND), the GIF header form,
+    and a fully valid 24-bpp BMP whose pixel array (row-padded to 4
+    bytes) is materialized with ``repeat`` — so EITHER decoder recovers
+    the same planted (width, height) and the oracle re-derives every
+    column, n_bytes included, by arithmetic alone. A signature slip,
+    big/little-endian confusion between the PNG and BMP branches, CRC
+    miscompute, row-padding error, or a broken default-decoder
+    resolution all surface as a hash mismatch."""
+    from ..operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    w = (F.lit(1) + F.col("doc_id") % 40).cast("long")
+    h = (F.lit(1) + (F.col("doc_id") * 7) % 30).cast("long")
+
+    def u16le(x):
+        return F.concat(
+            F.lpad(F.lower(F.hex(x % 256)), 2, "0"),
+            F.lpad(F.lower(F.hex((x / 256).cast("long"))), 2, "0"),
+        )
+
+    def u32le(x):
+        # all planted values < 2^16, so the high half is zero
+        return F.concat(u16le(x), F.lit("0000"))
+
+    def u32be(x):
+        return F.lpad(F.lower(F.hex(x)), 8, "0")
+
+    # PNG: sig + IHDR(len,type,data,REAL crc32) + fixed IDAT + IEND = 66 B
+    ihdr_type_data = F.concat(
+        F.lit("49484452"), u32be(w), u32be(h), F.lit("0802000000")
+    )
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a"),
+        F.lit("0000000d"),
+        ihdr_type_data,
+        F.lpad(F.lower(F.hex(F.crc32(F.unhex(ihdr_type_data)))), 8, "0"),
+        F.lit("000000094944415478" "9c63000000010001" "5eff7df9"),
+        F.lit("0000000049454e44ae426082"),
+    )
+    # GIF: header + logical screen descriptor dims + trailer = 12 B
+    gif_hex = F.concat(
+        F.lit("474946383961"), u16le(w), u16le(h), F.lit("003b")
+    )
+    # BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + padded 24-bpp
+    # pixel array — fully valid, size = 54 + rowsize*h
+    rowsize = (((F.lit(3) * w + 3) / 4).cast("long") * 4)
+    datasize = rowsize * h
+    bmp_hex = F.concat(
+        F.lit("424d"), u32le(F.lit(54) + datasize), F.lit("00000000"),
+        F.lit("36000000"),
+        F.lit("28000000"), u32le(w), u32le(h), F.lit("0100"), F.lit("1800"),
+        F.lit("00000000"), u32le(datasize),
+        F.lit("130b0000"), F.lit("130b0000"), F.lit("00000000"),
+        F.lit("00000000"),
+        F.repeat(F.lit("00"), datasize.cast("int")),
+    )
+    fmt = F.col("doc_id") % 3
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(fmt == 0, F.lit("png"))
+        .when(fmt == 1, F.lit("gif"))
+        .otherwise(F.lit("bmp"))
+        .alias("kind"),
+        F.unhex(
+            F.when(fmt == 0, png_hex).when(fmt == 1, gif_hex).otherwise(bmp_hex)
+        ).alias("payload"),
+    )
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "width", "height")
+
+
+@register(
     "multimodal_audio_chunk_manifest",
     """
     WITH m AS (

@@ -42,11 +42,20 @@ COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # documents-only ladder: embeddings' rotation decorrelation only spans
 # 64 copies and lineitem/part at 100× are not what the X10 scan-shaped
 # queries read, so `documents` alone buys the second decade cheaply)
+_KNOWN_TABLES = {"documents", "embeddings", "part", "lineitem"}
 TABLES = (
     set(sys.argv[4].split(","))
     if len(sys.argv) > 4
-    else {"documents", "embeddings", "part", "lineitem"}
+    else set(_KNOWN_TABLES)
 )
+# ADVICE r14: membership below is only ever tested with `in`, so a typo
+# ('lineitems') used to silently produce a fixture MISSING the table with
+# exit code 0 — fail loudly instead.
+if TABLES - _KNOWN_TABLES:
+    raise SystemExit(
+        f"unknown table(s) {sorted(TABLES - _KNOWN_TABLES)}; "
+        f"known: {sorted(_KNOWN_TABLES)}"
+    )
 if COPIES > 64 and "embeddings" in TABLES:
     raise SystemExit("embeddings rotation decorrelates <=64 copies")
 

@@ -855,9 +855,18 @@ def canary_scan_literal(
 #: shingle inverted-index path (decontaminate / decontaminate_bloom).
 _AUTOMATON_MAX_TOTAL_CHARS = 1 << 22
 
-#: Per-worker automaton cache keyed by the patterns broadcast id: Spark
-#: reuses Python workers across tasks (spark.python.worker.reuse), so
-#: each worker builds the trie ONCE per pattern set, not once per task.
+#: Per-worker automaton cache keyed by pattern-set content: Spark reuses
+#: Python workers across tasks (spark.python.worker.reuse), so each
+#: worker builds the trie ONCE per pattern set, not once per task.
+#: BOUNDED at ``_AC_CACHE_SLOTS`` live sets per worker, FIFO-evicted
+#: (ADVICE r14: the old single-slot clear-then-insert meant two automaton
+#: scans with different pattern sets interleaving tasks on one reused
+#: worker — two scans unioned in a query, concurrent batch+stream jobs —
+#: rebuilt the trie EVERY task, up to ~38 s/task at the cap, silently
+#: destroying the once-per-worker amortization the cap comment is
+#: premised on). 4 slots × ≤1 GB worst-case cap-sized tries still bounds
+#: worker memory; typical canary sets are orders of magnitude smaller.
+_AC_CACHE_SLOTS = 4
 _AC_CACHE: dict[int, tuple] = {}
 
 
@@ -927,9 +936,10 @@ def canary_scan_automaton(
     cached across tasks via worker reuse); the corpus side is a single
     ``mapInPandas`` pass — one scan, zero joins, zero corpus shuffle,
     output ~hits. The trade vs the join form is Python-side scanning
-    (Arrow batches, ~10^6-10^7 chars/s/worker) against JVM codegen'd
-    ``contains`` — the measured crossover is in SCALE.md "Round 14: the
-    large-pattern-set canary path". Worker memory is bounded by
+    (Arrow batches, ~1M chars/s/worker MEASURED at the cap — SCALE.md
+    "Round 14: the large-pattern-set canary path"; same number as the
+    cap comment above) against JVM codegen'd ``contains`` — the measured
+    crossover is in that SCALE.md section. Worker memory is bounded by
     ``_AUTOMATON_MAX_TOTAL_CHARS`` (raises beyond — split the set or use
     the shingle inverted-index path)."""
     import pandas as pd
@@ -987,7 +997,8 @@ def canary_scan_automaton(
         if cached is None:
             plist = bc.value
             cached = (_build_aho_corasick([p for _pid, p in plist]), plist)
-            _AC_CACHE.clear()  # one live pattern set per worker
+            while len(_AC_CACHE) >= _AC_CACHE_SLOTS:  # bounded FIFO evict
+                _AC_CACHE.pop(next(iter(_AC_CACHE)))
             _AC_CACHE[cache_key] = cached
         (goto, fail, out), plist = cached
         for pdf in it:
@@ -1054,15 +1065,38 @@ def canary_scan_auto(
     whose patterns derive from data (mined secrets, eval-answer dumps)
     hits exactly this — the dispatch makes the composed operator safe by
     default. Output is bit-identical either way (shared-oracle-pinned);
-    exact literals only."""
-    n = patterns.filter(F.length(F.col(pattern_col)) > 0).count()
-    if n >= _CANARY_AUTO_THRESHOLD:
-        return canary_scan_automaton(
-            df, id_col, text_col, patterns, pat_id_col, pattern_col
+    exact literals only.
+
+    The pattern side is collected ONCE (ADVICE r14: the old eager
+    ``count()`` + downstream re-read ran the pattern pipeline twice, and
+    a non-deterministic pattern source could make the dispatch decision
+    diverge from the set actually scanned): both the branch predicate
+    and the chosen form consume the same driver-side snapshot, re-lifted
+    into a tiny local frame (canary sets are small by contract — the
+    automaton form re-collects it for its broadcast at zero extra Spark
+    work)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    rows = (
+        patterns.select(
+            F.col(pat_id_col).alias("pat_id"),
+            F.col(pattern_col).alias("pattern"),
         )
-    return canary_scan(
-        df, id_col, text_col, patterns, pat_id_col, pattern_col
+        .filter(F.length("pattern") > 0)
+        .collect()
     )
+    snapshot = df.sparkSession.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("pat_id", patterns.schema[pat_id_col].dataType),
+                StructField("pattern", StringType()),
+            ]
+        ),
+    )
+    if len(rows) >= _CANARY_AUTO_THRESHOLD:
+        return canary_scan_automaton(df, id_col, text_col, snapshot)
+    return canary_scan(df, id_col, text_col, snapshot)
 
 
 #: portable_hash's value space (md5-prefix parsed as 8 hex digits).

@@ -241,6 +241,15 @@ HEADLINE = [
     "curation_canary_scan_automaton",
     "multimodal_audio_chunk_manifest",
     "multimodal_frame_sample_planted",
+    # round-15, benched from birth: the sketch error-bound conversions
+    # (HLL + exact distinct in two 1-row broadcast-joined aggregates;
+    # percentile_approx's rank-bound check pays a second lineitem scan)
+    # and the generic image lane's planted three-format row (scan-side
+    # PNG-with-real-CRC/GIF/BMP synthesis through the DEFAULT decoder
+    # mapInPandas path)
+    "approx_distinct_users_bounded",
+    "approx_quantiles_price_bounded",
+    "multimodal_extract_features_planted",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

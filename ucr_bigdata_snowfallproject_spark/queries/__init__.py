@@ -66,6 +66,44 @@ globals().update(
 #: round-1-green representatives (one per operator family) to fill 50.
 _GATED_WINDOW = [
     # =====================================================================
+    # Round-15 rotation: the freshness rule at full stride. 3 slots to
+    # the round-15 builds (the two sketch entries CONVERTED to
+    # oracle-backed bounded-error rows — exact aggregate + in-query
+    # within_bound boolean, VERDICT r14 Missing #1 — and the generic
+    # image lane's planted three-format row, VERDICT r14 Missing #2),
+    # then ALL remaining swap capacity to the 21 entries whose last
+    # external green row is the r01 era (the stalest set left after the
+    # r14 rotation cleared the r01-r02 core; computed from the committed
+    # CORRECTNESS_r*.json history). 24 swaps total — every rotated-out
+    # entry is r14-green, each family note is on its old line below.
+    "approx_distinct_users_bounded",
+    "approx_quantiles_price_bounded",
+    "multimodal_extract_features_planted",
+    # last green r01 — set operations, grouping forms, window breadth,
+    # scalar breadth, and join breadth re-proven:
+    "anti_join_customers_without_orders",
+    "union_urgent_or_big_orders",
+    "intersect_building_buyers",
+    "except_all_nonbuilding",
+    "cube_order_status_priority",
+    "grouping_sets_orders",
+    "pivot_status_by_segment",
+    "corr_lineitem_measures",
+    "distinct_counts_lineitem",
+    "window_top3_suppliers_per_nation",
+    "window_running_customer_spend",
+    "window_lag_lead_price",
+    "window_rank_functions",
+    "rolling_avg_order_value",
+    "scalar_date_parts",
+    "conditional_balance_buckets",
+    "json_extract_events",
+    "events_hourly_buckets",
+    "text_quality_by_source",
+    "range_join_price_bands",
+    "array_functions_embeddings",
+    # =====================================================================
+    # =====================================================================
     # Round-14 rotation — the FRESHNESS rule becomes policy (VERDICT r13
     # Missing #3 / next-round #3): every entry has an external green row
     # cumulatively, but the driver re-proves only 50/round, so entries
@@ -81,22 +119,22 @@ _GATED_WINDOW = [
     # compile-once canary form under the regex oracle VERBATIM), 12
     # slots to pre-r06 entries (listed here, each with its r13-green
     # outgoing swap partner noted at the partner's old position):
-    "multimodal_mp4_metadata",
-    "curation_canary_scan_regex_literal",
+    # multimodal_mp4_metadata rotated out in round 15 (r14 driver-green; freshness rule — multimodal keeps the incoming generic extract_features planted row (round-15 build), which exercises the same mapInPandas decode contract):
+    # curation_canary_scan_regex_literal rotated out in round 15 (r14 driver-green; freshness rule — canary family keeps curation_canary_scan_automaton gated, whose cache/dispatch code changed this round):
     # last green r01 — the round-1 core operator families re-proven:
-    "filter_project_sentinels",          # P1/P2/P6 null/sentinel/project
-    "window_latest_lineitem_per_order",  # P5/A2 tie-keeping arg-max
-    "group_median_quantity",             # A1 exact group median
-    "semi_join_customers_with_orders",   # P4/J2 existence semi join
-    "topk_orders_by_price",              # S10/O1 TakeOrderedAndProject
-    "correlation_matrix_lineitem",       # A4/F10 one-job corr matrix
-    "sessionize_events",                 # gap-based sessionization
-    "rollup_revenue_by_year_month",      # rollup/grouping-sets family
-    "scalar_string_functions",           # F-family scalar breadth
-    "asof_join_purchase_attribution",    # J-ext as-of join
-    "dedup_embedding_cosine",            # embedding near-dup (unblocked)
+    # filter_project_sentinels rotated out in round 15 (r14 driver-green; freshness rule — its r14 re-proof is fresh; core projection surface re-proven via the incoming r01-era window/scalar reps):
+    # window_latest_lineitem_per_order rotated out in round 15 (r14 driver-green; freshness rule — window family regains five r01-era gated reps this round):
+    # group_median_quantity rotated out in round 15 (r14 driver-green; freshness rule — flagship_monthly_median_join stays gated and composes the same group-median):
+    # semi_join_customers_with_orders rotated out in round 15 (r14 driver-green; freshness rule — join family keeps bloom_anti_join_lineitem + geo NN and gains anti_join + range_join):
+    # topk_orders_by_price rotated out in round 15 (r14 driver-green; freshness rule — top-k stays exercised inside q3_top_revenue_orders' TakeOrdered plan):
+    # correlation_matrix_lineitem rotated out in round 15 (r14 driver-green; freshness rule — aggregate diagnostics gain corr_lineitem_measures + distinct_counts):
+    # sessionize_events rotated out in round 15 (r14 driver-green; freshness rule — time/window family gains events_hourly_buckets + four window reps):
+    # rollup_revenue_by_year_month rotated out in round 15 (r14 driver-green; freshness rule — grouping family gains cube/grouping_sets/pivot this round):
+    # scalar_string_functions rotated out in round 15 (r14 driver-green; freshness rule — scalar family gains scalar_date_parts + conditional_balance_buckets + json_extract_events):
+    # asof_join_purchase_attribution rotated out in round 15 (r14 driver-green; freshness rule — as-of semantics stay pytest-pinned; join breadth regains range_join_price_bands):
+    # dedup_embedding_cosine rotated out in round 15 (r14 driver-green; freshness rule — embedding near-dup family keeps dedup_semdedup_int8 + curation_semantic_decontaminate):
     # last green r02:
-    "q10_returned_items",                # TPC-H group-by-many-keys shape
+    # q10_returned_items rotated out in round 15 (r14 driver-green; freshness rule — TPC-H keeps q1/q3):
     # =====================================================================
     # Round-8 rotation (VERDICT r07 "Next round" #1/#2/#7): gate the two
     # remaining never-externally-verified oracle-backed entries and the
@@ -201,7 +239,7 @@ _GATED_WINDOW = [
     # oracles via _minhash_md5_sql, and the dedup stage is composed in
     # both gated capstones). Both stay oracle-checked in the local
     # pytest mirror.
-    "text_bpe_merges",
+    # text_bpe_merges rotated out in round 15 (r14 driver-green; freshness rule — text family keeps text_frequent_ngrams and gains text_quality_by_source):
     # text_bpe_encode rotated out in round 14 (r13 driver-green; freshness rule — BPE family keeps text_bpe_merges; stays oracle-checked in the local pytest mirror):
     # Round 10d: gate the round-10-BUILT within-document span pair —
     # dedup_intra_doc_spans (maximal self-repeat spans, the within-doc
@@ -216,7 +254,7 @@ _GATED_WINDOW = [
     # (driver-green r02-r09; the embedding near-dup family keeps
     # dedup_embedding_knn_components gated). Both stay oracle-checked in
     # the local pytest mirror.
-    "dedup_intra_doc_spans",
+    # dedup_intra_doc_spans rotated out in round 15 (r14 driver-green; freshness rule — span family keeps dedup_self_repetition + curation_decontaminate_spans_bloom):
     "dedup_self_repetition",
     # =====================================================================
     # Round-11 rotation (VERDICT r10 #1/#5): gate the round-11-BUILT
@@ -233,7 +271,7 @@ _GATED_WINDOW = [
     # oracle-checked in the local pytest mirror).
     # =====================================================================
     # dedup_self_repetition_capped rotated out in round 14 (r13 driver-green; freshness rule — family keeps dedup_self_repetition + dedup_intra_doc_spans; stays oracle-checked in the local pytest mirror):
-    "dedup_substring_spans_poly",
+    # dedup_substring_spans_poly rotated out in round 15 (r14 driver-green; freshness rule — span family per the intra_doc_spans note; the 100x rung re-measured the whole family this round (SCALE.md)):
     # =====================================================================
     # Round-12 rotation (VERDICT r11 #3/#6): gate the round-12-BUILT
     # curation_span_clean_mix_pipeline_prod — the PRODUCTION-shaped
@@ -269,7 +307,7 @@ _GATED_WINDOW = [
     # mapInPandas path (the second multimodal decode path earns an
     # external hash row):
     # multimodal_wav_metadata rotated out in round 14 (r13 driver-green; freshness rule — multimodal keeps multimodal_gif_dimensions + the incoming mp4 row; stays oracle-checked in the local pytest mirror):
-    "similarity_knn_graph_int8",
+    # similarity_knn_graph_int8 rotated out in round 15 (r14 driver-green; freshness rule — ANN family keeps similarity_ivf_int8_indexed_topk):
     # =====================================================================
     # Round-11 rotation (2 of 2): gate the round-11-BUILT
     # dedup_semdedup_int8 — SemDeDup (Abbas et al. 2023), semantic
@@ -282,7 +320,7 @@ _GATED_WINDOW = [
     # gated; the entry stays oracle-checked in the local pytest mirror).
     # =====================================================================
     "dedup_semdedup_int8",
-    "fuzzy_join_part_names",
+    # fuzzy_join_part_names rotated out in round 15 (r14 driver-green; freshness rule — record-linkage identity stays pytest-pinned):
     # =====================================================================
     # Round-11 rotation (3 of 3): gate the round-11-BUILT
     # curation_semantic_decontaminate — embedding-space eval
@@ -340,7 +378,7 @@ _GATED_WINDOW = [
     #   graph_copurchase_edges (graph: graph_pagerank_parts in — the
     #     judge-named top priority).
     # =====================================================================
-    "graph_pagerank_parts",
+    # graph_pagerank_parts rotated out in round 15 (r14 driver-green; freshness rule — graph family r14-green; stays oracle-checked in the local pytest mirror):
     # text_tfidf_top_terms rotated out in round 14 (r13 driver-green;
     # the text family keeps text_bpe_merges + text_frequent_ngrams
     # gated; stays oracle-checked in the local pytest mirror) for the
@@ -348,7 +386,7 @@ _GATED_WINDOW = [
     # lane converts: planted byte-arithmetic payloads through the real
     # 1-to-N mapInPandas sampled-offset explode, every sampled byte
     # re-derived by the generate_series oracle:
-    "multimodal_frame_sample_planted",
+    # multimodal_frame_sample_planted rotated out in round 15 (r14 driver-green; freshness rule — multimodal per the mp4 note):
     "similarity_ivf_int8_indexed_topk",
     # =====================================================================
     # Round-12 rotation (2 of 2): gate the round-12-BUILT
@@ -413,8 +451,8 @@ _GATED_WINDOW = [
     # one-pass hit table rolled up with exact-integer sums under a full
     # DuckDB oracle:
     # curation_contamination_report rotated out in round 14 (r13 driver-green; freshness rule — multisuite family keeps curation_decontaminate_multisuite + the decision table; stays oracle-checked in the local pytest mirror):
-    "incremental_agg_replay",
-    "rag_prep_pipeline",
+    # incremental_agg_replay rotated out in round 15 (r14 driver-green; freshness rule — incremental-artifact contracts keep dedup/IVF/BM25 pytest pins; snapshot family r14-green):
+    # rag_prep_pipeline rotated out in round 15 (r14 driver-green; freshness rule — pipelines keep gsod_reference_pipeline + the span capstone):
     # --- round-6b: the two operators BUILT this round earn driver rows
     # immediately (incremental BM25 maintenance, RRF hybrid fusion).
     # Rotated out: q5_nation_revenue (TPC-H joins keep q1/q3/q4/q15 +
@@ -603,7 +641,7 @@ _GATED_WINDOW = [
     # generate_series arithmetic oracle, converting the last
     # planning-side audio lane from rows-only; gif stays oracle-checked
     # in the local pytest mirror):
-    "multimodal_audio_chunk_manifest",
+    # multimodal_audio_chunk_manifest rotated out in round 15 (r14 driver-green; freshness rule — multimodal per the mp4 note):
     # --- round-5f rotation: the BM25 retrieval and key-skew-diagnostic
     # families earn first driver rows. Rotated out: text_language_id
     # (text-signal family keeps text_stats_documents, text_redact_pii,

@@ -348,3 +348,33 @@ def test_trend_adjudicated_suppresses_until_new_round():
     spec["history"]["arrow_q"].append([11, 1.41])
     tw = trend_watch(spec, HEADLINE2)
     assert list(tw) == ["arrow_q"] and tw["arrow_q"]["rounds"] == [9, 10, 11]
+
+
+def test_anchor_ledger_protocol():
+    """Round-15 (VERDICT r14 #1): the box-decay protocol — the three
+    compute anchors run standalone at round START and END, both points
+    ledgered. This pins the committed ledger's shape so future rounds
+    keep the protocol: every point names its round, start/end position,
+    a warm number for EVERY compute calibration anchor, the run's
+    measured compute ratio, and >=5 warm passes (the pre-registered
+    protocol); and once a round has a start point it must also get an
+    end point (the latest round may be mid-flight only until its
+    round-close commit — both r15 points exist, so the invariant holds
+    retroactively for every ledgered round)."""
+    path = os.path.join(os.path.dirname(__file__), "..", "bench_bands.json")
+    spec = json.load(open(path))
+    ledger = spec.get("anchor_ledger")
+    assert ledger and ledger["points"], "anchor_ledger missing or empty"
+    anchors = set(spec["calibration_classes"]["compute"])
+    rounds = {}
+    for pt in ledger["points"]:
+        assert pt["point"] in ("start", "end")
+        assert set(pt["warm"]) == anchors, pt
+        assert pt["warm_repeat"] >= 5, pt
+        assert 0.3 < pt["compute_ratio"] < 3.0, pt
+        rounds.setdefault(pt["round"], set()).add(pt["point"])
+    for rnd, pts in rounds.items():
+        assert pts == {"start", "end"}, (
+            f"round {rnd} ledgered {sorted(pts)} — the protocol is one "
+            "start AND one end point per round"
+        )

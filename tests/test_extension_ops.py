@@ -4893,6 +4893,69 @@ def test_canary_auto_dispatch(spark):
     }
 
 
+def test_ac_cache_bounded_multi_set_amortization():
+    """ADVICE r14: the per-worker automaton cache must let up to
+    _AC_CACHE_SLOTS distinct pattern sets interleave tasks on one reused
+    worker with each trie built exactly ONCE (the old single-slot
+    clear-then-insert rebuilt on EVERY alternation — up to ~38 s/task at
+    the cap), while staying bounded past the slot count (FIFO evict)."""
+    from ucr_bigdata_snowfallproject_spark.operators import curation as cu
+
+    cu._AC_CACHE.clear()
+    builds: list[int] = []
+
+    def builder_for(key):
+        def build():
+            builds.append(key)
+            return ("trie", key)
+        return build
+
+    # two sets alternating 5x: one build each (the ADVICE scenario)
+    for _ in range(5):
+        assert cu._ac_cache_get_or_build(1, builder_for(1)) == ("trie", 1)
+        assert cu._ac_cache_get_or_build(2, builder_for(2)) == ("trie", 2)
+    assert builds == [1, 2]
+
+    # filling past the slot count evicts OLDEST-inserted first and stays
+    # bounded; the evicted key rebuilds on return
+    for k in range(3, cu._AC_CACHE_SLOTS + 2):  # keys 3..5 (slots=4)
+        cu._ac_cache_get_or_build(k, builder_for(k))
+    assert len(cu._AC_CACHE) == cu._AC_CACHE_SLOTS
+    assert 1 not in cu._AC_CACHE  # oldest evicted
+    cu._ac_cache_get_or_build(1, builder_for(1))
+    assert builds.count(1) == 2
+    cu._AC_CACHE.clear()
+
+
+def test_canary_automaton_alternating_pattern_sets(spark):
+    """End-to-end face of the cache fix: two automaton scans with
+    DIFFERENT pattern sets alternating in one session must each keep
+    returning their own correct hits (a key-collision or stale-cache bug
+    would cross-contaminate; the old clear-then-insert was only slow,
+    but this pins correctness under interleave too)."""
+    from ucr_bigdata_snowfallproject_spark.operators.curation import (
+        canary_scan,
+        canary_scan_automaton,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (3, "delta")],
+        ["doc_id", "text"],
+    )
+    pats_a = spark.createDataFrame([(1, "alpha")], ["pat_id", "pattern"])
+    pats_b = spark.createDataFrame([(2, "beta"), (3, "gamma")],
+                                   ["pat_id", "pattern"])
+    want_a = {tuple(r) for r in canary_scan(docs, "doc_id", "text", pats_a).collect()}
+    want_b = {tuple(r) for r in canary_scan(docs, "doc_id", "text", pats_b).collect()}
+    assert want_a and want_b
+    for _ in range(3):
+        got_a = {tuple(r) for r in
+                 canary_scan_automaton(docs, "doc_id", "text", pats_a).collect()}
+        got_b = {tuple(r) for r in
+                 canary_scan_automaton(docs, "doc_id", "text", pats_b).collect()}
+        assert got_a == want_a and got_b == want_b
+
+
 def test_decontaminate_multi_matches_per_suite_runs(spark):
     """Round-13 multi-suite decontamination: the one-pass per-(doc,
     suite) table sliced at each suite == the single-suite

@@ -870,6 +870,22 @@ _AC_CACHE_SLOTS = 4
 _AC_CACHE: dict[int, tuple] = {}
 
 
+def _ac_cache_get_or_build(cache_key: int, builder):
+    """Bounded-FIFO worker cache lookup for the Aho-Corasick trie:
+    return the cached value for ``cache_key`` or build-and-insert it,
+    evicting oldest-inserted entries past ``_AC_CACHE_SLOTS``. Factored
+    out of the mapInPandas closure so the ADVICE-r14 contract — k ≤
+    slots distinct pattern sets interleaving on one worker build each
+    trie exactly ONCE — is unit-testable without Spark."""
+    cached = _AC_CACHE.get(cache_key)
+    if cached is None:
+        cached = builder()
+        while len(_AC_CACHE) >= _AC_CACHE_SLOTS:  # bounded FIFO evict
+            _AC_CACHE.pop(next(iter(_AC_CACHE)))
+        _AC_CACHE[cache_key] = cached
+    return cached
+
+
 def _build_aho_corasick(patterns: list[str]):
     """Build a (goto, fail, out) Aho-Corasick automaton over ``patterns``
     (classic construction: trie + BFS failure links, output links
@@ -993,14 +1009,11 @@ def canary_scan_automaton(
     )
 
     def batches(it):
-        cached = _AC_CACHE.get(cache_key)
-        if cached is None:
+        def _build():
             plist = bc.value
-            cached = (_build_aho_corasick([p for _pid, p in plist]), plist)
-            while len(_AC_CACHE) >= _AC_CACHE_SLOTS:  # bounded FIFO evict
-                _AC_CACHE.pop(next(iter(_AC_CACHE)))
-            _AC_CACHE[cache_key] = cached
-        (goto, fail, out), plist = cached
+            return (_build_aho_corasick([p for _pid, p in plist]), plist)
+
+        (goto, fail, out), plist = _ac_cache_get_or_build(cache_key, _build)
         for pdf in it:
             ids, pids, pstrs, counts = [], [], [], []
             for rid, text in zip(pdf[id_col], pdf[text_col]):

@@ -1510,6 +1510,20 @@ def test_stream_canary_hits_match_batch(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="exact literals only"):
         stream_canary_hits(stream, rpats, regex=True, form="automaton")
 
+    # auto form (round 15): the crossover dispatch rides the stream the
+    # same way — static patterns collect at plan build, the fixture set
+    # sits below the threshold so the join form runs, rows bit-exact
+    got_auto = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            stream_canary_hits(stream, pats, form="auto"),
+            "canary_hits_auto",
+        ).collect()
+    }
+    assert got_auto == want
+    with pytest.raises(ValueError, match="exact literals only"):
+        stream_canary_hits(stream, rpats, regex=True, form="auto")
+
 
 def test_stream_multisuite_contamination_flags_match_batch(
     spark, tmp_path_factory

@@ -586,16 +586,30 @@ def stream_canary_hits(
     a single broadcast and each micro-batch pays one stateless
     mapInPandas scan at O(len + hits)/doc independent of |patterns| —
     exact literals only (an automaton cannot ride regexes), stream ==
-    batch stays the bit-exact pin."""
-    from ..operators.curation import canary_scan, canary_scan_automaton
+    batch stays the bit-exact pin. ``form="auto"`` (round 15) delegates
+    to :func:`operators.curation.canary_scan_auto`: the STATIC pattern
+    table collects once at plan-build time and the measured
+    ``_CANARY_AUTO_THRESHOLD`` crossover picks join vs automaton — the
+    same safe-by-default dispatch the composed batch pipelines use,
+    legal on a stream because only the stream side is unbounded."""
+    from ..operators.curation import (
+        canary_scan,
+        canary_scan_auto,
+        canary_scan_automaton,
+    )
 
+    if form in ("automaton", "auto") and regex:
+        raise ValueError(
+            f"form='{form}' matches exact literals only — regex "
+            "sweeps stay on the join/literal forms"
+        )
     if form == "automaton":
-        if regex:
-            raise ValueError(
-                "form='automaton' matches exact literals only — regex "
-                "sweeps stay on the join/literal forms"
-            )
         return canary_scan_automaton(
+            doc_stream, "doc_id", "text", patterns,
+            pat_id_col=pat_id_col, pattern_col=pattern_col,
+        )
+    if form == "auto":
+        return canary_scan_auto(
             doc_stream, "doc_id", "text", patterns,
             pat_id_col=pat_id_col, pattern_col=pattern_col,
         )

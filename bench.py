@@ -250,6 +250,11 @@ HEADLINE = [
     "approx_distinct_users_bounded",
     "approx_quantiles_price_bounded",
     "multimodal_extract_features_planted",
+    # round-15, benched from the round it got fast: full minhash
+    # clustering (candidates → jaccard edges → label-prop connected
+    # components) — the iterative-CC cost was invisible to the bench
+    # until the 100× rung caught its per-iteration edge recompute
+    "dedup_minhash_components_md5",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

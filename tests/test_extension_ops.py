@@ -222,6 +222,34 @@ def test_cc_star_converges_in_log_rounds_on_chain(spark):
     assert rounds <= 8, f"star took {rounds} rounds on a {n}-chain"
 
 
+def test_dup_components_label_raises_on_nonconvergence(spark):
+    """Round 15: label propagation moves the component min one hop per
+    round, so a chain deeper than max_iter used to return silently WRONG
+    labels (node 29 of a 30-chain still carried a non-min comp after 20
+    rounds) — and wrong components poison every downstream survivor/drop
+    decision. The operator must fail loudly instead, naming the star
+    escape hatch; star itself handles the same graph inside the default
+    round budget."""
+    import pytest
+
+    n = 30
+    edges = [(i, i + 1) for i in range(n - 1)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    with pytest.raises(ValueError, match="did not converge.*star"):
+        dedup_ops.dup_components(pairs, max_iter=20)
+    star = {
+        r.id: r.comp
+        for r in dedup_ops.dup_components(pairs, algorithm="star").collect()
+    }
+    assert star == {i: 0 for i in range(n)}
+    # ample max_iter still converges and matches ground truth
+    label = {
+        r.id: r.comp
+        for r in dedup_ops.dup_components(pairs, max_iter=40).collect()
+    }
+    assert label == star
+
+
 def test_group_quantiles_approx_tracks_exact(spark):
     """The percentile_approx (mergeable-sketch) switch of group_quantiles
     must track the exact interpolated form within sketch tolerance at high

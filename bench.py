@@ -475,8 +475,8 @@ def main() -> None:
         bands_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "bench_bands.json"
         )
-        if os.path.exists(bands_path):
-            spec = json.load(open(bands_path))
+        spec = json.load(open(bands_path)) if os.path.exists(bands_path) else None
+        if spec is not None:
             if sf == spec.get("sf"):
                 from tools.bench_bands import verdict as band_verdict
 
@@ -492,14 +492,13 @@ def main() -> None:
         # and contradicted bench_bands.json in every subsequent BENCH
         # artifact).
         band_note = ""
-        if os.path.exists(bands_path):
+        if spec is not None:  # reuse the spec parsed above (review r15)
             try:
                 from tools.bench_bands import band_limits
 
-                _spec = json.load(open(bands_path))
                 _quoted = []
                 for _n in ("graph_pagerank_parts", "dedup_minhash_candidates"):
-                    _b = _spec.get("bands", {}).get(_n)
+                    _b = spec.get("bands", {}).get(_n)
                     if _b:
                         _lo, _hi = band_limits(_b)
                         _quoted.append(f"{_n} {_lo:.2f}-{_hi:.2f}s norm")

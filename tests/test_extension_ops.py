@@ -248,6 +248,21 @@ def test_dup_components_label_raises_on_nonconvergence(spark):
         for r in dedup_ops.dup_components(pairs, max_iter=40).collect()
     }
     assert label == star
+    # the exact boundary (diameter == max_iter) must CONVERGE, not raise:
+    # max_iter changing rounds + the one confirm round the loop allows
+    # (review r15 caught the original guard raising here)
+    bpairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    boundary = {
+        r.id: r.comp
+        for r in dedup_ops.dup_components(bpairs, max_iter=5).collect()
+    }
+    assert boundary == {i: 0 for i in range(6)}
+    # and the degenerate budget fails loudly instead of returning
+    # identity labels silently
+    with pytest.raises(ValueError, match="max_iter must be >= 1"):
+        dedup_ops.dup_components(bpairs, max_iter=0)
 
 
 def test_group_quantiles_approx_tracks_exact(spark):
@@ -1518,6 +1533,76 @@ def test_jpeg_fixture_opens_in_pil_when_installed():
         pytest.skip("PIL not installed in this container")
     img = Image.open(io.BytesIO(multimodal.jpeg_bytes(13, 7)))
     assert img.size == (13, 7)
+
+
+def _planted_image_payloads(spark, n=6):
+    """Collect (doc_id, kind, payload) from the SAME synthesis the
+    planted oracle query uses (training_b._synth_planted_image_media) —
+    one row per format rotation at small ids."""
+    from ucr_bigdata_snowfallproject_spark.queries.training_b import (
+        _synth_planted_image_media,
+    )
+
+    d = spark.range(n).select(F.col("id").alias("doc_id"))
+    return [
+        (int(r["media_id"]), r["kind"], bytes(r["payload"]))
+        for r in _synth_planted_image_media(d).collect()
+    ]
+
+
+def test_planted_image_payloads_decode_stdlib(spark):
+    """The planted three-format rotation must decode to the planted dims
+    through the stdlib parser (the container's default path) for every
+    format — a desync between the hex synthesis and the parser is the
+    bug class the oracle query exists to catch, pinned here at byte
+    level too (the oracle drops the payload)."""
+    for doc_id, kind, payload in _planted_image_payloads(spark):
+        w, h = multimodal._decode_image_stdlib(payload)
+        assert (w, h) == (1 + doc_id % 40, 1 + (doc_id * 7) % 30), (doc_id, kind)
+        assert len(payload) == {"png": 66, "gif": 29}.get(
+            kind, 54 + ((3 * (1 + doc_id % 40) + 3) // 4) * 4 * (1 + (doc_id * 7) % 30)
+        )
+
+
+def test_planted_gif_is_structurally_complete(spark):
+    """Review r15: the planted GIF must be a COMPLETE single-frame file
+    (screen descriptor + image descriptor + LZW block + terminator +
+    trailer) because the planted query routes through the DEFAULT
+    decoder — PIL's lazy open parses through the frame header, so the
+    12-byte header-only form (fine for the stdlib-pinned
+    multimodal_gif_dimensions) would crash every PIL deployment."""
+    import struct
+
+    for doc_id, kind, payload in _planted_image_payloads(spark):
+        if kind != "gif":
+            continue
+        assert payload[:6] == b"GIF89a"
+        w, h = struct.unpack("<HH", payload[6:10])
+        assert payload[10:13] == b"\x00\x00\x00"  # no GCT, bg, aspect
+        assert payload[13] == 0x2C  # image descriptor
+        assert struct.unpack("<HHHH", payload[14:22]) == (0, 0, w, h)
+        assert payload[22] == 0x00  # no local color table
+        assert payload[23] == 0x02  # LZW min code size
+        assert payload[24] == 0x02 and len(payload[25:27]) == 2  # sub-block
+        assert payload[27] == 0x00  # block terminator
+        assert payload[28] == 0x3B  # trailer
+        assert len(payload) == 29
+
+
+def test_planted_image_payloads_open_in_pil_when_installed(spark):
+    """When PIL is present (the DEFAULT decoder extract_features
+    resolves), all three planted formats must open and agree with the
+    planted dims — the claim the oracle query's docstring makes."""
+    import pytest
+
+    try:
+        import io
+        from PIL import Image
+    except ImportError:
+        pytest.skip("PIL not installed in this container")
+    for doc_id, kind, payload in _planted_image_payloads(spark):
+        img = Image.open(io.BytesIO(payload))
+        assert img.size == (1 + doc_id % 40, 1 + (doc_id * 7) % 30), (doc_id, kind)
 
 
 def test_stdlib_png_is_fully_valid():

@@ -849,10 +849,15 @@ def canary_scan_literal(
 #: trie nodes ≈ 1.0 GB per Python worker (~300 B/dict-node), built in
 #: ~38 s ONCE per worker (cached across tasks via worker reuse — an
 #: executor-lifetime cost, like JVM codegen), scanning ~1M chars/s/worker
-#: thereafter. Deployments with <2 GB Python workers should slice the
-#: set into ≤cap chunks and union k automaton passes (still k× cheaper
-#: than the join form's |patterns|-per-row contains), or move to the
-#: shingle inverted-index path (decontaminate / decontaminate_bloom).
+#: thereafter. MEMORY BUDGET WITH THE SLOT CACHE (review r15): the
+#: 4-slot `_AC_CACHE` below pins up to min(k, _AC_CACHE_SLOTS) tries per
+#: worker when k distinct pattern sets interleave — worst case ~4 GB at
+#: 4 cap-sized sets, NOT the single-slot ~1 GB the pre-r15 cache
+#: guaranteed. Deployments slicing a huge set into ≤cap chunks and
+#: unioning k automaton passes (still k× cheaper than the join form's
+#: |patterns|-per-row contains) must size chunks at cap/k for k ≤ 4
+#: concurrent slices, shrink `_AC_CACHE_SLOTS`, or move to the shingle
+#: inverted-index path (decontaminate / decontaminate_bloom).
 _AUTOMATON_MAX_TOTAL_CHARS = 1 << 22
 
 #: Per-worker automaton cache keyed by pattern-set content: Spark reuses

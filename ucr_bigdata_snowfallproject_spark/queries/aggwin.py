@@ -166,8 +166,10 @@ def approx_distinct_users_bounded(spark: SparkSession, sf_dir: str) -> DataFrame
     relative STANDARD error, so 3σ is a deterministic-safe bound for the
     fixed hash the sketch uses). The DuckDB oracle computes the exact side
     and literal TRUE: a sketch whose error ever exceeds the bound — or a
-    broken exact aggregate — surfaces as a hash mismatch. The rows-only
-    ``approx_distinct_users`` twin keeps exposing the raw sketch value."""
+    broken exact aggregate — surfaces as a hash mismatch. (This REPLACES
+    the retired rows-only ``approx_distinct_users`` — see the retirement
+    note above; the raw sketch value is reachable via
+    ``aggregates.approx_distinct`` directly.)"""
     rsd = 0.05
     e = load_table(spark, sf_dir, "events")
     approx = aggregates.approx_distinct(e, ["user_id"], rsd).select(
@@ -205,8 +207,10 @@ def approx_quantiles_price_bounded(spark: SparkSession, sf_dir: str) -> DataFram
     asserts ``[cnt_lt+1, cnt_le]`` intersects ``p·n ± (n/accuracy + 1)``
     for every probability. The exact quantiles ride the same plan
     (Spark exact ``percentile`` == DuckDB ``quantile_cont``, both linear
-    interpolation, rounded 4 — the proven group-median pattern). The
-    rows-only ``approx_quantiles_price`` twin keeps exposing the sketch."""
+    interpolation, rounded 4 — the proven group-median pattern). (This
+    REPLACES the retired rows-only ``approx_quantiles_price`` — see the
+    retirement note above; the raw sketch is reachable via
+    ``aggregates.approx_quantiles`` directly.)"""
     probs = [0.25, 0.50, 0.75]
     acc = 10000
     l = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")

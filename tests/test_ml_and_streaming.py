@@ -1524,6 +1524,11 @@ def test_stream_canary_hits_match_batch(spark, tmp_path_factory):
     with pytest.raises(ValueError, match="exact literals only"):
         stream_canary_hits(stream, rpats, regex=True, form="auto")
 
+    # unknown form fails loudly instead of silently falling through to
+    # the join form (ADVICE r15 #4 — the 'automton' typo class)
+    with pytest.raises(ValueError, match="unknown form"):
+        stream_canary_hits(stream, pats, form="automton")
+
 
 def test_stream_multisuite_contamination_flags_match_batch(
     spark, tmp_path_factory

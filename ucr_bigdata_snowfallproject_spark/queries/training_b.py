@@ -2561,17 +2561,22 @@ def multimodal_extract_features_planted(spark: SparkSession, sf_dir: str) -> Dat
     explicitly), this goes through ``multimodal.extract_features`` with
     the DEFAULT decoder resolution (``default_image_decoder()`` —
     PIL-or-stdlib), over a THREE-format rotation synthesized scan-side
-    from doc_id: a structurally complete PNG (real IHDR CRC computed
-    in-plan via ``F.crc32``, fixed IDAT + IEND), a COMPLETE single-frame
-    GIF (screen descriptor + image descriptor + LZW sub-block +
-    terminator + trailer — PIL's lazy ``open`` parses through the frame
-    header, so the 12-byte header-only form the stdlib-pinned
-    ``multimodal_gif_dimensions`` plants would CRASH the PIL path here;
-    review r15 caught exactly that), and a fully valid 24-bpp BMP whose
-    pixel array (row-padded to 4
-    bytes) is materialized with ``repeat`` — so EITHER decoder recovers
+    from doc_id: a HEADER-COMPLETE PNG (real IHDR CRC computed
+    in-plan via ``F.crc32``, fixed IDAT + IEND), a LAZY-OPEN-SAFE
+    single-frame GIF (screen descriptor + image descriptor + LZW
+    sub-block + terminator + trailer — PIL's lazy ``open`` parses
+    through the frame header, so the 12-byte header-only form the
+    stdlib-pinned ``multimodal_gif_dimensions`` plants would CRASH the
+    PIL path here; review r15 caught exactly that), and a fully valid
+    24-bpp BMP whose pixel array (row-padded to 4 bytes) is
+    materialized with ``repeat`` — so EITHER decoder recovers
     the same planted (width, height) and the oracle re-derives every
-    column, n_bytes included, by arithmetic alone. A signature slip,
+    column, n_bytes included, by arithmetic alone. CAVEAT (ADVICE r15
+    #5): only the BMP carries real w×h pixel data — the PNG's fixed
+    9-byte IDAT and the GIF's 2-byte LZW sub-block are PLACEHOLDER
+    pixel streams sized for lazy header parsing, NOT decodable to w×h
+    pixels; a future decoded-pixel feature (``img.load()``-class) must
+    plant new fixtures, these will fail it by design. A signature slip,
     big/little-endian confusion between the PNG and BMP branches, CRC
     miscompute, row-padding error, or a broken default-decoder
     resolution all surface as a hash mismatch."""
@@ -2587,8 +2592,10 @@ def _synth_planted_image_media(d: DataFrame) -> DataFrame:
     """Scan-side synthesized (media_id, kind, payload) rotation from
     doc_id — shared by multimodal_extract_features_planted and the
     structural/PIL pytest pins so the tested bytes can never drift from
-    the planted oracle's bytes. Formats: complete PNG (real in-plan IHDR
-    CRC), complete single-frame GIF, fully valid padded 24-bpp BMP;
+    the planted oracle's bytes. Formats: header-complete PNG (real
+    in-plan IHDR CRC; placeholder IDAT — not w×h decodable),
+    lazy-open-safe single-frame GIF (placeholder LZW sub-block), fully
+    valid padded 24-bpp BMP (the only one with real w×h pixel data);
     dims w = 1 + doc_id%40, h = 1 + (doc_id*7)%30."""
     w = (F.lit(1) + F.col("doc_id") % 40).cast("long")
     h = (F.lit(1) + (F.col("doc_id") * 7) % 30).cast("long")
@@ -2614,12 +2621,13 @@ def _synth_planted_image_media(d: DataFrame) -> DataFrame:
         F.lit("000000094944415478" "9c63000000010001" "5eff7df9"),
         F.lit("0000000049454e44ae426082"),
     )
-    # GIF: COMPLETE single-frame file = header(6) + logical screen
+    # GIF: lazy-open-safe single-frame file = header(6) + logical screen
     # descriptor(7, no global color table) + image descriptor(10, full
-    # frame at origin) + LZW min code size(1) + one 2-byte data
-    # sub-block(3) + block terminator(1) + trailer(1) = 29 B — enough
-    # structure for PIL's lazy open (which parses to the frame header;
-    # LZW content is never decoded without load())
+    # frame at origin) + LZW min code size(1) + one 2-byte PLACEHOLDER
+    # data sub-block(3) + block terminator(1) + trailer(1) = 29 B —
+    # enough structure for PIL's lazy open (which parses to the frame
+    # header; LZW content is never decoded without load(), and this
+    # sub-block would NOT decode to w×h pixels)
     gif_hex = F.concat(
         F.lit("474946383961"),
         u16le(w), u16le(h), F.lit("000000"),

@@ -598,6 +598,12 @@ def stream_canary_hits(
         canary_scan_automaton,
     )
 
+    if form not in ("join", "automaton", "auto"):
+        # ADVICE r15 #4: an unrecognized form (e.g. an 'automton' typo)
+        # used to fall through silently to the join form
+        raise ValueError(
+            f"unknown form {form!r}: expected 'join', 'automaton', or 'auto'"
+        )
     if form in ("automaton", "auto") and regex:
         raise ValueError(
             f"form='{form}' matches exact literals only — regex "

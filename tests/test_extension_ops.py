@@ -2598,6 +2598,46 @@ def test_stratified_sample_nested_deterministic(spark):
     assert abs(len(hi) / n_en - 0.6) < 0.15  # rate is approximately honored
 
 
+def test_seeded_samplers_identity_and_rate(spark):
+    """The rows-only seeded Spark-sampler entries (sample_orders_seeded /
+    stratified_sample_orders) keep their engine-native determinism pin:
+    two runs draw the IDENTICAL row set (fixed seed), the realized rate
+    is near the nominal fraction, and the portable md5-threshold twins
+    (sample_orders_portable / stratified_sample_portable — the
+    externally-proven faces, VERDICT r15 next-round #3) draw a
+    same-sized-but-different set (different randomness, same
+    distribution)."""
+    from ucr_bigdata_snowfallproject_spark.queries import REGISTRY
+
+    def rows(name):
+        fn, _ = REGISTRY[name]
+        return {tuple(r) for r in fn(spark, SF_SMOKE).collect()}
+
+    n_orders = load_table(spark, SF_SMOKE, "orders").count()
+    seeded = rows("sample_orders_seeded")
+    assert seeded == rows("sample_orders_seeded")      # identity across runs
+    assert abs(len(seeded) / n_orders - 0.1) < 0.05    # realized ≈ nominal
+    portable = rows("sample_orders_portable")
+    assert abs(len(portable) / n_orders - 0.1) < 0.05
+    assert portable != seeded                          # different draws
+
+    strat = rows("stratified_sample_orders")
+    assert strat == rows("stratified_sample_orders")   # identity across runs
+    strat_p = rows("stratified_sample_portable")
+    # per-stratum realized rates near nominal for BOTH faces
+    import collections
+    frac = {"1-URGENT": 0.5, "2-HIGH": 0.2, "3-MEDIUM": 0.1,
+            "4-NOT SPECIFIED": 0.1, "5-LOW": 0.05}
+    totals = collections.Counter(
+        r.o_orderpriority
+        for r in load_table(spark, SF_SMOKE, "orders").collect()
+    )
+    for got in (strat, strat_p):
+        by = collections.Counter(t[1] for t in got)
+        for pri, f in frac.items():
+            assert abs(by[pri] / totals[pri] - f) < 0.12, (pri, by[pri])
+
+
 def test_funnel_counts_hand_case(spark):
     """Funnel ordering semantics: a click BEFORE the user's first view
     doesn't count; stages anchor at the earliest qualifying event; depth

@@ -386,14 +386,39 @@ def test_merge_schema_evolution(spark, tmp_path):
 
 def test_merge_sketch_combine_batching_invariant(spark, tmp_path):
     """merge_additive_agg with an HLL-union combine: the incrementally
-    maintained sketch estimates EXACTLY match the one-shot sketch
-    (register merge is associative+commutative), and track true distinct
-    counts; counts and sketches co-maintain in one table."""
+    maintained sketch estimate is BATCHING-INVARIANT — a 4-way replay
+    equals a 2-way in-query union over the same rows (union takes the
+    element-wise register max, so any grouping yields the same final
+    register state), and tracks true distinct counts; counts and
+    sketches co-maintain in one table. NOTE (round 16): the invariant is
+    merged == merged-under-any-batching, NOT merged == one-shot — a
+    never-merged sketch estimates via DataSketches' order-dependent HIP
+    estimator while merged sketches use the composite estimator, so
+    one-shot equality holds only in small-cardinality sparse mode (it
+    broke at sf0.1 when incremental_hll_distinct_replay_bounded planted
+    it in-query). At this fixture's SF the sketches are sparse, so
+    one-shot ALSO matches — asserted as a sparse-mode fact, not the
+    contract."""
     from ucr_bigdata_snowfallproject_spark import table as T
 
     e = load_table(spark, SF_SMOKE, "events").select(
         "event_id", "event_type", "user_id"
     )
+    rebatched = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(
+            F.hll_sketch_estimate(
+                F.hll_union(
+                    F.hll_sketch_agg(
+                        F.when(F.col("event_id") % 2 == 0, F.col("user_id"))
+                    ),
+                    F.hll_sketch_agg(
+                        F.when(F.col("event_id") % 2 == 1, F.col("user_id"))
+                    ),
+                )
+            ).alias("n")
+        ).collect()
+    }
     oneshot = {
         r.event_type: r.n
         for r in e.groupBy("event_type").agg(
@@ -433,7 +458,8 @@ def test_merge_sketch_combine_batching_invariant(spark, tmp_path):
     n_total = e.count()
     assert sum(v[0] for v in got.values()) == n_total  # counts still add
     for t, (_n, est) in got.items():
-        assert est == oneshot[t], t                     # batching-invariant
+        assert est == rebatched[t], t                   # batching-invariant
+        assert est == oneshot[t], t  # sparse-mode-only fact at this SF
         assert abs(est - truth[t]) <= max(2, 0.1 * truth[t]), t
 
 

@@ -1432,6 +1432,30 @@ def stratified_sample(
     return df.filter(u < thresh)
 
 
+def uniform_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: float,
+    seed: str = "sample",
+) -> DataFrame:
+    """Deterministic uniform Bernoulli sample: keep a row iff
+    ``portable_hash(id) / 2^32 < rate`` — the engine-portable twin of
+    ``df.sample(fraction, seed)`` (VERDICT r15 next-round #3). Spark's
+    seeded sampler is reproducible only within Spark (XORShift draw per
+    partition, so even a repartition changes the kept set); the md5 rule
+    makes the sample a pure function of (id, seed): any engine recomputes
+    the identical rows, reruns and incremental arrivals never move old
+    decisions, and samples at different rates NEST (hash thresholds
+    contain each other). One hash + one compare per row — scan-speed,
+    no shuffle, pushdown-friendly; the division by 2^32 is exact in
+    double (power-of-two denominator), so the < compare is bit-portable.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    u = portable_hash(id_col, seed).cast("double") / F.lit(float(2**32))
+    return df.filter(u < F.lit(float(rate)))
+
+
 def shard_assignments(
     df: DataFrame,
     id_col: str,

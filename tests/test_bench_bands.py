@@ -224,6 +224,20 @@ def test_bench_plans_cover_headline():
         and os.path.getsize(os.path.join(plans_dir, f)) > cap
     )
     assert not oversized, f"plan dumps over {cap} bytes: {oversized}"
+    # checkpoint-truncated queries also commit their UNTRUNCATED audit
+    # variant (VERDICT r15 "What's wrong" #1): the variant dump must
+    # exist, show the real joins the stub hides, and carry none of the
+    # anti-pattern nodes the standing greps screen for
+    for vname in bench.plan_audit_variants():
+        vpath = os.path.join(plans_dir, f"{vname}.plan.txt")
+        assert os.path.exists(vpath), f"missing audit-variant dump {vname}"
+        text = open(vpath).read()
+        assert "CartesianProduct" not in text, vname
+        assert "BroadcastNestedLoop" not in text, vname
+        assert ("SortMergeJoin" in text or "ShuffledHashJoin" in text
+                or "BroadcastHashJoin" in text), (
+            f"{vname}: audit variant shows no real join — is it a stub?"
+        )
 
 
 def test_dedupe_plan_text_keeps_first_occurrences():
@@ -374,6 +388,12 @@ def test_anchor_ledger_protocol():
         assert 0.3 < pt["compute_ratio"] < 3.0, pt
         rounds.setdefault(pt["round"], set()).add(pt["point"])
     for rnd, pts in rounds.items():
+        # the LATEST ledgered round may be mid-flight with only its
+        # start point (the docstring's exemption, made real in round 16
+        # — the start point is now committed when measured, not held
+        # back until round close); every earlier round needs both
+        if rnd == max(rounds) and pts == {"start"}:
+            continue
         assert pts == {"start", "end"}, (
             f"round {rnd} ledgered {sorted(pts)} — the protocol is one "
             "start AND one end point per round"

@@ -789,6 +789,22 @@ def dedup_minhash_components_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_components_md5_iteration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Plan-audit variant of ``dedup_minhash_components_md5`` (VERDICT
+    r15 "What's wrong" #1 — NOT a registry entry): the same candidate
+    build + edge symmetrization + ONE label-propagation round, with NO
+    checkpoint truncation, so ``bench.py --profile`` can commit the real
+    per-iteration join shape next to the post-checkpoint stub the timed
+    query dumps. The no-cartesian/no-BNLJ greps over ``bench_plans/``
+    audit THIS artifact for the components query."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = dedup_ops.minhash_candidates(d, "doc_id", "text", hash="md5")
+    pairs = cand.filter(F.col("jaccard_est") >= 0.5)
+    return dedup_ops.dup_components_iteration_frame(pairs)
+
+
 # Shared span CTE (round 9): the anchor→diagonal→gaps-and-islands
 # pipeline at min_tokens=12, consumed by both the span report and the
 # per-doc coverage oracle below.

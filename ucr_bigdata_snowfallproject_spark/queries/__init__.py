@@ -66,6 +66,52 @@ globals().update(
 #: round-1-green representatives (one per operator family) to fill 50.
 _GATED_WINDOW = [
     # =====================================================================
+    # Round-16 rotation (VERDICT r15 next-round #6 — the pre-registered
+    # queue at COVERAGE.md "round 16 pre-registration", tenth consecutive
+    # same-round-gating round): 3 slots to the round-16 builds (the HLL
+    # replay CONVERTED to an oracle-backed bounded-error row — exact
+    # distinct + 3σ·rsd within_bound + replay==rebatched batching
+    # independence, VERDICT r15 #2 — and the two portable-hash sampling
+    # twins that make seeded sampling externally proven, VERDICT r15 #3),
+    # then ALL remaining swap capacity (25 slots) to the freshness
+    # queue's head in its pre-registered order: scalar_math_functions
+    # (last green r02), the r03 quartet, and the full r04 band. 28 swaps
+    # total — every rotated-out entry is r15-green, each family note is
+    # on its old line below. 22 r15-green keepers hold the heavy
+    # dedup/curation/similarity/multimodal/sketch representatives.
+    "incremental_hll_distinct_replay_bounded",
+    "sample_orders_portable",
+    "stratified_sample_portable",
+    # last green r02:
+    "scalar_math_functions",
+    # last green r03 — the pre-registered quartet:
+    "salted_join_matches_plain",
+    "pandas_udf_geometric_mean",
+    "q7_volume_shipping",
+    "q12_shipmode_priority_counts",
+    # last green r04 — the pre-registered band (SQL API, time windows,
+    # UDF forms, text breadth, TPC-H breadth, curation stats, resample):
+    "sql_scalar_subquery_above_avg",
+    "events_sliding_windows",
+    "apply_in_pandas_zscore",
+    "wordcount_top20",
+    "text_bpe_token_counts",
+    "window_value_functions",
+    "scalar_string_functions_2",
+    "array_agg_priorities_per_segment",
+    "q6_revenue_forecast",
+    "q8_market_share",
+    "q11_top_share_parts",
+    "q14_promo_revenue",
+    "q16_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q22_idle_rich_customers",
+    "curation_pipeline_stats",
+    "resample_events_hourly_ffill",
+    "text_language_id",
+    "text_repetition_stats",
+    # =====================================================================
     # Round-15 rotation: the freshness rule at full stride. 3 slots to
     # the round-15 builds (the two sketch entries CONVERTED to
     # oracle-backed bounded-error rows — exact aggregate + in-query
@@ -76,32 +122,35 @@ _GATED_WINDOW = [
     # r14 rotation cleared the r01-r02 core; computed from the committed
     # CORRECTNESS_r*.json history). 24 swaps total — every rotated-out
     # entry is r14-green, each family note is on its old line below.
+    # The r15 builds KEEP their slots in round 16 (sketch + multimodal
+    # family representatives — no incoming rep for either family):
     "approx_distinct_users_bounded",
     "approx_quantiles_price_bounded",
     "multimodal_extract_features_planted",
-    # last green r01 — set operations, grouping forms, window breadth,
-    # scalar breadth, and join breadth re-proven:
-    "anti_join_customers_without_orders",
-    "union_urgent_or_big_orders",
-    "intersect_building_buyers",
-    "except_all_nonbuilding",
-    "cube_order_status_priority",
-    "grouping_sets_orders",
-    "pivot_status_by_segment",
-    "corr_lineitem_measures",
-    "distinct_counts_lineitem",
-    "window_top3_suppliers_per_nation",
-    "window_running_customer_spend",
-    "window_lag_lead_price",
-    "window_rank_functions",
-    "rolling_avg_order_value",
-    "scalar_date_parts",
-    "conditional_balance_buckets",
-    "json_extract_events",
-    "events_hourly_buckets",
-    "text_quality_by_source",
-    "range_join_price_bands",
-    "array_functions_embeddings",
+    # last green r01, gated r15, rotated out in round 16 (r15
+    # driver-green; freshness rule — each family's incoming/kept rep
+    # noted):
+    # anti_join_customers_without_orders rotated out in round 16 (r15 driver-green; join family keeps bloom_anti_join_lineitem and gains salted_join_matches_plain):
+    # union_urgent_or_big_orders rotated out in round 16 (r15 driver-green; set-op family r15-fresh, relational core re-proven via the incoming TPC-H band):
+    # intersect_building_buyers rotated out in round 16 (r15 driver-green; same family note as union):
+    # except_all_nonbuilding rotated out in round 16 (r15 driver-green; same family note as union):
+    # cube_order_status_priority rotated out in round 16 (r15 driver-green; grouping family r15-fresh, aggregate breadth regains array_agg_priorities_per_segment):
+    # grouping_sets_orders rotated out in round 16 (r15 driver-green; same family note as cube):
+    # pivot_status_by_segment rotated out in round 16 (r15 driver-green; same family note as cube):
+    # corr_lineitem_measures rotated out in round 16 (r15 driver-green; aggregate diagnostics r15-fresh; q17/q22 carry aggregate-subquery shapes in):
+    # distinct_counts_lineitem rotated out in round 16 (r15 driver-green; q16's distinct-count shape comes in):
+    # window_top3_suppliers_per_nation rotated out in round 16 (r15 driver-green; window family gains window_value_functions + events_sliding_windows):
+    # window_running_customer_spend rotated out in round 16 (r15 driver-green; same family note):
+    # window_lag_lead_price rotated out in round 16 (r15 driver-green; same family note):
+    # window_rank_functions rotated out in round 16 (r15 driver-green; same family note):
+    # rolling_avg_order_value rotated out in round 16 (r15 driver-green; resample family gains resample_events_hourly_ffill):
+    # scalar_date_parts rotated out in round 16 (r15 driver-green; scalar family gains scalar_math_functions + scalar_string_functions_2):
+    # conditional_balance_buckets rotated out in round 16 (r15 driver-green; same family note as scalar_date_parts):
+    # json_extract_events rotated out in round 16 (r15 driver-green; same family note as scalar_date_parts):
+    # events_hourly_buckets rotated out in round 16 (r15 driver-green; time family gains events_sliding_windows):
+    # text_quality_by_source rotated out in round 16 (r15 driver-green; text family gains language_id + repetition_stats + bpe + wordcount):
+    # range_join_price_bands rotated out in round 16 (r15 driver-green; join-ext family keeps geo_nearest_supplier_for_customers gated):
+    # array_functions_embeddings rotated out in round 16 (r15 driver-green; array family gains array_agg_priorities_per_segment):
     # =====================================================================
     # =====================================================================
     # Round-14 rotation — the FRESHNESS rule becomes policy (VERDICT r13
@@ -490,8 +539,8 @@ _GATED_WINDOW = [
     # integer flags under a full list-lambda DuckDB oracle) and C4
     # line-level cleaning (synthesized multi-line pages, cleaned text
     # md5-pinned):
-    "curation_gopher_rules",
-    "curation_c4_line_filter",
+    # curation_gopher_rules rotated out in round 16 (r15 driver-green; filter-recipe family keeps curation_filter_decision_table gated, which composes the same Gopher rule battery):
+    # curation_c4_line_filter rotated out in round 16 (r15 driver-green; same family note as gopher — the decision table composes the C4 line rules too):
     # global_scalar_aggregates rotated out in round 7c (r06 driver-green;
     # the aggregate family keeps q1_pricing_summary gated plus the
     # incoming group_quantiles_lineitem + profile_documents) for the
@@ -514,7 +563,7 @@ _GATED_WINDOW = [
     # corpus pass, per-(doc,suite) hits bit-identical to per-suite runs
     # of the single-suite operator, full DuckDB oracle:
     "curation_decontaminate_multisuite",
-    "pandas_udf_vowel_ratio",
+    # pandas_udf_vowel_ratio rotated out in round 16 (r15 driver-green; X7 family gains pandas_udf_geometric_mean + apply_in_pandas_zscore from the queue):
     # from_json_events_props rotated out in round 14 (r13 driver-green; freshness rule — scalar family keeps pandas_udf_vowel_ratio + the incoming scalar_string_functions; stays oracle-checked in the local pytest mirror):
     # q15_top_supplier rotated out in round 14 (r13 driver-green; freshness rule — TPC-H keeps q1/q3 + the incoming q10; stays oracle-checked in the local pytest mirror):
     # --- new oracle-backed in round 4 (training-pipeline operators).
@@ -655,7 +704,7 @@ _GATED_WINDOW = [
     # retrieval_eval_metrics gated) for the round-13-BUILT Bloom
     # short-circuit anti join — built this round, gated this round:
     "bloom_anti_join_lineitem",
-    "skew_stats_events_by_user",
+    # skew_stats_events_by_user rotated out in round 16 (r15 driver-green; skew family gains salted_join_matches_plain from the queue):
     # --- round-5g rotation: exact two-phase heavy hitters earns a first
     # driver row. Rotated out: q11_top_share_parts (share-of-total scalar
     # subquery family keeps correlated_subquery_above_custavg and seven
@@ -685,10 +734,10 @@ _GATED_WINDOW = [
     # curation_epoch_upsample rotated out in round 14 (r13 driver-green; freshness rule — curation-sampling family keeps curation_token_budget_mix; stays oracle-checked in the local pytest mirror):
     "curation_token_budget_mix",
     # --- round-1 driver-green representatives (regression guard) ---
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
+    # q1_pricing_summary rotated out in round 16 (r15 driver-green; TPC-H gains ten incoming shapes q6-q22):
+    # q3_top_revenue_orders rotated out in round 16 (r15 driver-green; same family note as q1 — its TakeOrdered top-k shape recurs in the incoming band):
     "flagship_monthly_median_join",
-    "dedup_exact_by_fingerprint",
+    # dedup_exact_by_fingerprint rotated out in round 16 (r15 driver-green; dedup family keeps dedup_minhash_components_md5 + dedup_self_repetition + dedup_quality_survivor gated):
     # similarity_brute_force_topk rotated out in round 6c (see the
     # round-6c note above) — replaced by similarity_int8_rerank_topk;
     # text_stats_documents rotated out in round 10c (see the round-10c

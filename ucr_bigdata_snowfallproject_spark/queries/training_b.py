@@ -866,17 +866,13 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.bigram_logppl(d, "doc_id", "text")
 
 
-@register("multimodal_audio_chunks", None)  # binary fixture — rows-only
-def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5 audio chunking (operators.multimodal.audio_chunk_manifest):
-    Whisper-style fixed windows with overlap over WAV payloads, emitted
-    as a metadata-only manifest (exact PCM byte ranges per chunk) — the
-    chunk planning pass never moves audio bytes; slicing happens
-    scan-side against the payload column."""
-    from ..operators import multimodal
-
-    media = multimodal.synthesize_media(spark, n=96)
-    return multimodal.audio_chunk_manifest(media, chunk_ms=5, overlap_ms=1)
+# multimodal_audio_chunks (rows-only since r12) was RETIRED from the
+# registry in round 16 (VERDICT r15 next-round #4): strictly subsumed by
+# the gated multimodal_audio_chunk_manifest row below, which drives the
+# SAME operators.multimodal.audio_chunk_manifest planner under a
+# generate_series arithmetic oracle. The known-layout byte-range pytest
+# (test_audio_chunk_manifest_known_layout, corrupt-row drop included)
+# is retained as the local mirror.
 
 
 @register(

@@ -42,7 +42,8 @@ COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # documents-only ladder: embeddings' rotation decorrelation only spans
 # 64 copies and lineitem/part at 100× are not what the X10 scan-shaped
 # queries read, so `documents` alone buys the second decade cheaply)
-_KNOWN_TABLES = {"documents", "embeddings", "part", "lineitem"}
+_KNOWN_TABLES = {"documents", "embeddings", "part", "lineitem", "orders",
+                 "events"}
 TABLES = (
     set(sys.argv[4].split(","))
     if len(sys.argv) > 4
@@ -63,49 +64,54 @@ spark = get_spark(app_name="make-scale-fixture")
 os.makedirs(DST, exist_ok=True)
 t0 = time.time()
 
-if "documents" not in TABLES:
+# documents is the anchor table of the TEXT ladder; the round-16
+# graph/lineitem ladder (VERDICT r15 next-round #1) scales only the
+# relational tables, so an EXPLICIT table list may omit it — the
+# historical guard stays for default (unlisted) invocations.
+if "documents" not in TABLES and len(sys.argv) <= 4:
     raise SystemExit("documents is the anchor table; always include it")
-docs = load_table(spark, SRC, "documents")
 ID_SPAN = 10_000_000
-toks = F.split(F.col("text"), r"\s+")
-shuffled = F.array_join(
-    F.transform(
-        F.array_sort(
-            F.transform(
-                toks,
-                lambda t, i: F.concat(
-                    F.md5(
-                        F.concat_ws(
-                            "#",
-                            t,
-                            i.cast("string"),
-                            F.col("doc_id").cast("string"),
-                            F.col("__k").cast("string"),
-                        )
+if "documents" in TABLES:
+    docs = load_table(spark, SRC, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    shuffled = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    toks,
+                    lambda t, i: F.concat(
+                        F.md5(
+                            F.concat_ws(
+                                "#",
+                                t,
+                                i.cast("string"),
+                                F.col("doc_id").cast("string"),
+                                F.col("__k").cast("string"),
+                            )
+                        ),
+                        F.lit("\x00"),
+                        t,
                     ),
-                    F.lit("\x00"),
-                    t,
-                ),
-            )
+                )
+            ),
+            lambda s: F.substring(s, 34, 1_000_000),
         ),
-        lambda s: F.substring(s, 34, 1_000_000),
-    ),
-    " ",
-)
-out_docs = (
-    docs.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
-    .select(
-        (F.col("doc_id") + F.col("__k") * ID_SPAN).alias("doc_id"),
-        F.when(F.col("__k") == 0, F.col("text")).otherwise(shuffled).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
-        "__k",
+        " ",
     )
-    .drop("__k")
-)
-out_docs.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
-print(f"documents: {time.time()-t0:.1f}s", flush=True)
+    out_docs = (
+        docs.withColumn("__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
+        .select(
+            (F.col("doc_id") + F.col("__k") * ID_SPAN).alias("doc_id"),
+            F.when(F.col("__k") == 0, F.col("text")).otherwise(shuffled).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+            "__k",
+        )
+        .drop("__k")
+    )
+    out_docs.repartition(32).write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+    print(f"documents: {time.time()-t0:.1f}s", flush=True)
 
 if "embeddings" in TABLES:
     emb = load_table(spark, SRC, "embeddings")
@@ -186,21 +192,75 @@ if "part" in TABLES:
     )
     print(f"part: {time.time()-t0:.1f}s", flush=True)
 
+# lineitem (widened round 16, VERDICT r15 next-round #1 — the
+# graph/lineitem ladder): copy k shifts l_orderkey/l_partkey (the
+# co-purchase graph stays COPIES disjoint isomorphic components) and now
+# CARRIES EVERY COLUMN — measures/flags/dates replicate verbatim and
+# l_suppkey stays UNSHIFTED, so the unscaled supplier dim becomes a
+# 100×-fan-in hot dimension (the realistic shape: facts outgrow dims).
+# Column pruning means the 2-col graph readers scan exactly what they
+# did before.
 if "lineitem" in TABLES:
-    li = load_table(spark, SRC, "lineitem").select("l_orderkey", "l_partkey")
+    li = load_table(spark, SRC, "lineitem")
     O_SPAN, P_SPAN = 100_000_000, 10_000_000
     out_li = (
         li.withColumn(
             "__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
         )
         .select(
-            (F.col("l_orderkey") + F.col("__k") * O_SPAN).alias("l_orderkey"),
-            (F.col("l_partkey") + F.col("__k") * P_SPAN).alias("l_partkey"),
+            (F.col("l_orderkey") + F.col("__k").cast("long") * O_SPAN).alias("l_orderkey"),
+            (F.col("l_partkey") + F.col("__k").cast("long") * P_SPAN).alias("l_partkey"),
+            *[c for c in li.columns if c not in ("l_orderkey", "l_partkey")],
         )
     )
     out_li.repartition(32).write.mode("overwrite").parquet(
         f"{DST}/lineitem.parquet"
     )
     print(f"lineitem: {time.time()-t0:.1f}s", flush=True)
+
+# orders (round 16): o_orderkey shifts with the SAME span as
+# l_orderkey, so scaled lineitem⋈orders joins hit exactly one order per
+# line (q9's shuffle join scales both sides together); o_custkey stays
+# unshifted (customer dim unscaled, fan-in grows like supplier's).
+if "orders" in TABLES:
+    o = load_table(spark, SRC, "orders")
+    O_SPAN = 100_000_000
+    out_o = (
+        o.withColumn(
+            "__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
+        )
+        .select(
+            (F.col("o_orderkey") + F.col("__k").cast("long") * O_SPAN).alias("o_orderkey"),
+            *[c for c in o.columns if c != "o_orderkey"],
+        )
+    )
+    out_o.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/orders.parquet"
+    )
+    print(f"orders: {time.time()-t0:.1f}s", flush=True)
+
+# events (round 16): event_id shifts; user_id stays UNSHIFTED — the key
+# POPULATION is fixed while rows per key grow ×COPIES, which is exactly
+# how per-user event skew grows in production (more history per user,
+# not more users). The skew family's hot keys get 100× hotter.
+if "events" in TABLES:
+    ev = load_table(spark, SRC, "events")
+    E_SPAN = 1_000_000_000
+    out_ev = (
+        ev.withColumn(
+            "__k", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1)))
+        )
+        .select(
+            (
+                F.col("event_id").cast("long")
+                + F.col("__k").cast("long") * E_SPAN
+            ).alias("event_id"),
+            *[c for c in ev.columns if c != "event_id"],
+        )
+    )
+    out_ev.repartition(32).write.mode("overwrite").parquet(
+        f"{DST}/events.parquet"
+    )
+    print(f"events: {time.time()-t0:.1f}s", flush=True)
 print(f"done -> {DST}", flush=True)
 spark.stop()

@@ -255,6 +255,14 @@ HEADLINE = [
     # components) — the iterative-CC cost was invisible to the bench
     # until the 100× rung caught its per-iteration edge recompute
     "dedup_minhash_components_md5",
+    # round-16, benched from birth: the HLL replay's bounded-error
+    # conversion (3-batch snapshot replay + exact distinct + 2-way
+    # rebatch union in one plan) and the portable-hash sampling twins
+    # (md5-threshold scans — cheap, but they are the externally-proven
+    # faces of the sampling family and bench its scan shape)
+    "incremental_hll_distinct_replay_bounded",
+    "sample_orders_portable",
+    "stratified_sample_portable",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

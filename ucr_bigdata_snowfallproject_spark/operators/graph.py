@@ -134,8 +134,25 @@ def pagerank(
     nodes = _mat(nodes, inv_mode)
     n_total = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # edges annotated with the sender's out-degree, reused every round
-    ed = _mat(e.join(out_deg, "src"), inv_mode)
+    # edges annotated with the sender's out-degree, reused every round.
+    # CO-PARTITION the invariant side ONCE (round 16 — the second-decade
+    # rung's catch): every iteration joins ed⋈ranks ON src, and a plainly
+    # persisted ed pays a full |E|-row Exchange + Sort in EVERY round
+    # (the 100× plan showed 3× 120M-row exchanges over the same
+    # InMemoryTableScan, zero ReusedExchange). Persisting ed already
+    # hash-partitioned AND sorted by src lets the SMJ consume the cache's
+    # outputPartitioning/outputOrdering directly — per-iteration edge
+    # work drops to a scan. A/B at the 100× rung (120M directed edges,
+    # 3 iters, warm median of 2): 75.2 s → 51.6 s (1.46×),
+    # top-100 bit-identical (integer recurrence — associativity makes
+    # partitioning invisible in results). Only the persist tiers keep
+    # planner-visible partitioning (localCheckpoint scans report
+    # UnknownPartitioning), so the repartition+sort is gated on them —
+    # other tiers would pay the build-time sort for zero reuse.
+    ed = e.join(out_deg, "src")
+    if inv_mode in ("persist", "eager"):
+        ed = ed.repartition(F.col("src")).sortWithinPartitions("src")
+    ed = _mat(ed, inv_mode)
     # Dangling MEMBERSHIP (nodes with no out-edges) is loop-invariant —
     # only the mass on it changes per round. Materialize the set once and,
     # when it's empty (every symmetric/undirected graph), skip the

@@ -263,6 +263,11 @@ HEADLINE = [
     "incremental_hll_distinct_replay_bounded",
     "sample_orders_portable",
     "stratified_sample_portable",
+    # round-16: the r16 rel-rung sweep found the HEAVIEST registry query
+    # (triangle counting, 13.9s warm at sf0.1) had never been benched —
+    # the graph family's reps were pagerank/copurchase, so its cost was
+    # invisible to the band system. Benched from here on.
+    "graph_triangles_parts",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on

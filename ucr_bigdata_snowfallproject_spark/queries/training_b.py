@@ -645,7 +645,21 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-ORIENTED algorithm (each triangle closes exactly once, wedge
     fan-out bounded by Σoutdeg² ~ O(m^1.5) worst case instead of the
     naive Σdeg² hub blow-up); the oracle counts the same triangles by a
-    plain a<b<c triple join — identical multiset by construction."""
+    plain a<b<c triple join — identical multiset by construction.
+
+    100 TB notes (round 16, measured at the relational rungs): the edge
+    build below is the UNGUARDED basket self-join — unlike
+    ``graph_copurchase_edges`` (``bipartite_project(max_group=50)``),
+    one C(k,2) mega-basket would expand quadratically; the fixture's
+    baskets are bounded (≤7 items) so it does not bite here, but a
+    production corpus needs the guarded builder. Wall: sf0.1 13.9 s →
+    10× 43.6 s (3.1×, sub-linear); at 100× the intersection join's
+    shuffle (~linear ×100 ≈ >100 GB — adjacency arrays ride every edge
+    row) exceeds THIS BOX's disk (43 GB spilled, then
+    SPILL_OUT_OF_MEMORY: no space left) — a capacity bound, not a
+    complexity term: per-copy degree distributions are rung-invariant,
+    so volume is exactly linear, and a 1,000-executor cluster absorbs
+    it as ~100 MB/executor. See SCALE.md round 16."""
     from ..operators import graph as graph_ops
 
     lp = load_table(spark, sf_dir, "lineitem").select(

@@ -268,6 +268,16 @@ HEADLINE = [
     # the graph family's reps were pagerank/copurchase, so its cost was
     # invisible to the band system. Benched from here on.
     "graph_triangles_parts",
+    # round-16b: a full non-headline timing sweep (the triangles lesson
+    # generalized — /tmp/nonheadline_sweep.log) surfaced the 2nd-heaviest
+    # unbenched entry: the end-to-end int8-IVF kNN graph → components
+    # composition (~14s warm). The other ≥5s non-headline names carry
+    # documented exemptions: apply_in_pandas_zscore is the grouped-map
+    # ANTI-PATTERN demo (cost pinned in its docstring, its oracle IS the
+    # recommended plan), similarity_knn_graph_incremental /
+    # similarity_lsh_topk / curation_quality_classifier are seeded
+    # twins/MLlib whose deterministic siblings are benched.
+    "dedup_embedding_knn_components",
     # round-10 family-audit additions (VERDICT r09 #7): the snapshot-table
     # and export-sink families had NO headline representative — snapshot
     # MERGE/CDF replay and the side-effect tar sink now bench from here on
@@ -564,9 +574,13 @@ def main() -> None:
                         + (
                             f" Band coverage: {len(spec.get('bands', {}))}"
                             " banded entries (headline suite + calibrated"
-                            " --only seeds); non-headline twins and"
-                            " sub-second variants are unbanded by rule,"
-                            " so out-of-band/trend detection watches the"
+                            " --only seeds); non-headline entries are"
+                            " unbanded by rule — cheap variants, twins of"
+                            " benched deterministic siblings, and the"
+                            " documented anti-pattern demo (see the"
+                            " HEADLINE r16b note; an r16 full sweep"
+                            " adjudicated every >=5s name) — so"
+                            " out-of-band/trend detection watches the"
                             " banded set, not all registry entries."
                         )
                     )

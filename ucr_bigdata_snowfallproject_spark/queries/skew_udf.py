@@ -233,7 +233,18 @@ def apply_in_pandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas frame; sample stddev ddof=1 to match SQL STDDEV). The oracle is
     the pure-window formulation — at 100 TB prefer that plan (streaming
     window agg, no Python, no per-group buffering); this entry pins the
-    applyInPandas plumbing against it."""
+    applyInPandas plumbing against it.
+
+    Measured cost of the anti-pattern it demonstrates (round-16
+    non-headline sweep): 20.8 s warm at sf0.1 — the HEAVIEST registry
+    query, and ~40× its own window-plan oracle. The wall is pure
+    grouped-map machinery: ~15k tiny per-customer groups × (one Python
+    call + one pandas frame build + one Arrow batch) each; the lambda
+    body is irrelevant. That O(|groups|) Python overhead is exactly why
+    the docstring says prefer the window plan — deliberately NOT benched
+    per round (banding a documented anti-pattern demo would spend 80
+    s/round institutionalizing it); this measured number is its cost
+    pin."""
     import pandas as pd
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")

@@ -131,6 +131,15 @@ def pagerank(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # co-partition the node frame too (round 16, same principle as the
+    # edge cache below): every iteration left-joins nodes⋈contribs ON
+    # node, and contribs exits its groupBy already hash-partitioned by
+    # node — caching nodes in that partitioning elides the nodes-side
+    # per-round exchange (node-sized, so a smaller win than the edge
+    # one: in-session A/B at 100×, 2 passes each, 94-120 s → 85-96 s on
+    # top of the edge fix). No sort: the step join is a hash join.
+    if inv_mode in ("persist", "eager"):
+        nodes = nodes.repartition(F.col("node"))
     nodes = _mat(nodes, inv_mode)
     n_total = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))

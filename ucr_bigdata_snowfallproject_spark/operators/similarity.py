@@ -1670,6 +1670,109 @@ def pq_int8_topk(
     )
 
 
+def _probe_cells(
+    frame: DataFrame,
+    centroid_codes: list[tuple[int, list[int]]],
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """(__qid, __qvec, __qn, __cell) — every row of ``frame`` exploded to
+    its ``n_probe`` best cells under the deterministic int8 centroid
+    ranking. Codes and the float norm are INLINE sibling expressions
+    (:func:`_inline_codes`), replacing the round-16-and-earlier
+    quantize-then-self-join-on-id build that shuffled the whole frame
+    against itself just to attach columns derivable in the same scan
+    (the `_inline_codes` rule; at cluster scale that join was two
+    payload-carrying exchanges per graph build for zero information)."""
+    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
+    return (
+        _inline_codes(frame, id_col, vec_col)
+        .withColumn("__qd", dots_udf(F.col("__codes")))
+        .select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).alias("__qvec"),
+            F.col("__cfn").alias("__qn"),
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            _int8_centroid_scores(F.col("__qd"), centroid_codes)
+                        ),
+                        lambda s: s.getField("cid"),
+                    ),
+                    1,
+                    n_probe,
+                )
+            ).alias("__cell"),
+        )
+    )
+
+
+def _pair_dot_scores(members: DataFrame, probers: DataFrame) -> DataFrame:
+    """Per-cell (prober × member) exact dot products as ONE cogrouped
+    Arrow task per cell — (src_id, nbr_id, __dot, __qn, __cfn), self-pairs
+    excluded.
+
+    ``members`` is (__cell, __mid, __mvec, __mn); ``probers`` is
+    (__cell, __qid, __qvec, __qn). Replaces the equi-join +
+    interpreted-HOF :func:`dot` per pair (measured ~9 µs/pair at sf0.1 —
+    the Σ|probers|·|cell| pair set is the kNN-graph hot loop) with a
+    vectorized accumulation that is BIT-IDENTICAL to the fold: products
+    are float64(x)·float64(y) (exact float32→float64 widening) and the
+    accumulator adds dimension j for every pair before dimension j+1 —
+    the same left-to-right IEEE add order as
+    ``aggregate(zip_with(a, b, x·y), 0.0, acc+x)``, so the rounded
+    cosines (and the DuckDB oracle hash) are unchanged. Division and
+    HALF_UP rounding stay JVM-side in the caller. Cogroup shuffles both
+    sides by __cell — the exact exchanges the old join paid.
+
+    Contract (shared with the SQL oracle): vectors are non-null and of
+    one fixed dimension; a ragged corpus fails loudly here (np.stack)
+    where the HOF form silently emitted null sims."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("src_id", probers.schema["__qid"].dataType),
+            StructField("nbr_id", members.schema["__mid"].dataType),
+            StructField("__dot", DoubleType()),
+            StructField("__qn", DoubleType()),
+            StructField("__cfn", DoubleType()),
+        ]
+    )
+    empty = {f.name: [] for f in out_schema.fields}
+
+    def score(mdf: pd.DataFrame, qdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(mdf) or not len(qdf):
+            return pd.DataFrame(empty)
+        M = np.stack(mdf["__mvec"].to_numpy()).astype(np.float64)
+        Q = np.stack(qdf["__qvec"].to_numpy()).astype(np.float64)
+        nq, nm = len(Q), len(M)
+        acc = np.zeros((nq, nm), dtype=np.float64)
+        for j in range(M.shape[1]):
+            acc += Q[:, j, None] * M[None, :, j]
+        src = np.repeat(qdf["__qid"].to_numpy(), nm)
+        nbr = np.tile(mdf["__mid"].to_numpy(), nq)
+        keep = src != nbr
+        return pd.DataFrame(
+            {
+                "src_id": src[keep],
+                "nbr_id": nbr[keep],
+                "__dot": acc.ravel()[keep],
+                "__qn": np.repeat(qdf["__qn"].to_numpy(), nm)[keep],
+                "__cfn": np.tile(mdf["__mn"].to_numpy(), nq)[keep],
+            }
+        )
+
+    return (
+        members.groupBy("__cell")
+        .cogroup(probers.groupBy("__cell"))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def ivf_int8_knn_graph(
     corpus: DataFrame,
     centroid_codes: list[tuple[int, list[int]]],
@@ -1712,44 +1815,22 @@ def ivf_int8_knn_graph(
     be (re)built from the artifact without rescanning the corpus."""
     if cells is None:
         cells = ivf_int8_build(corpus, centroid_codes, id_col, vec_col)
-    qcodes = quantize_embeddings(corpus, id_col, vec_col).select(
-        F.col(id_col).alias("__qid"), F.col("codes").alias("__qc")
+    probes = _probe_cells(corpus, centroid_codes, id_col, vec_col, n_probe)
+    members = cells.select(
+        "__cell",
+        F.col(id_col).alias("__mid"),
+        F.col(vec_col).alias("__mvec"),
+        F.col("__cfn").alias("__mn"),
     )
-    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
-    probes = (
-        corpus.select(
-            F.col(id_col).alias("__qid2"),
-            F.col(vec_col).alias("__qvec"),
-            l2_norm(F.col(vec_col)).alias("__qn"),
-        )
-        .join(qcodes, F.col("__qid2") == F.col("__qid"))
-        .withColumn("__qd", dots_udf(F.col("__qc")))
-        .select(
-            "__qid",
-            "__qvec",
-            "__qn",
-            F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            _int8_centroid_scores(F.col("__qd"), centroid_codes)
-                        ),
-                        lambda s: s.getField("cid"),
-                    ),
-                    1,
-                    n_probe,
-                )
-            ).alias("__cell"),
-        )
-    )
-    sim = F.round(
-        dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cfn")),
-        round_digits,
-    )
-    scored = (
-        cells.join(probes, on="__cell")
-        .filter(F.col(id_col) != F.col("__qid"))
-        .select(F.col("__qid").alias("src_id"), F.col(id_col).alias("nbr_id"), sim.alias("sim"))
+    # one cogrouped Arrow task per cell scores all (prober, member) pairs
+    # bit-identically to the old join + interpreted dot fold (round 17 —
+    # see _pair_dot_scores); division + HALF_UP round stay JVM-side
+    scored = _pair_dot_scores(members, probes).select(
+        "src_id",
+        "nbr_id",
+        F.round(
+            F.col("__dot") / (F.col("__qn") * F.col("__cfn")), round_digits
+        ).alias("sim"),
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))
     return (
@@ -1805,48 +1886,23 @@ def ivf_int8_knn_graph_delta(
 
     # old sources: candidate edges only vs delta members in their probed
     # cells (probe ranking recomputed from the fixed centroid codes —
-    # identical to the build-time ranking by determinism)
-    qcodes = quantize_embeddings(old_cells, id_col, vec_col).select(
-        F.col(id_col).alias("__qid"), F.col("codes").alias("__qc")
+    # identical to the build-time ranking by determinism; the probe norm
+    # is re-derived inline from the same float vectors, bit-identical to
+    # the artifact's __cfn). Pair scoring shares the cogrouped Arrow
+    # kernel with the full build (round 17 — _pair_dot_scores).
+    probes = _probe_cells(old_cells, centroid_codes, id_col, vec_col, n_probe)
+    delta_members = delta_cells.select(
+        "__cell",
+        F.col(id_col).alias("__mid"),
+        F.col(vec_col).alias("__mvec"),
+        F.col("__cfn").alias("__mn"),
     )
-    dots_udf = matrix_int_dots_udf([code for _, code in centroid_codes])
-    probes = (
-        old_cells.select(
-            F.col(id_col).alias("__qid2"),
-            F.col(vec_col).alias("__qvec"),
-            F.col("__cfn").alias("__qn"),
-        )
-        .join(qcodes, F.col("__qid2") == F.col("__qid"))
-        .withColumn("__qd", dots_udf(F.col("__qc")))
-        .select(
-            "__qid",
-            "__qvec",
-            "__qn",
-            F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            _int8_centroid_scores(F.col("__qd"), centroid_codes)
-                        ),
-                        lambda s: s.getField("cid"),
-                    ),
-                    1,
-                    n_probe,
-                )
-            ).alias("__cell"),
-        )
-    )
-    sim = F.round(
-        dot(F.col("__qvec"), F.col(vec_col)) / (F.col("__qn") * F.col("__cfn")),
-        round_digits,
-    )
-    old_vs_delta = (
-        delta_cells.join(probes, on="__cell")
-        .filter(F.col(id_col) != F.col("__qid"))
-        .select(
-            F.col("__qid").alias("src_id"), F.col(id_col).alias("nbr_id"),
-            sim.alias("sim"),
-        )
+    old_vs_delta = _pair_dot_scores(delta_members, probes).select(
+        "src_id",
+        "nbr_id",
+        F.round(
+            F.col("__dot") / (F.col("__qn") * F.col("__cfn")), round_digits
+        ).alias("sim"),
     )
     merged = old_graph.select("src_id", "nbr_id", "sim").unionByName(old_vs_delta)
     w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("nbr_id"))

@@ -2295,7 +2295,15 @@ def dedup_embedding_knn_components(spark: SparkSession, sf_dir: str) -> DataFram
     pairs = knn.filter(F.col("sim") >= 0.35).select(
         F.col("src_id").alias("id_a"), F.col("nbr_id").alias("id_b")
     )
-    return dedup_ops_local.dup_components(pairs).select(
+    # algorithm="star" (round 17): this graph is CHAIN-shaped — the
+    # ε-threshold kNN edges form long paths (measured diameter ~20 at
+    # sf0.1, exactly the label path's max_iter=20 boundary: 21 one-hop
+    # rounds ≈ 23 s of per-round fixed cost, and a marginally deeper
+    # fixture would RAISE the nonconvergence guard). Large-star/small-star
+    # converges in O(log d) rounds (measured 6) with bit-identical labels
+    # (comp = component-min either way; equality pinned in
+    # test_cc_star_matches_label_prop_on_random_graphs).
+    return dedup_ops_local.dup_components(pairs, algorithm="star").select(
         F.col("id").alias("vec_id"), F.col("comp")
     )
 

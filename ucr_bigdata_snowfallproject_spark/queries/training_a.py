@@ -1387,9 +1387,24 @@ def incremental_hll_distinct_replay_bounded(
     other = F.hll_sketch_agg(
         F.when(F.col("event_id") % 2 == 1, F.col("user_id"))
     )
+    # ADVICE r16: aggregate the two parity sketches as SEPARATE columns
+    # and combine with the same null guard as the replay combiner —
+    # hll_union(NULL, s) is NULL, so an event_type whose user rows all
+    # land on one parity would otherwise NULL out `rebatched` and fail
+    # the oracle row with no real sketch regression. (Both-NULL falls
+    # through to the unguarded union, exactly like the replay path.)
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct_users"),
-        F.hll_sketch_estimate(F.hll_union(half, other)).alias("rebatched"),
+        half.alias("__h0"),
+        other.alias("__h1"),
+    ).select(
+        "event_type",
+        "exact_distinct_users",
+        F.hll_sketch_estimate(
+            F.when(F.col("__h0").isNull(), F.col("__h1"))
+            .when(F.col("__h1").isNull(), F.col("__h0"))
+            .otherwise(F.hll_union("__h0", "__h1"))
+        ).alias("rebatched"),
     )
     return exact.join(F.broadcast(replayed), "event_type").select(
         "event_type",

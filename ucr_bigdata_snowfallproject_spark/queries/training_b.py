@@ -662,16 +662,33 @@ def graph_triangles_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     it as ~100 MB/executor. See SCALE.md round 16."""
     from ..operators import graph as graph_ops
 
-    lp = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", F.col("l_partkey").alias("p")
-    ).distinct()
-    x = lp.select("l_orderkey", F.col("p").alias("p1"))
-    y = lp.select("l_orderkey", F.col("p").alias("p2"))
-    edges = (
-        x.join(y, "l_orderkey")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
+    # Edge build via ONE groupBy + in-row pair expansion (round 17 — the
+    # bipartite_project / bucket_pairs kernel shape, uncapped to keep this
+    # entry's unguarded-self-join semantics byte-identical): collect_set
+    # dedups basket multiplicity inside the same exchange, pairs expand
+    # JVM-side, and triangle_counts' own canonicalizing distinct (`und`)
+    # dedups cross-order repeats — so the old lp-distinct + self-join +
+    # pair-distinct (3 exchanges + an SMJ over 4.3M pair rows) collapses
+    # to one exchange on the order key. Same distinct p1<p2 edge set.
+    grouped = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    ids = F.col("__ids")
+    k = F.size(ids)
+    pair_arr = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), k - i - F.lit(1)),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    edges = grouped.select(F.explode(pair_arr).alias("__p")).select(
+        "__p.p1", "__p.p2"
     )
     out = graph_ops.triangle_counts(edges, "p1", "p2")
     return relational.top_k(out, [F.desc("n_triangles"), F.asc("node")], 50)

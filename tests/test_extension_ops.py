@@ -2081,6 +2081,104 @@ def test_knn_graph_delta_equals_full_rebuild(spark):
     assert key(inc) == key(full)
 
 
+def test_pair_dot_scores_bit_identical_to_hof_fold(spark):
+    """_pair_dot_scores (round 17 — the cogrouped Arrow pair kernel
+    behind ivf_int8_knn_graph) reproduces the interpreted
+    aggregate(zip_with(a, b, x·y), 0.0, acc+x) fold BIT-for-bit: the
+    loop-over-dimension accumulation adds products in the same
+    left-to-right IEEE order, float32→float64 widening is exact, and
+    self-pairs are excluded. Checked with == on raw doubles (no
+    rounding, no tolerance) over every cross pair of a float corpus
+    including zero vectors and denormal-ish magnitudes."""
+    import math
+
+    from ucr_bigdata_snowfallproject_spark.operators.similarity import (
+        _pair_dot_scores, dot, l2_norm,
+    )
+
+    vals = [
+        (0, [0.1, -2.5e-7, 3.0e8, -1.0]),
+        (1, [1.0, 1.0e-38, -7.77, 0.125]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [-0.3333333, 2.2, 1.0e5, -9.99e-5]),
+        (4, [5.5, -5.5, 5.5, -5.5]),
+    ]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0 if i < 3 else 1) for i, v in vals],
+        "vec_id long, embedding array<float>, __cell int",
+    )
+    members = df.select(
+        "__cell",
+        F.col("vec_id").alias("__mid"),
+        F.col("embedding").alias("__mvec"),
+        l2_norm(F.col("embedding")).alias("__mn"),
+    )
+    probers = df.select(
+        "__cell",
+        F.col("vec_id").alias("__qid"),
+        F.col("embedding").alias("__qvec"),
+        l2_norm(F.col("embedding")).alias("__qn"),
+    )
+    got = {
+        (r.src_id, r.nbr_id): (r["__dot"], r["__qn"], r["__cfn"])
+        for r in _pair_dot_scores(members, probers).collect()
+    }
+    # reference: the JVM HOF fold over the same per-cell cross pairs
+    a = df.select(
+        "__cell", F.col("vec_id").alias("qa"), F.col("embedding").alias("va")
+    )
+    b = df.select(
+        "__cell", F.col("vec_id").alias("qb"), F.col("embedding").alias("vb")
+    )
+    ref_rows = (
+        a.join(b, "__cell")
+        .filter(F.col("qa") != F.col("qb"))
+        .select(
+            "qa",
+            "qb",
+            dot(F.col("va"), F.col("vb")).alias("d"),
+            l2_norm(F.col("va")).alias("qn"),
+            l2_norm(F.col("vb")).alias("cn"),
+        )
+        .collect()
+    )
+    ref = {(r.qa, r.qb): (r.d, r.qn, r.cn) for r in ref_rows}
+    assert set(got) == set(ref)
+    for k2, (d, qn, cn) in ref.items():
+        gd, gqn, gcn = got[k2]
+        # exact equality (NaN-safe): the kernel's accumulation order is
+        # the fold's accumulation order
+        for x, y in ((gd, d), (gqn, qn), (gcn, cn)):
+            assert (x == y) or (math.isnan(x) and math.isnan(y)), (k2, x, y)
+
+
+def test_label_iteration_flagged_matches_and_flags(spark):
+    """_label_iteration_flagged (round 17): the (id, comp) projection is
+    exactly _label_iteration's output, and __chg is true precisely for
+    the nodes whose comp the round lowered."""
+    from ucr_bigdata_snowfallproject_spark.operators.dedup import (
+        _label_edges, _label_iteration, _label_iteration_flagged, _label_seed,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)], "id_a long, id_b long"
+    )
+    edges = _label_edges(pairs)
+    labels = _label_seed(edges)
+    for _round in range(3):
+        flagged = _label_iteration_flagged(edges, labels).collect()
+        plain = {
+            (r.id, r.comp) for r in _label_iteration(edges, labels).collect()
+        }
+        assert {(r.id, r.comp) for r in flagged} == plain
+        before = {r.id: r.comp for r in labels.collect()}
+        for r in flagged:
+            assert r["__chg"] == (r.comp < before[r.id]), r
+        labels = spark.createDataFrame(
+            [(r.id, r.comp) for r in flagged], "id long, comp long"
+        )
+
+
 def test_semdedup_pairs_are_exact_subset(spark):
     """Every SemDeDup pair is a true near-dup (sims come from the same
     exact scorer), and the keep-set partitions the corpus with the

@@ -103,6 +103,10 @@ def main() -> None:
         },
     }
     out["total_warm"] = round(sum(q["warm"] for q in out["queries"].values()), 3)
+    # VERDICT r17 #8: report cold next to warm in every A/B — the r17
+    # eager-barrier changes cost +34% cold while the warm-only A/Bs saw
+    # only wins; total_cold makes that trade a measured choice per change.
+    out["total_cold"] = round(sum(q["cold"] for q in out["queries"].values()), 3)
     print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 

@@ -89,11 +89,16 @@ def _eval_anchor_matches(
     broadcast_eval: bool | None,
     hash_mode: str = "md5",
     bloom_prefilter: bool = False,
+    train_anchors: DataFrame | None = None,
 ) -> DataFrame:
     """Shared train⋈eval anchor-match builder behind
     :func:`decontaminate_spans` / :func:`excise_spans` — returns
     (doc_a=train id, doc_b=eval id, pos_a, pos_b) rows for every shared
-    ``min_tokens``-window fingerprint.
+    ``min_tokens``-window fingerprint. ``train_anchors=`` accepts a
+    prebuilt train-side :func:`~..dedup.substring_anchor_index` frame
+    (round 18 — width/mode-checked; a pipeline that already built the
+    same-width anchor table for span coverage reuses it instead of
+    re-hashing the corpus).
 
     Broadcast guard (VERDICT r09 #1): ``broadcast_eval=None`` (the
     default) SIZES the eval side before choosing the plan — one cheap
@@ -118,10 +123,16 @@ def _eval_anchor_matches(
     side, so the prefilter merely cuts probe work; its regime is the
     same as the shingle form's (see SCALE.md crossover): an eval union
     past the broadcast budget over a mostly-clean corpus."""
-    from .dedup import substring_anchor_index
+    from .dedup import _check_anchor_width, substring_anchor_index
     from .relational import bloom_prefilter as _rel_bloom_prefilter
 
-    train = substring_anchor_index(df, id_col, text_col, min_tokens, hash_mode)
+    if train_anchors is None:
+        train = substring_anchor_index(
+            df, id_col, text_col, min_tokens, hash_mode
+        )
+    else:
+        _check_anchor_width(train_anchors, min_tokens, hash_mode)
+        train = train_anchors
     ev = substring_anchor_index(eval_df, id_col, text_col, min_tokens, hash_mode)
     n_anchors = None
     if broadcast_eval is None or bloom_prefilter:
@@ -250,6 +261,7 @@ def excise_spans(
     broadcast_eval: bool | None = None,
     hash_mode: str = "md5",
     bloom_prefilter: bool = False,
+    train_anchors: DataFrame | None = None,
 ) -> DataFrame:
     """The ACTION step after :func:`decontaminate_spans`: rebuild each
     training document with every token inside a shared ≥``min_tokens``
@@ -272,12 +284,14 @@ def excise_spans(
     doc-grained and skew-free. The eval anchors broadcast only under the
     sized budget (``broadcast_eval=None`` — see
     :func:`_eval_anchor_matches`); above it the fingerprint join
-    shuffles both sides, identical output."""
+    shuffles both sides, identical output. ``train_anchors=`` reuses a
+    prebuilt same-width train-side anchor index (round 18 — see
+    :func:`_eval_anchor_matches`)."""
     from .dedup import _merge_anchor_runs
 
     matches = _eval_anchor_matches(
         df, eval_df, id_col, text_col, min_tokens, broadcast_eval, hash_mode,
-        bloom_prefilter,
+        bloom_prefilter, train_anchors=train_anchors,
     )
     spans = _merge_anchor_runs(matches, min_tokens)
     covered = (

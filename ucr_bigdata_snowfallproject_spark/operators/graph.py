@@ -141,7 +141,6 @@ def pagerank(
     if inv_mode in ("persist", "eager"):
         nodes = nodes.repartition(F.col("node"))
     nodes = _mat(nodes, inv_mode)
-    n_total = nodes.count()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # edges annotated with the sender's out-degree, reused every round.
     # CO-PARTITION the invariant side ONCE (round 16 — the second-decade
@@ -171,7 +170,25 @@ def pagerank(
         nodes.join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti"),
         inv_mode,
     )
-    has_dangling = bool(dang_nodes.limit(1).count())
+    # ONE pre-loop job for both loop constants (round 18): |nodes| and
+    # dangling-set presence come from a single aggregate over
+    # nodes⟕out_deg — replacing the separate nodes.count() +
+    # dang_nodes.limit(1).count() actions (two driver round-trips, and
+    # limit(1) only part-populated the caches it touched). The aggregate
+    # also eagerly populates the nodes (and e) persists before the loop
+    # consumes them. outdeg is unique per src, so count(*) = |nodes| and
+    # null-outdeg rows are exactly the anti-join's dangling set.
+    _row = (
+        nodes.join(
+            out_deg.withColumnRenamed("src", "node"), "node", "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col("outdeg").isNull(), 1)).alias("__nd"),
+        )
+        .first()
+    )
+    n_total, has_dangling = int(_row["__n"]), bool(_row["__nd"])
     if checkpoint_mode == "unrolled":
         # with a dangling set each round's ranks frame is consumed TWICE
         # (contribution join + dangling-mass agg) — lazy persist then

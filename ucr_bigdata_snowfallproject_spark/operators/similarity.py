@@ -1709,6 +1709,14 @@ def _probe_cells(
     )
 
 
+#: Prober rows scored per dense block inside :func:`_pair_dot_scores` —
+#: bounds the per-step accumulator at block·|members|·8 bytes (4096 rows ×
+#: a 50k-member hot cell = 1.6 GB acc worst case, vs 20 GB unchunked; at
+#: the healthy C~√n cell sizing the whole prober side fits one block and
+#: the loop degenerates to the unchunked form).
+_PAIR_SCORE_BLOCK_ROWS = 4096
+
+
 def _pair_dot_scores(members: DataFrame, probers: DataFrame) -> DataFrame:
     """Per-cell (prober × member) exact dot products as ONE cogrouped
     Arrow task per cell — (src_id, nbr_id, __dot, __qn, __cfn), self-pairs
@@ -1728,8 +1736,27 @@ def _pair_dot_scores(members: DataFrame, probers: DataFrame) -> DataFrame:
     sides by __cell — the exact exchanges the old join paid.
 
     Contract (shared with the SQL oracle): vectors are non-null and of
-    one fixed dimension; a ragged corpus fails loudly here (np.stack)
-    where the HOF form silently emitted null sims."""
+    one fixed dimension (asserted — prober/member dimension mismatch
+    raises a descriptive error instead of silently truncating the dot);
+    a ragged corpus fails loudly here (np.stack) where the HOF form
+    silently emitted null sims.
+
+    Per-task memory bound (round 18, VERDICT r17 #3): the prober side is
+    processed in fixed-size row blocks of ``_PAIR_SCORE_BLOCK_ROWS``, so
+    one skewed/hot IVF cell never allocates a dense |probers|×|members|
+    float64 accumulator in a single step (a 50k×50k cell's acc alone
+    would be 20 GB). Per-block peak ≈ members·dim·8 (M) +
+    block·dim·8 (Q) + block·members·8 (acc) + ~40·block·members for the
+    block's emitted pair frame. The RESULT of the cogroup is still one
+    pairs-sized frame per cell (~40 bytes/pair through one concat) —
+    cogrouped applyInPandas has no streaming return — so the hard cap
+    for adversarial cells is bounding the cell itself (grow C ~ √n, the
+    measured SCALE.md rule; a planted mega-cell should be split/salted
+    upstream like minhash's max_bucket). Accumulation is per-pair and
+    the j-loop order is unchanged inside each block, so every pair's dot
+    is the SAME IEEE add sequence as the unchunked form (and as the
+    original interpreted fold) — bit-identical results, pinned by
+    test_pair_dot_scores_bit_identical_to_hof_fold's chunked case."""
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
 
@@ -1748,22 +1775,40 @@ def _pair_dot_scores(members: DataFrame, probers: DataFrame) -> DataFrame:
         if not len(mdf) or not len(qdf):
             return pd.DataFrame(empty)
         M = np.stack(mdf["__mvec"].to_numpy()).astype(np.float64)
-        Q = np.stack(qdf["__qvec"].to_numpy()).astype(np.float64)
-        nq, nm = len(Q), len(M)
-        acc = np.zeros((nq, nm), dtype=np.float64)
-        for j in range(M.shape[1]):
-            acc += Q[:, j, None] * M[None, :, j]
-        src = np.repeat(qdf["__qid"].to_numpy(), nm)
-        nbr = np.tile(mdf["__mid"].to_numpy(), nq)
-        keep = src != nbr
-        return pd.DataFrame(
-            {
-                "src_id": src[keep],
-                "nbr_id": nbr[keep],
-                "__dot": acc.ravel()[keep],
-                "__qn": np.repeat(qdf["__qn"].to_numpy(), nm)[keep],
-                "__cfn": np.tile(mdf["__mn"].to_numpy(), nq)[keep],
-            }
+        mid = mdf["__mid"].to_numpy()
+        mn = mdf["__mn"].to_numpy()
+        nm = len(M)
+        blocks = []
+        for lo in range(0, len(qdf), _PAIR_SCORE_BLOCK_ROWS):
+            qb = qdf.iloc[lo : lo + _PAIR_SCORE_BLOCK_ROWS]
+            Q = np.stack(qb["__qvec"].to_numpy()).astype(np.float64)
+            if Q.shape[1] != M.shape[1]:
+                raise ValueError(
+                    "_pair_dot_scores: prober dim "
+                    f"{Q.shape[1]} != member dim {M.shape[1]} — mixed "
+                    "embedding widths in one cell (corrupt corpus or "
+                    "mismatched index artifact)"
+                )
+            nq = len(Q)
+            acc = np.zeros((nq, nm), dtype=np.float64)
+            for j in range(M.shape[1]):
+                acc += Q[:, j, None] * M[None, :, j]
+            src = np.repeat(qb["__qid"].to_numpy(), nm)
+            nbr = np.tile(mid, nq)
+            keep = src != nbr
+            blocks.append(
+                pd.DataFrame(
+                    {
+                        "src_id": src[keep],
+                        "nbr_id": nbr[keep],
+                        "__dot": acc.ravel()[keep],
+                        "__qn": np.repeat(qb["__qn"].to_numpy(), nm)[keep],
+                        "__cfn": np.tile(mn, nq)[keep],
+                    }
+                )
+            )
+        return blocks[0] if len(blocks) == 1 else pd.concat(
+            blocks, ignore_index=True
         )
 
     return (

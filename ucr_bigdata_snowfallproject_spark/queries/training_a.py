@@ -1391,8 +1391,21 @@ def incremental_hll_distinct_replay_bounded(
     # and combine with the same null guard as the replay combiner —
     # hll_union(NULL, s) is NULL, so an event_type whose user rows all
     # land on one parity would otherwise NULL out `rebatched` and fail
-    # the oracle row with no real sketch regression. (Both-NULL falls
-    # through to the unguarded union, exactly like the replay path.)
+    # the oracle row with no real sketch regression. (When both parities
+    # are NULL the FIRST when-branch short-circuits to the NULL __h1 —
+    # same NULL result as an unguarded union, just via a different
+    # branch; ADVICE r17 comment fix.)
+    # Single-parity caveat (ADVICE r17): if an event_type's rows all land
+    # on ONE parity, `rebatched` estimates a never-merged sketch (the
+    # order-dependent HIP estimator) while `approx_users` estimates a
+    # merged replay sketch (composite estimator) — outside
+    # small-cardinality sparse mode those can legitimately differ,
+    # flipping replay_equals_rebatched without a sketch regression (the
+    # same estimator-mismatch class the docstring pins for one-shot vs
+    # merged). On every fixture SF both parities are populated, which is
+    # what the oracle verifies; a regenerated fixture that starves one
+    # parity would need both sides forced through the composite
+    # estimator (union each with an empty sketch) to stay comparable.
     exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_distinct_users"),
         half.alias("__h0"),

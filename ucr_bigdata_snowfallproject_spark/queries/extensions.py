@@ -1312,9 +1312,22 @@ def curation_corpus_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cannot dedupe them), which re-ran the whole minhash anti-join
     # subtree. Measured A/B at sf0.1: 12.8 → 9.4 s warm-1 (round-2 warm
     # neutral), identical 291 rows.
-    surv = _materialize(surv, "local")
+    # Round 18 (guide §2.3 — project before the exchange): everything
+    # downstream needs only (doc_id, source, token count) — the r17
+    # barrier checkpointed FULL document rows and both budget-mix passes
+    # re-tokenized text from the checkpoint. Compute the count once,
+    # drop text before the barrier; the checkpoint writes 3 narrow
+    # columns and the mix's two exchanges carry no text. Same n_tokens
+    # values by construction (same token_count over the same rows).
+    surv = _materialize(
+        surv.select(
+            "doc_id", "source",
+            text_ops.token_count("text").alias("__ntok"),
+        ),
+        "local",
+    )
     kept = curation_ops.token_budget_mix(
-        surv, "source", "doc_id", text_ops.token_count("text"), budget_tokens=800
+        surv, "source", "doc_id", F.col("__ntok"), budget_tokens=800
     )
     ranked = curation_ops.proportional_interleave(
         kept.select("doc_id", "source", "n_tokens"), "source", "doc_id"
